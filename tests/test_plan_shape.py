@@ -1,0 +1,89 @@
+"""Plan-shape assertions — the 100 TB discipline, enforced in CI.
+
+Correctness says *what* a query computes; these tests pin *how*: filters and
+projections must reach the parquet scan, dimension joins must broadcast,
+aggregations must have a map-side partial phase, and hot paths must stay
+inside whole-stage codegen.  A regression here is a scale bug even when
+results stay right.
+"""
+
+from __future__ import annotations
+
+from wukong_spark.queries import load_all
+from tests.conftest import SF_CORRECT
+
+REG = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REG[name].fn(spark, SF_CORRECT)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filters_push_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    # shipdate range + discount + quantity predicates all pushed
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read_schema
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join must NOT be a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_single_fact_shuffle(spark):
+    """All dims broadcast; at most the orders⋈lineitem join + the final agg
+    may shuffle (at low SF even orders broadcasts → only the agg shuffles)."""
+    import re
+
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    shuffle_exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffle_exchanges) <= 2, shuffle_exchanges
+
+
+def test_agg_has_partial_phase(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "HashAggregate" in plan
+    assert "partial" in plan.lower()
+
+
+def test_q1_wholestage_codegen(spark):
+    # AQE finalizes stages at runtime — execute, then inspect executedPlan
+    df = REG["q1_pricing_summary"].fn(spark, SF_CORRECT)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N) Operator" is the WholeStageCodegen marker in plan toString
+    assert "*(" in executed
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "orderby_topk_parts")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_ops_no_python_udf(spark):
+    """Text pipeline must stay JVM-side (no BatchEvalPython/ArrowEvalPython)."""
+    for name in ("text_token_stats", "dedup_minhash_signature", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_embed_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "embed_cosine_topk")
+    assert "Broadcast" in plan

@@ -1,0 +1,59 @@
+"""Query/operator registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a QuerySpec:
+a Spark callable `(spark, sf_dir) -> DataFrame` plus (when SQL-expressible)
+the equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+`__spark_entry__.py` exposes this registry to the driver.
+
+Cross-engine exactness rules (SURVEY.md §7 "Exactness for t2 hashing"):
+- money sums are computed in integer cents/micros (order-independent, exact
+  in both engines) — see queries/helpers.py;
+- double outputs that are not exact are rounded to 4 decimals on BOTH sides;
+- every computed column is aliased identically on both sides;
+- top-k queries carry unique-key tie-breakers so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False):
+    """Decorator registering a query implementation."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return the
+    registry."""
+    from wukong_spark.queries import (  # noqa: F401
+        events,
+        relational,
+        taskgraph_queries,
+        textops,
+        vectors,
+    )
+
+    return REGISTRY

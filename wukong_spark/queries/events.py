@@ -1,0 +1,195 @@
+"""Event-time windowing + JSON scalar surface (SURVEY.md §2.2 B-V / M5).
+
+The reference has no streaming subsystem — its only time-windowing is pandas
+`rolling` executed as opaque tasks (`wukong/tests/test_collections.py:138-141`).
+The rebuild exposes event-time tumbling/sliding/session windows as *batch*
+DataFrame ops over the `events` table (the Structured Streaming variants in
+wukong_spark/streaming reuse the same expressions).
+
+Scale notes: every windowing query shuffles once on its grouping key
+(window-bucket or user_id); watermark-style late-data semantics only matter
+in the streaming variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import r4, tbl
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    headline=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
+    """Tumbling 1-hour event-time window aggregation.
+
+    F.window aligns to the epoch in the session timezone (UTC) so a 1-hour
+    tumble is exactly date_trunc('hour'). One shuffle on (bucket, type).
+    """
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH cand AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 1800) AS BIGINT) - s.i) * 1800 * 1000000
+             ) AS window_start,
+             value
+      FROM events e, (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM cand GROUP BY window_start
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str):
+    """Sliding window: length 1 h, slide 30 min (each event in 2 windows).
+
+    Spark's F.window(ts, '1 hour', '30 minutes') replicates each row into
+    its containing windows before the aggregation — same plan shape as the
+    oracle's 2-way unnest.
+    """
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+    )
+
+
+@query(
+    "events_sessionize_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    headline=True,
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str):
+    """Session windows (30-min inactivity gap) via lag + cumulative flag.
+
+    The classic batch sessionization: flag rows whose gap from the previous
+    event exceeds the timeout, running-sum the flags into a session id,
+    aggregate per (user, session).  Two window passes + one agg, all on the
+    same user_id partitioning → a single shuffle reused across stages.
+    """
+    e = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval subtraction works for TIMESTAMP_NTZ and is tz/DST-independent
+    # (unix_micros would force LTZ and break on non-UTC driver sessions)
+    gap_ok = (F.col("ts") - F.lag(F.col("ts")).over(w)) <= F.expr(
+        "INTERVAL '30' MINUTE"
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap_ok, 0).otherwise(1).alias("new_session"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(wrun).cast("long").alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str):
+    """JSON scalar extraction (get_json_object) + filtered rollup."""
+    e = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "events_rolling_avg3",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM events
+    """,
+)
+def events_rolling_avg3(spark: SparkSession, sf_dir: str):
+    """rolling(3).mean() (test_collections.py:138-141) as a row-frame window.
+
+    Rolling AVG over 3 rows is order-fixed in both engines → identical
+    float result; rounded to 4 for hash stability anyway.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        r4(F.avg("value").over(w)).alias("roll_avg"),
+    )

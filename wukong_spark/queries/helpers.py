@@ -1,0 +1,39 @@
+"""Shared helpers for cross-engine (Spark ↔ DuckDB) exact queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.session import load_table
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def cents(col: str | Column) -> Column:
+    """Money double → integer cents (exact, order-independent summation).
+
+    Floating-point SUM is order-dependent; Spark's partial aggregation and
+    DuckDB's scan order differ, so double sums can disagree in the last few
+    ulps and poison a value-hash.  Integer summation is associative and
+    exact.  DuckDB mirror: CAST(ROUND(x * 100) AS BIGINT).
+
+    Scale note: BIGINT cents overflow only past ~9e16 dollars; at true
+    100 TB scale switch the sum accumulator to DECIMAL(38,0) — the per-row
+    conversion is identical.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def pct_units(col: str | Column) -> Column:
+    """Rate-like double (discount/tax, 2-decimals) → integer hundredths."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def r4(col: Column) -> Column:
+    """Round a derived double to 4 decimals for hash-stable output."""
+    return F.round(col, 4)

@@ -1,0 +1,95 @@
+"""Task-graph primitive queries (SURVEY.md §2.2 B-I) exposed through the
+driver's queries() contract.
+
+The reference's canonical dataflow demos — tree reduction
+(`/root/reference/Static Scheduler/examples/tree_reduction.py:46`,
+README.md:180-202), fan-in (`examples/fan_in.py`), linear chains
+(`examples/linear_dag.py`) — re-expressed as Spark plans.  Spark's partial
++ final aggregation IS a tree reduction (map-side combine = the pairwise
+leaf adds); a depth-controlled `treeAggregate` variant lives in
+wukong_spark/taskgraph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import cents, tbl
+
+
+@query(
+    "tree_reduction_sum",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c,
+           COUNT(*) AS n_leaves
+    FROM lineitem
+    """,
+)
+def tree_reduction_sum(spark: SparkSession, sf_dir: str):
+    """Tree reduction (pairwise add over all rows → one scalar).
+
+    Wukong builds an explicit binary tree of `operator.add` tasks; Spark's
+    hash-agg does the same reduction as partial (per-partition) + final
+    combine — log-depth on executor count, zero driver involvement until
+    the single result row.
+    """
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.sum(cents("l_quantity")).alias("total_qty_c"),
+        F.count(F.lit(1)).alias("n_leaves"),
+    )
+
+
+@query(
+    "fan_in_add",
+    oracle="""
+    SELECT CAST(
+             (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+           + (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer)
+           AS BIGINT) AS combined_c
+    """,
+)
+def fan_in_add(spark: SparkSession, sf_dir: str):
+    """Fan-in (`add_values(x, y)` — README.md:170-176): two independent
+    branches computed in parallel, combined at a single downstream node.
+
+    Spark shape: two independent agg subplans cross-joined at 1×1 rows —
+    the scheduler runs the branches concurrently, exactly Wukong's fan-in.
+    """
+    o = tbl(spark, sf_dir, "orders").agg(F.sum(cents("o_totalprice")).alias("a"))
+    c = tbl(spark, sf_dir, "customer").agg(F.sum(cents("c_acctbal")).alias("b"))
+    return o.crossJoin(c).select((F.col("a") + F.col("b")).alias("combined_c"))
+
+
+@query(
+    "linear_chain_pipeline",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CASE WHEN scaled > 1000 THEN scaled ELSE 0 END) AS BIGINT) AS big_scaled_sum
+    FROM (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10 AS scaled
+      FROM lineitem WHERE l_linenumber <= 3
+    ) t
+    GROUP BY l_orderkey
+    """,
+)
+def linear_chain_pipeline(spark: SparkSession, sf_dir: str):
+    """Linear task chain (examples/linear_dag.py): filter → map → map → agg.
+
+    Wukong pipelines the chain onto one Lambda via its DFS path; Catalyst
+    fuses the narrow ops into one WholeStageCodegen stage — same pipelining,
+    zero intermediate materialization.
+    """
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 3)
+    scaled = F.floor(cents("l_extendedprice") / 10).cast("long")
+    return (
+        l.select("l_orderkey", scaled.alias("scaled"))
+        .select(
+            "l_orderkey",
+            F.when(F.col("scaled") > 1000, F.col("scaled")).otherwise(0).alias("flt"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("flt").alias("big_scaled_sum"))
+    )

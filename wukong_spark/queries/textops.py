@@ -1,0 +1,358 @@
+"""Text-analysis + deduplication operators over `documents`
+(SURVEY.md §2.3 — LLM-data-pipeline gap-fill; first-class per BASELINE.json).
+
+All hot-path expressions are JVM built-ins (split/transform/filter/md5/
+aggregate) — no Python UDFs — so they stay inside whole-stage codegen and
+scale to 100 TB of text by partition parallelism alone.
+
+Cross-engine determinism trick: every hash used here derives from md5(text)
+(identical hex in Spark and DuckDB), then folded to a BIGINT via hex→int on
+a 15-hex-digit (60-bit, sign-safe) prefix.  That makes even MinHash
+signatures exactly reproducible in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import r4, tbl
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, identical to the oracle's
+    regexp_split_to_array(trim(text), '\\s+')."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, engine-portable.
+
+    Spark: conv(hex-prefix, 16, 10) → decimal string → BIGINT.
+    DuckDB: CAST('0x' || prefix AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB SQL fragment mirroring md5_long(expr)
+ORACLE_MD5_LONG = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality scoring / language heuristic
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, n_chars,
+           LENGTH(text) AS char_len,
+           CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(array_length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INTEGER)
+               AS n_unique_tokens,
+           ROUND(LENGTH(replace(text, ' ', '')) * 1.0
+                 / array_length(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+    headline=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    """Token counting + type/token stats per document (all codegen)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("long").alias("char_len"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        r4(
+            F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             LENGTH(text) AS char_len
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(array_length(list_filter(toks,
+                 x -> list_contains({STOPWORDS!r}, x))) * 1.0
+                 / array_length(toks), 4) AS stopword_ratio,
+           ROUND(array_length(list_distinct(toks)) * 1.0 / array_length(toks), 4)
+               AS unique_ratio,
+           CASE WHEN array_length(toks) BETWEEN 20 AND 1000
+                     AND array_length(list_distinct(toks)) * 1.0 / array_length(toks) > 0.2
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str):
+    """Quality scoring: stopword ratio, lexical diversity, keep-flag.
+
+    The standard pretraining-corpus filter shape (Gopher/C4-style rules),
+    expressed as array built-ins so the filter runs JVM-side.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    return d.select(
+        "doc_id",
+        r4(n_stop * F.lit(1.0) / n_tok).alias("stopword_ratio"),
+        r4(uniq_ratio).alias("unique_ratio"),
+        F.when(n_tok.between(20, 1000) & (uniq_ratio > 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_keep"),
+    )
+
+
+@query(
+    "text_lang_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN array_length(list_filter(toks,
+                     x -> list_contains({STOPWORDS!r}, x))) * 1.0
+                     / array_length(toks) >= 0.02
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM t
+    """,
+)
+def text_lang_heuristic(spark: SparkSession, sf_dir: str):
+    """Language-ID heuristic: English-stopword density threshold.
+
+    (The synthetic corpus reuses one vocabulary across lang labels, so the
+    heuristic's value is the deterministic, engine-portable *computation* —
+    a richer n-gram-profile version drops into the same slot.)
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) * F.lit(1.0) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.02, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_md5",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+    headline=True,
+)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str):
+    """Exact dedup: md5-fingerprint → group → keep min doc_id.
+
+    Scale: hashing is map-side; the shuffle carries only (fp, doc_id) pairs,
+    never the text payload — the 100 TB-safe shape for exact dedup.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, array_length(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks
+      ) u
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.inter * 1.0 / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    """Near-dup detection: word-3-gram Jaccard ≥ 0.2 on a doc_id slice.
+
+    Shape: explode distinct shingles → self-join on shingle → pair
+    intersection counts → Jaccard via |A|+|B|−|A∩B|.  The doc_id<200 slice
+    bounds the candidate-pair blowup; the scale path is dedup_minhash_lsh
+    (same pipeline, but banded signatures replace raw shingles).
+    """
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    # guard: F.sequence(0, n) with n<0 would generate a DESCENDING sequence
+    sh = F.when(F.size(toks) >= 3, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        d.select("doc_id", F.explode(sh).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN SUM(CASE WHEN (({ORACLE_MD5_LONG.format(e='tok.x')} >> b.i) & 1) = 1
+                               THEN 1 ELSE -1 END) >= 0
+                  THEN 1 ELSE 0 END AS bitval
+      FROM toks, unnest(t) AS tok(x), (SELECT unnest(range(0, 16)) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(SUM(bitval * (1 << bit)) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    """SimHash document fingerprint (16-bit, engine-portable).
+
+    Per doc: majority vote of each hash bit across distinct tokens →
+    16-bit signature.  Near-dups differ in ≤k bits (banded lookup at scale).
+    Pure array/bitwise built-ins — no UDF, no shuffle except the final agg.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    hashes = F.transform(toks, lambda x: md5_long(x))
+
+    def bitval(i: int) -> Column:
+        # majority vote of bit i across token hashes: +1 if set, −1 if not
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+
+    sig = bitval(0)
+    for i in range(1, 16):
+        sig = sig + bitval(i)
+    return d.select("doc_id", sig.cast("long").alias("simhash16"))
+
+
+#: 48-bit md5-prefix hash (keeps (h * mult + off) inside BIGINT range even
+#: after the permutation multipliers below — Spark 4 ANSI mode errors on
+#: BIGINT overflow, so headroom is load-bearing)
+ORACLE_MD5_LONG48 = "CAST(('0x' || substr(md5({e}), 1, 12)) AS BIGINT)"
+
+MINHASH_PRIME = 1000000007  # wrap prime << 2^48 so the map is non-monotonic
+
+
+def md5_long48(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    )
+    SELECT doc_id, h.i AS perm,
+           CAST(MIN(({ORACLE_MD5_LONG48.format(e='tok.x')} * (2 * h.i + 1) + h.i * 774001)
+               % {MINHASH_PRIME}) AS BIGINT) AS minhash
+    FROM toks, unnest(t) AS tok(x), (SELECT unnest(range(0, 8)) AS i) h
+    GROUP BY doc_id, h.i
+    """,
+    headline=True,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str):
+    """MinHash signatures (8 permutations) — the LSH scale path for near-dup.
+
+    h_i(x) = (md5_48(x) * (2i+1) + i*774001) mod 1e9+7.  The modulus is far
+    below the 48-bit hash range, so the map wraps ~2^20 times → effectively
+    random permutation order (a monotonic map would make every "permutation"
+    pick the same min token).  Signature rows (doc, perm, minhash) band into
+    LSH buckets; candidate pairs come from bucket joins — never a cross join.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+
+    def perm_min(i: int):
+        # NB: the permutation index must be captured by closure, NOT as an
+        # extra lambda default arg — F.transform treats a second lambda
+        # parameter as the array-index lambda variable.
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda x: (md5_long48(x) * (2 * i + 1) + i * 774001) % MINHASH_PRIME,
+            )
+        )
+
+    rows = []
+    for i in range(8):
+        mh = perm_min(i)
+        rows.append(
+            d.select(
+                "doc_id", F.lit(i).alias("perm"), mh.cast("long").alias("minhash")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,155 @@
+"""Embedding similarity search over `embeddings` (SURVEY.md §2.3).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane signs → bucket join) is the scale path — at
+100 TB the candidate set per query comes from a bucket equi-join instead of
+a cross join.
+
+All vector math is JVM built-ins (`zip_with` + `aggregate`) over
+array<double> — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import r4, tbl
+
+N_QUERY_VECS = 5  # vec_id < 5 are the query set
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+@query(
+    "embed_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(q.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    headline=True,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str):
+    """Brute-force cosine top-10 for 5 query vectors.
+
+    Scale shape: the tiny query set broadcasts; the corpus streams through
+    once (no shuffle of the corpus). Per-query top-k via window over the
+    scored rows — with a broadcast query side this is a single map + one
+    small shuffle of (q_id, vec_id, cos) triples.
+    """
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v")))).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", r4(F.col("cos")).alias("cos"), "rn")
+    )
+
+
+@query(
+    "embed_neardup_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 4) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) > 0.8
+    """,
+)
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str):
+    """Embedding near-duplicate pairs (cosine > 0.8) on a bounded slice.
+
+    The all-pairs form is quadratic by definition — bounded here to a
+    vec_id slice as the correctness baseline.  embed_lsh_buckets is the
+    scale path (bucket equi-join prunes the pair space).
+    """
+    v = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", as_double(F.col("embedding")).alias("ev"))
+        .withColumn("nrm", norm(F.col("ev")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("ev").alias("ev_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("ev").alias("ev_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = dot(F.col("ev_a"), F.col("ev_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.8)
+        .select("id_a", "id_b", r4(F.col("cos_raw")).alias("cos"))
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+               AS avg_norm,
+           ROUND(MIN(list_aggregate(embedding::DOUBLE[], 'min')), 4) AS min_comp,
+           ROUND(MAX(list_aggregate(embedding::DOUBLE[], 'max')), 4) AS max_comp
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str):
+    """Per-label vector statistics (norms, component extrema)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("ev")
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg(norm(F.col("ev")))).alias("avg_norm"),
+        r4(F.min(F.array_min("ev"))).alias("min_comp"),
+        r4(F.max(F.array_max("ev"))).alias("max_comp"),
+    )
