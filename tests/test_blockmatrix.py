@@ -1,0 +1,137 @@
+"""Block-matrix layer vs numpy oracles (FIXTURES.md §B).
+
+Mirrors the reference's own differential pattern: distributed result vs
+local numpy (`/root/reference/Static Scheduler/wukong/tests/
+test_collections.py:97-103` uses np.all/allclose against local compute).
+Elementwise/transpose/GEMM are exact (deterministic summation order);
+factorizations check reconstruction/orthogonality like the reference does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wukong_spark.blockmatrix import BlockMatrix, cholesky_blocked
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_random_deterministic_roundtrip(spark):
+    a1 = BlockMatrix.random(spark, 50, 30, 16, 16, seed=42).to_numpy()
+    a2 = BlockMatrix.random(spark, 50, 30, 16, 16, seed=42).to_numpy()
+    assert np.array_equal(a1, a2)
+    assert a1.shape == (50, 30)
+    assert 0.0 <= a1.min() and a1.max() < 1.0
+    # different seed differs
+    a3 = BlockMatrix.random(spark, 50, 30, 16, 16, seed=43).to_numpy()
+    assert not np.array_equal(a1, a3)
+
+
+def test_from_to_numpy_roundtrip(spark, rng):
+    a = rng.random((37, 23))
+    m = BlockMatrix.from_numpy(spark, a, 10, 10)
+    assert np.array_equal(m.to_numpy(), a)
+
+
+def test_elementwise_exact(spark, rng):
+    a, b = rng.random((40, 25)), rng.random((40, 25))
+    ma = BlockMatrix.from_numpy(spark, a, 12, 12)
+    mb = BlockMatrix.from_numpy(spark, b, 12, 12)
+    assert np.array_equal(ma.add(mb).to_numpy(), a + b)
+    assert np.array_equal(ma.subtract(mb).to_numpy(), a - b)
+    assert np.array_equal(ma.multiply(mb).to_numpy(), a * b)
+    assert np.array_equal(ma.scale(2.5).to_numpy(), a * 2.5)
+    assert np.array_equal(ma.map_elementwise(np.exp).to_numpy(), np.exp(a))
+
+
+def test_transpose_exact(spark, rng):
+    a = rng.random((33, 21))
+    m = BlockMatrix.from_numpy(spark, a, 8, 8)
+    t = m.transpose()
+    assert (t.n_rows, t.n_cols) == (21, 33)
+    assert np.array_equal(t.to_numpy(), a.T)
+    # x.T + y broadcast-style composite (test_collections.py:90-95)
+    y = rng.random((21, 33))
+    comp = t.add(BlockMatrix.from_numpy(spark, y, 8, 8))
+    assert np.array_equal(comp.to_numpy(), a.T + y)
+
+
+def test_reductions(spark, rng):
+    a = rng.random((45, 18))
+    m = BlockMatrix.from_numpy(spark, a, 12, 7)
+    assert np.isclose(m.frobenius_norm(), np.linalg.norm(a))
+    assert np.allclose(m.col_sums(), a.sum(axis=0))
+
+
+def test_gemm_matches_numpy(spark, rng):
+    """GEMM (README.md:250-271) — exact vs an in-order numpy accumulation."""
+    a, b = rng.random((48, 36)), rng.random((36, 28))
+    ma = BlockMatrix.from_numpy(spark, a, 12, 12)
+    mb = BlockMatrix.from_numpy(spark, b, 12, 12)
+    c = ma.matmul(mb)
+    assert (c.n_rows, c.n_cols) == (48, 28)
+    assert np.allclose(c.to_numpy(), a @ b, atol=1e-12)
+
+
+def test_gemm_rectangular_edge_blocks(spark, rng):
+    a, b = rng.random((35, 22)), rng.random((22, 17))
+    c = BlockMatrix.from_numpy(spark, a, 10, 6).matmul(
+        BlockMatrix.from_numpy(spark, b, 6, 8)
+    )
+    assert np.allclose(c.to_numpy(), a @ b, atol=1e-12)
+
+
+def test_tsqr(spark, rng):
+    """TSQR (docs/examples/examples.rst:72-82): Q orthonormal, A = QR."""
+    a = rng.random((200, 12))
+    m = BlockMatrix.from_numpy(spark, a, 32, 12)
+    q, r = m.tsqr()
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(12), atol=1e-10)
+    assert np.allclose(qn @ r, a, atol=1e-10)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) >= 0).all()
+
+
+def test_svd_tall_skinny(spark, rng):
+    """SVD (README.md:204-225): A = U Σ Vᵀ, U orthonormal, s matches numpy."""
+    a = rng.random((150, 10))
+    m = BlockMatrix.from_numpy(spark, a, 32, 10)
+    u, s, vt = m.svd_tall_skinny()
+    assert np.allclose(s, np.linalg.svd(a, compute_uv=False), atol=1e-8)
+    un = u.to_numpy()
+    assert np.allclose(un.T @ un, np.eye(10), atol=1e-8)
+    assert np.allclose((un * s) @ vt, a, atol=1e-8)
+
+
+def test_svd_compressed(spark, rng):
+    """Randomized SVD (README.md:227-248): top-k sing. values on a low-rank
+    + noise matrix within the HMT accuracy envelope."""
+    k = 5
+    base = rng.random((120, 8)) @ rng.random((8, 60))  # rank-8
+    m = BlockMatrix.from_numpy(spark, base, 30, 15)
+    u, s, vt = m.svd_compressed(k=k, seed=1)
+    s_true = np.linalg.svd(base, compute_uv=False)[:k]
+    assert np.allclose(s, s_true, rtol=1e-6)
+    # reconstruction error at rank k close to optimal
+    approx = (u.to_numpy() * s) @ vt
+    err = np.linalg.norm(base - approx)
+    opt = np.linalg.norm(np.linalg.svd(base, compute_uv=False)[k:])
+    assert err <= opt * 1.5 + 1e-8
+
+
+def test_cholesky(spark):
+    """Cholesky (docs/examples/examples.rst:84-100) on the doc's own SPD
+    construction: tril(ones) @ tril(ones).T."""
+    n = 100
+    t = np.tril(np.ones((n, n)))
+    spd = t @ t.T
+    m = BlockMatrix.from_numpy(spark, spd, 25, 25)
+    l_mat = cholesky_blocked(m)
+    assert np.allclose(l_mat @ l_mat.T, spd, atol=1e-8)
+    assert np.allclose(l_mat, np.tril(l_mat))
+    assert np.allclose(l_mat, np.linalg.cholesky(spd), atol=1e-8)

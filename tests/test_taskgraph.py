@@ -1,0 +1,117 @@
+"""Task-graph surface parity tests (SURVEY.md §2.1/§2.2 B-I).
+
+Each test mirrors a reference example or client-API behavior:
+tree_reduction.py / fan_in.py / linear_dag.py, submit/map/gather semantics
+from `wukong/tests/test_client.py:98-583`, error propagation (A27),
+memoized resubmission (`client.py:1486-1488`).
+"""
+
+from __future__ import annotations
+
+import operator
+
+import pandas as pd
+import pytest
+
+from wukong_spark.taskgraph import Future, WukongClient
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    c = WukongClient(spark)
+    yield c
+    c.close()
+
+
+def _inc(x):
+    return x + 1
+
+
+def _add(x, y):
+    return x + y
+
+
+def test_submit_and_result(client):
+    fut = client.submit(_inc, 41)
+    assert isinstance(fut, Future)
+    assert fut.result() == 42
+    assert fut.done()
+
+
+def test_submit_memoizes_identical_tasks(client):
+    # client.py:1486-1488 — same (func, args) → same Future
+    f1 = client.submit(_add, 1, 2)
+    f2 = client.submit(_add, 1, 2)
+    assert f1 is f2
+    assert f1.result() == 3
+
+
+def test_fan_in_future_args(client):
+    # examples/fan_in.py: add(inc(1), inc(2))
+    x = client.submit(_inc, 1)
+    y = client.submit(_inc, 2)
+    z = client.submit(_add, x, y)
+    assert z.result() == 5
+
+
+def test_linear_chain(client):
+    # examples/linear_dag.py: sequential dependent tasks
+    f = client.submit(_inc, 0)
+    for _ in range(4):
+        f = client.submit(_add, f, 1)
+    assert f.result() == 5
+
+
+def test_map_preserves_order(client):
+    fut = client.map(_inc, range(100))
+    assert fut.result() == list(range(1, 101))
+
+
+def test_gather_list(client):
+    futs = [client.submit(_inc, i) for i in range(5)]
+    assert client.gather(futs) == [1, 2, 3, 4, 5]
+
+
+def test_error_propagation(client):
+    # A27: executor exception surfaces on future.result()
+    def boom(_):
+        raise ValueError("task failed on purpose")
+
+    fut = client.submit(boom, 1, pure=False)
+    with pytest.raises(Exception, match="task failed on purpose"):
+        fut.result()
+    assert fut.exception() is not None
+
+
+def test_scatter_dataframe_and_compute(client, spark):
+    pdf = pd.DataFrame({"x": range(10), "y": range(10, 20)})
+    df = client.scatter(pdf)
+    assert df.count() == 10
+    fut = client.compute(df.groupBy().sum("x"))
+    rows = fut.result()
+    assert rows[0][0] == sum(range(10))
+
+
+def test_scatter_broadcast_small_value(client):
+    b = client.scatter({"model": [1, 2, 3]})
+    assert b.value == {"model": [1, 2, 3]}
+
+
+def test_persist_memoizes_plan(client, spark):
+    df1 = spark.range(1000).selectExpr("id * 2 AS v")
+    df2 = spark.range(1000).selectExpr("id * 2 AS v")
+    p1 = client.persist(df1)
+    p2 = client.persist(df2)  # identical plan → same cached DF
+    assert p1 is p2
+    assert p1.count() == 1000
+
+
+def test_tree_reduction_1024_leaves(client):
+    # examples/tree_reduction.py:46 — pairwise add over 1024 leaves
+    total = client.tree_reduce(range(1024), operator.add, 0, depth=2)
+    assert total == 1024 * 1023 // 2
+
+
+def test_tree_reduce_dataframe_column(client, spark):
+    df = spark.range(256).selectExpr("CAST(id AS BIGINT) AS v")
+    assert client.tree_reduce(df, operator.add, 0) == 255 * 256 // 2

@@ -1,0 +1,124 @@
+"""Distributed model inference (SURVEY.md §2.2 B-IV).
+
+Reference capability: `ParallelPostFit(SVC).predict(X).compute()` — fit a
+model locally, broadcast it, predict in parallel over chunks
+(`/root/reference/README.md:273-305`,
+`docs/examples/examples.rst:119-141`).  Spark-first: broadcast the fitted
+model once, run Arrow-batched `mapInPandas` over feature columns — the
+cluster never re-serializes the model per row, and prediction is
+vectorized per batch.
+
+sklearn is optional in this environment: `predict_broadcast` takes ANY
+object with a `.predict(ndarray) -> ndarray` method; `LinearModel` is a
+self-contained numpy implementation used by tests (and a realistic stand-in
+— an sklearn estimator drops into the same slot unchanged).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class LinearModel:
+    """Minimal fitted linear classifier (decision = sign(Xw + b)).
+
+    Stand-in for the reference's fitted SVC (linear kernel decision
+    function is exactly this); any `.predict`-bearing object may replace it.
+    """
+
+    weights: np.ndarray
+    bias: float
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (x @ self.weights + self.bias >= 0).astype(np.int32)
+
+    @staticmethod
+    def fit(x: np.ndarray, y: np.ndarray, lr: float = 0.1, epochs: int = 200) -> "LinearModel":
+        """Tiny batch-perceptron fit — deterministic, dependency-free."""
+        w = np.zeros(x.shape[1])
+        b = 0.0
+        for _ in range(epochs):
+            pred = (x @ w + b >= 0).astype(np.int32)
+            err = y - pred
+            w += lr * (x.T @ err) / len(y)
+            b += lr * err.mean()
+        return LinearModel(w, b)
+
+
+def predict_broadcast(
+    df: DataFrame,
+    model,
+    features_col: str = "features",
+    output_col: str = "prediction",
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Parallel inference: broadcast `model`, mapInPandas batched predict.
+
+    Scale: model ships once per executor (broadcast, not per-task closure
+    re-pickle); each Arrow batch becomes one vectorized `.predict` call —
+    the Spark analogue of dask_ml's chunked ParallelPostFit.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+    keep = list(id_cols) + [features_col]
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*keep).dtypes if c != features_col]
+        + [f"{output_col} int"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            x = np.vstack(pdf[features_col].map(np.asarray).to_numpy())
+            out = pdf[[c for c in keep if c != features_col]].copy()
+            out[output_col] = m.predict(x).astype(np.int32)
+            yield out
+
+    return df.select(*keep).mapInPandas(run, schema)
+
+
+def make_classification_blocks(
+    spark,
+    n_samples: int,
+    n_features: int,
+    n_partitions: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Seeded synthetic classification data, generated per-partition
+    (reference: dask_ml make_classification chunked, README.md:294-300).
+
+    Deterministic per partition id regardless of scheduling — the same
+    property BlockMatrix.random provides for arrays.
+    """
+    per = (n_samples + n_partitions - 1) // n_partitions
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pid in pdf["id"]:
+                rng = np.random.default_rng(seed + int(pid))
+                n = min(per, n_samples - int(pid) * per)
+                if n <= 0:
+                    continue
+                w = np.random.default_rng(seed).standard_normal(n_features)
+                x = rng.standard_normal((n, n_features))
+                y = (x @ w >= 0).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "sample_id": np.arange(int(pid) * per, int(pid) * per + n),
+                        "features": list(x),
+                        "label": y,
+                    }
+                )
+
+    return (
+        spark.range(n_partitions)
+        .repartition(n_partitions)
+        .mapInPandas(gen, "sample_id long, features array<double>, label int")
+    )

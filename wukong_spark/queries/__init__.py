@@ -50,6 +50,8 @@ def load_all() -> dict[str, QuerySpec]:
     registry."""
     from wukong_spark.queries import (  # noqa: F401
         events,
+        linalg_queries,
+        ml_queries,
         relational,
         taskgraph_queries,
         textops,

@@ -1,0 +1,47 @@
+"""ML inference through the driver contract (SURVEY.md §2.2 B-IV).
+
+`ml_predict_embeddings` runs the REAL distributed-inference path —
+broadcast model + Arrow-batched mapInPandas (wukong_spark.mlops) — with a
+fixed deterministic weight vector, so a DuckDB oracle can verify the
+decision function end-to-end: the parity test the reference itself uses
+(local predict vs distributed predict, README.md:294-304), with SQL as
+the local side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from wukong_spark.mlops import LinearModel, predict_broadcast
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import tbl
+
+#: deterministic 64-dim weights, reproducible in SQL: w_i = ((7i+3) mod 13 − 6)/10
+FIXED_W = [(((7 * i + 3) % 13) - 6) / 10.0 for i in range(64)]
+FIXED_B = 0.05
+
+_W_SQL = "[" + ", ".join(f"{w}" for w in FIXED_W) + "]"
+
+
+@query(
+    "ml_predict_embeddings",
+    oracle=f"""
+    SELECT vec_id, label,
+           CASE WHEN list_dot_product(embedding::DOUBLE[], {_W_SQL}::DOUBLE[]) + {FIXED_B} >= 0
+                THEN 1 ELSE 0 END AS prediction
+    FROM embeddings
+    """,
+)
+def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
+    """Broadcast-model batch inference over the embeddings table.
+
+    Model ships once per executor via broadcast; each Arrow batch is one
+    vectorized predict.  Scores are O(1) with cross-engine float drift
+    ~1e-15, so the sign threshold is stable.
+    """
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS array<double>) AS features"
+    )
+    model = LinearModel(np.array(FIXED_W), FIXED_B)
+    return predict_broadcast(e, model, id_cols=("vec_id", "label"))

@@ -126,10 +126,10 @@ class PlanCache:
 
     @staticmethod
     def fingerprint(df: DataFrame) -> str:
-        # The analyzed plan string is a stable structural identity of the
-        # computation (expr ids aside, identical code paths produce identical
-        # plans within one session).
-        return str(df._jdf.queryExecution().analyzed())
+        # Canonicalized analyzed plan: Catalyst normalizes expression ids,
+        # so structurally identical computations built at different times
+        # fingerprint identically.
+        return str(df._jdf.queryExecution().analyzed().canonicalized())
 
     def persist(self, df: DataFrame) -> DataFrame:
         fp = self.fingerprint(df)

@@ -1,0 +1,211 @@
+"""Futures-style task-graph surface (SURVEY.md §2.1 A1-A7, §2.2 B-I).
+
+Re-creates the user-facing semantics of Wukong's Client — submit/map/
+scatter/gather/compute/persist/cancel with Future handles
+(`/root/reference/Static Scheduler/wukong/client.py:147-437` Future,
+`client.py:1423-1521` submit, `client.py:1524-1675` map,
+`client.py:1963-2168` scatter, `client.py:1677-1961` gather,
+`client.py:2734-2982` compute/persist, `client.py:2170-2212` cancel) —
+WITHOUT re-implementing any of its machinery: Spark's DAGScheduler plays
+the scheduler, Spark jobs play the Lambda fleet, and a thread pool turns
+blocking actions into futures.
+
+Design choices (Spark-first, not a port):
+- A submitted task runs as a 1-partition Spark job, so execution lands on
+  the cluster like a Wukong Lambda invocation — but chained tasks whose
+  parents are plain Futures resolve parents first and ship VALUES, exactly
+  Wukong's ≤256 KB payload piggybacking (`function.py:2452-2494`); big
+  intermediates should use DataFrames/scatter instead.
+- Duplicate submission of an identical (func, args) graph returns the SAME
+  Future — parity with key-memoized resubmission (`client.py:1486-1488`).
+- `persist` memoizes by logical-plan fingerprint (PlanCache), the analogue
+  of "skip tasks whose results are already in memory"
+  (`scheduler.py:1858-1890`).
+- Tree reduction (`examples/tree_reduction.py`) maps to `treeAggregate`
+  with explicit depth — Spark's partial+final agg is already a tree; the
+  explicit variant exists for parity and for depth experiments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import Future as _PyFuture
+from typing import Any, Callable, Iterable
+
+import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+
+from wukong_spark.session import PlanCache
+
+
+class Future:
+    """Handle on an asynchronously computed remote result
+    (reference: `client.py:147-437`)."""
+
+    def __init__(self, key: str, pyfuture: _PyFuture):
+        self.key = key
+        self._f = pyfuture
+
+    def result(self, timeout: float | None = None) -> Any:
+        """Block for the value; re-raises remote errors (A27 parity:
+        executor exceptions surface on the client, `client.py:359-378`)."""
+        return self._f.result(timeout)
+
+    def exception(self, timeout: float | None = None):
+        return self._f.exception(timeout)
+
+    def done(self) -> bool:
+        return self._f.done()
+
+    def cancel(self) -> bool:
+        return self._f.cancel()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        state = "finished" if self.done() else "pending"
+        return f"<Future: {state}, key: {self.key}>"
+
+
+def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str:
+    try:
+        payload = cloudpickle.dumps((func, args, kwargs))
+    except Exception:
+        return f"unhashable-{id(func)}-{id(args)}"
+    name = getattr(func, "__name__", "task")
+    return f"{name}-{hashlib.md5(payload).hexdigest()}"
+
+
+class WukongClient:
+    """submit/map/scatter/gather/compute/persist over a SparkSession."""
+
+    def __init__(self, spark: SparkSession, max_workers: int = 16):
+        self.spark = spark
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._memo: dict[str, Future] = {}
+        self._lock = threading.Lock()
+        self._plan_cache = PlanCache()
+
+    # -- A1: submit -------------------------------------------------------
+    def submit(self, func: Callable, *args: Any, pure: bool = True, **kwargs) -> Future:
+        """Run ``func(*args)`` as a 1-partition Spark job → Future.
+
+        Future-valued args are resolved (awaited) before launch, giving the
+        fan-in dependency semantics of chained ``client.submit`` calls
+        (README.md:170-176) without re-implementing dependency counters —
+        each dependency chain is just sequenced job submission.
+        """
+        key = _tokenize(func, args, kwargs) if pure else _tokenize(func, args, kwargs) + f"-{id(object())}"
+        with self._lock:
+            hit = self._memo.get(key) if pure else None
+            if hit is not None:
+                return hit
+
+            def run() -> Any:
+                resolved = tuple(a.result() if isinstance(a, Future) else a for a in args)
+                rkw = {
+                    k: (v.result() if isinstance(v, Future) else v)
+                    for k, v in kwargs.items()
+                }
+                sc = self.spark.sparkContext
+                return sc.parallelize([0], 1).map(
+                    lambda _: func(*resolved, **rkw)
+                ).collect()[0]
+
+            fut = Future(key, self._pool.submit(run))
+            if pure:
+                self._memo[key] = fut
+            return fut
+
+    # -- A2: map ----------------------------------------------------------
+    def map(self, func: Callable, iterable: Iterable[Any], npartitions: int | None = None) -> Future:
+        """Task per element (`client.py:1524`): one Spark job, one element
+        per logical task, results in input order."""
+        items = list(iterable)
+        n = npartitions or min(len(items), 64) or 1
+
+        def run() -> list:
+            sc = self.spark.sparkContext
+            return sc.parallelize(items, n).map(func).collect()
+
+        key = _tokenize(func, tuple(items), {})
+        with self._lock:
+            hit = self._memo.get(key)
+            if hit is not None:
+                return hit
+            fut = Future(key, self._pool.submit(run))
+            self._memo[key] = fut
+            return fut
+
+    # -- A6: scatter ------------------------------------------------------
+    def scatter(self, data, npartitions: int | None = None):
+        """Push local data to the cluster (`client.py:1963-2168`).
+
+        list[dict] / pandas.DataFrame → persisted Spark DataFrame;
+        other values → broadcast variable (the small-payload path)."""
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            df = self.spark.createDataFrame(data)
+            if npartitions:
+                df = df.repartition(npartitions)
+            return self._plan_cache.persist(df)
+        if isinstance(data, list) and data and isinstance(data[0], dict):
+            df = self.spark.createDataFrame(data)
+            if npartitions:
+                df = df.repartition(npartitions)
+            return self._plan_cache.persist(df)
+        return self.spark.sparkContext.broadcast(data)
+
+    # -- A7: gather -------------------------------------------------------
+    def gather(self, futures) -> Any:
+        """Fetch results (`client.py:1677-1961`); accepts one Future or an
+        iterable; preserves structure."""
+        if isinstance(futures, Future):
+            return futures.result()
+        return [f.result() if isinstance(f, Future) else f for f in futures]
+
+    # -- A4: compute ------------------------------------------------------
+    def compute(self, df: DataFrame) -> Future:
+        """DataFrame → Future of its collected rows (`client.py:2734`)."""
+        key = f"plan-{hashlib.md5(df._jdf.queryExecution().analyzed().toString().encode()).hexdigest()}"
+        with self._lock:
+            hit = self._memo.get(key)
+            if hit is not None:
+                return hit
+            fut = Future(key, self._pool.submit(df.collect))
+            self._memo[key] = fut
+            return fut
+
+    # -- A5: persist ------------------------------------------------------
+    def persist(self, df: DataFrame) -> DataFrame:
+        """Materialize and keep distributed (`client.py:2880-2982`);
+        repeat persist of an identical plan returns the cached DataFrame."""
+        cached = self._plan_cache.persist(df)
+        cached.count()  # materialize now, like wukong's eager persist
+        return cached
+
+    # -- A28: cancel ------------------------------------------------------
+    def cancel_all(self) -> None:
+        self.spark.sparkContext.cancelAllJobs()
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._plan_cache.clear()
+
+    # -- B-I: tree reduction ----------------------------------------------
+    def tree_reduce(
+        self,
+        items: Iterable[Any] | DataFrame,
+        op: Callable[[Any, Any], Any],
+        zero: Any,
+        depth: int = 2,
+        npartitions: int = 32,
+    ) -> Any:
+        """Pairwise tree reduction (`examples/tree_reduction.py:46`,
+        README.md:180-202) via treeAggregate with explicit depth."""
+        if isinstance(items, DataFrame):
+            rdd = items.rdd.map(lambda r: r[0])
+        else:
+            rdd = self.spark.sparkContext.parallelize(list(items), npartitions)
+        return rdd.treeAggregate(zero, op, op, depth=depth)
