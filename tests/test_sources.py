@@ -1,0 +1,76 @@
+"""Source/sink round-trips + the two scale write disciplines."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from wukong_spark.sources import read_any, write_any, write_bucketed_table
+
+
+@pytest.fixture()
+def tmppath():
+    d = tempfile.mkdtemp(prefix="wukong-sources-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, tmppath, fmt):
+    src = _orders(spark).limit(200)
+    write_any(src, f"{tmppath}/data", fmt=fmt)
+    # parquet/orc are self-describing; csv/json need the explicit schema
+    schema = (
+        None
+        if fmt in ("parquet", "orc")
+        else "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    back = read_any(spark, f"{tmppath}/data", fmt=fmt, schema=schema)
+    assert back.count() == 200
+    a = src.agg(F.sum("o_orderkey")).collect()[0][0]
+    b = back.agg(F.sum("o_orderkey")).collect()[0][0]
+    assert a == b
+
+
+def test_partitioned_write_prunes(spark, tmppath):
+    src = _orders(spark).withColumn("y", F.year("o_orderdate"))
+    write_any(src, f"{tmppath}/by_year", partition_by=["y"])
+    back = spark.read.parquet(f"{tmppath}/by_year").filter(F.col("y") == 1996)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    # partition filter reaches the scan: only year=1996 directories read
+    assert "PartitionFilters" in plan
+    assert back.count() == src.filter(F.col("y") == 1996).count()
+
+
+def test_bucketed_join_no_shuffle(spark, tmppath):
+    import re
+
+    # managed tables land in ./spark-warehouse (gitignored)
+    orders = _orders(spark)
+    custs = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed_table(orders, "orders_b", "o_custkey", 4)
+    write_bucketed_table(custs, "cust_b", "c_custkey", 4)
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")  # force sort-merge so bucket co-location is observable
+        .join(spark.table("cust_b"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    # both sides bucketed on the key → NO shuffle exchange in the plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert not shuffles, shuffles
+    assert joined.count() == orders.join(custs, orders.o_custkey == custs.c_custkey).count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         linalg_queries,
         ml_queries,
         relational,
+        relational2,
         taskgraph_queries,
         textops,
         vectors,

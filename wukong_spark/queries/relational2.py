@@ -1,0 +1,455 @@
+"""Extended relational surface: subqueries, HAVING, rollup/pivot,
+statistical aggregates, percentiles, richer windows and scalar functions.
+
+Continues SURVEY.md §2.2 B-III coverage — the reference executes the whole
+dask.dataframe surface as opaque graphs; here every op is Catalyst-visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import cents, pct_units, r4, tbl
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-adapted decision-support queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str):
+    """TPC-H Q4: EXISTS correlated subquery → left-semi join + agg."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle="""
+    SELECT ROUND(
+             SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      ELSE 0 END) * 100.0
+             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 6)
+           AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str):
+    """TPC-H Q14: promo revenue share.  Numerator/denominator are exact
+    integer sums, so the final double ratio is bit-identical cross-engine."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part")
+    pc, dc = cents("l_extendedprice"), pct_units("l_discount")
+    rev = pc * (100 - dc)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, totalprice_c
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str):
+    """TPC-H Q18: HAVING subquery → agg + semi join; quantity threshold on
+    the raw doubles (whole numbers — exact in both engines)."""
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("totalprice_c"),
+        )
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"))
+    )
+
+
+@query(
+    "q19_or_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_or_predicates(spark: SparkSession, sf_dir: str):
+    """TPC-H Q19: disjunctive multi-clause join predicate — the equi key
+    keeps it a hash join; OR-clauses become a post-join residual filter."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    pc, dc = cents("l_extendedprice"), pct_units("l_discount")
+    cond = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 15) & l.l_quantity.between(1, 20))
+        | ((p.p_brand == "Brand#3") & p.p_size.between(10, 30) & l.l_quantity.between(10, 35))
+        | ((p.p_brand == "Brand#5") & p.p_size.between(20, 50) & l.l_quantity.between(20, 50))
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(pc * (100 - dc)).alias("revenue_u"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str):
+    """TPC-H Q7-style: cross-nation trade volume by year (dual nation dims
+    aliased independently — both broadcast)."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    cn = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pc, dc = cents("l_extendedprice"), pct_units("l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(pc * (100 - dc)).alias("revenue_u"))
+    )
+
+
+@query(
+    "q2lite_min_acctbal_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q2lite_min_acctbal_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q2-style correlated scalar subquery → window-min rewrite
+    (the decorrelation Catalyst would do, written explicitly)."""
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            cents("s_acctbal").alias("acctbal_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / pivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str):
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("total_c"),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str):
+    """CUBE: all grouping-set combinations."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str):
+    """Pivot (wide conditional agg) — Spark pivot == SQL CASE-WHEN sums."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "l_linestatus",
+            F.col("A").cast("long").alias("A"),
+            F.col("N").cast("long").alias("N"),
+            F.col("R").cast("long").alias("R"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_corr_covar",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(var_samp(l_discount), 8) AS var_disc
+    FROM lineitem
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str):
+    """Pearson correlation / sample covariance / variance."""
+    l = tbl(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+    )
+
+
+@query(
+    "percentiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_price(spark: SparkSession, sf_dir: str):
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    l = tbl(spark, sf_dir, "lineitem")
+    pcts = [0.25, 0.5, 0.75, 0.99]
+    names = ["p25", "p50", "p75", "p99"]
+    aggs = [
+        F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(nm)
+        for p, nm in zip(pcts, names)
+    ]
+    return l.groupBy("l_returnflag").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Richer windows + scalar functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ntile_price_band",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile_price_band(spark: SparkSession, sf_dir: str):
+    """NTILE quartile assignment over a global order.
+
+    Scale note: single-partition window — fine for ranked banding of small
+    outputs; at 100 TB use approx quantile cutpoints + a join instead."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(FIRST_VALUE(o_totalprice) OVER w * 100) AS BIGINT) AS first_price_c,
+           CAST(ROUND(LAST_VALUE(o_totalprice) OVER w * 100) AS BIGINT) AS last_price_c
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str):
+    """first_value/last_value over full-partition frames."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents(F.first("o_totalprice").over(w)).alias("first_price_c"),
+        cents(F.last("o_totalprice").over(w)).alias("last_price_c"),
+    )
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str):
+    """Date arithmetic: interval add, quarter extract, day diff."""
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "scalar_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           reverse(p_brand) AS brand_rev,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str):
+    """lpad/reverse/replace/position/split_part scalar surface."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )

@@ -356,3 +356,67 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+#: banded-LSH layout over the 8-perm signatures: 4 bands × 2 rows
+_SIG_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, h.i AS perm,
+             MIN(({ORACLE_MD5_LONG48.format(e='tok.x')} * (2 * h.i + 1) + h.i * 774001)
+                 % {MINHASH_PRIME}) AS mh
+      FROM toks, unnest(t) AS tok(x), (SELECT unnest(range(0, 8)) AS i) h
+      GROUP BY doc_id, h.i
+    ), bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             MIN(CASE WHEN perm % 2 = 0 THEN mh END) AS h0,
+             MIN(CASE WHEN perm % 2 = 1 THEN mh END) AS h1
+      FROM sig GROUP BY doc_id, band
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_SIG_SQL
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str):
+    """MinHash-LSH candidate pairs — the 100 TB near-dup path.
+
+    Signatures band into 4 buckets of 2 rows; only docs colliding on a
+    whole band ever meet in the join, so candidate generation is an
+    equi-join on (band, h0, h1) — never a pairwise comparison.  Each
+    candidate pair still gets verified (by Jaccard on shingles) in a real
+    pipeline; here the query returns the candidates with collision counts.
+    """
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = (
+        sig.groupBy("doc_id", (F.col("perm") / 2).cast("int").alias("band"))
+        .agg(
+            F.min(F.when(F.col("perm") % 2 == 0, F.col("minhash"))).alias("h0"),
+            F.min(F.when(F.col("perm") % 2 == 1, F.col("minhash"))).alias("h1"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

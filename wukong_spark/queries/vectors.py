@@ -153,3 +153,106 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str):
         r4(F.min(F.array_min("ev"))).alias("min_comp"),
         r4(F.max(F.array_max("ev"))).alias("max_comp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed similarity (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+#: 8 deterministic hyperplanes over 64 dims, reproducible in SQL
+N_PLANES = 8
+_PLANES = [
+    [(((7 * (i + 11 * j) + 5) % 13) - 6) / 10.0 for i in range(64)]
+    for j in range(N_PLANES)
+]
+_PLANES_SQL = [
+    "[" + ", ".join(str(w) for w in plane) + "]" for plane in _PLANES
+]
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}::DOUBLE[]) >= 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES_SQL)
+)
+
+
+def _bucket_col() -> Column:
+    """Random-hyperplane LSH bucket id (8-bit signature) as a Column."""
+    v = F.col("v")
+    b = F.lit(0)
+    for j, plane in enumerate(_PLANES):
+        w = F.array([F.lit(x) for x in plane])
+        b = b + F.when(dot(v, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+@query(
+    "embed_lsh_buckets",
+    oracle=f"""
+    SELECT CAST({_BUCKET_SQL} AS INTEGER) AS bucket,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY bucket
+    """,
+)
+def embed_lsh_buckets(spark: SparkSession, sf_dir: str):
+    """Random-hyperplane LSH bucket histogram.
+
+    Sign-pattern of 8 fixed hyperplanes → 256 buckets; cosine-similar
+    vectors collide with high probability.  Bucketing is a pure map
+    (no shuffle except the tiny histogram agg)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        e.select("vec_id", _bucket_col().cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query(
+    "embed_lsh_neardup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND(list_dot_product(x.ev, y.ev) / (x.nrm * y.nrm), 4) AS cos
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.ev, y.ev) / (x.nrm * y.nrm) > 0.5
+    """,
+    headline=True,
+)
+def embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str):
+    """Embedding near-dup via LSH bucket equi-join — unlike the bounded
+    all-pairs baseline (embed_neardup_pairs), this runs on the FULL corpus:
+    candidates only form within a bucket (~n²/256 pairs instead of n²),
+    then the exact cosine filter keeps true matches."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    b = e.select(
+        "vec_id",
+        F.col("v"),
+        norm(F.col("v")).alias("nrm"),
+        _bucket_col().cast("int").alias("bucket"),
+    )
+    x = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("bucket").alias("ba"),
+    )
+    y = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        x.join(y, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.5)
+        .select("id_a", "id_b", r4(F.col("cos_raw")).alias("cos"))
+    )

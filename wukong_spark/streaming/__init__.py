@@ -1,0 +1,121 @@
+"""Structured Streaming surface (SURVEY.md §2.2 B-V / M5 stretch).
+
+The reference has NO streaming subsystem (absence verified in SURVEY.md —
+its only incremental behavior is Lambda-reuse for iterative jobs,
+`/root/reference/AWS Lambda Task Executor/TaskExecutor/function.py:243-382`).
+This module is the Spark-native upgrade the rebuild ships anyway: the SAME
+window expressions used by the batch event queries
+(wukong_spark/queries/events.py) run incrementally with watermarks.
+
+Batch/stream parity is the design invariant: `stream_events(...)` over a
+parquet directory with trigger=availableNow must produce exactly the batch
+result — tests/test_streaming.py enforces it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.session import load_table
+
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """events parquet directory as an unbounded source.
+
+    The nanos→NTZ timestamp normalization matches load_table exactly, so
+    stream and batch plans share expression semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the streaming file source requires a DIRECTORY; testdata ships single
+    # parquet files → stage a symlink dir (read-only view, nothing copied)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        stage = tempfile.mkdtemp(prefix="wukong-stream-")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+        src = stage
+    df = reader.parquet(src)
+    # watermarks require TIMESTAMP (LTZ) — keep LTZ here (session tz pinned
+    # UTC above so semantics equal the batch NTZ path); window bounds are
+    # cast back to NTZ after aggregation for batch parity
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding event-time aggregation with late-data watermark.
+
+    Identical expression to the batch events_tumbling_hourly query; the
+    watermark bounds state: windows older than max(event_time) − watermark
+    are finalized and evicted — the late-data semantics the reference
+    lacks entirely.
+    """
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w").getField("start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, complete: bool = True
+) -> DataFrame:
+    """Execute a streaming plan with trigger=availableNow into an in-memory
+    sink, block until done, return the result table (test/verification
+    harness; production sinks are kafka/parquet/delta via the same API)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows with an inactivity gap — F.session_window gives the
+    stateful merge natively (batch sessionization uses the lag+cumsum
+    rewrite; this is the streaming-native equivalent)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw").getField("start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
