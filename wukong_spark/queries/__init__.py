@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         linalg_queries,
         ml_queries,
+        pandas_surface,
         relational,
         relational2,
         taskgraph_queries,

@@ -1,0 +1,165 @@
+"""Pandas-UDF surface queries — the sanctioned Python escape hatches
+(SURVEY.md §2.2 B-V "UDF surface"), each verified against a pure-SQL oracle.
+
+In the reference EVERYTHING is an opaque Python task
+(`/root/reference/AWS Lambda Task Executor/TaskExecutor/function.py:3826-3847`).
+In the rebuild, Python appears only at three sanctioned boundaries — scalar
+pandas_udf, grouped applyInPandas (= dask groupby.apply,
+`wukong/tests/test_collections.py:152-175`), and partition mapInPandas
+(= dask map_partitions) — and each one is Arrow-batched.  These queries
+prove the boundaries compute exactly what the declarative engine computes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import tbl
+
+
+@query(
+    "grouped_apply_zscore",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey))
+                 / NULLIF(STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_custkey), 0),
+                 4) AS z
+    FROM orders
+    """,
+)
+def grouped_apply_zscore(spark: SparkSession, sf_dir: str):
+    """dask groupby.apply parity: per-customer z-score of order totals via
+    applyInPandas, oracle-checked against the SQL window formulation.
+
+    Scale: one shuffle on the group key; each group is one pandas frame —
+    the dask `groupby(...).apply(fn)` execution model exactly.
+    """
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        z = (pdf["o_totalprice"] - mu) / sd if sd and sd > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "z": z.round(4),
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "o_custkey long, o_orderkey long, z double"
+    )
+
+
+@query(
+    "scalar_pandas_udf_margin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)
+               AS charged_c
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def scalar_pandas_udf_margin(spark: SparkSession, sf_dir: str):
+    """Vectorized scalar pandas_udf computing the charge formula —
+    numerically identical to the SQL expression (same doubles, same order),
+    demonstrating the Arrow scalar-UDF boundary."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge("l_extendedprice", "l_discount", "l_tax") * 100)
+        .cast("long")
+        .alias("charged_c"),
+    )
+
+
+@query(
+    "map_in_pandas_filter",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value * 2, 4) AS doubled
+    FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+)
+def map_in_pandas_filter(spark: SparkSession, sf_dir: str):
+    """dask map_partitions parity: partition-wise pandas filter+transform
+    via mapInPandas, oracle-checked against the SQL predicate."""
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hit = pdf[(pdf["event_type"] == "purchase") & (pdf["value"] > 50)]
+            yield pd.DataFrame(
+                {
+                    "event_id": hit["event_id"],
+                    "user_id": hit["user_id"],
+                    "doubled": (hit["value"] * 2).round(4),
+                }
+            )
+
+    return e.mapInPandas(run, "event_id long, user_id long, doubled double")
+
+
+@query(
+    "top_words",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT w, COUNT(*) AS n
+    FROM words GROUP BY w
+    ORDER BY n DESC, w LIMIT 25
+    """,
+)
+def top_words(spark: SparkSession, sf_dir: str):
+    """Corpus word frequency top-k (explode → count → TakeOrdered)."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(25)
+    )
+
+
+@query(
+    "events_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, CAST(ROUND(value * 10000) AS BIGINT) AS value_4,
+           COUNT(*) AS n_dupes, MIN(event_id) AS first_event
+    FROM events
+    GROUP BY user_id, event_type, value_4
+    HAVING COUNT(*) > 1
+    """,
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str):
+    """Exact duplicate detection on a composite key (the events analogue of
+    document dedup: group → count > 1 → keep first)."""
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("value_4"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("event_id").alias("first_event"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
