@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         pandas_surface,
         relational,
         relational2,
+        relational3,
         taskgraph_queries,
         textops,
         vectors,

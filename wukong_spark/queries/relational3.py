@@ -1,0 +1,502 @@
+"""TPC-H remainder, adapted to the driver schema (no partsupp table, no
+comment/shipmode/commitdate columns — see TESTDATA.md).
+
+Completes the decision-support shapes SURVEY.md §2.2 B-III calls for that
+relational.py / relational2.py don't yet cover: multi-way snowflake joins
+with conditional aggregation (Q8/Q9), scalar-subquery thresholds (Q11/Q15),
+left-join histograms (Q13), NOT-IN subqueries (Q16), correlated-average
+subqueries (Q17), semi-join chains (Q20), EXISTS+NOT-EXISTS pairs (Q21),
+and anti-join + global-average gating (Q22).
+
+Exactness discipline (SURVEY.md §7): every threshold that TPC-H states as a
+`double < fraction * AVG(double)` comparison is algebraically rewritten to
+an integer comparison (`k * x_c * n < sum_c`) so Spark and DuckDB agree on
+every boundary row regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import cents, pct_units, tbl
+
+
+def _rev_c():
+    """Revenue in exact integer (cents × pct): price_c * (100 - disc_pct)."""
+    return cents("l_extendedprice") * (100 - pct_units("l_discount"))
+
+
+_REV_SQL = (
+    "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))"
+)
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH allrev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+                 * 1.0 / SUM(rev), 6) AS mkt_share
+    FROM allrev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str):
+    """TPC-H Q8 (national market share): 7-table snowflake join, share of
+    ASIA-region PROMO revenue supplied by NATION_2, per year.
+
+    Scale shape: region/nation/part/supplier/customer are dimensions —
+    all broadcast; only lineitem⋈orders shuffles (one sort-merge on
+    orderkey).  Share ratio divides two exact integer sums, so the single
+    final double division is bit-stable cross-engine."""
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _rev_c().alias("rev")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), rev, "supp_nation")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("rev")).otherwise(F.lit(0))
+    return joined.groupBy("o_year").agg(
+        F.round(F.sum(nat) * 1.0 / F.sum("rev"), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           SUM({_REV_SQL}) AS profit_cpct
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str):
+    """TPC-H Q9 (product-type profit), adapted: the schema has no
+    partsupp/supplycost, so profit = discounted revenue of '%widget%' parts
+    by supplier nation and order year.  Dimensions broadcast; the only
+    shuffle is lineitem⋈orders + the final (25 nations × 7 years) agg."""
+    l = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev_c()).alias("profit_cpct"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c
+    FROM val
+    WHERE value_c * 2000 > (SELECT SUM(value_c) FROM val)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str):
+    """TPC-H Q11 (important stock), adapted to lineitem value (no partsupp):
+    parts whose EUROPE-supplied shipped value exceeds 0.05% of the total.
+
+    The global-total scalar subquery is a 1-row broadcast cross join; the
+    fraction threshold `v > total/2000` is restated as `v*2000 > total`
+    over exact integers — no double division anywhere."""
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_c") * 2000 > F.col("total_c"))
+        .select("l_partkey", "value_c")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_bucket
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str):
+    """TPC-H Q12 (shipping modes and priority), adapted: no l_shipmode /
+    commit dates in this schema, so lines bucket by ship lateness
+    (>60 days after order date) and split counts by order priority."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = tbl(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.when(late, "LATE").otherwise("ONTIME").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution): filtered LEFT OUTER
+    join, per-customer count (COUNT of a nullable column counts only
+    matches), then a histogram of those counts."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS total_rev
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    max via a scalar-subquery equality (exact integers → exact tie
+    semantics).  The 1-row max broadcasts; supplier is a broadcast dim."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_rev_c()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 100
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship), adapted to lineitem as the
+    part↔supplier bridge (no partsupp): distinct supplier count per part
+    attribute triple, excluding low-balance suppliers via NOT IN → a
+    broadcast anti join (null-safe here: s_suppkey is never null)."""
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 100).select("s_suppkey")
+    l = tbl(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qc,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 700.0, 4)
+           AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND 5 * CAST(ROUND(l.l_quantity * 100) AS BIGINT) * pq.n < pq.sum_qc
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * AVG(l_quantity)` subquery, with the average compare
+    rewritten exactly: q < sum/(5n) ⟺ 5·q_c·n < sum_c in integers, so the
+    row set is identical cross-engine.  Per-part averages are a self-agg
+    re-joined on partkey (AQE turns it into a broadcast at this scale)."""
+    l = tbl(spark, sf_dir, "lineitem")
+    pq = l.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    small = 5 * cents("l_quantity") * F.col("n") < F.col("sum_qc")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pq, l.l_partkey == F.col("pq_partkey"))
+        .filter(small)
+        .agg(F.round(F.sum(cents("l_extendedprice")) / 700.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_bulk_promo_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 400
+    )
+    """,
+)
+def q20_bulk_promo_suppliers(spark: SparkSession, sf_dir: str):
+    """TPC-H Q20 (potential part promotion), adapted (no partsupp/availqty):
+    suppliers who shipped >400 units of PROMO parts during 1997 — a
+    semi-join chain part→lineitem→supplier.  Quantities are whole-valued
+    doubles, so the HAVING threshold is exact in both engines."""
+    promo = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    bulk = (
+        l.join(F.broadcast(promo), l.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 30
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 30)
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to shipdate
+    lateness (no receipt/commit dates): count finished orders where this
+    supplier shipped >30 days late, other suppliers participated (EXISTS →
+    left-semi), and none of the others were late (NOT EXISTS → left-anti).
+
+    Both correlated subqueries become orderkey-keyed self-joins of
+    lineitem — the same shuffle key as the main join, so at scale the
+    exchange is reused across all three."""
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = tbl(spark, sf_dir, "lineitem")
+    days_late = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(days_late > 30)
+        .select(
+            F.col("l_orderkey").alias("lo"),
+            F.col("l_suppkey").alias("ls"),
+            "o_orderdate",
+        )
+    )
+    l2 = l.select(F.col("l_orderkey").alias("l2o"), F.col("l_suppkey").alias("l2s"))
+    others = l1.join(
+        l2, (F.col("lo") == F.col("l2o")) & (F.col("ls") != F.col("l2s")), "left_semi"
+    )
+    l3 = l.select(
+        F.col("l_orderkey").alias("l3o"),
+        F.col("l_suppkey").alias("l3s"),
+        F.col("l_shipdate").alias("l3_ship"),
+    )
+    late3 = (
+        F.datediff(F.col("l3_ship").cast("date"), F.col("o_orderdate").cast("date")) > 30
+    )
+    sole = others.join(
+        l3,
+        (F.col("lo") == F.col("l3o")) & (F.col("ls") != F.col("l3s")) & late3,
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("ls") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str):
+    """TPC-H Q22 (global sales opportunity), adapted: customers with
+    above-average positive balance and no orders since 2000, grouped by nation
+    (the schema has no phone country codes).  `bal > avg` is restated
+    exactly as `bal_c · n > sum_c`; NOT EXISTS is a left-anti join against
+    orders — at scale an orderkey-partitioned anti join, here AQE picks
+    broadcast."""
+    c = tbl(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(cents("c_acctbal") * F.col("n") > F.col("sum_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents("c_acctbal")).alias("totacctbal_c"),
+        )
+    )
