@@ -163,3 +163,38 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_dupes") > 1)
     )
+
+
+@query(
+    "grouped_agg_weighted_discount",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                     * CAST(ROUND(l_quantity * 100) AS BIGINT)) * 1.0
+                 / SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)), 4)
+               AS wavg_disc_pct
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def grouped_agg_weighted_discount(spark: SparkSession, sf_dir: str):
+    """Grouped-aggregate pandas_udf (the 4th UDF flavor, alongside scalar /
+    grouped-map / partition-map): quantity-weighted average discount.
+
+    The UDF sums in int64 (exact, order-independent) and divides once, so
+    the result is bit-identical to the SQL formulation.  Scale shape: a
+    pandas GROUPED_AGG cannot partial-aggregate (all group rows gather on
+    one executor) — fine for low-cardinality groups like (flag, status);
+    for high-cardinality keys prefer the built-in F.sum decomposition.
+    """
+
+    @pandas_udf("double")
+    def wavg(disc: pd.Series, qty: pd.Series) -> float:
+        d = (disc * 100).round().astype("int64")
+        q = (qty * 100).round().astype("int64")
+        return round(float((d * q).sum()) / float(q.sum()), 4)
+
+    l = tbl(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        wavg("l_discount", "l_quantity").alias("wavg_disc_pct")
+    )

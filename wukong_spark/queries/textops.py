@@ -420,3 +420,57 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@query(
+    "doc_fingerprint_winnow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, array_length(t) - 1),
+                              i -> array_to_string(t[i:i+2], ' ')),
+               s -> {ORACLE_MD5_LONG48.format(e='s')}) AS h
+      FROM toks WHERE array_length(t) >= 6
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 2),
+                           i -> list_aggregate(h[i:i+3], 'min'))) AS fp
+      FROM hs
+    )
+    SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+    """,
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
+    """Document fingerprinting by winnowing (Schleimer et al.): rolling
+    windows of 4 consecutive 3-gram shingle hashes, keep each window's min,
+    emit the distinct mins as the doc's fingerprint set.
+
+    Matching fingerprints localize shared passages (vs. MinHash, which only
+    scores whole-doc similarity).  Entirely array built-ins inside one
+    projection — zero shuffles before the explode, so at 100 TB this is a
+    pure map over the corpus; fingerprint → doc inverted index is then one
+    groupBy(fingerprint).
+
+    Reference parity: the reference has no text ops at all (its "operators"
+    are opaque Python tasks, `AWS Lambda Task Executor/TaskExecutor/
+    function.py:3826-3847`); this is §2.3 gap-fill per BASELINE.json.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    hs = F.transform(shingles, lambda s: md5_long48(s))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - 4),
+        lambda i: F.array_min(F.slice(hs, i + 1, 4)),
+    )
+    return (
+        d.filter(F.size(toks) >= 6)
+        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
+    )

@@ -256,3 +256,161 @@ def embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str):
         .filter(F.col("cos_raw") > 0.5)
         .select("id_a", "id_b", r4(F.col("cos_raw")).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+IVF_CENTROID_LO, IVF_CENTROID_HI = 20, 28  # 8 deterministic seed centroids
+IVF_NPROBE = 2
+IVF_TOPK = 10
+
+_IVF_COMMON_SQL = f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings
+      WHERE vec_id >= {IVF_CENTROID_LO} AND vec_id < {IVF_CENTROID_HI}
+    ), assign AS (
+      SELECT vec_id, ev, nrm, c_id AS cell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+               c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * c.cn)
+                          DESC, c.c_id) AS crn
+        FROM embeddings e, cent c
+      ) WHERE crn = 1
+    )
+"""
+
+
+@query(
+    "ivf_cell_histogram",
+    oracle=_IVF_COMMON_SQL
+    + """
+    SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+    FROM assign GROUP BY cell
+    """,
+)
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str):
+    """IVF coarse quantization: every vector assigned to its
+    nearest-by-cosine centroid (8 deterministic seed vectors).
+
+    Scale shape: the centroid table broadcasts; assignment is a pure map
+    (argmin over 8 dot products per row) + a tiny histogram agg.  At 100 TB
+    the assignment becomes the partition key — each IVF cell is a parquet
+    partition, so probing reads only nprobe/K of the corpus (partition
+    pruning on `cell`)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        e.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO) & (F.col("vec_id") < IVF_CENTROID_HI)
+        )
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    from pyspark.sql.window import Window
+
+    cos = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", cos)
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"))
+    )
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=_IVF_COMMON_SQL
+    + f"""
+    , probes AS (
+      SELECT q_id, qv, qn, cell FROM (
+        SELECT q.vec_id AS q_id, q.embedding::DOUBLE[] AS qv,
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS qn,
+               c.c_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.embedding::DOUBLE[], c.cv)
+                          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * c.cn)
+                          DESC, c.c_id) AS prn
+        FROM embeddings q, cent c
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE prn <= {IVF_NPROBE}
+    )
+    SELECT q_id, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT p.q_id, a.vec_id,
+             list_dot_product(p.qv, a.ev) / (p.qn * a.nrm) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.q_id
+               ORDER BY list_dot_product(p.qv, a.ev) / (p.qn * a.nrm) DESC, a.vec_id) AS rn
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+    ) WHERE rn <= {IVF_TOPK}
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str):
+    """IVF approximate top-k: each query probes its nprobe=2 nearest cells
+    and ranks only the vectors assigned there — the candidate set shrinks
+    by ~K/nprobe vs. brute force (embed_cosine_topk is the exact baseline).
+
+    Everything broadcasts except the corpus: assignment is a map, the
+    probe join is an equi-join on `cell`, and the per-query top-k is one
+    small shuffle of scored triples."""
+    from pyspark.sql.window import Window
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent = (
+        e.filter(
+            (F.col("vec_id") >= IVF_CENTROID_LO) & (F.col("vec_id") < IVF_CENTROID_HI)
+        )
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    ccos = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * F.col("cn"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crn", F.row_number().over(aw))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", F.col("v").alias("ev"), norm(F.col("ev")).alias("nrm"),
+                F.col("c_id").alias("cell"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qcos = dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * F.col("cn"))
+    pw = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "c_id")
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("qcos", qcos)
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("q_id", "qv", norm(F.col("qv")).alias("qn"),
+                F.col("c_id").alias("cell"))
+    )
+    scos = dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("nrm"))
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        assign.join(
+            F.broadcast(probes),
+            (assign.cell == probes.cell) & (assign.vec_id != probes.q_id),
+        )
+        .withColumn("cos_raw", scos)
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "vec_id", r4(F.col("cos_raw")).alias("cos"), "rn")
+    )
