@@ -61,3 +61,46 @@ def test_stream_is_incremental(spark):
     assert stream.isStreaming
     agg = windowed_counts(stream)
     assert agg.isStreaming
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across micro-batches:
+    stream the events split into 4 files (1 file per trigger), final running
+    totals must equal the batch aggregation."""
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import EVENTS_SCHEMA, stateful_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    staged = str(tmp_path / "events_split")
+    raw.repartition(4).write.parquet(staged)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = run_to_memory(
+        stateful_user_totals(stream), "stateful_totals_test", mode="update"
+    ).toPandas()
+
+    # multiple micro-batches really happened (users re-emitted with state)
+    n_users = raw.select("user_id").distinct().count()
+    assert len(out) > n_users
+
+    # last emission per user (running totals are monotone in n_events)
+    final = out.sort_values("n_events").groupby("user_id").tail(1)
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    merged = final.merge(batch, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == n_users
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    assert (merged["sum_value_got"] - merged["sum_value_want"]).abs().max() < 1e-6

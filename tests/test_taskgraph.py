@@ -115,3 +115,32 @@ def test_tree_reduction_1024_leaves(client):
 def test_tree_reduce_dataframe_column(client, spark):
     df = spark.range(256).selectExpr("CAST(id AS BIGINT) AS v")
     assert client.tree_reduce(df, operator.add, 0) == 255 * 256 // 2
+
+
+def test_as_completed_and_wait(client):
+    import time
+
+    futs = [client.submit(lambda t=t: (time.sleep(t), t)[1], t, pure=False)
+            for t in (0.3, 0.1, 0.2)]
+    seen = [f.result() for f in client.as_completed(futs)]
+    assert sorted(seen) == [0.1, 0.2, 0.3]
+    assert seen[0] == 0.1  # completion order, not submission order
+    done, not_done = client.wait(futs)
+    assert len(done) == 3 and not not_done
+
+
+def test_fire_and_forget_detaches(client):
+    f = client.submit(lambda: 99)
+    client.fire_and_forget(f)
+    # memo dropped: a new submit of the same task is a fresh future
+    g = client.submit(lambda: 99)
+    assert g.result() == 99
+
+
+def test_publish_dataset_roundtrip(client, spark):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    client.publish_dataset("published_xs", df)
+    got = client.get_dataset("published_xs")
+    assert got.count() == 10
+    assert spark.sql("SELECT SUM(x) AS s FROM published_xs").collect()[0].s == 45
+    client.unpublish_dataset("published_xs")

@@ -83,20 +83,55 @@ def windowed_counts(
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, complete: bool = True
+    stream_df: DataFrame, query_name: str, complete: bool = True, mode: str | None = None
 ) -> DataFrame:
     """Execute a streaming plan with trigger=availableNow into an in-memory
     sink, block until done, return the result table (test/verification
-    harness; production sinks are kafka/parquet/delta via the same API)."""
+    harness; production sinks are kafka/parquet/delta via the same API).
+    `mode` overrides the complete/append switch (e.g. "update" for
+    applyInPandasWithState operators)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode or ("complete" if complete else "append"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    per-user running totals maintained across micro-batches.
+
+    This is the arbitrary-stateful-logic escape hatch (the streaming
+    analogue of the reference's opaque Python tasks): state is an explicit
+    (count, sum) tuple per user_id, updated per micro-batch, emitted in
+    `update` mode.  Scale shape: state is partitioned by the group key and
+    lives in the state store — per-key size is O(1), so total state grows
+    with distinct users only, not with events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, sum_value double",
+        "n long, s double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def sessionize_stream(

@@ -185,6 +185,47 @@ class WukongClient:
         cached.count()  # materialize now, like wukong's eager persist
         return cached
 
+    # -- A7 companions: as_completed / wait / fire_and_forget -------------
+    def as_completed(self, futures: Iterable[Future]):
+        """Yield futures in completion order (`client.py:4241`)."""
+        from concurrent.futures import as_completed as _ac
+
+        fl = list(futures)
+        by_py = {f._f: f for f in fl}
+        for pf in _ac([f._f for f in fl]):
+            yield by_py[pf]
+
+    def wait(self, futures: Iterable[Future], timeout: float | None = None):
+        """Block until all futures finish (`client.py:4197`); returns
+        (done, not_done) sets of Future."""
+        from concurrent.futures import wait as _wait
+
+        fl = list(futures)
+        by_py = {f._f: f for f in fl}
+        done, not_done = _wait([f._f for f in fl], timeout=timeout)
+        return {by_py[p] for p in done}, {by_py[p] for p in not_done}
+
+    def fire_and_forget(self, future: Future) -> None:
+        """Detach a future (`client.py:4526`): drop it from the memo table
+        so its result is never gathered; the job still runs to completion
+        (Spark jobs are not tied to a waiting client)."""
+        with self._lock:
+            self._memo.pop(future.key, None)
+
+    # -- A29: publish_dataset ---------------------------------------------
+    def publish_dataset(self, name: str, df: DataFrame, persist: bool = True) -> None:
+        """Publish a DataFrame under a name for other sessions-users
+        (`client.py:2213-2340`) — the Spark-native named-dataset mechanism
+        is a (cached) temp view."""
+        out = self._plan_cache.persist(df) if persist else df
+        out.createOrReplaceTempView(name)
+
+    def get_dataset(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def unpublish_dataset(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+
     # -- A28: cancel ------------------------------------------------------
     def cancel_all(self) -> None:
         self.spark.sparkContext.cancelAllJobs()
