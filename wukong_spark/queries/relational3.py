@@ -500,3 +500,120 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str):
             F.sum(cents("c_acctbal")).alias("totacctbal_c"),
         )
     )
+
+
+@query(
+    "join_full_outer_yearly_revenue",
+    oracle="""
+    WITH r96 AS (
+      SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev96_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+      GROUP BY l_suppkey
+    ), r97 AS (
+      SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev97_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+      GROUP BY l_suppkey
+    )
+    SELECT COALESCE(r96.l_suppkey, r97.l_suppkey) AS suppkey,
+           COALESCE(rev96_c, 0) AS rev96_c,
+           COALESCE(rev97_c, 0) AS rev97_c,
+           COALESCE(rev97_c, 0) - COALESCE(rev96_c, 0) AS delta_c
+    FROM r96 FULL OUTER JOIN r97 ON r96.l_suppkey = r97.l_suppkey
+    """,
+)
+def join_full_outer_yearly_revenue(spark: SparkSession, sf_dir: str):
+    """FULL OUTER join (completes the join family, SURVEY.md §2.2 B-III):
+    per-supplier Jan-96 vs Jan-97 revenue, keeping suppliers active in
+    either month; COALESCE fills the gaps.  At scale: both sides shuffle on
+    suppkey (same key) — one co-partitioned exchange pair, no broadcast
+    (full outer cannot broadcast)."""
+    l = tbl(spark, sf_dir, "lineitem")
+
+    def month_rev(y: int, alias: str):
+        return (
+            l.filter(
+                (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{y}-02-01").cast("timestamp"))
+            )
+            .groupBy(F.col("l_suppkey").alias(f"sk{y}"))
+            .agg(F.sum(cents("l_extendedprice")).alias(alias))
+        )
+
+    r96 = month_rev(1996, "rev96_c")
+    r97 = month_rev(1997, "rev97_c")
+    return (
+        r96.join(r97, F.col("sk1996") == F.col("sk1997"), "full_outer")
+        .select(
+            F.coalesce(F.col("sk1996"), F.col("sk1997")).alias("suppkey"),
+            F.coalesce(F.col("rev96_c"), F.lit(0)).alias("rev96_c"),
+            F.coalesce(F.col("rev97_c"), F.lit(0)).alias("rev97_c"),
+            (F.coalesce(F.col("rev97_c"), F.lit(0))
+             - F.coalesce(F.col("rev96_c"), F.lit(0))).alias("delta_c"),
+        )
+    )
+
+
+@query(
+    "join_right_outer_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           COUNT(l.l_orderkey) AS n_lines
+    FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01') l
+    RIGHT JOIN (SELECT * FROM part WHERE p_size > 45) p
+      ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_brand
+    """,
+)
+def join_right_outer_parts(spark: SparkSession, sf_dir: str):
+    """RIGHT OUTER join: every large part, with its count of very recent
+    shipments (zero for never-shipped).  COUNT of a nullable join column
+    counts matches only — the outer-join null semantics the dask surface
+    gets from pandas merge(how='right')."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey, "right_outer")
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "make_timeseries",
+    oracle="""
+    SELECT i AS idx,
+           TIMESTAMP '2000-01-01' + i * INTERVAL 1 HOUR AS ts,
+           CAST(('0x' || substr(md5('id-' || i), 1, 12)) AS BIGINT) % 100 AS sensor_id,
+           ROUND((CAST(('0x' || substr(md5('x-' || i), 1, 12)) AS BIGINT) % 1000000)
+                 / 1000000.0, 6) AS x
+    FROM range(0, 2000) t(i)
+    """,
+)
+def make_timeseries(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic timeseries generator — parity with
+    `dd.demo.make_timeseries` (reference: `Static Scheduler/wukong/tests/
+    test_collections.py:115-122`): hourly timestamps, hash-derived sensor
+    ids and uniform [0,1) values, reproducible cross-engine via md5.
+
+    Scale shape: spark.range parallelizes the id space across executors —
+    a 100 TB synthetic table generates with zero shuffles and no driver
+    involvement (the dask version builds partitioned pandas frames the
+    same way)."""
+    idx = F.col("id")
+    sid = F.conv(F.substring(F.md5(F.concat(F.lit("id-"), idx)), 1, 12), 16, 10).cast("long") % 100
+    xv = F.round(
+        (F.conv(F.substring(F.md5(F.concat(F.lit("x-"), idx)), 1, 12), 16, 10).cast("long") % 1000000)
+        / 1000000.0,
+        6,
+    )
+    return spark.range(0, 2000).select(
+        idx.alias("idx"),
+        (F.lit("2000-01-01").cast("timestamp_ntz")
+         + F.make_interval(hours=idx.cast("int"))).alias("ts"),
+        sid.alias("sensor_id"),
+        xv.alias("x"),
+    )
