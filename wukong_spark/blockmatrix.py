@@ -119,10 +119,10 @@ class BlockMatrix:
                     out.append((bi, bj, rng.random((r, c)).tobytes()))
                 yield pd.DataFrame(out, columns=["bi", "bj", "data"])
 
-        df = (
-            spark.range(nbr * nbc)
-            .repartition(min(nbr * nbc, 256))
-            .mapInPandas(gen, BLOCK_SCHEMA)
+        # one block per row, partition count set at range creation — no
+        # repartition shuffle before generation
+        df = spark.range(0, nbr * nbc, 1, min(nbr * nbc, 256)).mapInPandas(
+            gen, BLOCK_SCHEMA
         )
         return BlockMatrix(df, n_rows, n_cols, block_rows, block_cols)
 
