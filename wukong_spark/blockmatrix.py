@@ -444,6 +444,7 @@ class BlockMatrix:
         AᵀA = V Σ² Vᵀ on the driver (c×c eigh), U = A·V·Σ⁻¹ blockwise.
         Returns (U BlockMatrix, s (c,), Vt (c×c)).
         """
+        self.df.persist()  # read twice: gramian + the U projection below
         g = self.gramian()
         evals, evecs = np.linalg.eigh(g)
         order = np.argsort(evals)[::-1]
@@ -455,7 +456,7 @@ class BlockMatrix:
         return u, s, evecs.T
 
     def svd_compressed(
-        self, k: int, seed: int = 0, oversample: int = 10, n_iter: int = 2
+        self, k: int, seed: int = 0, oversample: int = 10, n_iter: int = 1
     ) -> tuple["BlockMatrix", np.ndarray, np.ndarray]:
         """Randomized SVD (da.linalg.svd_compressed — README.md:227-248,
         examples/svd2.py).  Halko-Martinsson-Tropp sketch:
@@ -465,11 +466,17 @@ class BlockMatrix:
         U = Q·Ũ (blockwise)
 
         Power iterations (n_iter) sharpen the spectrum for slowly-decaying
-        singular values, matching dask's default accuracy envelope.
+        singular values; dask's default is 0 (`da.linalg.svd_compressed`
+        n_power_iter=0) — we default to 1, trading one extra distributed
+        pass for a tighter HMT error envelope on noisy spectra.
         """
         p = k + oversample
         rng = np.random.default_rng(seed)
         omega = rng.standard_normal((self.n_cols, p))
+        # A is read by the sketch, every power iteration, and the final
+        # projection (~2+2·n_iter jobs) — persist once instead of re-running
+        # its lineage (e.g. the random generator) per job
+        self.df.persist()
 
         def sketch(mat: "BlockMatrix", w: np.ndarray) -> "BlockMatrix":
             """Y = mat @ w with w broadcast to every block; sum over bj."""
@@ -512,6 +519,7 @@ class BlockMatrix:
         b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
         ub, s, vt = np.linalg.svd(b, full_matrices=False)
         u = q._map_blocks(lambda blk: blk @ ub[:, :k], out_cols=k)
+        self.df.unpersist()
         return u, s[:k], vt[:k, :]
 
     def transpose_matvec(self, other: "BlockMatrix") -> np.ndarray:

@@ -81,7 +81,7 @@ def la_gemm_block_norms(spark: SparkSession, sf_dir: str):
     return c.df.mapInPandas(fro, "bi int, bj int, fro double")
 
 
-@query("la_tsqr_factors")
+@query("la_tsqr_factors", headline=True)
 def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     """TSQR (docs/examples/examples.rst:72-82) on a seeded 8192×32 matrix
     (scaled-down 262144×128 benchmark); returns quality metrics."""
@@ -97,7 +97,7 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_svd_tall_skinny_sigma")
+@query("la_svd_tall_skinny_sigma", headline=True)
 def la_svd_tall_skinny_sigma(spark: SparkSession, sf_dir: str):
     """Tall-skinny SVD (README.md:204-225) on seeded 20000×16, 2500-row
     blocks (scaled-down 200000×1000 benchmark); returns singular values."""
@@ -108,7 +108,7 @@ def la_svd_tall_skinny_sigma(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_svd_compressed_sigma")
+@query("la_svd_compressed_sigma", headline=True)
 def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
     """Compressed/randomized SVD k=5 (README.md:227-248, svd2.py:44-45) on
     a seeded 2000×1000 matrix, 500-blocks (scaled-down 10000×10000)."""
@@ -119,7 +119,7 @@ def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_cholesky_check")
+@query("la_cholesky_check", headline=True)
 def la_cholesky_check(spark: SparkSession, sf_dir: str):
     """Cholesky (docs/examples/examples.rst:84-100) on the doc's own SPD
     input tril(ones(100,100)) @ its transpose, 25-blocks."""

@@ -32,6 +32,7 @@ _W_SQL = "[" + ", ".join(f"{w}" for w in FIXED_W) + "]"
                 THEN 1 ELSE 0 END AS prediction
     FROM embeddings
     """,
+    headline=True,
 )
 def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
     """Broadcast-model batch inference over the embeddings table.

@@ -26,6 +26,7 @@ from wukong_spark.queries.helpers import cents, tbl
            COUNT(*) AS n_leaves
     FROM lineitem
     """,
+    headline=True,
 )
 def tree_reduction_sum(spark: SparkSession, sf_dir: str):
     """Tree reduction (pairwise add over all rows → one scalar).
