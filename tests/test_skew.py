@@ -1,0 +1,48 @@
+"""Salted two-phase aggregation: exact equivalence with plain groupBy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wukong_spark.operators.skew import salted_agg
+from wukong_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_matches_plain(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    got = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "min_event": ("min", "event_id"),
+            "max_event": ("max", "event_id"),
+            "sum_user": ("sum", "user_id"),
+        },
+        buckets=8,
+    )
+    want = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.sum("user_id").alias("sum_user"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_rejects_non_decomposable(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(e, ["event_type"], {"a": ("avg", "value")})
+
+
+def test_salted_plan_has_two_aggregations(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    df = salted_agg(e, ["event_type"], {"n": ("count", None)}, buckets=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two shuffle boundaries: (key, salt) then (key)
+    assert plan.count("Exchange") >= 2

@@ -193,3 +193,93 @@ def events_rolling_avg3(spark: SparkSession, sf_dir: str):
         "user_id",
         r4(F.avg("value").over(w)).alias("roll_avg"),
     )
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM ce
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(last_click_ts, TIMESTAMP '1970-01-01') AS last_click_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str):
+    """As-of join (attribution): each purchase matched to the same user's
+    most recent click at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the
+    union-merge: both event streams share one shuffle on user_id, a running
+    MAX over the click timestamps gives every purchase its predecessor in
+    a single sorted pass — no per-row range join, no candidate blowup.
+    (A backward range join would be O(clicks × purchases) per user; this
+    is O(n log n) in the partition sort.)
+    """
+    e = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            # epoch sentinel = "no prior click" (NULL would compare NaT≠NaT
+            # in pandas-based harnesses)
+            F.coalesce(
+                F.col("last_click_ts"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("last_click_ts"),
+        )
+    )
+
+
+@query(
+    "salted_agg_event_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4,
+           MIN(event_id) AS min_event,
+           MAX(event_id) AS max_event
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_agg_event_type(spark: SparkSession, sf_dir: str):
+    """Skew-resilient aggregation on a 5-value key (the worst-case shape:
+    millions of rows per key at scale) via two-phase salting — results are
+    exactly the plain GROUP BY, verified by the oracle.  See
+    wukong_spark/operators/skew.py for the decomposition rules."""
+    from wukong_spark.operators.skew import salted_agg
+
+    e = tbl(spark, sf_dir, "events")
+    return salted_agg(
+        e.withColumn("value_4", F.round(F.col("value") * 10000).cast("long")),
+        keys=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "sum_value_4": ("sum", "value_4"),
+            "min_event": ("min", "event_id"),
+            "max_event": ("max", "event_id"),
+        },
+        buckets=32,
+    )
