@@ -9,6 +9,7 @@ results stay right.
 
 from __future__ import annotations
 
+from wukong_spark import plans
 from wukong_spark.queries import load_all
 from tests.conftest import SF_CORRECT
 
@@ -16,10 +17,7 @@ REG = load_all()
 
 
 def _plan(spark, name: str) -> str:
-    df = REG[name].fn(spark, SF_CORRECT)
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return plans.formatted_plan(REG[name].fn(spark, SF_CORRECT))
 
 
 def test_q6_filters_push_to_scan(spark):
@@ -87,3 +85,32 @@ def test_text_ops_no_python_udf(spark):
 def test_embed_topk_broadcasts_queries(spark):
     plan = _plan(spark, "embed_cosine_topk")
     assert "Broadcast" in plan
+
+
+def test_no_row_python_udf_anywhere(spark):
+    """No registered query may contain a row-at-a-time Python boundary
+    (BatchEvalPython) — Arrow-vectorized boundaries only."""
+    for name, spec in REG.items():
+        plan = plans.formatted_plan(spec.fn(spark, SF_CORRECT))
+        rows, _arrow = plans.python_eval_count(plan)
+        assert rows == 0, f"{name} uses row-at-a-time Python"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is one shuffle on user_id (merge formulation), not a
+    range join."""
+    plan = _plan(spark, "asof_join_last_click")
+    assert plans.count_shuffles(plan) == 1
+    assert not plans.has_cartesian(plan)
+
+
+def test_snowflake_q8_all_dims_broadcast(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert plans.broadcast_join_count(plan) >= 6
+    assert not plans.has_cartesian(plan)
+
+
+def test_winnow_fingerprint_is_map_only(spark):
+    """Fingerprinting must be a pure map over the corpus — zero shuffles."""
+    plan = _plan(spark, "doc_fingerprint_winnow")
+    assert plans.count_shuffles(plan) == 0
