@@ -1,0 +1,31 @@
+"""Smoke the six reference-parity example workloads (SURVEY.md §5 item 4)
+on the shared test session."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/examples")
+
+import fan_in  # noqa: E402
+import linear_dag  # noqa: E402
+import single_node  # noqa: E402
+import svd1  # noqa: E402
+import svd2  # noqa: E402
+import tree_reduction  # noqa: E402
+
+ALL = {
+    "single_node": single_node.run,
+    "linear_dag": linear_dag.run,
+    "fan_in": fan_in.run,
+    "tree_reduction": tree_reduction.run,
+    "svd1": svd1.run,
+    "svd2": svd2.run,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_example(spark, name):
+    assert ALL[name](spark)

@@ -453,3 +453,23 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str):
         F.instr(F.col("p_name"), "a").alias("first_a"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
     )
+
+@query("sketch_approx_stats")
+def sketch_approx_stats(spark: SparkSession, sf_dir: str):
+    """Sketch aggregates — HyperLogLog++ distinct and GK approximate
+    quantiles per returnflag.
+
+    No SQL oracle: sketch outputs are estimator-specific (DuckDB's HLL and
+    Spark's HLL++ differ by design), so the driver records a rows-only
+    check; the accuracy contract (≤5 % relative error vs exact) is enforced
+    in tests/test_sketches.py.  At 100 TB these replace their exact
+    counterparts: HLL++ is O(1) memory per group vs an O(distinct) hash
+    set, approx_percentile streams one GK summary vs a full sort.
+    """
+    l = tbl(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
+        ).alias("approx_p50"),
+    )
