@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY.md §5: the reference has no property-based testing at all).
+
+Each property runs few examples (Spark jobs are expensive) but explores
+shapes/values a fixed fixture never would: ragged block grids, arbitrary
+group keys, negative/duplicate values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wukong_spark.blockmatrix import BlockMatrix
+from wukong_spark.operators.skew import salted_agg
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n=st.integers(2, 60),
+    m=st.integers(2, 60),
+    br=st.integers(1, 25),
+    bc=st.integers(1, 25),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_block_roundtrip_any_grid(spark, n, m, br, bc, seed):
+    """from_numpy → to_numpy is exact for ANY (shape, block) combination,
+    including ragged edge blocks."""
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, m))
+    assert np.array_equal(BlockMatrix.from_numpy(spark, a, br, bc).to_numpy(), a)
+
+
+@given(
+    n=st.integers(2, 30),
+    k=st.integers(2, 30),
+    m=st.integers(2, 30),
+    blk=st.integers(2, 16),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_gemm_matches_numpy_any_shape(spark, n, k, m, blk, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, k))
+    b = rng.standard_normal((k, m))
+    got = (
+        BlockMatrix.from_numpy(spark, a, blk, blk)
+        .matmul(BlockMatrix.from_numpy(spark, b, blk, blk))
+        .to_numpy()
+    )
+    assert np.allclose(got, a @ b, atol=1e-10)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=200,
+    ),
+    buckets=st.integers(1, 16),
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain(spark, rows, buckets):
+    """Salting never changes count/sum/min/max, for any data and any bucket
+    count (including buckets=1 = no salting)."""
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        tuple(r)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("count", None), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+            buckets=buckets,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want

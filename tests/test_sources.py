@@ -74,3 +74,34 @@ def test_bucketed_join_no_shuffle(spark, tmppath):
     assert joined.count() == orders.join(custs, orders.o_custkey == custs.c_custkey).count()
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_binary_file_ingestion_to_multimodal(spark, tmppath):
+    """binaryFile source → metadata wrap → fake decode: the full multimodal
+    ingestion path over real files on disk."""
+    import os
+
+    from wukong_spark.operators.multimodal import attach_media_metadata, decode_images
+    from wukong_spark.sources import read_binary_files
+
+    os.makedirs(f"{tmppath}/media", exist_ok=True)
+    payloads = {f"img_{i}.bin": bytes([i] * (100 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        with open(f"{tmppath}/media/{name}", "wb") as f:
+            f.write(data)
+
+    raw = read_binary_files(spark, f"{tmppath}/media", glob="*.bin")
+    assert raw.count() == 5
+    assert dict(raw.dtypes)["content"] == "binary"
+
+    with_id = raw.withColumn(
+        "fid", F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1).cast("long")
+    )
+    media = attach_media_metadata(with_id, "content", "image", "image/png", "fid")
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[3].n_bytes == 103
+
+    decoded = decode_images(media, fake_decoder=True, height=4, width=4)
+    out = decoded.collect()
+    assert len(out) == 5
+    assert all(len(r.pixels) == 4 * 4 * 3 for r in out)

@@ -474,3 +474,58 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
         d.filter(F.size(toks) >= 6)
         .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, lang, n_chars,
+             md5(text) AS h,
+             array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND n_chars >= 100
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM dedup GROUP BY source, lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
+    """End-to-end training-data cleaning pipeline as ONE composed plan:
+    quality gate (min tokens/chars) → exact dedup (md5, keep first doc_id)
+    → per-(source, lang) corpus statistics.
+
+    This is the composition story for 100 TB: each stage is a narrow
+    Catalyst-visible transformation, so the whole pipeline runs as scan →
+    map → one dedup shuffle (on the 128-bit hash — uniform keys, no skew)
+    → one stats shuffle.  Filters run before the dedup shuffle, so
+    low-quality rows never shuffle at all.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        n_tokens.alias("n_tokens"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    dedup = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -42,6 +42,24 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overw
     writer.options(**options).save(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media ingestion: Spark's `binaryFile` source reads raw files as
+    (path, modificationTime, length, content binary) — the entry point for
+    the multimodal pipeline (operators/multimodal.py wraps `content` with
+    typed metadata and Arrow-batched decode).
+
+    Scale notes: file listing is distributed; set
+    `spark.sql.files.maxPartitionBytes` so a partition holds a sane number
+    of media blobs, and avoid tiny-file explosions by compacting upstream.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
