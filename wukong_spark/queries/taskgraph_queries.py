@@ -94,3 +94,30 @@ def linear_chain_pipeline(spark: SparkSession, sf_dir: str):
         .groupBy("l_orderkey")
         .agg(F.sum("flt").alias("big_scaled_sum"))
     )
+
+
+@query("graph_connected_components")
+def graph_connected_components(spark: SparkSession, sf_dir: str):
+    """Connected components (iterative min-label propagation, driver-
+    coordinated loop — the non-SQL-expressible category) on the bipartite
+    customer↔supplier graph induced by orders⋈lineitem.
+
+    Output: per-component node counts.  Deterministic (component id = min
+    node id), so the rows-only hash is stable; the union-find oracle lives
+    in tests/test_graph.py.  See wukong_spark/operators/graph.py for the
+    per-iteration scale discipline.
+    """
+    from wukong_spark.operators.graph import connected_components
+
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = connected_components(edges)
+    return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
