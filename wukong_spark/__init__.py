@@ -7,10 +7,22 @@ Layers (SURVEY.md §7):
   queries      — the declarative operator/query library (DuckDB-oracle checked)
   taskgraph    — futures-style submit/map/scatter/gather/persist surface
   blockmatrix  — chunked-ndarray linear algebra (GEMM/TSQR/SVD/Cholesky)
-  operators    — dedup / similarity / text / multimodal pipeline operators
+  operators    — skew / graph / multimodal pipeline operators
+  functions    — consolidated Catalyst-visible column-expression library
+  sources      — format-dispatched scans/sinks, partitioned + bucketed writes
+  streaming    — Structured Streaming surface (windows, sessions, state)
+  plans        — physical-plan introspection (the 100 TB discipline checks)
 """
 
-from wukong_spark.session import get_spark, load_table, TABLES
+from wukong_spark.session import PlanCache, TABLES, get_spark, load_table
+from wukong_spark.taskgraph import Future, WukongClient
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "TABLES",
+    "PlanCache",
+    "WukongClient",
+    "Future",
+]
 __version__ = "0.1.0"
