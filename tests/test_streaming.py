@@ -104,3 +104,55 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert len(merged) == n_users
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     assert (merged["sum_value_got"] - merged["sum_value_want"]).abs().max() < 1e-6
+
+
+def test_stream_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """Checkpointed file sink: stop the stream, add new source files,
+    restart with the same checkpoint — every record lands exactly once."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    alldir, src = str(tmp_path / "all"), str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    raw.repartition(4).write.parquet(alldir)
+    parts = sorted(glob.glob(f"{alldir}/part-*.parquet"))
+    assert len(parts) == 4
+    (tmp_path / "src").mkdir()
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    total_purchases = raw.filter(F.col("event_type") == "purchase").count()
+    for p in parts[:2]:
+        shutil.copy(p, src)
+    run_stream()
+    first = spark.read.parquet(out).count()
+    assert 0 < first < total_purchases  # a strict subset so far
+
+    for p in parts[2:]:
+        shutil.copy(p, src)
+    run_stream()  # same checkpoint: files 1-2 must NOT reprocess
+
+    got = spark.read.parquet(out)
+    want = raw.filter(F.col("event_type") == "purchase")
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("event_id")).collect()[0][0]
+        == want.agg(F.sum("event_id")).collect()[0][0]
+    )

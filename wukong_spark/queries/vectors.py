@@ -414,3 +414,43 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") <= IVF_TOPK)
         .select("q_id", "vec_id", r4(F.col("cos_raw")).alias("cos"), "rn")
     )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 4) AS sum_sq,
+           ROUND(embedding[1]::DOUBLE + embedding[64]::DOUBLE, 4) AS ends_sum,
+           ROUND(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 4) AS head_sum
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str):
+    """Higher-order array function surface — transform / filter / aggregate
+    / slice / element_at, all JVM lambda expressions (SparkSQL higher-order
+    functions), zero Python.
+
+    These are the building blocks the vector queries compose (dot, norm);
+    registered separately so the driver hash-checks each primitive against
+    DuckDB's list functions.
+    """
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        r4(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("sum_sq"),
+        r4(F.element_at(v, 1) + F.element_at(v, 64)).alias("ends_sum"),
+        r4(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x)
+        ).alias("head_sum"),
+    )
