@@ -1,0 +1,56 @@
+"""AQE skew-join handling: a pathologically skewed join must (a) still be
+correct and (b) get its skewed partition split by AQE when thresholds are
+crossed — the runtime re-plan this engine relies on instead of manual
+salting for joins (SURVEY.md §4 "locality/skew" row)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_skewed_join_correct_and_aqe_splits(spark):
+    # 1 hot key carrying ~95% of rows + a long tail
+    hot = spark.range(0, 190_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(0, 10_000).select(
+        (F.col("id") % 997 + 100).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.union(tail)
+    right = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force SMJ (no broadcast escape) and make the hot partition count
+        # as skewed at toy scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+
+        joined = left.join(right, "k")
+        # action on THIS DataFrame's own QueryExecution (count() would spawn
+        # a separate one and leave this plan non-final)
+        n = len(joined.collect())
+        assert n == 190_000 + 10_000  # every row matched exactly once
+
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "SortMergeJoin" in executed
+        assert "skew=true" in executed, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -617,3 +617,44 @@ def make_timeseries(spark: SparkSession, sf_dir: str):
         sid.alias("sensor_id"),
         xv.alias("x"),
     )
+
+
+@query(
+    "sql_surface_nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_cpct,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY nation
+    """,
+)
+def sql_surface_nation_revenue(spark: SparkSession, sf_dir: str):
+    """The SQL-text surface: the engine's tables registered as views
+    (`register_views` ≈ the reference's `publish_dataset`,
+    `client.py:2213-2340`) and the query written as ANSI SQL via
+    `spark.sql` — the exact text DuckDB runs as the oracle, proving the
+    dialect-portable subset end-to-end.  Catalyst treats it identically to
+    the DataFrame formulation (same plan, same broadcasts)."""
+    from wukong_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_cpct,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
