@@ -10,10 +10,12 @@ import pytest
 sys.path.insert(0, "/root/repo/examples")
 
 import fan_in  # noqa: E402
+import gemm  # noqa: E402
 import linear_dag  # noqa: E402
 import single_node  # noqa: E402
 import svd1  # noqa: E402
 import svd2  # noqa: E402
+import svc_inference  # noqa: E402
 import tree_reduction  # noqa: E402
 
 ALL = {
@@ -22,6 +24,8 @@ ALL = {
     "fan_in": fan_in.run,
     "tree_reduction": tree_reduction.run,
     "svd1": svd1.run,
+    "gemm": gemm.run,
+    "svc_inference": svc_inference.run,
     "svd2": svd2.run,
 }
 

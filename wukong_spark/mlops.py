@@ -117,8 +117,7 @@ def make_classification_blocks(
                     }
                 )
 
-    return (
-        spark.range(n_partitions)
-        .repartition(n_partitions)
-        .mapInPandas(gen, "sample_id long, features array<double>, label int")
+    # partition count fixed at range creation — no repartition shuffle
+    return spark.range(0, n_partitions, 1, n_partitions).mapInPandas(
+        gen, "sample_id long, features array<double>, label int"
     )
