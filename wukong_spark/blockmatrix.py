@@ -511,11 +511,15 @@ class BlockMatrix:
             return BlockMatrix(ydf, n, w.shape[1], br, w.shape[1])
 
         y = sketch(self, omega)
-        q, _ = y.tsqr()
         for _ in range(n_iter):
-            # power iteration: Z = Aᵀ·Q (small, via gramian-style reduce), Q = TSQR(A·Z)
-            z = self.transpose_matvec(q)  # (m × p) on driver
-            q, _ = sketch(self, z).tsqr()
+            # subspace iteration with DRIVER-side stabilization: the m×p
+            # factor Z = AᵀY is small, so its QR runs locally — only the
+            # final Y needs a distributed TSQR (saves 1 distributed
+            # factorization per iteration vs. orthonormalizing Y each round)
+            z = self.transpose_matvec(y)  # (m × p) on driver
+            z, _ = np.linalg.qr(z, mode="reduced")
+            y = sketch(self, z)
+        q, _ = y.tsqr()
         b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
         ub, s, vt = np.linalg.svd(b, full_matrices=False)
         u = q._map_blocks(lambda blk: blk @ ub[:, :k], out_cols=k)
