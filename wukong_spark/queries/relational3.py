@@ -658,3 +658,97 @@ def sql_surface_nation_revenue(spark: SparkSession, sf_dir: str):
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(val * 100) AS BIGINT) AS val_c
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_linenumber >= 6
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_linenumber >= 6
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_linenumber >= 6
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str):
+    """Unpivot (wide → long): three measure columns melt into
+    (measure, value) rows via the STACK expression — the inverse of
+    pivot_status_by_flag.  stack() is a generator expression (one pass, no
+    shuffle, no join against a measure list)."""
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 6)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, val)"
+        ),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round(F.col("val") * 100).cast("long").alias("val_c"),
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             '0-REPRICED' AS o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 AS price_cc
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    ), merged AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 100 AS price_cc
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price_cc FROM updates
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(price_cc) AS total_cc
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str):
+    """CDC-style MERGE/upsert without a lakehouse format (the guide's
+    anti-join + union emulation): an updates stream (2001 orders repriced
+    +10 %) replaces matching target rows, everything else passes through;
+    verified via post-merge stats.
+
+    Scale shape: target ⟕anti updates is ONE shuffle pair on the merge key
+    (AQE broadcasts the small updates side here); the union adds no
+    exchange.  With Delta/Iceberg on the classpath the same logic is
+    `MERGE INTO` — this operator is the format-free equivalent.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    # +10% reprice in exact integers: track cents×100 so the update is
+    # price_c*110 vs passthrough price_c*100 — no double rounding anywhere
+    updates = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.lit("0-REPRICED").alias("o_orderpriority"),
+        (cents("o_totalprice") * 110).alias("price_cc"),
+    )
+    kept = o.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (cents("o_totalprice") * 100).alias("price_cc"),
+    )
+    merged = kept.unionByName(updates)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cc").alias("total_cc"),
+    )
