@@ -529,3 +529,30 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "regex_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INTEGER)
+               AS n_a_words,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+           CASE WHEN regexp_matches(text, 'join|merge') THEN 1 ELSE 0 END
+               AS mentions_join
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def regex_funcs_docs(spark: SparkSession, sf_dir: str):
+    """Regex function surface — extract_all/extract/replace/match, all
+    JVM-side codegen'd expressions (same regex dialect subset as DuckDB:
+    character classes, quantifiers, alternation)."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)).alias("n_a_words"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+        F.when(F.col("text").rlike("join|merge"), 1).otherwise(0).alias("mentions_join"),
+    )
