@@ -156,3 +156,79 @@ def test_stream_file_sink_exactly_once_across_restart(spark, tmp_path):
         got.agg(F.sum("event_id")).collect()[0][0]
         == want.agg(F.sum("event_id")).collect()[0][0]
     )
+
+
+def test_stream_dedup_drops_exact_dupes(spark, tmp_path):
+    """Watermarked streaming dropDuplicates removes injected duplicates."""
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import EVENTS_SCHEMA, dedup_stream, run_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(500)
+    staged = str(tmp_path / "dupes")
+    raw.union(raw).write.parquet(staged)  # every event exactly twice
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = run_to_memory(
+        dedup_stream(stream, keys=["event_id"]), "dedup_stream_test", complete=False
+    )
+    assert out.count() == 500
+
+
+def test_stream_stream_join_bounded_state(spark):
+    """Purchases join clicks of the same user within 1 h — results must
+    match the equivalent batch interval join."""
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import (
+        purchases_with_last_click_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    got = run_to_memory(
+        purchases_with_last_click_stream(stream),
+        "ss_join_test",
+        complete=False,
+    ).count()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert got == want
+
+
+def test_foreach_batch_sink(spark):
+    """foreachBatch drives an arbitrary sink callable per micro-batch."""
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import read_events_stream, run_foreach_batch
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    seen: list[int] = []
+    epochs = run_foreach_batch(
+        stream.filter(F.col("event_type") == "error"),
+        lambda bdf, _eid: seen.append(bdf.count()),
+    )
+    assert len(epochs) >= 1
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(seen) == want

@@ -101,6 +101,62 @@ def run_to_memory(
     return stream_df.sparkSession.table(query_name)
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates bounded by an event-time
+    watermark — state for keys older than the watermark is evicted, so
+    dedup state is O(keys within the watermark window), not O(all history).
+    The streaming face of the batch dedup_exact operators."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+
+
+def purchases_with_last_click_stream(
+    events: DataFrame, join_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to clicks of the same
+    user within the preceding `join_window` (interval condition).  Both
+    sides carry watermarks so the join state is bounded — Spark drops
+    buffered rows once they can no longer match (the mechanism the as-of
+    batch query gets from sorting)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {join_window}")),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
+def run_foreach_batch(stream_df: DataFrame, fn) -> list:
+    """foreachBatch sink: run `fn(batch_df, epoch_id)` per micro-batch with
+    trigger=availableNow; returns the collected epoch ids (the integration
+    point for arbitrary sinks — JDBC upserts, MERGE INTO, metrics)."""
+    epochs: list = []
+
+    def handle(bdf, epoch_id):
+        fn(bdf, epoch_id)
+        epochs.append(epoch_id)
+
+    q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return epochs
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState —
     per-user running totals maintained across micro-batches.
