@@ -95,3 +95,25 @@ def test_salted_agg_equals_plain(spark, rows, buckets):
         .collect()
     }
     assert got == want
+
+
+@given(
+    n=st.integers(8, 200),
+    c=st.integers(1, 12),
+    br=st.integers(4, 64),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_tsqr_properties_any_shape(spark, n, c, br, seed):
+    """TSQR invariants for any tall shape: QᵀQ = I, QR = A, R upper
+    triangular with non-negative diagonal."""
+    if n < c:
+        n = c  # keep it tall (or square)
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, c))
+    q, r = BlockMatrix.from_numpy(spark, a, br, c).tsqr()
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(c), atol=1e-9)
+    assert np.allclose(qn @ r, a, atol=1e-9)
+    assert np.allclose(r, np.triu(r), atol=1e-12)
+    assert (np.diag(r) >= -1e-12).all()

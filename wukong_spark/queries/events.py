@@ -283,3 +283,44 @@ def salted_agg_event_type(spark: SparkSession, sf_dir: str):
         },
         buckets=32,
     )
+
+
+@query(
+    "rollup_daily_from_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sv4
+      FROM events GROUP BY h, event_type
+    )
+    SELECT date_trunc('day', h) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           SUM(sv4) AS sum_value_4
+    FROM hourly GROUP BY day, event_type
+    """,
+)
+def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str):
+    """Hypertable-style continuous aggregate: the daily rollup is computed
+    FROM the hourly rollup (not from raw events) — the reaggregation
+    identity (sum-of-sums, sum-of-counts) that makes materialized
+    time-bucket hierarchies valid.  The oracle reaggregates the same way;
+    tests/test_queries_oracle.py hash-proves hourly→daily ≡ direct daily.
+
+    Scale shape: raw→hourly shuffles once on (hour, type); hourly→daily is
+    a ~24×-smaller second agg — at 100 TB the hourly layer would be a
+    materialized parquet table and dashboards would never touch raw events.
+    """
+    e = tbl(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sv4"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv4").alias("sum_value_4"),
+    )

@@ -198,3 +198,39 @@ def grouped_agg_weighted_discount(spark: SparkSession, sf_dir: str):
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         wavg("l_discount", "l_quantity").alias("wavg_disc_pct")
     )
+
+
+@query(
+    "map_in_arrow_value_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4
+    FROM events WHERE event_type <> 'error'
+    GROUP BY bucket
+    """,
+)
+def map_in_arrow_value_buckets(spark: SparkSession, sf_dir: str):
+    """The 5th Python boundary: mapInArrow — zero-copy RecordBatch in/out
+    (no pandas conversion at all).  Bucketing is computed in pyarrow
+    compute kernels; the aggregation stays JVM-side after the boundary."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = tbl(spark, sf_dir, "events").filter(F.col("event_type") != "error").select("value")
+
+    def run(batches):
+        for batch in batches:
+            v = batch.column(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(pc.floor(pc.divide(v, 10.0)), pa.int64()),
+                    pc.cast(pc.round(pc.multiply(v, 10000.0)), pa.int64()),
+                ],
+                ["bucket", "value_4"],
+            )
+
+    buckets = e.mapInArrow(run, "bucket long, value_4 long")
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_4").alias("sum_value_4")
+    )
