@@ -53,3 +53,17 @@ def test_cc_customer_supplier_graph(spark):
     got = {r.node: r.component for r in connected_components(edges).collect()}
     want = _uf_components([(r.src, r.dst) for r in edges.collect()])
     assert got == want
+
+
+def test_cc_raises_without_convergence(spark):
+    """A path graph with diameter > max_iter must raise, never return
+    partial labels silently."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+    # and with enough rounds it fully converges to component 0
+    got = {r.component for r in connected_components(df, max_iter=50).collect()}
+    assert got == {0}

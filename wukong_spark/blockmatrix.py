@@ -444,7 +444,10 @@ class BlockMatrix:
         AᵀA = V Σ² Vᵀ on the driver (c×c eigh), U = A·V·Σ⁻¹ blockwise.
         Returns (U BlockMatrix, s (c,), Vt (c×c)).
         """
-        self.df.persist()  # read twice: gramian + the U projection below
+        # persist across gramian + U projection; released before return —
+        # U is lazy, so callers that materialize U later re-run the input
+        # lineage (deterministic); persist the input themselves to avoid it
+        self.df.persist()
         g = self.gramian()
         evals, evecs = np.linalg.eigh(g)
         order = np.argsort(evals)[::-1]
@@ -453,6 +456,7 @@ class BlockMatrix:
         inv_s = np.where(s > 1e-12, 1.0 / s, 0.0)
         proj = evecs * inv_s[None, :]
         u = self._map_blocks(lambda b: b @ proj)
+        self.df.unpersist()
         return u, s, evecs.T
 
     def svd_compressed(
@@ -523,6 +527,9 @@ class BlockMatrix:
         b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
         ub, s, vt = np.linalg.svd(b, full_matrices=False)
         u = q._map_blocks(lambda blk: blk @ ub[:, :k], out_cols=k)
+        # released before return (same contract as svd_tall_skinny): U is
+        # lazy; a caller that materializes U re-runs the input lineage —
+        # persist the input (or U) yourself if you need U cheap
         self.df.unpersist()
         return u, s[:k], vt[:k, :]
 

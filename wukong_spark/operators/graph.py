@@ -26,13 +26,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min node id
     reachable.  Undirected: edges propagate labels both ways each round.
 
     Converges in O(graph diameter) rounds (min-label flood fill); each
-    round is two shuffles (propagate + min-agg).
+    round is two shuffles (propagate + min-agg).  Raises RuntimeError if
+    max_iter rounds pass without convergence — partial labels are wrong
+    labels, never returned silently.
     """
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -46,6 +48,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def _release(df: DataFrame) -> None:
+        # free a localCheckpoint's cached RDD immediately instead of waiting
+        # for driver GC + ContextCleaner (the checkpoint lives as RDD-level
+        # cache, so DataFrame.unpersist() cannot find it)
+        try:
+            df._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: GC reclaims it eventually
+
+    converged = False
     for _ in range(max_iter):
         # candidate labels: own label ∪ every neighbor's label
         via_nbr = (
@@ -65,9 +77,16 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        _release(labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
     both.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels

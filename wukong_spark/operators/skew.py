@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 AggSpec = dict[str, tuple[str, "Column | str | None"]]
 
 _PARTIAL = {
-    "count": lambda c: F.count(F.lit(1)),
+    # count honors SQL semantics: count(col) counts non-null rows of col,
+    # count with col=None is COUNT(*)
+    "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
     "sum": lambda c: F.sum(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),

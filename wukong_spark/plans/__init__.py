@@ -69,10 +69,13 @@ def python_eval_count(plan: str) -> tuple[int, int]:
     The first number should be 0 everywhere — BatchEvalPython is the
     slow path this engine bans from hot paths."""
     rows = plan.count("BatchEvalPython")
+    # NB: count MapInArrow before MapInPandas-style nodes — the node names
+    # are distinct, but keep every Python-boundary physical node listed
     arrow = (
         plan.count("ArrowEvalPython")
-        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("FlatMapGroupsInPandas")  # also matches ...WithState
         + plan.count("MapInPandas")
+        + plan.count("MapInArrow")
         + plan.count("AggregateInPandas")
     )
     return rows, arrow

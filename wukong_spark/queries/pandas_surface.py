@@ -23,6 +23,20 @@ from wukong_spark.queries import query
 from wukong_spark.queries.helpers import tbl
 
 
+def round_half_away(s, digits: int):
+    """Round half away from zero — the mode Spark's F.round and DuckDB's
+    ROUND share.  pandas/numpy .round() and Python round() are banker's
+    (half-to-even), which diverges on exact .5 boundaries; every Python-side
+    rounding in this module must go through this helper to stay
+    cross-engine exact."""
+    import numpy as np
+
+    scale = 10.0**digits
+    arr = np.asarray(s, dtype=float)
+    out = np.copysign(np.floor(np.abs(arr) * scale + 0.5), arr) / scale
+    return pd.Series(out, index=getattr(s, "index", None))
+
+
 @query(
     "grouped_apply_zscore",
     oracle="""
@@ -50,7 +64,7 @@ def grouped_apply_zscore(spark: SparkSession, sf_dir: str):
             {
                 "o_custkey": pdf["o_custkey"],
                 "o_orderkey": pdf["o_orderkey"],
-                "z": z.round(4),
+                "z": round_half_away(z, 4),
             }
         )
 
@@ -106,7 +120,7 @@ def map_in_pandas_filter(spark: SparkSession, sf_dir: str):
                 {
                     "event_id": hit["event_id"],
                     "user_id": hit["user_id"],
-                    "doubled": (hit["value"] * 2).round(4),
+                    "doubled": round_half_away(hit["value"] * 2, 4),
                 }
             )
 
@@ -190,9 +204,10 @@ def grouped_agg_weighted_discount(spark: SparkSession, sf_dir: str):
 
     @pandas_udf("double")
     def wavg(disc: pd.Series, qty: pd.Series) -> float:
-        d = (disc * 100).round().astype("int64")
-        q = (qty * 100).round().astype("int64")
-        return round(float((d * q).sum()) / float(q.sum()), 4)
+        d = round_half_away(disc * 100, 0).astype("int64")
+        q = round_half_away(qty * 100, 0).astype("int64")
+        ratio = float((d * q).sum()) / float(q.sum())
+        return float(round_half_away(pd.Series([ratio]), 4)[0])
 
     l = tbl(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -225,7 +240,16 @@ def map_in_arrow_value_buckets(spark: SparkSession, sf_dir: str):
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.cast(pc.floor(pc.divide(v, 10.0)), pa.int64()),
-                    pc.cast(pc.round(pc.multiply(v, 10000.0)), pa.int64()),
+                    # half_towards_infinity == half away from zero == the
+                    # mode F.round and DuckDB ROUND use (pyarrow defaults
+                    # to banker's half_to_even — would diverge on exact .5)
+                    pc.cast(
+                        pc.round(
+                            pc.multiply(v, 10000.0),
+                            round_mode="half_towards_infinity",
+                        ),
+                        pa.int64(),
+                    ),
                 ],
                 ["bucket", "value_4"],
             )

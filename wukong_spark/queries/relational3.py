@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from wukong_spark.queries import query
 from wukong_spark.queries.helpers import cents, pct_units, tbl
