@@ -149,10 +149,10 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY event_type
     """,
 )
@@ -257,7 +257,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4,
            MIN(event_id) AS min_event,
            MAX(event_id) AS max_event
     FROM events
@@ -296,7 +296,7 @@ def salted_agg_event_type(spark: SparkSession, sf_dir: str):
     )
     SELECT date_trunc('day', h) AS day, event_type,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           SUM(sv4) AS sum_value_4
+           CAST(SUM(sv4) AS BIGINT) AS sum_value_4
     FROM hourly GROUP BY day, event_type
     """,
 )

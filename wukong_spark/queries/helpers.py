@@ -20,9 +20,12 @@ def cents(col: str | Column) -> Column:
     ulps and poison a value-hash.  Integer summation is associative and
     exact.  DuckDB mirror: CAST(ROUND(x * 100) AS BIGINT).
 
-    Scale note: BIGINT cents overflow only past ~9e16 dollars; at true
-    100 TB scale switch the sum accumulator to DECIMAL(38,0) — the per-row
-    conversion is identical.
+    Scale note: plain cents sums overflow past ~9e16 dollars, but the
+    cents×pct products used for discounted revenue carry ~1e11 per row and
+    overflow int64 around ~9e12 summed dollars (≈ sf100) — at true 100 TB
+    scale switch those accumulators to DECIMAL(38,0) (Spark sums decimals
+    exactly; DuckDB already widens to HUGEINT).  The per-row conversion is
+    identical either way.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")

@@ -24,11 +24,13 @@ from wukong_spark.queries.helpers import tbl
 
 
 def round_half_away(s, digits: int):
-    """Round half away from zero — the mode Spark's F.round and DuckDB's
-    ROUND share.  pandas/numpy .round() and Python round() are banker's
-    (half-to-even), which diverges on exact .5 boundaries; every Python-side
-    rounding in this module must go through this helper to stay
-    cross-engine exact."""
+    """Round half away from zero — DuckDB ROUND's mode (and what Spark's
+    F.round targets; NB Spark rounds the shortest-decimal representation,
+    so the two can still differ on a thin set of exact half-boundary
+    doubles).  pandas/numpy .round() and Python round() are banker's
+    (half-to-even), a systematically different mode; every Python-side
+    rounding in this module goes through this helper so Python-side results
+    at least share DuckDB's convention."""
     import numpy as np
 
     scale = 10.0**digits
@@ -220,7 +222,7 @@ def grouped_agg_weighted_discount(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
     FROM events WHERE event_type <> 'error'
     GROUP BY bucket
     """,

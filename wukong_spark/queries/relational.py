@@ -340,8 +340,8 @@ def filter_range_projection(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
            CAST(SUM(CASE WHEN o_totalprice > 200000
                          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_total_c
     FROM orders GROUP BY o_orderstatus

@@ -99,7 +99,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-           SUM({_REV_SQL}) AS profit_cpct
+           CAST(SUM({_REV_SQL}) AS BIGINT) AS profit_cpct
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -145,7 +145,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str):
       WHERE r.r_name = 'EUROPE'
       GROUP BY l.l_partkey
     )
-    SELECT l_partkey, value_c
+    SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
     FROM val
     WHERE value_c * 2000 > (SELECT SUM(value_c) FROM val)
     """,
@@ -181,10 +181,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
                 THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -252,7 +252,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str):
         AND l.l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l.l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS BIGINT) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
@@ -465,7 +465,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str):
     )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
     FROM customer c, pos
     WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_c
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -516,9 +516,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str):
       GROUP BY l_suppkey
     )
     SELECT COALESCE(r96.l_suppkey, r97.l_suppkey) AS suppkey,
-           COALESCE(rev96_c, 0) AS rev96_c,
-           COALESCE(rev97_c, 0) AS rev97_c,
-           COALESCE(rev97_c, 0) - COALESCE(rev96_c, 0) AS delta_c
+           CAST(COALESCE(rev96_c, 0) AS BIGINT) AS rev96_c,
+           CAST(COALESCE(rev97_c, 0) AS BIGINT) AS rev97_c,
+           CAST(COALESCE(rev97_c, 0) - COALESCE(rev96_c, 0) AS BIGINT) AS delta_c
     FROM r96 FULL OUTER JOIN r97 ON r96.l_suppkey = r97.l_suppkey
     """,
 )
@@ -622,8 +622,9 @@ def make_timeseries(spark: SparkSession, sf_dir: str):
     "sql_surface_nation_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_cpct,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_cpct,
            COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -716,7 +717,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str):
     )
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           SUM(price_cc) AS total_cc
+           CAST(SUM(price_cc) AS BIGINT) AS total_cc
     FROM merged GROUP BY o_orderpriority
     """,
 )

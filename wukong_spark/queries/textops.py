@@ -494,7 +494,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
     )
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM dedup GROUP BY source, lang
     """,
