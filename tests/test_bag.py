@@ -1,0 +1,48 @@
+"""Bag (dask.bag parity) — local-python oracles, mirroring the reference's
+bag test shapes (test_collections.py:106-110 groupby by arbitrary key fn)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from wukong_spark.bag import Bag
+
+
+def test_map_filter_fold(spark):
+    b = Bag.from_sequence(spark, range(100), npartitions=7)
+    got = b.map(lambda x: x * x).filter(lambda x: x % 2 == 0).fold(
+        lambda a, x: a + x, 0
+    )
+    want = sum(x * x for x in range(100) if (x * x) % 2 == 0)
+    assert got == want
+
+
+def test_groupby_arbitrary_key_fn(spark):
+    # the reference's bag groupby: hash by arbitrary key fn
+    data = list(range(50))
+    b = Bag.from_sequence(spark, data, npartitions=5)
+    got = dict(b.groupby(lambda x: x % 3).compute())
+    assert set(got) == {0, 1, 2}
+    for k, vals in got.items():
+        assert sorted(vals) == [x for x in data if x % 3 == k]
+
+
+def test_foldby_matches_groupby_reduce(spark):
+    words = ["a", "b", "a", "c", "b", "a"] * 20
+    b = Bag.from_sequence(spark, words, npartitions=4)
+    got = dict(b.frequencies().compute())
+    assert got == dict(Counter(words))
+
+
+def test_flatten_distinct_count(spark):
+    b = Bag.from_sequence(spark, [[1, 2], [2, 3], [3, 4]], npartitions=2)
+    assert sorted(b.flatten().distinct().compute()) == [1, 2, 3, 4]
+    assert b.flatten().count() == 6
+
+
+def test_from_dataframe_and_back(spark):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    b = Bag.from_dataframe(df).map(lambda d: (d["x"], d["x"] * 2))
+    out = b.to_dataframe(spark, "x long, double long")
+    assert out.count() == 10
+    assert out.agg({"double": "sum"}).collect()[0][0] == 90
