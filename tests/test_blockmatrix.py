@@ -135,3 +135,31 @@ def test_cholesky(spark):
     assert np.allclose(l_mat @ l_mat.T, spd, atol=1e-8)
     assert np.allclose(l_mat, np.tril(l_mat))
     assert np.allclose(l_mat, np.linalg.cholesky(spd), atol=1e-8)
+
+
+def test_broadcasting_demean_rows(spark, rng):
+    """x - x.mean(axis=1)[:, None] — the reference's broadcasting workload
+    (test_collections.py:90-95)."""
+    a = rng.random((60, 40))
+    m = BlockMatrix.from_numpy(spark, a, 17, 13)  # ragged blocks on purpose
+    means = m.row_sums() / a.shape[1]
+    got = m.map_with_row_vector(means, lambda blk, v: blk - v).to_numpy()
+    assert np.allclose(got, a - a.mean(axis=1)[:, None], atol=1e-12)
+
+
+def test_broadcasting_standardize_cols(spark, rng):
+    a = rng.random((50, 30))
+    m = BlockMatrix.from_numpy(spark, a, 16, 7)
+    mu = m.col_sums() / a.shape[0]
+    got = m.map_with_col_vector(mu, lambda blk, v: blk - v).to_numpy()
+    assert np.allclose(got, a - a.mean(axis=0), atol=1e-12)
+
+
+def test_transpose_plus_other(spark, rng):
+    """x.T + y (test_collections.py:90-95): transpose then block-aligned add."""
+    x = rng.random((24, 36))
+    y = rng.random((36, 24))
+    bx = BlockMatrix.from_numpy(spark, x, 12, 12)
+    by = BlockMatrix.from_numpy(spark, y, 12, 12)
+    got = bx.transpose().add(by).to_numpy()
+    assert np.array_equal(got, x.T + y)

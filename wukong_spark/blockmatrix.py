@@ -287,6 +287,95 @@ class BlockMatrix:
             out[row.bj * bc : row.bj * bc + c] = np.frombuffer(row.partial)
         return out
 
+    def row_sums(self) -> np.ndarray:
+        """Row sums (axis=1 reduction): per-block partial → driver combine."""
+        bc, m = self.block_cols, self.n_cols
+        br, n = self.block_rows, self.n_rows
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
+                    r = min(br, n - int(bi) * br)
+                    c = min(bc, m - int(bj) * bc)
+                    s = np.frombuffer(data).reshape(r, c).sum(axis=1)
+                    out.append((int(bi), s.tobytes()))
+                yield pd.DataFrame(out, columns=["bi", "partial"])
+
+        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            total = np.sum([np.frombuffer(p) for p in pdf["partial"]], axis=0)
+            return pd.DataFrame({"bi": [key[0]], "partial": [total.tobytes()]})
+
+        merged = (
+            self.df.mapInPandas(part, "bi int, partial binary")
+            .groupBy("bi")
+            .applyInPandas(merge, "bi int, partial binary")
+            .collect()
+        )
+        out = np.zeros(n)
+        for row in merged:
+            r = min(br, n - row.bi * br)
+            out[row.bi * br : row.bi * br + r] = np.frombuffer(row.partial)
+        return out
+
+    def map_with_row_vector(
+        self, vec: np.ndarray, fn: Callable[[np.ndarray, np.ndarray], np.ndarray]
+    ) -> "BlockMatrix":
+        """Numpy-style broadcasting against a per-ROW vector (length n_rows):
+        each block sees its row-slice of `vec` — e.g. demeaning
+        `x - x.mean(axis=1)[:, None]` (reference workload,
+        `wukong/tests/test_collections.py:90-95`).
+
+        Scale: `vec` ships once in the task closure (length-n driver array
+        — fine for the tall-skinny shapes this layer targets; a huge n
+        would instead join a (bi, slice) table)."""
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                datas = []
+                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
+                    r = min(br, n - int(bi) * br)
+                    c = min(bc, m - int(bj) * bc)
+                    blk = np.frombuffer(data).reshape(r, c)
+                    vslice = vec[int(bi) * br : int(bi) * br + r]
+                    datas.append(
+                        np.ascontiguousarray(fn(blk, vslice[:, None])).tobytes()
+                    )
+                yield pd.DataFrame(
+                    {"bi": pdf["bi"], "bj": pdf["bj"], "data": datas}
+                )
+
+        return BlockMatrix(
+            self.df.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc
+        )
+
+    def map_with_col_vector(
+        self, vec: np.ndarray, fn: Callable[[np.ndarray, np.ndarray], np.ndarray]
+    ) -> "BlockMatrix":
+        """Broadcasting against a per-COLUMN vector (length n_cols):
+        `x - x.mean(axis=0)` / feature standardization."""
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                datas = []
+                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
+                    r = min(br, n - int(bi) * br)
+                    c = min(bc, m - int(bj) * bc)
+                    blk = np.frombuffer(data).reshape(r, c)
+                    vslice = vec[int(bj) * bc : int(bj) * bc + c]
+                    datas.append(
+                        np.ascontiguousarray(fn(blk, vslice[None, :])).tobytes()
+                    )
+                yield pd.DataFrame(
+                    {"bi": pdf["bi"], "bj": pdf["bj"], "data": datas}
+                )
+
+        return BlockMatrix(
+            self.df.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc
+        )
+
     # -- GEMM (SUMMA join) -------------------------------------------------
     def matmul(self, other: "BlockMatrix") -> "BlockMatrix":
         """C = A @ B — the canonical Spark SUMMA:
