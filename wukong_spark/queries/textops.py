@@ -556,3 +556,61 @@ def regex_funcs_docs(spark: SparkSession, sf_dir: str):
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
         F.when(F.col("text").rlike("join|merge"), 1).otherwise(0).alias("mentions_join"),
     )
+
+
+@query(
+    "text_tfidf_top3",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term, n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str):
+    """TF-IDF top-3 terms per document — the canonical text-analytics
+    composition: explode → tf (per doc,term) → df (per term) → idf join →
+    per-doc top-k window.
+
+    Exactness: tf and df are integers; idf = ln(N/df) takes the SAME
+    rational input in both engines, and tf·idf rounds to 6 — ranking is on
+    the rounded score with a term tie-break, so 1-ulp libm differences
+    cannot reorder rows.  Scale shape: two shuffles (doc,term / term); the
+    df side aggregates to |vocab| rows and broadcast-joins back.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
