@@ -752,3 +752,62 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"),
         F.sum("price_cc").alias("total_cc"),
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    status-only, priority-only, and the full pair in one pass — Spark
+    expands the sets with a single Expand + one hash aggregation, not three
+    scans.  DataFrame API route: SQL text over a registered view (grouping
+    sets have no DataFrame builder)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_c
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "window_pct_rank_dist",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT), s_suppkey)
+    """,
+)
+def window_pct_rank_dist(spark: SparkSession, sf_dir: str):
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    over an exact integer ordering key with a unique tie-break — rank
+    positions are deterministic, and the pct values are single divisions
+    of small integers (bit-stable cross-engine)."""
+    from pyspark.sql.window import Window
+
+    s = tbl(spark, sf_dir, "supplier")
+    w = Window.orderBy(cents("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
