@@ -450,15 +450,24 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
     emit the distinct mins as the doc's fingerprint set.
 
     Matching fingerprints localize shared passages (vs. MinHash, which only
-    scores whole-doc similarity).  Entirely array built-ins inside one
-    projection — zero shuffles before the explode, so at 100 TB this is a
-    pure map over the corpus; fingerprint → doc inverted index is then one
-    groupBy(fingerprint).
+    scores whole-doc similarity).
+
+    Implementation note (measured, not guessed): any expensive expression
+    that sits NEXT TO a generator over the same subexpression gets
+    re-evaluated per generated row (no CSE across the Generate boundary —
+    both the all-array `transform(seq, i -> array_min(slice(hs,…)))` form
+    and `select(size(hs), posexplode(hs))` cost O(tokens²) md5 calls per
+    doc, ~200 s at sf0.1).  This formulation hashes each shingle exactly
+    once (posexplode is the ONLY consumer of `hs`), then gets the per-doc
+    hash count as a COUNT window over the exploded rows — the same doc_id
+    shuffle the 4-row sliding MIN already needs.  ~2 s at sf0.1.
 
     Reference parity: the reference has no text ops at all (its "operators"
     are opaque Python tasks, `AWS Lambda Task Executor/TaskExecutor/
     function.py:3826-3847`); this is §2.3 gap-fill per BASELINE.json.
     """
+    from pyspark.sql.window import Window
+
     d = tbl(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     shingles = F.transform(
@@ -466,13 +475,17 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
     )
     hs = F.transform(shingles, lambda s: md5_long48(s))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size(hs) - 4),
-        lambda i: F.array_min(F.slice(hs, i + 1, 4)),
+    ex = d.filter(F.size(toks) >= 6).select(
+        "doc_id", F.posexplode(hs).alias("pos", "h")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = Window.partitionBy("doc_id")
     return (
-        d.filter(F.size(toks) >= 6)
-        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
+        ex.withColumn("wmin", F.min("h").over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("pos") <= F.col("m") - 4)  # only full 4-hash windows
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .dropDuplicates(["doc_id", "fingerprint"])
     )
 
 
