@@ -40,3 +40,18 @@ def pct_units(col: str | Column) -> Column:
 def r4(col: Column) -> Column:
     """Round a derived double to 4 decimals for hash-stable output."""
     return F.round(col, 4)
+
+
+def split_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Split a scan that arrived under-partitioned (single-row-group file)
+    so CPU-heavy map stages (md5/shingle pipelines) parallelize.
+
+    At real scale the scan already has many partitions and this is a no-op
+    — the repartition only fires when the input has fewer partitions than
+    half the cluster's parallelism, i.e. exactly the tiny-file situation
+    where the shuffled bytes are negligible."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df

@@ -344,18 +344,22 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str):
             )
         )
 
-    rows = []
-    for i in range(8):
-        mh = perm_min(i)
-        rows.append(
-            d.select(
-                "doc_id", F.lit(i).alias("perm"), mh.cast("long").alias("minhash")
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE scan computing all 8 permutation minima as plain columns, then
+    # stack() melts them to (perm, minhash) rows.  (An 8-branch union scans
+    # and tokenizes the corpus 8 times; and the stack arguments must be the
+    # cheap column REFS of a prior projection, never the hash expressions
+    # themselves — generator-adjacent expressions re-evaluate per output
+    # row, see doc_fingerprint_winnow.)
+    from wukong_spark.queries.helpers import split_small_scan
+
+    wide = split_small_scan(d.select("doc_id", "text")).select(
+        "doc_id",
+        *[perm_min(i).cast("long").alias(f"m_{i}") for i in range(8)],
+    )
+    stack_expr = "stack(8, " + ", ".join(
+        f"{i}, m_{i}" for i in range(8)
+    ) + ") AS (perm, minhash)"
+    return wide.selectExpr("doc_id", stack_expr)
 
 
 #: banded-LSH layout over the 8-perm signatures: 4 bands × 2 rows
@@ -475,8 +479,12 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str):
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
     )
     hs = F.transform(shingles, lambda s: md5_long48(s))
-    ex = d.filter(F.size(toks) >= 6).select(
-        "doc_id", F.posexplode(hs).alias("pos", "h")
+    from wukong_spark.queries.helpers import split_small_scan
+
+    ex = (
+        split_small_scan(d.select("doc_id", "text"))
+        .filter(F.size(toks) >= 6)
+        .select("doc_id", F.posexplode(hs).alias("pos", "h"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     wcnt = Window.partitionBy("doc_id")
