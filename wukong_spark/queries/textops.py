@@ -272,9 +272,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
     Per doc: majority vote of each hash bit across distinct tokens →
     16-bit signature.  Near-dups differ in ≤k bits (banded lookup at scale).
-    Pure array/bitwise built-ins — no UDF, no shuffle except the final agg.
+    Pure array/bitwise built-ins — no UDF; the only exchange is the
+    small-scan split (a no-op on properly partitioned input).
     """
-    d = tbl(spark, sf_dir, "documents")
+    from wukong_spark.queries.helpers import split_small_scan
+
+    d = split_small_scan(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.array_distinct(tokens(F.col("text")))
     hashes = F.transform(toks, lambda x: md5_long(x))
 
