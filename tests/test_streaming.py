@@ -34,7 +34,7 @@ def test_stream_tumbling_matches_batch(spark):
 
     batch = (
         REG["events_tumbling_hourly"].fn(spark, SF_SMOKE)
-        .select("window_start", "event_type", "n_events", "sum_value")
+        .select("window_start", "event_type", "n_events", "sum_value_4")
         .toPandas()
     )
     got, want = _norm(result), _norm(batch)

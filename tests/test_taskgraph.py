@@ -144,3 +144,48 @@ def test_publish_dataset_roundtrip(client, spark):
     assert got.count() == 10
     assert spark.sql("SELECT SUM(x) AS s FROM published_xs").collect()[0].s == 45
     client.unpublish_dataset("published_xs")
+
+
+def test_deep_dependency_chain_exceeds_pool(spark):
+    """A dependency chain deeper than the worker pool must not deadlock:
+    parents resolve via completion callbacks, so no pool thread ever blocks
+    waiting on another task (ADVICE r1 bounded-pool hazard)."""
+    c = WukongClient(spark, max_workers=2)
+    try:
+        f = c.submit(_inc, 0)
+        for _ in range(8):  # depth 9 ≫ 2 workers
+            f = c.submit(_inc, f)
+        assert f.result(timeout=120) == 9
+    finally:
+        c.close()
+
+
+def test_wide_fanin_exceeds_pool(spark):
+    """Fan-in whose parent count exceeds the pool: same callback guarantee."""
+    c = WukongClient(spark, max_workers=2)
+    try:
+        parents = [c.submit(_inc, i) for i in range(6)]
+        total = c.submit(lambda *xs: sum(xs), *parents)
+        assert total.result(timeout=120) == sum(range(1, 7))
+    finally:
+        c.close()
+
+
+def test_unpicklable_task_not_memoized(client):
+    """Unpicklable tasks are treated as impure — no id()-derived memo key
+    that a later unrelated task could silently collide with (ADVICE r1).
+    Such a task cannot ship to executors either, so it must fail LOUDLY
+    (A27) on every submission, never return a stale memoized future."""
+    import threading
+
+    lock = threading.Lock()  # unpicklable argument
+
+    def use_lock(lk, v):
+        return v * 2
+
+    f1 = client.submit(use_lock, lock, 21)
+    f2 = client.submit(use_lock, lock, 21)
+    assert f1.key != f2.key  # distinct (non-memoized) futures
+    for f in (f1, f2):
+        with pytest.raises(Exception):
+            f.result(timeout=60)

@@ -27,7 +27,7 @@ from wukong_spark.queries.helpers import r4, tbl
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY window_start, event_type
@@ -39,13 +39,16 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
 
     F.window aligns to the epoch in the session timezone (UTC) so a 1-hour
     tumble is exactly date_trunc('hour'). One shuffle on (bucket, type).
+    Values are summed as round(value·10⁴) BIGINTs — double SUM is
+    summation-order-dependent, so cross-engine equality needs the integer
+    scaling discipline used by the other agg queries.
     """
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            r4(F.sum("value")).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -61,7 +64,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str):
              value
       FROM events e, (SELECT unnest([0, 1]) AS i) s
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
     FROM cand GROUP BY window_start
     """,
 )
@@ -70,14 +74,17 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str):
 
     Spark's F.window(ts, '1 hour', '30 minutes') replicates each row into
     its containing windows before the aggregation — same plan shape as the
-    oracle's 2-way unnest.
+    oracle's 2-way unnest.  Integer-scaled sum for cross-engine exactness.
     """
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start")
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
+        )
     )
 
 
@@ -98,7 +105,8 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str):
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
     FROM numbered GROUP BY user_id, session_id
     """,
     headline=True,
@@ -140,7 +148,7 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        r4(F.sum("value")).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
     )
 
 

@@ -370,13 +370,57 @@ def percentiles_price(spark: SparkSession, sf_dir: str):
     """,
 )
 def window_ntile_price_band(spark: SparkSession, sf_dir: str):
-    """NTILE quartile assignment over a global order.
+    """NTILE quartile assignment over a global order — scale-safe.
 
-    Scale note: single-partition window — fine for ranked banding of small
-    outputs; at 100 TB use approx quantile cutpoints + a join instead."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return tbl(spark, sf_dir, "orders").select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    A naive `Window.orderBy(...)` funnels every row through ONE partition
+    (`WindowExec: No Partition Defined`).  Instead we derive a coarse band
+    key from approx-quantile cutpoints, window WITHIN each band (parallel),
+    and add per-band cumulative offsets to recover the exact global
+    row_number; the quartile is then NTILE's documented arithmetic
+    (first N mod k tiles get ceil(N/k) rows) applied to that rank — bitwise
+    identical to the oracle's NTILE(4), with no global single-task stage.
+
+    Two tiny driver actions (cutpoints, 32-row band counts) bound the
+    coordination cost; both scans are column-pruned to 2 columns.
+    """
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nb = 32
+    cuts = o.stat.approxQuantile(
+        "o_totalprice", [i / nb for i in range(1, nb)], 0.001
+    )
+    # strictly increasing cutpoints; equal prices always map to one band
+    cuts = sorted(set(cuts))
+    band_expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        band_expr = F.when(F.col("o_totalprice") > F.lit(c), i + 1).otherwise(
+            band_expr
+        )
+    banded = o.withColumn("band", band_expr)
+    counts = {
+        r["band"]: r["cnt"]
+        for r in banded.groupBy("band").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.lit(0)
+    for b, off in offsets.items():
+        off_expr = F.when(F.col("band") == b, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("band").orderBy("o_totalprice", "o_orderkey")
+    rnk = (F.row_number().over(w) + off_expr).alias("rnk")
+    q, rem = divmod(n_total, 4)
+    big = rem * (q + 1)  # rows covered by the ceil-sized leading tiles
+    ranked = banded.select("o_orderkey", rnk)
+    quartile = (
+        F.when(F.col("rnk") <= big, F.floor((F.col("rnk") - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((F.col("rnk") - big - 1) / q) + 1)
+        if q > 0
+        else F.col("rnk")
+    )
+    return ranked.select(
+        "o_orderkey", quartile.cast("int").alias("quartile")
     )
 
 

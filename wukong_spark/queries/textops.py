@@ -616,17 +616,20 @@ def text_tfidf_top3(spark: SparkSession, sf_dir: str):
     rational input in both engines, and tf·idf rounds to 6 — ranking is on
     the rounded score with a term tie-break, so 1-ulp libm differences
     cannot reorder rows.  Scale shape: two shuffles (doc,term / term); the
-    df side aggregates to |vocab| rows and broadcast-joins back.
+    doc count N is a 1-row aggregate folded into the plan (no eager driver
+    `count()` / second scan), and the df table joins WITHOUT a broadcast
+    hint — web-scale vocab can exceed driver memory, so AQE picks the
+    strategy from runtime stats instead.
     """
     d = tbl(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
             "tfidf"
         ),
     )

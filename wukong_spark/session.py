@@ -121,8 +121,16 @@ class PlanCache:
     Catalyst reuses the cached plan fragment (InMemoryRelation).
     """
 
-    def __init__(self) -> None:
-        self._cache: dict[str, DataFrame] = {}
+    #: persisted plans kept before LRU eviction: the oldest entry is
+    #: unpersisted when the bound is exceeded, so a long-lived session that
+    #: persists many distinct plans cannot pin executor memory without
+    #: bound (ADVICE r1).  Evicted DataFrames still recompute correctly —
+    #: persist is a performance hint, never a correctness dependency.
+    def __init__(self, max_entries: int = 64) -> None:
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self._max = max_entries
 
     @staticmethod
     def fingerprint(df: DataFrame) -> str:
@@ -135,9 +143,13 @@ class PlanCache:
         fp = self.fingerprint(df)
         hit = self._cache.get(fp)
         if hit is not None:
+            self._cache.move_to_end(fp)
             return hit
         cached = df.persist()
         self._cache[fp] = cached
+        while len(self._cache) > self._max:
+            _, old = self._cache.popitem(last=False)
+            old.unpersist()
         return cached
 
     def unpersist(self, df: DataFrame) -> None:

@@ -71,13 +71,13 @@ def windowed_counts(
         .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
         )
         .select(
             F.col("w").getField("start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_4",
         )
     )
 
@@ -104,11 +104,15 @@ def run_to_memory(
 def dedup_stream(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates bounded by an event-time
+    """Streaming exact dedup: key-only dedup bounded by an event-time
     watermark — state for keys older than the watermark is evicted, so
     dedup state is O(keys within the watermark window), not O(all history).
-    The streaming face of the batch dedup_exact operators."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+    The streaming face of the batch dedup_exact operators:
+    `dropDuplicatesWithinWatermark` dedups on the CONTENT keys alone
+    (two events with the same keys but different timestamps are still
+    duplicates, exactly like batch fingerprint dedup), unlike
+    `dropDuplicates(keys + ["ts"])` which would keep both."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def purchases_with_last_click_stream(
@@ -201,12 +205,12 @@ def sessionize_stream(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
         )
         .select(
             "user_id",
             F.col("sw").getField("start").cast("timestamp_ntz").alias("session_start"),
             "n_events",
-            "sum_value",
+            "sum_value_4",
         )
     )

@@ -29,7 +29,9 @@ Design choices (Spark-first, not a port):
 from __future__ import annotations
 
 import hashlib
+import itertools
 import threading
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import Future as _PyFuture
 from typing import Any, Callable, Iterable
@@ -67,11 +69,17 @@ class Future:
         return f"<Future: {state}, key: {self.key}>"
 
 
-def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str:
+def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str | None:
+    """Content key for memoization, or None when the task is unpicklable.
+
+    None (not an id()-derived string) is deliberate: id() values are reused
+    after GC, so keying on them could silently alias two different tasks —
+    unpicklable submissions are treated as impure (never memoized) instead.
+    """
     try:
         payload = cloudpickle.dumps((func, args, kwargs))
     except Exception:
-        return f"unhashable-{id(func)}-{id(args)}"
+        return None
     name = getattr(func, "__name__", "task")
     return f"{name}-{hashlib.md5(payload).hexdigest()}"
 
@@ -79,29 +87,57 @@ def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str:
 class WukongClient:
     """submit/map/scatter/gather/compute/persist over a SparkSession."""
 
+    #: memo entries kept before LRU eviction — eviction only forgets the
+    #: key→Future mapping (a running job is unaffected); bounds the memory
+    #: of long-lived sessions (ADVICE r1)
+    MEMO_MAX = 4096
+
     def __init__(self, spark: SparkSession, max_workers: int = 16):
         self.spark = spark
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
-        self._memo: dict[str, Future] = {}
+        self._memo: "OrderedDict[str, Future]" = OrderedDict()
         self._lock = threading.Lock()
         self._plan_cache = PlanCache()
+        self._seq = itertools.count()
+
+    def _memo_put(self, key: str, fut: Future) -> None:
+        """Insert with LRU bound (caller holds self._lock)."""
+        self._memo[key] = fut
+        self._memo.move_to_end(key)
+        while len(self._memo) > self.MEMO_MAX:
+            self._memo.popitem(last=False)
 
     # -- A1: submit -------------------------------------------------------
     def submit(self, func: Callable, *args: Any, pure: bool = True, **kwargs) -> Future:
         """Run ``func(*args)`` as a 1-partition Spark job → Future.
 
-        Future-valued args are resolved (awaited) before launch, giving the
-        fan-in dependency semantics of chained ``client.submit`` calls
-        (README.md:170-176) without re-implementing dependency counters —
-        each dependency chain is just sequenced job submission.
+        Future-valued args give the fan-in dependency semantics of chained
+        ``client.submit`` calls (README.md:170-176) without re-implementing
+        dependency counters.  Dependencies resolve via completion CALLBACKS,
+        not by blocking a pool thread on parent ``result()`` — so an
+        arbitrarily deep/wide dependency graph can never deadlock the
+        bounded worker pool (the hazard the reference client avoids with
+        its scheduler's dependency counting).
         """
-        key = _tokenize(func, args, kwargs) if pure else _tokenize(func, args, kwargs) + f"-{id(object())}"
+        content_key = _tokenize(func, args, kwargs)
+        if content_key is None:
+            pure = False  # unpicklable: never memoize (see _tokenize)
+        key = (
+            content_key
+            if pure
+            else f"{getattr(func, '__name__', 'task')}-impure-{next(self._seq)}"
+        )
         with self._lock:
             hit = self._memo.get(key) if pure else None
             if hit is not None:
                 return hit
 
+            parents = [a for a in args if isinstance(a, Future)] + [
+                v for v in kwargs.values() if isinstance(v, Future)
+            ]
+
             def run() -> Any:
+                # parents (if any) are already done — result() is immediate
                 resolved = tuple(a.result() if isinstance(a, Future) else a for a in args)
                 rkw = {
                     k: (v.result() if isinstance(v, Future) else v)
@@ -112,9 +148,41 @@ class WukongClient:
                     lambda _: func(*resolved, **rkw)
                 ).collect()[0]
 
-            fut = Future(key, self._pool.submit(run))
+            if not parents:
+                fut = Future(key, self._pool.submit(run))
+            else:
+                outer: _PyFuture = _PyFuture()
+                remaining = [len(parents)]
+                rlock = threading.Lock()
+
+                def _bridge(inner: _PyFuture) -> None:
+                    def done(pf: _PyFuture) -> None:
+                        e = pf.exception()
+                        if e is not None:
+                            outer.set_exception(e)
+                        else:
+                            outer.set_result(pf.result())
+
+                    inner.add_done_callback(done)
+
+                def _parent_done(pf: _PyFuture) -> None:
+                    with rlock:
+                        if outer.done():
+                            return
+                        e = pf.exception()
+                        if e is not None:
+                            # A27: first failing parent propagates immediately
+                            outer.set_exception(e)
+                            return
+                        remaining[0] -= 1
+                        if remaining[0] == 0:
+                            _bridge(self._pool.submit(run))
+
+                for p in parents:
+                    p._f.add_done_callback(_parent_done)
+                fut = Future(key, outer)
             if pure:
-                self._memo[key] = fut
+                self._memo_put(key, fut)
             return fut
 
     # -- A2: map ----------------------------------------------------------
@@ -130,11 +198,13 @@ class WukongClient:
 
         key = _tokenize(func, tuple(items), {})
         with self._lock:
+            if key is None:
+                return Future(f"map-impure-{next(self._seq)}", self._pool.submit(run))
             hit = self._memo.get(key)
             if hit is not None:
                 return hit
             fut = Future(key, self._pool.submit(run))
-            self._memo[key] = fut
+            self._memo_put(key, fut)
             return fut
 
     # -- A6: scatter ------------------------------------------------------
@@ -174,7 +244,7 @@ class WukongClient:
             if hit is not None:
                 return hit
             fut = Future(key, self._pool.submit(df.collect))
-            self._memo[key] = fut
+            self._memo_put(key, fut)
             return fut
 
     # -- A5: persist ------------------------------------------------------
