@@ -48,6 +48,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if dt > 8.0:
+                break  # heavy (reference-dimension) workload: one steady
+                # pass is representative; keeps total bench wall-clock sane
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

@@ -126,15 +126,91 @@ def test_svd_compressed(spark, rng):
 
 def test_cholesky(spark):
     """Cholesky (docs/examples/examples.rst:84-100) on the doc's own SPD
-    construction: tril(ones) @ tril(ones).T."""
+    construction: tril(ones) @ tril(ones).T — now the distributed path."""
     n = 100
     t = np.tril(np.ones((n, n)))
     spd = t @ t.T
     m = BlockMatrix.from_numpy(spark, spd, 25, 25)
-    l_mat = cholesky_blocked(m)
+    l_mat = cholesky_blocked(m).to_numpy()
     assert np.allclose(l_mat @ l_mat.T, spd, atol=1e-8)
     assert np.allclose(l_mat, np.tril(l_mat))
     assert np.allclose(l_mat, np.linalg.cholesky(spd), atol=1e-8)
+
+
+def test_cholesky_distributed_2000(spark, rng):
+    """Distributed Cholesky at the VERDICT r1 acceptance shape: 2000×2000,
+    250-blocks, well-conditioned SPD; ‖LLᵀ−A‖∞ < 1e-8 with NO driver-side
+    materialization of A inside the operator (checks run distributed)."""
+    n = 2000
+    a = rng.standard_normal((n, n))
+    spd = a @ a.T / n + 2.0 * np.eye(n)
+    m = BlockMatrix.from_numpy(spark, spd, 250, 250)
+    l_bm = cholesky_blocked(m)
+    recon = l_bm.matmul(l_bm.transpose())
+    err = recon.subtract(m).max_abs()
+    assert err < 1e-8
+    # spot-check L itself against numpy on the driver (test-only collect)
+    assert np.allclose(l_bm.to_numpy(), np.linalg.cholesky(spd), atol=1e-8)
+
+
+def test_cholesky_edge_blocks(spark, rng):
+    """Block size not dividing n: short edge blocks factor correctly."""
+    n = 90
+    a = rng.standard_normal((n, n))
+    spd = a @ a.T / n + 2.0 * np.eye(n)
+    m = BlockMatrix.from_numpy(spark, spd, 28, 28)
+    l_mat = cholesky_blocked(m).to_numpy()
+    assert np.allclose(l_mat, np.linalg.cholesky(spd), atol=1e-8)
+
+
+def test_tsqr_tree_merge(spark, rng):
+    """grid_rows > TSQR_TREE_FANOUT takes the distributed tree-merge path;
+    factors must match the direct algorithm's guarantees exactly."""
+    from wukong_spark.blockmatrix import TSQR_TREE_FANOUT
+
+    a = rng.random((1600, 8))
+    m = BlockMatrix.from_numpy(spark, a, 16, 8)  # 100 block rows > fanout
+    assert m.grid_rows > TSQR_TREE_FANOUT
+    q, r = m.tsqr()
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(8), atol=1e-10)
+    assert np.allclose(qn @ r, a, atol=1e-10)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) >= 0).all()
+
+
+def test_qr_square_reference_shape(spark, rng):
+    """General multi-block-column QR at the reference's own example shape —
+    128×128 with 16×16 chunks (docs/examples/examples.rst:62-70)."""
+    a = rng.random((128, 128))
+    m = BlockMatrix.from_numpy(spark, a, 16, 16)
+    q, r = m.qr()
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(128), atol=1e-9)
+    assert np.allclose(qn @ r, a, atol=1e-9)
+    assert np.allclose(r, np.triu(r), atol=1e-9)
+
+
+def test_qr_tall_multi_panel_edge(spark, rng):
+    """Tall multi-block-column QR with a ragged last panel (m % bc != 0)."""
+    a = rng.random((300, 40))
+    m = BlockMatrix.from_numpy(spark, a, 64, 16)  # panels 16,16,8
+    q, r = m.qr()
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(40), atol=1e-9)
+    assert np.allclose(qn @ r, a, atol=1e-9)
+
+
+def test_qr_cgs_panel_path(spark, rng):
+    """The CGS2 panel loop (taken for n_cols > QR_SINGLE_PANEL_MAX) —
+    forced here on a small ragged input so both strategies stay covered."""
+    a = rng.random((200, 40))
+    m = BlockMatrix.from_numpy(spark, a, 32, 16)
+    q, r = m.qr(force_panels=True)
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(40), atol=1e-9)
+    assert np.allclose(qn @ r, a, atol=1e-9)
+    assert np.allclose(r, np.triu(r), atol=1e-9)
 
 
 def test_broadcasting_demean_rows(spark, rng):

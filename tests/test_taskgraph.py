@@ -189,3 +189,82 @@ def test_unpicklable_task_not_memoized(client):
     for f in (f1, f2):
         with pytest.raises(Exception):
             f.result(timeout=60)
+
+
+def test_raw_dict_graph_get(client):
+    """A3: Client.get over a raw dict graph (`client.py:2602-2677`),
+    mirroring the reference's literal-tuple task interpretation
+    (`TaskExecutor/function.py:3808-3823`): execute_task((sum,[1,2,(inc,3)]))."""
+    assert client.get({"x": (sum, [1, 2, (_inc, 3)])}, "x") == 7
+
+
+def test_raw_dict_graph_diamond_and_refs(client):
+    """Key references + diamond deps (shared key computes once) + multi-key."""
+    dsk = {
+        "a": 1,
+        "b": (_inc, "a"),          # 2
+        "c": (_inc, "b"),          # 3
+        "d": (_add, "b", "c"),     # 5 — b referenced twice
+        "e": (sum, ["b", "c", (_inc, "d")]),  # 2+3+6 = 11
+    }
+    assert client.get(dsk, "d") == 5
+    assert client.get(dsk, ["b", "e"]) == [2, 11]
+
+
+def test_raw_dict_graph_cycle_raises(client):
+    with pytest.raises(ValueError, match="cycle"):
+        client.get({"x": (_inc, "y"), "y": (_inc, "x")}, "x")
+
+
+def test_future_cancel_running_job(spark):
+    """A28: cancelling a RUNNING submitted task kills its Spark job group;
+    the future resolves to CancelledError, other work is unaffected."""
+    import time
+    from concurrent.futures import CancelledError
+
+    c = WukongClient(spark)
+    try:
+        def slow(x):
+            time.sleep(30)
+            return x
+
+        f = c.submit(slow, 1, pure=False)
+        time.sleep(2)  # let the Spark job actually start
+        assert f.cancel()
+        with pytest.raises((CancelledError, Exception)):
+            f.result(timeout=30)
+        assert f.done()
+        # the session still works after a job-group cancel
+        g = c.submit(_inc, 41)
+        assert g.result(timeout=60) == 42
+    finally:
+        c.close()
+
+
+def test_future_retry_after_failure(spark):
+    """A28: retry() resubmits in a fresh job group and can succeed after a
+    transient failure (`client.py:2198-2212`)."""
+    import os
+    import tempfile
+
+    c = WukongClient(spark)
+    try:
+        marker = tempfile.mktemp(prefix="wukong-retry-")
+
+        def flaky(path):
+            # fails on first attempt, succeeds once the marker exists
+            if not os.path.exists(path):
+                with open(path, "w") as fh:
+                    fh.write("attempted")
+                raise RuntimeError("transient")
+            return "ok"
+
+        f = c.submit(flaky, marker, pure=False)
+        # executor exceptions surface Py4J-wrapped (A27), match the message
+        with pytest.raises(Exception, match="transient"):
+            f.result(timeout=60)
+        f.retry()
+        assert f.result(timeout=60) == "ok"
+        os.unlink(marker)
+    finally:
+        c.close()

@@ -800,7 +800,13 @@ def window_pct_rank_dist(spark: SparkSession, sf_dir: str):
     """Distribution window functions (percent_rank / cume_dist / ntile)
     over an exact integer ordering key with a unique tie-break — rank
     positions are deterministic, and the pct values are single divisions
-    of small integers (bit-stable cross-engine)."""
+    of small integers (bit-stable cross-engine).
+
+    Scale note: the global window is deliberate here — supplier is a
+    BOUNDED dimension table (≤ ~10⁷ rows at any SF), so one sorted
+    partition is fine.  For unbounded fact tables use the banded
+    decomposition in window_ntile_price_band (relational2.py), which
+    recovers exact global ranks without a single-task stage."""
     from pyspark.sql.window import Window
 
     s = tbl(spark, sf_dir, "supplier")

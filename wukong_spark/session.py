@@ -68,6 +68,9 @@ def get_spark(
         # small dims (region/nation/supplier/part at low SF) must broadcast;
         # 64 MB covers every dimension table up to ~sf100
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # measured at the block-matrix benches: 64g is WORSE than 24g (G1
+        # humongous-object churn on 8 MB binary cells); 24g + explicit
+        # per-output-block partitioning avoids sort spill instead
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

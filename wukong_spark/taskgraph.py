@@ -32,7 +32,7 @@ import hashlib
 import itertools
 import threading
 from collections import OrderedDict
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import CancelledError, ThreadPoolExecutor
 from concurrent.futures import Future as _PyFuture
 from typing import Any, Callable, Iterable
 
@@ -46,9 +46,17 @@ class Future:
     """Handle on an asynchronously computed remote result
     (reference: `client.py:147-437`)."""
 
-    def __init__(self, key: str, pyfuture: _PyFuture):
+    def __init__(
+        self,
+        key: str,
+        pyfuture: _PyFuture,
+        cancel_hook: Callable[[], bool] | None = None,
+        retry_hook: Callable[["Future"], None] | None = None,
+    ):
         self.key = key
         self._f = pyfuture
+        self._cancel_hook = cancel_hook
+        self._retry_hook = retry_hook
 
     def result(self, timeout: float | None = None) -> Any:
         """Block for the value; re-raises remote errors (A27 parity:
@@ -62,7 +70,21 @@ class Future:
         return self._f.done()
 
     def cancel(self) -> bool:
+        """Per-future cancel (A28, `client.py:2170-2196`): a not-yet-started
+        task is dropped from the pool; a RUNNING task has its Spark job
+        group cancelled (tasks are interrupted cluster-side) and the future
+        resolves to a CancelledError."""
+        if self._cancel_hook is not None:
+            return self._cancel_hook()
         return self._f.cancel()
+
+    def retry(self) -> None:
+        """Resubmit the task (A28, `client.py:2198-2212`) — a fresh run in a
+        fresh job group; the future then tracks the new attempt (pending
+        result() calls on the OLD attempt keep their outcome)."""
+        if self._retry_hook is None:
+            raise ValueError(f"future {self.key} is not retryable")
+        self._retry_hook(self)
 
     def __repr__(self) -> str:  # pragma: no cover
         state = "finished" if self.done() else "pending"
@@ -136,32 +158,27 @@ class WukongClient:
                 v for v in kwargs.values() if isinstance(v, Future)
             ]
 
-            def run() -> Any:
-                # parents (if any) are already done — result() is immediate
-                resolved = tuple(a.result() if isinstance(a, Future) else a for a in args)
-                rkw = {
-                    k: (v.result() if isinstance(v, Future) else v)
-                    for k, v in kwargs.items()
-                }
-                sc = self.spark.sparkContext
-                return sc.parallelize([0], 1).map(
-                    lambda _: func(*resolved, **rkw)
-                ).collect()[0]
-
             if not parents:
-                fut = Future(key, self._pool.submit(run))
+                pf, cancel_hook = self._launch(func, args, kwargs, key)
+                fut = Future(key, pf, cancel_hook, self._make_retry(func, args, kwargs, key))
             else:
                 outer: _PyFuture = _PyFuture()
                 remaining = [len(parents)]
                 rlock = threading.Lock()
+                # once the inner attempt spawns, cancel must target its job
+                # group (cancelling the pending outer would orphan the job)
+                hooks: dict[str, Any] = {"inner_cancel": None}
 
                 def _bridge(inner: _PyFuture) -> None:
                     def done(pf: _PyFuture) -> None:
-                        e = pf.exception()
-                        if e is not None:
-                            outer.set_exception(e)
-                        else:
-                            outer.set_result(pf.result())
+                        try:
+                            e = pf.exception()
+                            if e is not None:
+                                outer.set_exception(e)
+                            else:
+                                outer.set_result(pf.result())
+                        except Exception:
+                            pass  # outer already cancelled/resolved
 
                     inner.add_done_callback(done)
 
@@ -176,14 +193,77 @@ class WukongClient:
                             return
                         remaining[0] -= 1
                         if remaining[0] == 0:
-                            _bridge(self._pool.submit(run))
+                            ipf, icancel = self._launch(func, args, kwargs, key)
+                            hooks["inner_cancel"] = icancel
+                            _bridge(ipf)
+
+                def cancel_hook() -> bool:
+                    with rlock:
+                        if hooks["inner_cancel"] is not None:
+                            return hooks["inner_cancel"]()
+                        return outer.cancel()
 
                 for p in parents:
                     p._f.add_done_callback(_parent_done)
-                fut = Future(key, outer)
+                fut = Future(
+                    key, outer, cancel_hook, self._make_retry(func, args, kwargs, key)
+                )
             if pure:
                 self._memo_put(key, fut)
             return fut
+
+    def _launch(
+        self, func: Callable, args: tuple, kwargs: dict, key: str
+    ) -> tuple[_PyFuture, Callable[[], bool]]:
+        """Start one attempt of a task in its OWN Spark job group so it can
+        be cancelled individually (A28).  Returns (pool future, cancel hook).
+        """
+        group = f"wukong-{key[:40]}-{next(self._seq)}"
+        cancelled = threading.Event()
+
+        def run() -> Any:
+            # parents (if any) are already done — result() is immediate
+            resolved = tuple(a.result() if isinstance(a, Future) else a for a in args)
+            rkw = {
+                k: (v.result() if isinstance(v, Future) else v)
+                for k, v in kwargs.items()
+            }
+            sc = self.spark.sparkContext
+            sc.setJobGroup(group, key, interruptOnCancel=True)
+            try:
+                return sc.parallelize([0], 1).map(
+                    lambda _: func(*resolved, **rkw)
+                ).collect()[0]
+            except Exception:
+                if cancelled.is_set():
+                    raise CancelledError(key)
+                raise
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
+        pf = self._pool.submit(run)
+
+        def cancel_hook() -> bool:
+            if pf.cancel():
+                return True  # never started
+            cancelled.set()
+            try:
+                self.spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                return False
+            return True
+
+        return pf, cancel_hook
+
+    def _make_retry(
+        self, func: Callable, args: tuple, kwargs: dict, key: str
+    ) -> Callable[[Future], None]:
+        def retry(fut: Future) -> None:
+            pf, cancel_hook = self._launch(func, args, kwargs, key)
+            fut._f = pf
+            fut._cancel_hook = cancel_hook
+
+        return retry
 
     # -- A2: map ----------------------------------------------------------
     def map(self, func: Callable, iterable: Iterable[Any], npartitions: int | None = None) -> Future:
@@ -246,6 +326,63 @@ class WukongClient:
             fut = Future(key, self._pool.submit(df.collect))
             self._memo_put(key, fut)
             return fut
+
+    # -- A3: raw dict-graph execution -------------------------------------
+    def get(self, dsk: dict, keys):
+        """Execute a raw ``{key: (fn, *args)}`` task graph — the reference
+        client's lowest-level API (`client.py:2602-2677`; literal-tuple
+        task interpretation per `TaskExecutor/function.py:3808-3823`).
+
+        Graph grammar (dask-style):
+        - a tuple whose first element is callable is a TASK; its args are
+          evaluated recursively
+        - a hashable value that is a key of ``dsk`` is a REFERENCE to that
+          entry's result (diamond dependencies execute once — memoized)
+        - a list is traversed element-wise (nested tasks allowed)
+        - anything else is a literal
+
+        Spark-first execution: each task lowers to ``submit`` — dependency
+        sequencing and value shipping ride the Future callback machinery,
+        so the graph runs with the same non-blocking fan-in semantics as
+        chained submits.  ``keys`` may be one key or a list; results are
+        gathered (sync), matching the reference's default ``sync=True``.
+        """
+        cache: dict[Any, Any] = {}
+
+        def hashable(x) -> bool:
+            try:
+                hash(x)
+            except TypeError:
+                return False
+            return True
+
+        def is_task(x) -> bool:
+            return isinstance(x, tuple) and bool(x) and callable(x[0])
+
+        def build(expr, seen: frozenset):
+            if is_task(expr):
+                fn, *targs = expr
+                resolved = [build(a, seen) for a in targs]
+                return self.submit(fn, *resolved)
+            if isinstance(expr, list):
+                elems = [build(a, seen) for a in expr]
+                if any(isinstance(e, Future) for e in elems):
+                    # materialize a list containing futures as one fan-in task
+                    return self.submit(lambda *xs: list(xs), *elems)
+                return elems
+            if hashable(expr) and expr in dsk:
+                if expr in seen:
+                    raise ValueError(f"cycle detected at key {expr!r}")
+                if expr not in cache:
+                    cache[expr] = build(dsk[expr], seen | {expr})
+                return cache[expr]
+            return expr
+
+        single = not isinstance(keys, (list, tuple))
+        want = [keys] if single else list(keys)
+        outs = [build(k, frozenset()) for k in want]
+        vals = [o.result() if isinstance(o, Future) else o for o in outs]
+        return vals[0] if single else vals
 
     # -- A5: persist ------------------------------------------------------
     def persist(self, df: DataFrame) -> DataFrame:
