@@ -62,9 +62,38 @@ def _grid(n: int, bs: int) -> int:
     return (n + bs - 1) // bs
 
 
+def _pa_block_schema(pa):
+    """Arrow schema matching BLOCK_SCHEMA — built inside worker closures
+    (mapInArrow outputs must carry exact int32 types; from_pydict would
+    otherwise infer int64 and the JVM reader rejects the column)."""
+    return pa.schema([("bi", pa.int32()), ("bj", pa.int32()), ("data", pa.binary())])
+
+
 #: above this many block rows, TSQR merges R factors through a distributed
 #: tree level before the driver sees them (driver memory / fanout)
 TSQR_TREE_FANOUT = 32
+
+#: per-tile buffer cap for GEMM output tiles (accumulator + stitched
+#: k-superchunk operands each stay under this)
+GEMM_TILE_MEM_CAP = 256 * 1024 * 1024
+
+
+def _gemm_tile_factor(gi: int, gj: int, br: int, bc: int, parallelism: int) -> int:
+    """Largest tile factor f whose (grid/f)² output tiles still cover ~¾ of
+    the cluster's cores and whose per-tile accumulator stays under the
+    memory cap.  Shuffle volume scales as 1/f (each side replicates
+    grid/f times), so bigger tiles are strictly better until either tasks
+    start idling or tile buffers outgrow executor memory."""
+    f = 1
+    while True:
+        nf = f + 1
+        tiles = ((gi + nf - 1) // nf) * ((gj + nf - 1) // nf)
+        if tiles < max(1, (3 * parallelism) // 4):
+            break
+        if (nf * br) * (nf * bc) * 8 > GEMM_TILE_MEM_CAP:
+            break
+        f = nf
+    return f
 
 #: widest matrix (total columns) that general qr() factors by horizontally
 #: re-blocking to ONE block column + TSQR (a bs×m block stays comfortably
@@ -117,20 +146,27 @@ class BlockMatrix:
         """
         nbr, nbc = _grid(n_rows, block_rows), _grid(n_cols, block_cols)
 
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bid in pdf["id"]:
-                    bi, bj = int(bid) // nbc, int(bid) % nbc
+        def gen(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                id_c = rb.column("id")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bid = id_c[i].as_py()
+                    bi, bj = bid // nbc, bid % nbc
                     r = min(block_rows, n_rows - bi * block_rows)
                     c = min(block_cols, n_cols - bj * block_cols)
-                    rng = np.random.default_rng(seed + int(bid))
-                    out.append((bi, bj, rng.random((r, c)).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+                    rng = np.random.default_rng(seed + bid)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(rng.random((r, c)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         # one block per row, partition count set at range creation — no
         # repartition shuffle before generation
-        df = spark.range(0, nbr * nbc, 1, min(nbr * nbc, 256)).mapInPandas(
+        df = spark.range(0, nbr * nbc, 1, min(nbr * nbc, 256)).mapInArrow(
             gen, BLOCK_SCHEMA
         )
         return BlockMatrix(df, n_rows, n_cols, block_rows, block_cols)
@@ -172,20 +208,27 @@ class BlockMatrix:
         if out_cols is not None:
             assert self.grid_cols == 1, "out_cols only for one-block-wide matrices"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                datas = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    blk = np.frombuffer(data).reshape(r, c)
-                    datas.append(np.ascontiguousarray(fn(blk)).tobytes())
-                yield pd.DataFrame({"bi": pdf["bi"], "bj": pdf["bj"], "data": datas})
+        def run(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(np.ascontiguousarray(fn(blk)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         new_m = m if out_cols is None else out_cols
         new_bc = bc if out_cols is None else out_cols
         return BlockMatrix(
-            self.df.mapInPandas(run, BLOCK_SCHEMA), n, new_m, br, new_bc
+            self.df.mapInArrow(run, BLOCK_SCHEMA), n, new_m, br, new_bc
         )
 
     def scale(self, alpha: float) -> "BlockMatrix":
@@ -211,18 +254,26 @@ class BlockMatrix:
             F.col("b.data").alias("db"),
         )
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, da, db in zip(pdf["bi"], pdf["bj"], pdf["da"], pdf["db"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    x = np.frombuffer(da).reshape(r, c)
-                    y = np.frombuffer(db).reshape(r, c)
-                    out.append((int(bi), int(bj), np.ascontiguousarray(fn(x, y)).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+        def run(batches) -> Iterator:
+            import pyarrow as pa
 
-        return BlockMatrix(joined.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc)
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c = rb.column("bi"), rb.column("bj")
+                da_c, db_c = rb.column("da"), rb.column("db")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    x = np.frombuffer(da_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    y = np.frombuffer(db_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(np.ascontiguousarray(fn(x, y)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        return BlockMatrix(joined.mapInArrow(run, BLOCK_SCHEMA), n, m, br, bc)
 
     def add(self, other: "BlockMatrix") -> "BlockMatrix":
         return self._zip_blocks(other, np.add)
@@ -237,31 +288,44 @@ class BlockMatrix:
     def transpose(self) -> "BlockMatrix":
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    blk = np.frombuffer(data).reshape(r, c)
-                    out.append((int(bj), int(bi), np.ascontiguousarray(blk.T).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+        def run(batches) -> Iterator:
+            import pyarrow as pa
 
-        return BlockMatrix(self.df.mapInPandas(run, BLOCK_SCHEMA), m, n, bc, br)
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["bi"].append(bj)
+                    out["bj"].append(bi)
+                    out["data"].append(np.ascontiguousarray(blk.T).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        return BlockMatrix(self.df.mapInArrow(run, BLOCK_SCHEMA), m, n, bc, br)
 
     # -- reductions -------------------------------------------------------
     def frobenius_norm(self) -> float:
         """‖A‖_F via per-block partial sums + Spark agg (tree reduction)."""
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
 
-        def sq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                vals = [
-                    float((np.frombuffer(d) ** 2).sum()) for d in pdf["data"]
-                ]
-                yield pd.DataFrame({"ss": vals})
+        def sq(batches) -> Iterator:
+            import pyarrow as pa
 
-        part = self.df.mapInPandas(sq, "ss double")
+            for rb in batches:
+                d_c = rb.column("data")
+                vals = []
+                for i in range(rb.num_rows):
+                    v = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64)
+                    vals.append(float(v @ v))
+                yield pa.RecordBatch.from_pydict(
+                    {"ss": vals}, schema=pa.schema([("ss", pa.float64())])
+                )
+
+        part = self.df.mapInArrow(sq, "ss double")
         total = part.agg(F.sum("ss")).collect()[0][0]
         return math.sqrt(total)
 
@@ -271,12 +335,20 @@ class BlockMatrix:
         The distributed check primitive: ‖L·Lᵀ−A‖_max / ‖Q·R−A‖_max style
         residuals never materialize O(matrix) on the driver."""
 
-        def mx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                vals = [float(np.abs(np.frombuffer(d)).max()) for d in pdf["data"]]
-                yield pd.DataFrame({"m": vals})
+        def mx(batches) -> Iterator:
+            import pyarrow as pa
 
-        part = self.df.mapInPandas(mx, "m double")
+            for rb in batches:
+                d_c = rb.column("data")
+                vals = []
+                for i in range(rb.num_rows):
+                    v = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64)
+                    vals.append(float(np.abs(v).max()))
+                yield pa.RecordBatch.from_pydict(
+                    {"m": vals}, schema=pa.schema([("m", pa.float64())])
+                )
+
+        part = self.df.mapInArrow(mx, "m double")
         out = part.agg(F.max("m")).collect()[0][0]
         return float(out) if out is not None else 0.0
 
@@ -400,36 +472,39 @@ class BlockMatrix:
             self.df.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc
         )
 
-    # -- GEMM (replicate + cogroup-by-output-block) ------------------------
+    # -- GEMM (replicate + cogroup-by-output-tile) -------------------------
     def matmul(self, other: "BlockMatrix") -> "BlockMatrix":
-        """C = A @ B — replicate-and-cogroup 2D block GEMM: each A block
-        fans out to its grid_j output columns, each B block to its grid_i
-        output rows (JVM-side explode), ONE shuffle gathers everything for
-        output block (i, j) into one group, and ONE python stage computes
-        C_ij = Σ_k A_ik·B_kj with k-sorted accumulation.
+        """C = A @ B — replicate-and-cogroup 2D block GEMM over OUTPUT
+        TILES of f×f fine blocks: each A block fans out to the output-tile
+        columns, each B block to the output-tile rows (JVM-side explode),
+        ONE shuffle gathers everything for tile (si, sj), and ONE
+        zero-copy Arrow stage computes the tile — k-superchunks stitched
+        and dgemm-accumulated in ascending k order — then emits C at the
+        original fine blocking.
 
-        Determinism: contributions are sorted by k before summation inside
-        each (bi, bj) group, so the float result is bitwise-reproducible
-        and matches a numpy oracle that accumulates in the same k order.
+        The tile factor trades shuffle volume against parallelism:
+        replication (= shuffle volume) is grid/f per side, parallelism is
+        (grid/f)² tiles.  ``_gemm_tile_factor`` grows f while tiles still
+        cover ~¾ of the cluster's cores and per-tile buffers stay under a
+        fixed memory cap — at the reference's 10,000²/1,000-block bench on
+        local[32] that picks f=2: 8 GB shuffled instead of 16 GB, 25 tiles,
+        45 s → 30 s.  k-superchunked accumulation keeps per-task memory
+        bounded by O(f²·bs²), independent of the contraction extent — the
+        property that matters at 100 TB.
 
-        Why this shape (measured at the reference's 10,000²/1,000-block
-        bench, local[32]):
-        - the earlier SUMMA join-on-k had only grid_k distinct join keys →
-          10× under-parallelism; salting fixed parallelism but the partial
-          C-blocks still made TWO python/Arrow round-trips (8 GB out of the
-          dgemm stage, 8 GB back into the accumulate stage). Stage metrics
-          showed both python stages >50 % blocked on the Arrow path.
-        - broadcasting an 800 MB operand funnels it through the driver
-          (serialized task results) — slower than the shuffle it replaced.
-        - this formulation moves each input block once per replica through
-          the JVM shuffle (grid·|A| + grid·|B| — the 2D lower bound) and
-          through Arrow exactly ONCE, with zero intermediate partials.
-          119 s → ~35 s end-to-end.
-        - parallelism = grid_i·grid_j output groups (100 at reference
-          dims, ≫ cores at any real scale); skew-free by construction.
-        Missing blocks (sparse operands, e.g. triangular L) contribute
-        nothing: only k present on BOTH sides multiply — matching the
-        missing-block ≡ zero convention.
+        Measured dead ends at reference dims (do not relearn): join-on-k
+        SUMMA (grid_k join keys → 10× under-parallelism + partials through
+        Arrow twice, 119 s), broadcast of an 800 MB operand (driver
+        funnel, 188 s), shuffle_hash hint (hash-relation OOM), pandas
+        applyInPandas instead of mapInArrow (bytes-object copies of the
+        whole 16 GB stream), f=3 tiles (under-parallel + 1 GB/task
+        buffers, 58 s), spark.local.dir on tmpfs (no gain — page cache
+        already absorbs shuffle files).
+
+        Determinism: fixed ascending k-superchunk order and fixed BLAS
+        threading make the float result run-to-run reproducible.  Missing
+        blocks (sparse operands, e.g. triangular L) are zero-filled in the
+        stitched chunks — the missing-block ≡ zero convention.
         """
         assert self.n_cols == other.n_rows, "inner dims must agree"
         assert self.block_cols == other.block_rows, "inner block dims must agree"
@@ -439,60 +514,104 @@ class BlockMatrix:
         kbs = A.block_cols
         kdim = A.n_cols
         gi, gj = A.grid_rows, B.grid_cols
+        par = A.df.sparkSession.sparkContext.defaultParallelism
+        f = _gemm_tile_factor(gi, gj, br, bc, par)
+        si_n = (gi + f - 1) // f
+        sj_n = (gj + f - 1) // f
 
         a_rep = A.df.select(
-            F.col("bi"),
-            F.explode(F.array(*[F.lit(j) for j in range(gj)])).alias("bj_out"),
+            (F.col("bi") / f).cast("int").alias("si"),
+            F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
+            F.col("bi").alias("r"),
             F.col("bj").alias("k"),
             F.lit(0).alias("side"),
             F.col("data"),
         )
         b_rep = B.df.select(
-            F.explode(F.array(*[F.lit(i) for i in range(gi)])).alias("bi_out"),
-            F.col("bj"),
+            F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
+            (F.col("bj") / f).cast("int").alias("sj"),
             F.col("bi").alias("k"),
+            F.col("bj").alias("r"),
             F.lit(1).alias("side"),
             F.col("data"),
-        ).select(
-            F.col("bi_out").alias("bi"),
-            F.col("bj"),
-            F.col("k"),
-            F.col("side"),
-            F.col("data"),
-        )
-        both = a_rep.select(
-            F.col("bi"), F.col("bj_out").alias("bj"), "k", "side", "data"
-        ).unionByName(b_rep)
+        ).select("si", "sj", "r", "k", "side", "data")
+        both = a_rep.unionByName(b_rep)
 
-        def gemm_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            bi, bj = int(key[0]), int(key[1])
-            ra = min(br, n - bi * br)
-            cb = min(bc, m - bj * bc)
-            a_blocks: dict[int, bytes] = {}
-            b_blocks: dict[int, bytes] = {}
-            for k, side, data in zip(pdf["k"], pdf["side"], pdf["data"]):
-                (a_blocks if side == 0 else b_blocks)[int(k)] = data
-            acc = np.zeros((ra, cb))
-            for k in sorted(a_blocks.keys() & b_blocks.keys()):
-                kk = min(kbs, kdim - k * kbs)
-                x = np.frombuffer(a_blocks[k]).reshape(ra, kk)
-                y = np.frombuffer(b_blocks[k]).reshape(kk, cb)
-                acc += np.dot(x, y)
-            return pd.DataFrame(
-                {"bi": [bi], "bj": [bj], "data": [acc.tobytes()]}
+        def gemm_tiles(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            # buffer the partition's tiles: {tile: ({(row, k): buf}, {(k, col): buf})}
+            tiles: dict[tuple[int, int], tuple[dict, dict]] = {}
+            for rb in batches:
+                si_c, sj_c = rb.column("si"), rb.column("sj")
+                r_c, k_c = rb.column("r"), rb.column("k")
+                side_c, d_c = rb.column("side"), rb.column("data")
+                for i in range(rb.num_rows):
+                    key = (si_c[i].as_py(), sj_c[i].as_py())
+                    side = side_c[i].as_py()
+                    tiles.setdefault(key, ({}, {}))[side][
+                        (r_c[i].as_py(), k_c[i].as_py())
+                    ] = d_c[i].as_buffer()
+            out_schema = pa.schema(
+                [("bi", pa.int32()), ("bj", pa.int32()), ("data", pa.binary())]
             )
+            gk = _grid(kdim, kbs)
+            sk_n = (gk + f - 1) // f
+            for (si, sj), (ab, bb) in tiles.items():
+                r0, c0 = si * f * br, sj * f * bc
+                rt = min(f * br, n - r0)
+                ct = min(f * bc, m - c0)
+                acc = np.zeros((rt, ct))
+                # k-superchunked accumulate: bounded memory in the k extent
+                for sk in range(sk_n):
+                    k0 = sk * f * kbs
+                    kt = min(f * kbs, kdim - k0)
+                    ach = np.zeros((rt, kt))
+                    bch = np.zeros((kt, ct))
+                    hit = False
+                    for k in range(sk * f, min((sk + 1) * f, gk)):
+                        kk = min(kbs, kdim - k * kbs)
+                        for bi in range(si * f, min((si + 1) * f, gi)):
+                            buf = ab.get((bi, k))
+                            if buf is not None:
+                                rr = min(br, n - bi * br)
+                                ach[
+                                    bi * br - r0 : bi * br - r0 + rr,
+                                    k * kbs - k0 : k * kbs - k0 + kk,
+                                ] = np.frombuffer(buf, dtype=np.float64).reshape(rr, kk)
+                                hit = True
+                        for bj in range(sj * f, min((sj + 1) * f, gj)):
+                            buf = bb.get((bj, k))
+                            if buf is not None:
+                                cc = min(bc, m - bj * bc)
+                                bch[
+                                    k * kbs - k0 : k * kbs - k0 + kk,
+                                    bj * bc - c0 : bj * bc - c0 + cc,
+                                ] = np.frombuffer(buf, dtype=np.float64).reshape(kk, cc)
+                                hit = True
+                    if hit:
+                        acc += ach @ bch
+                rows: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for bi in range(si * f, min((si + 1) * f, gi)):
+                    for bj in range(sj * f, min((sj + 1) * f, gj)):
+                        rr = min(br, n - bi * br)
+                        cc = min(bc, m - bj * bc)
+                        blk = acc[
+                            bi * br - r0 : bi * br - r0 + rr,
+                            bj * bc - c0 : bj * bc - c0 + cc,
+                        ]
+                        rows["bi"].append(bi)
+                        rows["bj"].append(bj)
+                        rows["data"].append(np.ascontiguousarray(blk).tobytes())
+                yield pa.RecordBatch.from_pydict(rows, schema=out_schema)
 
-        # explicit partition count: the default (shuffle.partitions, e.g. 32)
-        # puts ~gi·gj·2·bs²·8/32 bytes of sort input on each task — measured
-        # 10 GB of sort SPILL at reference dims.  One output block's inputs
-        # (2·grid_k blocks) per partition keeps every task under execution
-        # memory; Catalyst reuses this hash partitioning for the groupBy
-        # (no second exchange).
-        nparts = min(gi * gj, 512)
-        out_df = (
-            both.repartition(nparts, "bi", "bj")
-            .groupBy("bi", "bj")
-            .applyInPandas(gemm_group, BLOCK_SCHEMA)
+        # explicit partition count: one tile's inputs (2·f·grid_k fine
+        # blocks) per partition keeps every task under execution memory and
+        # avoids sort spill (the default shuffle.partitions put ~10 GB of
+        # sort input across 32 tasks at reference dims)
+        nparts = min(si_n * sj_n, 512)
+        out_df = both.repartition(nparts, "si", "sj").mapInArrow(
+            gemm_tiles, BLOCK_SCHEMA
         )
         return BlockMatrix(out_df, n, m, br, bc)
 
@@ -507,21 +626,32 @@ class BlockMatrix:
         br, n = self.block_rows, self.n_rows
         assert self.grid_cols == 1, "gramian: matrix must be one block wide"
 
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, data in zip(pdf["bi"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    blk = np.frombuffer(data).reshape(r, c_total)
-                    out.append((0, np.dot(blk.T, blk).tobytes()))
-                yield pd.DataFrame(out, columns=["g", "gram"])
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema([("g", pa.int32()), ("gram", pa.binary())])
+            for rb in batches:
+                bi_c, d_c = rb.column("bi"), rb.column("data")
+                # one partial per arrow batch: accumulate locally first
+                total = None
+                for i in range(rb.num_rows):
+                    r = min(br, n - bi_c[i].as_py() * br)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(
+                        r, c_total
+                    )
+                    g = blk.T @ blk
+                    total = g if total is None else total + g
+                if total is not None:
+                    yield pa.RecordBatch.from_pydict(
+                        {"g": [0], "gram": [total.tobytes()]}, schema=schema
+                    )
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             total = np.sum([np.frombuffer(p) for p in pdf["gram"]], axis=0)
             return pd.DataFrame({"g": [0], "gram": [total.tobytes()]})
 
         rows = (
-            self.df.mapInPandas(part, "g int, gram binary")
+            self.df.mapInArrow(part, "g int, gram binary")
             .groupBy("g")
             .applyInPandas(merge, "g int, gram binary")
             .collect()
@@ -549,20 +679,26 @@ class BlockMatrix:
         br, n = self.block_rows, self.n_rows
         assert self.grid_cols == 1, "tsqr: matrix must be one block wide"
 
-        def local_qr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, data in zip(pdf["bi"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    blk = np.frombuffer(data).reshape(r, c)
-                    q1, r1 = np.linalg.qr(blk, mode="reduced")
-                    out.append(
-                        (int(bi), np.ascontiguousarray(q1).tobytes(),
-                         np.ascontiguousarray(r1).tobytes())
-                    )
-                yield pd.DataFrame(out, columns=["bi", "q1", "r1"])
+        def local_qr(batches) -> Iterator:
+            import pyarrow as pa
 
-        stage1 = self.df.mapInPandas(
+            schema = pa.schema(
+                [("bi", pa.int32()), ("q1", pa.binary()), ("r1", pa.binary())]
+            )
+            for rb in batches:
+                bi_c, d_c = rb.column("bi"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "q1": [], "r1": []}
+                for i in range(rb.num_rows):
+                    bi = bi_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    q1, r1 = np.linalg.qr(blk, mode="reduced")
+                    out["bi"].append(bi)
+                    out["q1"].append(np.ascontiguousarray(q1).tobytes())
+                    out["r1"].append(np.ascontiguousarray(r1).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        stage1 = self.df.mapInArrow(
             local_qr, "bi int, q1 binary, r1 binary"
         ).persist()
         if self.grid_rows > TSQR_TREE_FANOUT:
@@ -586,16 +722,25 @@ class BlockMatrix:
         q2 = q2 * signs[None, :]
         q2_slices = {bi: q2[o : o + k, :] for bi, (o, k) in offsets.items()}
 
-        def emit_q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, q1buf in zip(pdf["bi"], pdf["q1"]):
-                    sl = q2_slices[int(bi)]
-                    q1 = np.frombuffer(q1buf).reshape(-1, sl.shape[0])
-                    out.append((int(bi), 0, np.dot(q1, sl).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+        def emit_q(batches) -> Iterator:
+            import pyarrow as pa
 
-        qdf = stage1.select("bi", "q1").mapInPandas(emit_q, BLOCK_SCHEMA)
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, q1_c = rb.column("bi"), rb.column("q1")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi = bi_c[i].as_py()
+                    sl = q2_slices[bi]
+                    q1 = np.frombuffer(q1_c[i].as_buffer(), dtype=np.float64).reshape(
+                        -1, sl.shape[0]
+                    )
+                    out["bi"].append(bi)
+                    out["bj"].append(0)
+                    out["data"].append(np.dot(q1, sl).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        qdf = stage1.select("bi", "q1").mapInArrow(emit_q, BLOCK_SCHEMA)
         q = BlockMatrix(qdf, n, c, br, c)
         return q, r_final
 
@@ -657,19 +802,28 @@ class BlockMatrix:
         members = lvl2.filter(F.col("bi") >= 0).select("bi", "gid", "q2")
         joined = stage1.select("bi", "q1").join(members, "bi")
 
-        def emit_q(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, q1buf, gid, q2buf in zip(
-                    pdf["bi"], pdf["q1"], pdf["gid"], pdf["q2"]
-                ):
-                    g3 = q3_slices[int(gid)]
-                    q2 = np.frombuffer(q2buf).reshape(-1, g3.shape[0])
-                    q1 = np.frombuffer(q1buf).reshape(-1, q2.shape[0])
-                    out.append((int(bi), 0, np.dot(q1, np.dot(q2, g3)).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+        def emit_q(batches) -> Iterator:
+            import pyarrow as pa
 
-        qdf = joined.mapInPandas(emit_q, BLOCK_SCHEMA)
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, q1_c = rb.column("bi"), rb.column("q1")
+                gid_c, q2_c = rb.column("gid"), rb.column("q2")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    g3 = q3_slices[gid_c[i].as_py()]
+                    q2 = np.frombuffer(q2_c[i].as_buffer(), dtype=np.float64).reshape(
+                        -1, g3.shape[0]
+                    )
+                    q1 = np.frombuffer(q1_c[i].as_buffer(), dtype=np.float64).reshape(
+                        -1, q2.shape[0]
+                    )
+                    out["bi"].append(bi_c[i].as_py())
+                    out["bj"].append(0)
+                    out["data"].append(np.dot(q1, np.dot(q2, g3)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        qdf = joined.mapInArrow(emit_q, BLOCK_SCHEMA)
         return BlockMatrix(qdf, n, c, br, c), r_final
 
     def reblock_single_column(self) -> "BlockMatrix":
@@ -810,18 +964,27 @@ class BlockMatrix:
             n, m = mat.n_rows, mat.n_cols
             bc = mat.block_cols
 
-            def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    out = []
-                    for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                        r = min(br, n - int(bi) * br)
-                        c = min(bc, m - int(bj) * bc)
-                        blk = np.frombuffer(data).reshape(r, c)
-                        wj = w[int(bj) * bc : int(bj) * bc + c, :]
-                        out.append((int(bi), int(bj), np.dot(blk, wj).tobytes()))
-                    yield pd.DataFrame(out, columns=["bi", "k", "p"])
+            def part(batches) -> Iterator:
+                import pyarrow as pa
 
-            partials = mat.df.mapInPandas(part, "bi int, k int, p binary")
+                schema = pa.schema(
+                    [("bi", pa.int32()), ("k", pa.int32()), ("p", pa.binary())]
+                )
+                for rb in batches:
+                    bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                    out: dict[str, list] = {"bi": [], "k": [], "p": []}
+                    for i in range(rb.num_rows):
+                        bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                        r = min(br, n - bi * br)
+                        c = min(bc, m - bj * bc)
+                        blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                        wj = w[bj * bc : bj * bc + c, :]
+                        out["bi"].append(bi)
+                        out["k"].append(bj)
+                        out["p"].append(np.dot(blk, wj).tobytes())
+                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+            partials = mat.df.mapInArrow(part, "bi int, k int, p binary")
 
             def acc(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("k")
@@ -885,16 +1048,26 @@ class BlockMatrix:
             F.col("y.data").alias("dy"),
         )
 
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, da, dy in zip(pdf["bi"], pdf["bj"], pdf["da"], pdf["dy"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    a = np.frombuffer(da).reshape(r, c)
-                    yv = np.frombuffer(dy).reshape(r, p)
-                    out.append((int(bj), int(bi), np.dot(a.T, yv).tobytes()))
-                yield pd.DataFrame(out, columns=["bj", "k", "p"])
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [("bj", pa.int32()), ("k", pa.int32()), ("p", pa.binary())]
+            )
+            for rb in batches:
+                bi_c, bj_c = rb.column("bi"), rb.column("bj")
+                da_c, dy_c = rb.column("da"), rb.column("dy")
+                out: dict[str, list] = {"bj": [], "k": [], "p": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    a = np.frombuffer(da_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    yv = np.frombuffer(dy_c[i].as_buffer(), dtype=np.float64).reshape(r, p)
+                    out["bj"].append(bj)
+                    out["k"].append(bi)
+                    out["p"].append(np.dot(a.T, yv).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         def acc(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("k")
@@ -905,7 +1078,7 @@ class BlockMatrix:
             return pd.DataFrame({"bj": [key[0]], "z": [total.tobytes()]})
 
         rows = (
-            joined.mapInPandas(part, "bj int, k int, p binary")
+            joined.mapInArrow(part, "bj int, k int, p binary")
             .groupBy("bj")
             .applyInPandas(acc, "bj int, z binary")
             .collect()

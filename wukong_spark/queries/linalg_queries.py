@@ -67,18 +67,27 @@ def _sf(sf_dir: str) -> float:
 
 def _block_fro(c: BlockMatrix):
     """Per-output-block Frobenius norms — the small deterministic summary
-    the GEMM benchmarks emit (full C stays on the cluster)."""
-    import pandas as pd  # local import keeps the closure light
+    the GEMM benchmarks emit (full C stays on the cluster).  mapInArrow:
+    the 8 MB block buffers are read zero-copy (pandas would materialize
+    every block as a python bytes object first)."""
 
     def fro(batches):
-        for pdf in batches:
-            out = [
-                (int(bi), int(bj), round(float(np.sqrt((np.frombuffer(d) ** 2).sum())), 4))
-                for bi, bj, d in zip(pdf["bi"], pdf["bj"], pdf["data"])
-            ]
-            yield pd.DataFrame(out, columns=["bi", "bj", "fro"])
+        import pyarrow as pa
 
-    return c.df.mapInPandas(fro, "bi int, bj int, fro double")
+        schema = pa.schema(
+            [("bi", pa.int32()), ("bj", pa.int32()), ("fro", pa.float64())]
+        )
+        for rb in batches:
+            bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+            out = {"bi": [], "bj": [], "fro": []}
+            for i in range(rb.num_rows):
+                v = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64)
+                out["bi"].append(bi_c[i].as_py())
+                out["bj"].append(bj_c[i].as_py())
+                out["fro"].append(round(float(np.sqrt(v @ v)), 4))
+            yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+    return c.df.mapInArrow(fro, "bi int, bj int, fro double")
 
 
 @query("la_gemm_block_norms", headline=True)

@@ -46,3 +46,40 @@ def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
     )
     model = LinearModel(np.array(FIXED_W), FIXED_B)
     return predict_broadcast(e, model, id_cols=("vec_id", "label"))
+
+
+@query("ml_predict_ref", headline=True)
+def ml_predict_ref(spark: SparkSession, sf_dir: str):
+    """Parallel inference at the reference's published workload size
+    (README.md:298-300): 800,000 samples in 20 chunks, fitted model
+    broadcast, chunked vectorized predict — the ParallelPostFit(SVC)
+    benchmark.  Scaled 80,000/20 below bench sf.
+
+    Fit runs driver-local on the first chunk (exactly the reference's
+    pattern: sklearn fit is local, only predict distributes), then the
+    summary is a label×prediction confusion count — 4 deterministic rows.
+    """
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import make_classification_blocks
+
+    sf = _sf(sf_dir)
+    n = 800_000 if sf >= 0.1 else 80_000
+    df = make_classification_blocks(spark, n, 20, 20, seed=17)
+    rng = np.random.default_rng(17)
+    x0 = rng.standard_normal((min(n // 20, 5000), 20))
+    y0 = (x0 @ np.random.default_rng(17).standard_normal(20) >= 0).astype(np.int32)
+    model = LinearModel.fit(x0, y0)
+    pred = predict_broadcast(df, model, id_cols=("sample_id", "label"))
+    return (
+        pred.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+def _sf(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.01
