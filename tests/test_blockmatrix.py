@@ -85,6 +85,51 @@ def test_gemm_rectangular_edge_blocks(spark, rng):
     assert np.allclose(c.to_numpy(), a @ b, atol=1e-12)
 
 
+def test_gemm_tile_factor_heuristic():
+    """The tile factor grows until tasks would idle or buffers outgrow the
+    cap; tiny grids always stay at f=1."""
+    from wukong_spark.blockmatrix import _gemm_tile_factor
+
+    assert _gemm_tile_factor(4, 3, 12, 12, 32) == 1  # tiny grid
+    assert _gemm_tile_factor(10, 10, 1000, 1000, 32) == 2  # reference dims
+    # memory cap binds before parallelism does for huge blocks
+    assert _gemm_tile_factor(100, 100, 4000, 4000, 32) == 1
+    # large cluster: parallelism floor keeps tiles numerous
+    assert _gemm_tile_factor(100, 100, 100, 100, 1000) == 3
+
+
+def test_gemm_multiblock_tiles(spark, rng):
+    """Grids big enough that matmul takes the f≥2 tiled path (ragged tile
+    edges included) — must still match numpy exactly."""
+    from wukong_spark.blockmatrix import _gemm_tile_factor
+
+    a, b = rng.random((130, 110)), rng.random((110, 90))
+    ma = BlockMatrix.from_numpy(spark, a, 10, 10)
+    mb = BlockMatrix.from_numpy(spark, b, 10, 10)
+    par = spark.sparkContext.defaultParallelism
+    assert _gemm_tile_factor(ma.grid_rows, mb.grid_cols, 10, 10, par) >= 2
+    c = ma.matmul(mb)
+    assert (c.n_rows, c.n_cols) == (130, 90)
+    assert (c.block_rows, c.block_cols) == (10, 10)
+    assert np.allclose(c.to_numpy(), a @ b, atol=1e-10)
+
+
+def test_gemm_tiled_sparse_blocks(spark, rng):
+    """Missing blocks ≡ zero must hold on the tiled path too (triangular
+    operand at a grid size that forces f≥2)."""
+    n = 130
+    t = np.tril(rng.random((n, n)))
+    mt = BlockMatrix.from_numpy(spark, t, 10, 10)
+    # drop the all-zero upper blocks like cholesky_blocked's output does
+    from pyspark.sql import functions as F
+
+    sparse = BlockMatrix(
+        mt.df.filter(F.col("bi") >= F.col("bj")), n, n, 10, 10
+    )
+    c = sparse.matmul(sparse.transpose())
+    assert np.allclose(c.to_numpy(), t @ t.T, atol=1e-10)
+
+
 def test_tsqr(spark, rng):
     """TSQR (docs/examples/examples.rst:72-82): Q orthonormal, A = QR."""
     a = rng.random((200, 12))

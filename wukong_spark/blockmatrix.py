@@ -1135,7 +1135,7 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
       step j: 1. collect the updated diagonal block A_jj, factor on the
                  driver (bs×bs dense Cholesky — the sequential pivot of
                  every blocked variant, dask's included)
-              2. panel solve L_ij = A_ij · L_jj⁻ᵀ — mapInPandas over the
+              2. panel solve L_ij = A_ij · L_jj⁻ᵀ — mapInArrow over the
                  j-th block column, embarrassingly parallel
               3. trailing update A_ik -= L_ij · L_kjᵀ — equi-join of the
                  panel onto the trailing lower triangle on bi and bj, the
@@ -1149,6 +1149,10 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
     components).  Panels are checkpointed too: both trailing-update join
     sides (and the final L assembly) read materialized panel blocks
     instead of re-running the solve inside each broadcast exchange.
+    (A fused panel+update single-stage variant was measured SLOWER at
+    2000²/500 — the extra broadcast/union machinery cost more than the
+    third per-step job it saved; steps are latency-bound, not work-bound,
+    at any blocking a driver-sequential loop should be run at.)
 
     Returns L as a BlockMatrix of the lower-triangle blocks; absent upper
     blocks ≡ zero (matmul/to_numpy treat missing blocks as zero).
@@ -1170,20 +1174,27 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
             break
         ljj_inv_t = np.ascontiguousarray(np.linalg.inv(ljj).T)
 
-        def solve(
-            batches: Iterator[pd.DataFrame], _w=ljj_inv_t, _j=j
-        ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, data in zip(pdf["bi"], pdf["data"]):
-                    ri = min(bs, n - int(bi) * bs)
-                    aij = np.frombuffer(data).reshape(ri, _w.shape[0])
-                    out.append((int(bi), _j, np.dot(aij, _w).tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+        def solve(batches, _w=ljj_inv_t, _j=j) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, d_c = rb.column("bi"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi = bi_c[i].as_py()
+                    ri = min(bs, n - bi * bs)
+                    aij = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(
+                        ri, _w.shape[0]
+                    )
+                    out["bi"].append(bi)
+                    out["bj"].append(_j)
+                    out["data"].append(np.dot(aij, _w).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         panel = (
             remaining.filter((F.col("bj") == j) & (F.col("bi") > j))
-            .mapInPandas(solve, BLOCK_SCHEMA)
+            .mapInArrow(solve, BLOCK_SCHEMA)
             .localCheckpoint()
         )
         panels.append(panel)
@@ -1200,28 +1211,39 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
         li = panel_b.select(F.col("bi").alias("pi"), F.col("data").alias("dli"))
         lk = panel_b.select(F.col("bi").alias("pk"), F.col("data").alias("dlk"))
 
-        def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, data, dli, dlk in zip(
-                    pdf["bi"], pdf["bj"], pdf["data"], pdf["dli"], pdf["dlk"]
-                ):
-                    ri = min(bs, n - int(bi) * bs)
-                    rk = min(bs, n - int(bj) * bs)
-                    aik = np.frombuffer(data).reshape(ri, rk)
-                    lij = np.frombuffer(dli).reshape(ri, -1)
-                    lkj = np.frombuffer(dlk).reshape(rk, -1)
-                    out.append(
-                        (int(bi), int(bj), (aik - lij @ lkj.T).tobytes())
+        def update(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c = rb.column("bi"), rb.column("bj")
+                d_c = rb.column("data")
+                dli_c, dlk_c = rb.column("dli"), rb.column("dlk")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    ri = min(bs, n - bi * bs)
+                    rk = min(bs, n - bj * bs)
+                    aik = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(
+                        ri, rk
                     )
-                yield pd.DataFrame(out, columns=["bi", "bj", "data"])
+                    lij = np.frombuffer(dli_c[i].as_buffer(), dtype=np.float64).reshape(
+                        ri, -1
+                    )
+                    lkj = np.frombuffer(dlk_c[i].as_buffer(), dtype=np.float64).reshape(
+                        rk, -1
+                    )
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append((aik - lij @ lkj.T).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         remaining = (
             remaining.filter(F.col("bj") > j)
             .join(li, F.col("bi") == F.col("pi"))
             .join(lk, F.col("bj") == F.col("pk"))
             .select("bi", "bj", "data", "dli", "dlk")
-            .mapInPandas(update, BLOCK_SCHEMA)
+            .mapInArrow(update, BLOCK_SCHEMA)
             .localCheckpoint()
         )
 
