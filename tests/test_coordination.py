@@ -1,0 +1,185 @@
+"""A30 coordination primitives (SURVEY.md §2.1) — semantics mirrored from
+the reference's dask.distributed-inherited Variable/Queue/Lock/PubSub/Actor
+(`Static Scheduler/wukong/{variable,queues,lock,pubsub,actor}.py`)."""
+
+import threading
+import time
+
+import pytest
+
+from wukong_spark.coordination import (
+    ActorHandle,
+    Lock,
+    Pub,
+    Queue,
+    Sub,
+    Variable,
+    actor,
+)
+
+
+def test_variable_set_get_shared_name():
+    v1 = Variable("shared-x")
+    v2 = Variable("shared-x")
+    v1.set(41)
+    assert v2.get() == 41
+    v2.set(42)
+    assert v1.get(timeout=1) == 42
+    v1.delete()
+
+
+def test_variable_get_blocks_until_set():
+    v = Variable()
+    got = []
+
+    def reader():
+        got.append(v.get(timeout=5))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    time.sleep(0.05)
+    v.set("ready")
+    t.join(timeout=5)
+    assert got == ["ready"]
+    v.delete()
+
+
+def test_variable_timeout():
+    v = Variable()
+    with pytest.raises(TimeoutError):
+        v.get(timeout=0.05)
+    v.delete()
+
+
+def test_variable_holds_future(spark):
+    from wukong_spark.taskgraph import WukongClient
+
+    client = WukongClient(spark)
+    v = Variable("fut-var")
+    fut = client.submit(lambda: 7)
+    v.set(fut)
+    assert v.get().result() == 7
+    v.delete()
+
+
+def test_queue_fifo_and_qsize():
+    q = Queue()
+    for i in range(5):
+        q.put(i)
+    assert q.qsize() == 5
+    assert [q.get() for _ in range(5)] == [0, 1, 2, 3, 4]
+
+
+def test_queue_shared_name_and_batch():
+    qa, qb = Queue("shared-q"), Queue("shared-q")
+    qa.put("a")
+    qa.put("b")
+    qa.put("c")
+    assert qb.get(batch=2) == ["a", "b"]
+    assert qb.get(batch=True) == ["c"]
+
+
+def test_queue_timeout_and_maxsize():
+    q = Queue(maxsize=1)
+    q.put(1)
+    with pytest.raises(TimeoutError):
+        q.put(2, timeout=0.05)
+    assert q.get() == 1
+    with pytest.raises(TimeoutError):
+        q.get(timeout=0.05)
+
+
+def test_queue_cross_thread_handoff():
+    q = Queue("handoff")
+    out = []
+
+    def consumer():
+        out.append(q.get(timeout=5))
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    time.sleep(0.05)
+    Queue("handoff").put("payload")
+    t.join(timeout=5)
+    assert out == ["payload"]
+
+
+def test_lock_mutual_exclusion():
+    lock = Lock("mutex-test")
+    counter = {"v": 0}
+
+    def worker():
+        for _ in range(200):
+            with Lock("mutex-test"):
+                cur = counter["v"]
+                counter["v"] = cur + 1
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert counter["v"] == 800
+    assert not lock.locked()
+
+
+def test_lock_nonblocking_and_timeout():
+    lock = Lock()
+    assert lock.acquire()
+    other = Lock(lock.name)
+    assert other.acquire(blocking=False) is False
+    assert other.acquire(timeout=0.05) is False
+    lock.release()
+    assert other.acquire(blocking=False)
+    other.release()
+
+
+def test_pubsub_fanout_and_late_subscriber():
+    pub = Pub("chan")
+    early = Sub("chan")
+    pub.put(1)
+    late = Sub("chan")  # subscribed after message 1 → must not see it
+    pub.put(2)
+    assert early.get(timeout=1) == 1
+    assert early.get(timeout=1) == 2
+    assert late.get(timeout=1) == 2
+    with pytest.raises(TimeoutError):
+        late.get(timeout=0.05)
+    early.unsubscribe()
+    pub.put(3)
+    assert late.get(timeout=1) == 3
+    late.unsubscribe()
+
+
+def test_actor_serializes_state_mutations():
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def increment(self):
+            cur = self.n
+            time.sleep(0.001)  # widen the race window
+            self.n = cur + 1
+            return self.n
+
+    handle = ActorHandle(Counter)
+    futs = [handle.increment() for _ in range(50)]
+    results = sorted(f.result(timeout=10) for f in futs)
+    assert results == list(range(1, 51))  # strictly sequential — no lost updates
+    assert handle.n == 50
+    handle.stop()
+
+
+def test_actor_error_propagates_and_decorator():
+    @actor
+    class Div:
+        def div(self, a, b):
+            return a / b
+
+    h = Div()
+    assert h.div(8, 2).result(timeout=5) == 4
+    with pytest.raises(ZeroDivisionError):
+        h.div(1, 0).result(timeout=5)
+    # repeated result() returns the same outcome
+    f = h.div(9, 3)
+    assert f.result(timeout=5) == 3
+    assert f.result(timeout=5) == 3
+    h.stop()

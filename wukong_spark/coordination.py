@@ -1,0 +1,280 @@
+"""Coordination primitives (SURVEY.md §2.1 A30).
+
+Reference surface: dask.distributed-inherited `Variable`
+(`Static Scheduler/wukong/variable.py:118-209`), `Queue`
+(`queues.py:139-254`), `Lock` (`lock.py:80-167`), `Pub`/`Sub`
+(`pubsub.py:202-460`), and `Actor` (`actor.py:12-228`).  In the
+reference these coordinate clients and Lambda executors through scheduler
+extensions (per-name state dicts on the scheduler process).
+
+Spark-first mapping: Spark centralizes ALL control flow on the driver —
+there are no peer clients racing through a shared scheduler, only
+concurrent threads of one driver program (the same threads
+`WukongClient`'s pool runs).  The faithful rebuild is therefore
+driver-local, thread-safe, *named* state — the same per-name registry
+semantics (two handles with one name share state, exactly like two
+`Variable("x")` instances sharing a scheduler entry), without inventing a
+side-channel store Spark does not have.  Values may be `taskgraph.Future`s,
+matching the reference's future-aware Variable/Queue.
+
+`Actor` maps to a driver-hosted object with a dedicated single-thread
+mailbox: method calls return `ActorFuture`s and execute one-at-a-time in
+submission order — the reference's stateful-worker-actor contract
+(`actor.py:22-47`) with Spark's driver as the host.  Heavy actor methods
+are free to launch Spark jobs through a captured client/session; the
+mailbox thread only serializes METHOD DISPATCH, never cluster work.
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+import time
+from typing import Any, Callable
+
+__all__ = ["Variable", "Queue", "Lock", "Pub", "Sub", "ActorHandle", "actor"]
+
+_registry_lock = threading.Lock()
+_variables: dict[str, dict] = {}
+_queues: dict[str, _queue.Queue] = {}
+_locks: dict[str, threading.Lock] = {}
+_subs: dict[str, list["Sub"]] = {}
+_seq = iter(range(10**12))
+
+
+def _anon(prefix: str) -> str:
+    return f"{prefix}-{next(_seq)}"
+
+
+class Variable:
+    """Named mutable slot (`variable.py:118-209`): set / get(timeout) /
+    delete.  Two instances with the same name share state."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name or _anon("variable")
+        with _registry_lock:
+            _variables.setdefault(
+                self.name, {"cond": threading.Condition(), "value": None, "set": False}
+            )
+
+    def _slot(self) -> dict:
+        with _registry_lock:
+            return _variables[self.name]
+
+    def set(self, value: Any) -> None:
+        slot = self._slot()
+        with slot["cond"]:
+            slot["value"] = value
+            slot["set"] = True
+            slot["cond"].notify_all()
+
+    def get(self, timeout: float | None = None) -> Any:
+        """Block until a value exists (reference blocks through the
+        scheduler comm, `variable.py:174-193`)."""
+        slot = self._slot()
+        with slot["cond"]:
+            if not slot["cond"].wait_for(lambda: slot["set"], timeout=timeout):
+                raise TimeoutError(f"Variable {self.name!r} not set within {timeout}s")
+            return slot["value"]
+
+    def delete(self) -> None:
+        with _registry_lock:
+            _variables.pop(self.name, None)
+
+
+class Queue:
+    """Named FIFO (`queues.py:139-254`): put/get with timeouts, qsize,
+    maxsize back-pressure, batch get."""
+
+    def __init__(self, name: str | None = None, maxsize: int = 0):
+        self.name = name or _anon("queue")
+        with _registry_lock:
+            _queues.setdefault(self.name, _queue.Queue(maxsize=maxsize))
+
+    def _q(self) -> _queue.Queue:
+        with _registry_lock:
+            return _queues[self.name]
+
+    def put(self, value: Any, timeout: float | None = None) -> None:
+        try:
+            self._q().put(value, timeout=timeout)
+        except _queue.Full:
+            raise TimeoutError(f"Queue {self.name!r} full after {timeout}s")
+
+    def get(self, timeout: float | None = None, batch: bool | int = False) -> Any:
+        """One element, or `batch=True` → drain everything currently
+        queued (≥1), or `batch=n` → exactly n elements
+        (`queues.py:93-133` batch semantics)."""
+        q = self._q()
+        try:
+            if batch is False:
+                return q.get(timeout=timeout)
+            if batch is True:
+                first = q.get(timeout=timeout)
+                out = [first]
+                while True:
+                    try:
+                        out.append(q.get_nowait())
+                    except _queue.Empty:
+                        return out
+            out = [q.get(timeout=timeout) for _ in range(int(batch))]
+            return out
+        except _queue.Empty:
+            raise TimeoutError(f"Queue {self.name!r} empty after {timeout}s")
+
+    def qsize(self) -> int:
+        return self._q().qsize()
+
+
+class Lock:
+    """Named mutex (`lock.py:80-167`): acquire(blocking, timeout) /
+    release / locked, usable as a context manager."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name or _anon("lock")
+        with _registry_lock:
+            _locks.setdefault(self.name, threading.Lock())
+        self._held = False
+
+    def _l(self) -> threading.Lock:
+        with _registry_lock:
+            return _locks[self.name]
+
+    def acquire(self, blocking: bool = True, timeout: float | None = None) -> bool:
+        kwargs = {"blocking": blocking}
+        if blocking and timeout is not None:
+            kwargs["timeout"] = timeout
+        ok = self._l().acquire(**kwargs)
+        if ok:
+            self._held = True
+        return ok
+
+    def release(self) -> None:
+        self._held = False
+        self._l().release()
+
+    def locked(self) -> bool:
+        return self._l().locked()
+
+    def __enter__(self) -> "Lock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class Sub:
+    """Subscriber end of a named channel (`pubsub.py:364-460`): iterate or
+    `get(timeout)` messages published after subscription."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._q: _queue.Queue = _queue.Queue()
+        with _registry_lock:
+            _subs.setdefault(name, []).append(self)
+
+    def get(self, timeout: float | None = None) -> Any:
+        try:
+            return self._q.get(timeout=timeout)
+        except _queue.Empty:
+            raise TimeoutError(f"Sub {self.name!r}: no message after {timeout}s")
+
+    def __iter__(self) -> "Sub":
+        return self
+
+    def __next__(self) -> Any:
+        return self.get()
+
+    def unsubscribe(self) -> None:
+        with _registry_lock:
+            if self in _subs.get(self.name, []):
+                _subs[self.name].remove(self)
+
+
+class Pub:
+    """Publisher end (`pubsub.py:202-362`): `put(msg)` fans out to every
+    current subscriber of the name; no subscribers → message dropped
+    (reference behavior once no listeners are registered)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def put(self, msg: Any) -> None:
+        with _registry_lock:
+            targets = list(_subs.get(self.name, []))
+        for sub in targets:
+            sub._q.put(msg)
+
+
+class ActorFuture:
+    """Result handle for one actor method call (`actor.py:200-223`)."""
+
+    def __init__(self) -> None:
+        self._q: _queue.Queue = _queue.Queue(maxsize=1)
+
+    def _set(self, ok: bool, value: Any) -> None:
+        self._q.put((ok, value))
+
+    def result(self, timeout: float | None = None) -> Any:
+        try:
+            ok, value = self._q.get(timeout=timeout)
+        except _queue.Empty:
+            raise TimeoutError("actor call did not complete in time")
+        self._q.put((ok, value))  # re-arm for repeated result() calls
+        if not ok:
+            raise value
+        return value
+
+
+class ActorHandle:
+    """Proxy to a driver-hosted stateful object (`actor.py:12-178`):
+    attribute access returns either a method wrapper (call → ActorFuture)
+    or the current attribute value; calls execute strictly one-at-a-time
+    on the actor's mailbox thread."""
+
+    def __init__(self, cls: type, *args, **kwargs):
+        self._obj = cls(*args, **kwargs)
+        self._mailbox: _queue.Queue = _queue.Queue()
+        self._alive = True
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._mailbox.get()
+            if item is None:
+                return
+            fn, args, kwargs, fut = item
+            try:
+                fut._set(True, fn(*args, **kwargs))
+            except Exception as e:  # noqa: BLE001 — propagate to caller
+                fut._set(False, e)
+
+    def __getattr__(self, key: str):
+        obj = object.__getattribute__(self, "_obj")
+        attr = getattr(obj, key)
+        if not callable(attr):
+            return attr
+
+        def call(*args, **kwargs) -> ActorFuture:
+            fut = ActorFuture()
+            self._mailbox.put((attr, args, kwargs, fut))
+            return fut
+
+        return call
+
+    def stop(self) -> None:
+        self._alive = False
+        self._mailbox.put(None)
+
+
+def actor(cls: type) -> Callable[..., ActorHandle]:
+    """Decorator sugar: `@actor class Counter: ...` → `Counter()` returns
+    an ActorHandle (the reference spells this `client.submit(Counter,
+    actor=True)`, `actor.py:22-31`)."""
+
+    def construct(*args, **kwargs) -> ActorHandle:
+        return ActorHandle(cls, *args, **kwargs)
+
+    return construct
