@@ -52,8 +52,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     # heavy linalg workloads run LAST: their GC/memory pressure would
     # otherwise bleed into the next query's measurement (q10 measured 0.8 s
-    # in isolation vs 3.8 s right after the 10,000² GEMM)
-    ordered = sorted(headline.items(), key=lambda kv: (kv[0].startswith("la_"), kv[0]))
+    # in isolation vs 3.8 s right after the 10,000² GEMM); the GEMM itself
+    # (the heaviest, ~16 GB of block traffic) runs dead last
+    ordered = sorted(
+        headline.items(),
+        key=lambda kv: (kv[0].startswith("la_"), kv[0] == "la_gemm_ref", kv[0]),
+    )
     for name, spec in ordered:
         best = None
         for _ in range(2):  # best-of-2: steady-state latency, not GC/JIT noise

@@ -357,22 +357,32 @@ class BlockMatrix:
         bc, m = self.block_cols, self.n_cols
         br, n = self.block_rows, self.n_rows
 
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    s = np.frombuffer(data).reshape(r, c).sum(axis=0)
-                    out.append((int(bj), s.tobytes()))
-                yield pd.DataFrame(out, columns=["bj", "partial"])
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema([("bj", pa.int32()), ("partial", pa.binary())])
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bj": [], "partial": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    s = (
+                        np.frombuffer(d_c[i].as_buffer(), dtype=np.float64)
+                        .reshape(r, c)
+                        .sum(axis=0)
+                    )
+                    out["bj"].append(bj)
+                    out["partial"].append(s.tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             total = np.sum([np.frombuffer(p) for p in pdf["partial"]], axis=0)
             return pd.DataFrame({"bj": [key[0]], "partial": [total.tobytes()]})
 
         merged = (
-            self.df.mapInPandas(part, "bj int, partial binary")
+            self.df.mapInArrow(part, "bj int, partial binary")
             .groupBy("bj")
             .applyInPandas(merge, "bj int, partial binary")
             .collect()
@@ -388,22 +398,32 @@ class BlockMatrix:
         bc, m = self.block_cols, self.n_cols
         br, n = self.block_rows, self.n_rows
 
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    s = np.frombuffer(data).reshape(r, c).sum(axis=1)
-                    out.append((int(bi), s.tobytes()))
-                yield pd.DataFrame(out, columns=["bi", "partial"])
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema([("bi", pa.int32()), ("partial", pa.binary())])
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "partial": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    s = (
+                        np.frombuffer(d_c[i].as_buffer(), dtype=np.float64)
+                        .reshape(r, c)
+                        .sum(axis=1)
+                    )
+                    out["bi"].append(bi)
+                    out["partial"].append(s.tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             total = np.sum([np.frombuffer(p) for p in pdf["partial"]], axis=0)
             return pd.DataFrame({"bi": [key[0]], "partial": [total.tobytes()]})
 
         merged = (
-            self.df.mapInPandas(part, "bi int, partial binary")
+            self.df.mapInArrow(part, "bi int, partial binary")
             .groupBy("bi")
             .applyInPandas(merge, "bi int, partial binary")
             .collect()
@@ -427,23 +447,28 @@ class BlockMatrix:
         would instead join a (bi, slice) table)."""
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                datas = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    blk = np.frombuffer(data).reshape(r, c)
-                    vslice = vec[int(bi) * br : int(bi) * br + r]
-                    datas.append(
+        def run(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    vslice = vec[bi * br : bi * br + r]
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(
                         np.ascontiguousarray(fn(blk, vslice[:, None])).tobytes()
                     )
-                yield pd.DataFrame(
-                    {"bi": pdf["bi"], "bj": pdf["bj"], "data": datas}
-                )
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         return BlockMatrix(
-            self.df.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc
+            self.df.mapInArrow(run, BLOCK_SCHEMA), n, m, br, bc
         )
 
     def map_with_col_vector(
@@ -453,23 +478,28 @@ class BlockMatrix:
         `x - x.mean(axis=0)` / feature standardization."""
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                datas = []
-                for bi, bj, data in zip(pdf["bi"], pdf["bj"], pdf["data"]):
-                    r = min(br, n - int(bi) * br)
-                    c = min(bc, m - int(bj) * bc)
-                    blk = np.frombuffer(data).reshape(r, c)
-                    vslice = vec[int(bj) * bc : int(bj) * bc + c]
-                    datas.append(
+        def run(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    vslice = vec[bj * bc : bj * bc + c]
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(
                         np.ascontiguousarray(fn(blk, vslice[None, :])).tobytes()
                     )
-                yield pd.DataFrame(
-                    {"bi": pdf["bi"], "bj": pdf["bj"], "data": datas}
-                )
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         return BlockMatrix(
-            self.df.mapInPandas(run, BLOCK_SCHEMA), n, m, br, bc
+            self.df.mapInArrow(run, BLOCK_SCHEMA), n, m, br, bc
         )
 
     # -- GEMM (replicate + cogroup-by-output-tile) -------------------------

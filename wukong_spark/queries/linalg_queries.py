@@ -173,7 +173,11 @@ def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
     else:
         n, m, bs = 2500, 1250, 625
     a = BlockMatrix.random(spark, n, m, bs, bs, seed=41)
-    _, s, _ = a.svd_compressed(k=5, seed=2)
+    # n_iter=0 = exact algorithm parity with the reference run: dask's
+    # svd_compressed defaults to n_power_iter=0 and svd2.py uses the
+    # default (two fewer full passes over A; svd_compressed's own default
+    # stays 1 for a tighter HMT envelope on unknown spectra)
+    _, s, _ = a.svd_compressed(k=5, seed=2, n_iter=0)
     return spark.createDataFrame(
         [(i, round(float(v), 6)) for i, v in enumerate(s)], "rank int, sigma double"
     )

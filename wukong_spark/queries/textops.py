@@ -556,6 +556,56 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "dedup_neardup_clusters",
+    oracle=_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+       AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ), edges2 AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS comp FROM edges2
+      UNION
+      SELECT e.d AS node, r.comp FROM reach r JOIN edges2 e ON e.s = r.node
+    ), comp AS (
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    )
+    SELECT CAST(component AS BIGINT) AS canonical_doc,
+           COUNT(*) AS n_docs,
+           CAST(MAX(node) AS BIGINT) AS max_doc
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str):
+    """The full near-dup dedup decision, end to end: MinHash-LSH candidate
+    pairs → connected components → one canonical doc (min id) per cluster.
+
+    This is what a 100 TB dedup actually emits — a keep/drop verdict, not
+    a pair list: every doc in a cluster maps to the cluster's minimum
+    doc_id (the kept copy).  Candidates come from the banded equi-join
+    (never all-pairs); clustering is the iterative min-label CC operator
+    (operators/graph.py: localCheckpoint per round, O(diameter) rounds —
+    near-dup clusters are tiny cliques, so 2-3 rounds).  The DuckDB oracle
+    re-derives the transitive closure with a RECURSIVE CTE — a full SQL
+    value-check of an iterative graph computation.
+    """
+    from wukong_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.groupBy(F.col("component").cast("long").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").cast("long").alias("max_doc"),
+    )
+
+
+@query(
     "regex_funcs_docs",
     oracle="""
     SELECT doc_id,
