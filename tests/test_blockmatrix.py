@@ -169,6 +169,16 @@ def test_svd_compressed(spark, rng):
     assert err <= opt * 1.5 + 1e-8
 
 
+def test_svd_compressed_no_power_iter(spark, rng):
+    """n_iter=0 — the dask default the reference example runs
+    (la_svd_compressed_ref uses this config); exact on low-rank input."""
+    base = rng.random((120, 8)) @ rng.random((8, 60))  # rank-8
+    m = BlockMatrix.from_numpy(spark, base, 30, 15)
+    _, s, _ = m.svd_compressed(k=5, seed=1, n_iter=0)
+    s_true = np.linalg.svd(base, compute_uv=False)[:5]
+    assert np.allclose(s, s_true, rtol=1e-6)
+
+
 def test_cholesky(spark):
     """Cholesky (docs/examples/examples.rst:84-100) on the doc's own SPD
     construction: tril(ones) @ tril(ones).T — now the distributed path."""

@@ -163,6 +163,26 @@ def la_svd_ts_ref(spark: SparkSession, sf_dir: str):
     )
 
 
+@query("la_svd_ts_docs", headline=True)
+def la_svd_ts_docs(spark: SparkSession, sf_dir: str):
+    """Tall-skinny SVD at the reference's docs-variant workload size
+    (docs/examples/examples.rst:46-48): 200,000×100 in 10,000-row blocks
+    with the input `.persist()`-ed, exactly as the example runs it.
+    Scaled 20000×50/2000 below bench sf."""
+    if _sf(sf_dir) >= 0.1:
+        n, br, c = 200000, 10000, 100
+    else:
+        n, br, c = 20000, 2000, 50
+    a = BlockMatrix.random(spark, n, c, br, c, seed=43)
+    a.df.persist()  # the docs example persists the input collection
+    _, s, _ = a.svd_tall_skinny()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(s[:20])],
+        "rank int, sigma double",
+    )
+
+
 @query("la_svd_compressed_ref", headline=True)
 def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
     """Compressed/randomized SVD k=5 at the reference's published workload
@@ -215,12 +235,20 @@ def la_qr_square(spark: SparkSession, sf_dir: str):
     a = BlockMatrix.random(spark, 128, 128, 16, 16, seed=7)
     a.df.persist()
     q, r = a.qr()
-    q.df.persist()
-    eye = BlockMatrix.from_numpy(spark, np.eye(128), q.block_cols, q.block_cols)
-    orth_err = q.transpose().matmul(q).subtract(eye).max_abs()
-    r_bm = BlockMatrix.from_numpy(spark, r, q.block_cols, a.block_cols)
-    recon_err = q.matmul(r_bm).subtract(a).max_abs()
-    q.df.unpersist()
+    # both checks run off the single-block-column re-block of Q: gramian
+    # gives QᵀQ as one small driver matrix (n_cols² — never O(matrix)),
+    # and Q·R is a blockwise right-multiply by the driver-held R; the
+    # residual reduces distributed via max_abs.  (The earlier
+    # transpose+matmul+eye formulation spent ~2× the stages for the same
+    # numbers.)
+    qs = BlockMatrix(q.reblock_single_column().df.persist(), 128, 128, 16, 128)
+    orth_err = float(np.abs(qs.gramian() - np.eye(128)).max())
+    recon_err = (
+        qs._map_blocks(lambda blk, _r=r: blk @ _r)
+        .subtract(a.reblock_single_column())
+        .max_abs()
+    )
+    qs.df.unpersist()
     a.df.unpersist()
     return spark.createDataFrame(
         [
