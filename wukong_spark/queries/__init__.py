@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        sampling,
         taskgraph_queries,
         textops,
         vectors,

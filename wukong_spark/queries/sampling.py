@@ -1,0 +1,134 @@
+"""Deterministic sampling & dataset-split operators (SURVEY.md §2.3 —
+training-data pipeline staples beyond the reference's surface).
+
+A 100 TB corpus is sampled with CONTENT-HASH gates, not RNG: the decision
+`md5(key) mod M < threshold` is reproducible across engines, partitions,
+re-runs, and cluster sizes — the property a train/val/test split must
+have so no document ever migrates between splits when the pipeline
+re-executes.  (Spark's `df.sample` draws from a per-partition RNG stream:
+resilient to nothing — a repartition reshuffles the sample.  It exists
+for quick interactive estimates; these operators are the pipeline path.)
+
+All gates are JVM expressions (md5 + conv + pmod) and push down around
+them; the DuckDB oracles compute the identical 48-bit hash, so every
+query here is full value-hash checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.queries import query
+from wukong_spark.queries.helpers import tbl
+
+#: 48-bit integer from the md5 hex prefix — engine-portable (same trick as
+#: textops minhash); {e} is the SQL expression to hash
+_ORACLE_H48 = "CAST(('0x' || substr(md5({e}), 1, 12)) AS BIGINT)"
+
+SAMPLE_MOD = 10_000  # hash buckets = 0.01 % sampling granularity
+
+
+def _h48(col: Column) -> Column:
+    """48-bit hash of a string column (Spark side of _ORACLE_H48)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _bucket(col: Column) -> Column:
+    return F.pmod(_h48(col), F.lit(SAMPLE_MOD))
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE {_ORACLE_H48.format(e="'doc-' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} < 2000
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str):
+    """Deterministic 20 % sample: keep rows whose key-hash bucket falls
+    below the threshold.  Stable under repartitioning and re-runs (unlike
+    `df.sample`), composable (a 20 % gate then a 10 % gate with a
+    different salt are independent), and shuffle-free: the gate is a
+    map-side expression evaluated in the scan stage."""
+    d = tbl(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    return d.filter(_bucket(key) < 2000).select("doc_id", "source", "lang", "n_chars")
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CASE
+               WHEN {_ORACLE_H48.format(e="'split-' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} < 9000 THEN 'train'
+               WHEN {_ORACLE_H48.format(e="'split-' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} < 9500 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY source, split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str):
+    """90/5/5 train/val/test assignment by content-hash bucket — the
+    split every training pipeline needs to be REPRODUCIBLE: a document's
+    split is a pure function of its id (salted), so re-runs, backfills,
+    and scale-ups never leak rows across splits.  Emits per-(source,
+    split) counts; the split column itself is the reusable primitive."""
+    d = tbl(spark, sf_dir, "documents")
+    b = _bucket(F.concat(F.lit("split-"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(b < 9000, F.lit("train")).when(b < 9500, F.lit("val")).otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    WITH rated AS (
+      SELECT lang, doc_id, n_chars,
+             CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 ELSE {SAMPLE_MOD} END AS rate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM rated
+    WHERE {_ORACLE_H48.format(e="'strat-' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} < rate
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str):
+    """Stratified downsampling with per-stratum rates (10 % of English,
+    50 % of German, 100 % of everything else) — the rebalancing move of
+    corpus curation (downweight the dominant language).  Same hash-gate
+    determinism as sample_hash_fraction, with the rate looked up per
+    stratum; one scan, one map-side filter, one small agg."""
+    d = tbl(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 1000)
+        .when(F.col("lang") == "de", 5000)
+        .otherwise(SAMPLE_MOD)
+    )
+    b = _bucket(F.concat(F.lit("strat-"), F.col("doc_id").cast("string")))
+    return (
+        d.filter(b < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
