@@ -98,6 +98,50 @@ def test_salted_agg_equals_plain(spark, rows, buckets):
 
 
 @given(
+    n=st.integers(12, 120),
+    m=st.integers(8, 60),
+    br=st.integers(4, 32),
+    bc=st.integers(4, 16),
+    force_panels=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_general_qr_properties_any_shape(spark, n, m, br, bc, force_panels, seed):
+    """General multi-block-column QR invariants for any tall/square shape,
+    both strategies (single-panel re-block and the CGS2 panel loop):
+    QᵀQ = I, QR = A, R upper triangular."""
+    if n < m:
+        n, m = m, n  # qr() requires n_rows ≥ n_cols
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, m))
+    q, r = BlockMatrix.from_numpy(spark, a, br, bc).qr(force_panels=force_panels)
+    qn = q.to_numpy()
+    assert np.allclose(qn.T @ qn, np.eye(m), atol=1e-8)
+    assert np.allclose(qn @ r, a, atol=1e-8)
+    assert np.allclose(r, np.triu(r), atol=1e-8)
+
+
+@given(
+    n=st.integers(6, 80),
+    bs=st.integers(3, 30),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_cholesky_properties_any_blocking(spark, n, bs, seed):
+    """Distributed Cholesky for any (size, blocking) incl. ragged edge
+    blocks: L lower-triangular, LLᵀ = A, matches numpy."""
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((n, n))
+    spd = g @ g.T / n + 2.0 * np.eye(n)
+    from wukong_spark.blockmatrix import cholesky_blocked
+
+    l_mat = cholesky_blocked(BlockMatrix.from_numpy(spark, spd, bs, bs)).to_numpy()
+    assert np.allclose(l_mat, np.tril(l_mat))
+    assert np.allclose(l_mat @ l_mat.T, spd, atol=1e-8)
+    assert np.allclose(l_mat, np.linalg.cholesky(spd), atol=1e-8)
+
+
+@given(
     n=st.integers(8, 200),
     c=st.integers(1, 12),
     br=st.integers(4, 64),
