@@ -858,7 +858,10 @@ class BlockMatrix:
 
     def reblock_single_column(self) -> "BlockMatrix":
         """Horizontal re-block: stitch each block row's column blocks into
-        ONE wide block (bi, 0, [A_i0 | A_i1 | …]).  One shuffle on bi."""
+        ONE wide block (bi, 0, [A_i0 | A_i1 | …]).  One shuffle on bi;
+        a matrix that is already one block wide passes through untouched."""
+        if self.grid_cols == 1:
+            return self
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
 
         def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:

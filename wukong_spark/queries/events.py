@@ -204,6 +204,54 @@ def events_rolling_avg3(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_rolling_30m_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_30m,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS BIGINT) AS sum_value_4
+    FROM (
+      SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_30m_range(spark: SparkSession, sf_dir: str):
+    """TIME-range rolling window (RANGE frame, not ROWS): per user, the
+    count and sum of events in the trailing 30 MINUTES — the frame the
+    reference's pandas `rolling(N)` cannot express (row frames only).
+
+    The order key is integer epoch seconds derived by NTZ interval
+    arithmetic (`unix_timestamp` rejects TIMESTAMP_NTZ; the interval cast
+    truncates exactly like DuckDB's floor(epoch)).  RANGE frames treat
+    equal-key rows as peers in both engines, so ties are
+    order-independent — no tie-break column needed, unlike every ROWS
+    frame in this file.  Scale: partitioned by user_id (bounded per-key
+    state), integer-scaled values for cross-engine exact sums."""
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)"
+        ).alias("epoch_s"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.sum("v4").over(w).alias("sum_value_4"),
+    )
+
+
+@query(
     "asof_join_last_click",
     oracle="""
     WITH ce AS (
