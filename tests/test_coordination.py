@@ -89,6 +89,14 @@ def test_queue_timeout_and_maxsize():
         q.get(timeout=0.05)
 
 
+def test_queue_delete_resets_state():
+    q = Queue("del-q")
+    q.put(1)
+    q.delete()
+    q2 = Queue("del-q")  # re-creating the name starts empty
+    assert q2.qsize() == 0
+
+
 def test_queue_cross_thread_handoff():
     q = Queue("handoff")
     out = []

@@ -125,6 +125,12 @@ class Queue:
     def qsize(self) -> int:
         return self._q().qsize()
 
+    def delete(self) -> None:
+        """Drop the named queue's state (reference `release`,
+        `queues.py:58-71`)."""
+        with _registry_lock:
+            _queues.pop(self.name, None)
+
 
 class Lock:
     """Named mutex (`lock.py:80-167`): acquire(blocking, timeout) /

@@ -605,6 +605,108 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str):
     )
 
 
+#: fixed retrieval query for text_bm25_topk (terms present at every SF)
+BM25_TERMS = ("data", "join", "scan")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl * 1.0) AS avgdl FROM doclen
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN ('data', 'join', 'scan')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN doclen ON tf.doc_id = doclen.doc_id, stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 retrieval (Okapi, k1=1.2 b=0.75) for a fixed term query —
+    the lexical-search scoring every corpus pipeline needs next to
+    TF-IDF.  Shape: one explode → per-doc length agg; the tf table is
+    PRE-FILTERED to the query terms before its shuffle (at 100 TB the
+    (doc, term) space never materializes for non-query terms); df and the
+    global (N, avgdl) stats are 1-row/`|q|`-row aggregates folded in by
+    join — no eager driver actions.
+
+    Exactness: tf/df/dl/N are integers, avgdl = exact-int division —
+    identical rational inputs both engines; the score rounds to 6 with a
+    doc_id tie-break before ranking (same libm-drift discipline as
+    text_tfidf_top3).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl") * 1.0).alias("avgdl")
+    )
+    tf = (
+        terms.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * (BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # top-k FIRST via TakeOrdered (no global single-partition window over
+    # all docs — the ntile anti-pattern); the rank window then runs over
+    # ten rows
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rnk"
+    )
+
+
 @query(
     "regex_funcs_docs",
     oracle="""
