@@ -9,6 +9,7 @@ import pytest
 
 sys.path.insert(0, "/root/repo/examples")
 
+import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
 import gemm  # noqa: E402
 import linear_dag  # noqa: E402
@@ -19,6 +20,7 @@ import svc_inference  # noqa: E402
 import tree_reduction  # noqa: E402
 
 ALL = {
+    "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
     "linear_dag": linear_dag.run,
     "fan_in": fan_in.run,
