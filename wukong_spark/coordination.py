@@ -104,7 +104,10 @@ class Queue:
     def get(self, timeout: float | None = None, batch: bool | int = False) -> Any:
         """One element, or `batch=True` → drain everything currently
         queued (≥1), or `batch=n` → exactly n elements
-        (`queues.py:93-133` batch semantics)."""
+        (`queues.py:93-133` batch semantics).  A `batch=n` call that
+        times out mid-drain raises after consuming the elements it
+        already took — matching the reference, which pops incrementally
+        through the scheduler."""
         q = self._q()
         try:
             if batch is False:
@@ -242,7 +245,6 @@ class ActorHandle:
     def __init__(self, cls: type, *args, **kwargs):
         self._obj = cls(*args, **kwargs)
         self._mailbox: _queue.Queue = _queue.Queue()
-        self._alive = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -271,7 +273,6 @@ class ActorHandle:
         return call
 
     def stop(self) -> None:
-        self._alive = False
         self._mailbox.put(None)
 
 
