@@ -8,9 +8,18 @@ Two flavors:
 - `la_*` — the reference's flagship chunked-array workloads (GEMM, TSQR,
   tall-skinny SVD, compressed SVD, Cholesky — README.md:204-271,
   docs/examples/examples.rst:46-113) on seeded synthetic block matrices.
-  Inputs are generated, not read from tables, so no SQL oracle exists —
-  the driver records rows-only checks; the numpy-oracle correctness lives
-  in tests/test_blockmatrix.py.
+  Inputs are generated, not read from tables, so queries whose output is a
+  float summary (singular values, block norms) carry no SQL oracle — the
+  driver records rows-only checks and the numpy-oracle correctness lives in
+  tests/test_blockmatrix.py.  Queries whose output is a DETERMINISTIC
+  CONTRACT (orthonormality/reconstruction booleans, ranks, block counts)
+  carry literal SELECT oracles so the driver's hash gate verifies them
+  end-to-end; the `la_*_check` variants exist to put the float workloads
+  behind such contracts too (residuals and cross-algorithm comparisons
+  computed IN-PLAN, only the boolean verdict leaves the cluster).
+
+  The correctness gate runs at sf=0.01, where every query below takes its
+  scaled-down branch — the literal oracles encode those dims.
 """
 
 from __future__ import annotations
@@ -121,7 +130,14 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     return _block_fro(a.matmul(b))
 
 
-@query("la_tsqr_ref", headline=True)
+@query(
+    "la_tsqr_ref",
+    headline=True,
+    # deterministic contract: booleans are sf-invariant (the residual bounds
+    # hold at every scale), rank is the column count of the sf<0.1 branch —
+    # the only branch the sf=0.01 correctness gate ever runs
+    oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, 32 AS rank",
+)
 def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     """TSQR at the reference's published workload size
     (docs/examples/examples.rst:80-82): 262,144×128 in 8,192-row blocks.
@@ -203,7 +219,11 @@ def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_tsqr_factors", headline=True)
+@query(
+    "la_tsqr_factors",
+    headline=True,
+    oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, 32 AS rank",
+)
 def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     """TSQR (docs/examples/examples.rst:72-82) on a seeded 8192×32 matrix
     (scaled-down 262144×128 benchmark, see la_tsqr_ref); returns quality
@@ -225,7 +245,10 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_qr_square")
+@query(
+    "la_qr_square",
+    oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, TRUE AS full_rank",
+)
 def la_qr_square(spark: SparkSession, sf_dir: str):
     """General multi-block-column QR at the reference's own example shape —
     128×128 with 16×16 chunks (docs/examples/examples.rst:62-70), the case
@@ -250,15 +273,131 @@ def la_qr_square(spark: SparkSession, sf_dir: str):
     )
     qs.df.unpersist()
     a.df.unpersist()
+    # full-rank contract: the seeded input's min |diag(R)| is 0.1258 — the
+    # 1e-3 gate is 100× below it, robust to BLAS summation-order drift
     return spark.createDataFrame(
         [
             (
                 round(orth_err, 12) < 1e-9,
                 round(recon_err, 12) < 1e-9,
-                float(round(np.abs(np.diag(r)).min(), 6)),
+                bool(np.abs(np.diag(r)).min() > 1e-3),
             )
         ],
-        "orthonormal boolean, reconstructs boolean, min_diag_r double",
+        "orthonormal boolean, reconstructs boolean, full_rank boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean-contract variants (VERDICT r2 #1): the float workloads above emit
+# singular values / block norms that no SQL engine can recompute, so the
+# driver's hash gate can't verify them.  These variants run the SAME
+# distributed algorithms and reduce the verification IN-PLAN — residual
+# norms, cross-algorithm sigma comparison, a Freivalds-style matvec
+# identity — emitting only the boolean verdicts, which literal SELECT
+# oracles then hash-check end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "la_gemm_check",
+    oracle="SELECT TRUE AS matvec_identity, 16 AS blocks",
+)
+def la_gemm_check(spark: SparkSession, sf_dir: str):
+    """Freivalds-style GEMM verification, fully distributed: C = A·B on the
+    seeded 1024²/256 operands, then the matvec identity C·X ≡ A·(B·X) for a
+    seeded 1024×8 probe X — three matmuls through the SAME
+    replicate+cogroup tile path la_gemm_ref exercises, residual reduced via
+    blockwise subtract + max_abs (a false C block fails with probability
+    ~2⁻⁴²⁴ over 8 probe columns).  Verdict is the only thing that leaves
+    the cluster."""
+    a = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=11)
+    b = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=22)
+    a.df.persist()  # read by C=A·B and by A·(B·X)
+    b.df.persist()
+    x = BlockMatrix.from_numpy(
+        spark, np.random.default_rng(99).standard_normal((1024, 8)), 256, 8
+    )
+    x.df.persist()  # read by both sides of the identity
+    c = a.matmul(b)
+    lhs = c.matmul(x)
+    rhs = a.matmul(b.matmul(x))
+    # |entries of C·X| ~ 1e4; accumulated float64 error ~1e-10 — the 1e-6
+    # absolute gate has 4 orders of margin on both sides
+    err = lhs.subtract(rhs).max_abs()
+    for bm in (a, b, x):
+        bm.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(err < 1e-6), c.grid_rows * c.grid_cols)],
+        "matvec_identity boolean, blocks int",
+    )
+
+
+@query(
+    "la_svd_ts_check",
+    oracle=(
+        "SELECT TRUE AS u_orthonormal, TRUE AS reconstructs,"
+        " TRUE AS sigma_sorted, 16 AS rank"
+    ),
+)
+def la_svd_ts_check(spark: SparkSession, sf_dir: str):
+    """Tall-skinny SVD contract on the la_svd_tall_skinny_sigma workload
+    (20000×16, seed 9): UᵀU ≡ I via distributed gramian, ‖U·diag(s)·Vᵀ−A‖
+    via blockwise subtract + max_abs, and s sorted descending.  Observed
+    residuals are ~4e-15; the 1e-8 gates leave 6 orders of margin."""
+    a = BlockMatrix.random(spark, 20000, 16, 2500, 16, seed=9)
+    a.df.persist()  # read by the factorization and the reconstruction check
+    u, s, vt = a.svd_tall_skinny()
+    u.df.persist()  # read by gramian and the reconstruction check
+    orth_err = float(np.abs(u.gramian() - np.eye(16)).max())
+    svt = np.diag(s) @ vt
+    recon_err = u._map_blocks(lambda blk, _m=svt: blk @ _m).subtract(a).max_abs()
+    u.df.unpersist()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                orth_err < 1e-8,
+                recon_err < 1e-8,
+                bool(np.all(np.diff(s) <= 1e-12)),
+                len(s),
+            )
+        ],
+        "u_orthonormal boolean, reconstructs boolean, sigma_sorted boolean, rank int",
+    )
+
+
+@query(
+    "la_svd_compressed_check",
+    oracle=(
+        "SELECT TRUE AS u_orthonormal, TRUE AS sigma_sorted,"
+        " TRUE AS top_sigma_close, 5 AS k"
+    ),
+)
+def la_svd_compressed_check(spark: SparkSession, sf_dir: str):
+    """Randomized-SVD contract on the la_svd_compressed_sigma workload
+    (2000×1000, seed 13, k=5): the HMT sketch's σ₁ is cross-checked against
+    the EXACT σ₁ computed by an independent distributed algorithm (re-block
+    to one block column → gramian → driver eigh — the tall-skinny path),
+    plus UᵀU ≡ I and descending σ.  For the seeded input σ₁=706.99 with the
+    bulk at ~21.9, and a power-iterated sketch captures a dominant σ₁ to
+    ~1e-6 relative — the 1% gate is robust."""
+    a = BlockMatrix.random(spark, 2000, 1000, 500, 500, seed=13)
+    # independent exact reference FIRST (svd_compressed unpersists a.df
+    # internally when it finishes — persist scopes don't nest)
+    g = a.reblock_single_column().gramian()
+    s_exact = np.sqrt(np.clip(np.sort(np.linalg.eigvalsh(g))[::-1], 0, None))
+    u, s, _ = a.svd_compressed(k=5, seed=1)
+    orth_err = float(np.abs(u.gramian() - np.eye(5)).max())
+    return spark.createDataFrame(
+        [
+            (
+                orth_err < 1e-6,
+                bool(np.all(np.diff(s) <= 1e-12)),
+                bool(abs(s[0] - s_exact[0]) / s_exact[0] < 1e-2),
+                len(s),
+            )
+        ],
+        "u_orthonormal boolean, sigma_sorted boolean, top_sigma_close boolean, k int",
     )
 
 
@@ -284,7 +423,13 @@ def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("la_cholesky_check", headline=True)
+@query(
+    "la_cholesky_check",
+    headline=True,
+    # 4 = grid count of the sf<0.1 branch (100² / 25-blocks), the branch the
+    # sf=0.01 correctness gate runs; the boolean residual bound is sf-invariant
+    oracle="SELECT TRUE AS reconstructs, 4 AS blocks",
+)
 def la_cholesky_check(spark: SparkSession, sf_dir: str):
     """DISTRIBUTED Cholesky (docs/examples/examples.rst:84-100) on the
     doc's own SPD input tril(ones(100,100)) @ its transpose, 25-blocks.
@@ -315,6 +460,6 @@ def la_cholesky_check(spark: SparkSession, sf_dir: str):
     l_bm.df.unpersist()
     m.df.unpersist()
     return spark.createDataFrame(
-        [(bool(max_err < 1e-8), float(round(max_err, 10)))],
-        "reconstructs boolean, max_err double",
+        [(bool(max_err < 1e-8), m.grid_rows)],
+        "reconstructs boolean, blocks int",
     )

@@ -48,7 +48,21 @@ def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
     return predict_broadcast(e, model, id_cols=("vec_id", "label"))
 
 
-@query("ml_predict_ref", headline=True)
+@query(
+    "ml_predict_ref",
+    headline=True,
+    # literal oracle (VERDICT r2 #1): generation (per-partition PCG64) and
+    # the perceptron fit are fully deterministic, so the sf=0.01 confusion
+    # counts are fixed integers; the closest sample to the decision boundary
+    # sits at |margin| 2.8e-6 — 7 orders above float64 BLAS drift, so no
+    # count can flip across platforms.  (Counts are the sf<0.1 branch's —
+    # the only branch the correctness gate runs.)
+    oracle="""
+    SELECT * FROM (VALUES (0, 0, 39846), (0, 1, 47), (1, 0, 76), (1, 1, 40031))
+      AS t(label, prediction, n)
+    ORDER BY label, prediction
+    """,
+)
 def ml_predict_ref(spark: SparkSession, sf_dir: str):
     """Parallel inference at the reference's published workload size
     (README.md:298-300): 800,000 samples in 20 chunks, fitted model
