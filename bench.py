@@ -68,12 +68,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if dt > 20.0:
-                break  # the heaviest workload (reference-dimension GEMM)
-                # runs once: a second ~35 s pass buys little precision;
-                # everything lighter gets best-of-2 — machine variance on
-                # this host is ±25-90%, and one noisy pass would otherwise
-                # be recorded as the query's time
+            # caches a query persisted internally must not bleed into the
+            # next measurement (or the second pass)
+            spark.catalog.clearCache()
+            if dt > 90.0:
+                break  # only a pathological pass lands here; host variance
+                # is ±25-90%, so everything else gets the second pass —
+                # round 3 recorded single 26 s passes of 6 s queries
+                # because the old cutoff (20 s) skipped the retry exactly
+                # when it was needed
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

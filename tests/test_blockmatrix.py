@@ -114,6 +114,19 @@ def test_gemm_multiblock_tiles(spark, rng):
     assert np.allclose(c.to_numpy(), a @ b, atol=1e-10)
 
 
+def test_gemm_long_contraction_stream(spark, rng):
+    """Contraction extent ≫ output extent (the 100×-k shape of VERDICT r2
+    #2): the sorted-stream consumer must hold only one k-superchunk at a
+    time and still accumulate exactly.  160 k-blocks against a 2×2 output
+    grid exercises many flush_superchunk cycles per tile plus ragged k."""
+    a, b = rng.random((40, 3130)), rng.random((3130, 40))
+    ma = BlockMatrix.from_numpy(spark, a, 20, 20)
+    mb = BlockMatrix.from_numpy(spark, b, 20, 20)
+    c = ma.matmul(mb)
+    assert (c.n_rows, c.n_cols) == (40, 40)
+    assert np.allclose(c.to_numpy(), a @ b, atol=1e-9)
+
+
 def test_gemm_tiled_sparse_blocks(spark, rng):
     """Missing blocks ≡ zero must hold on the tiled path too (triangular
     operand at a grid size that forces f≥2)."""

@@ -127,7 +127,16 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     n, bs = (10000, 1000) if _sf(sf_dir) >= 0.1 else (2000, 500)
     a = BlockMatrix.random(spark, n, n, bs, bs, seed=31)
     b = BlockMatrix.random(spark, n, n, bs, bs, seed=32)
-    return _block_fro(a.matmul(b))
+    # materialize both operands BEFORE the matmul (VERDICT r2 #3): block
+    # generation otherwise interleaves with the tile shuffle's sort, adding
+    # ±30% run-to-run variance; the norms are collected eagerly so the
+    # caches can be released before returning
+    a.df.persist().count()
+    b.df.persist().count()
+    rows = _block_fro(a.matmul(b)).collect()
+    a.df.unpersist()
+    b.df.unpersist()
+    return spark.createDataFrame(rows, "bi int, bj int, fro double")
 
 
 @query(
