@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.blockmatrix import BlockMatrix, cholesky_blocked
+from wukong_spark.sparse import SparseBlockMatrix
 from wukong_spark.queries import query
 from wukong_spark.queries.helpers import tbl
 
@@ -407,6 +408,47 @@ def la_svd_compressed_check(spark: SparkSession, sf_dir: str):
             )
         ],
         "u_orthonormal boolean, sigma_sorted boolean, top_sigma_close boolean, k int",
+    )
+
+
+@query(
+    "la_sparse_colsums",
+    # nnz of the seeded masked input is a fixed integer (computed from the
+    # same per-block PCG64 streams the generator uses); the booleans are the
+    # in-plan sparse-vs-dense cross-checks
+    oracle="SELECT 3261 AS nnz, TRUE AS roundtrip_exact, TRUE AS colsums_match",
+)
+def la_sparse_colsums(spark: SparkSession, sf_dir: str):
+    """Sparse-array workload, the mirror of the reference's
+    test_sparse_arrays (`wukong/tests/test_collections.py:179-190`):
+    threshold a seeded random matrix (`x[x < 0.95] = 0`), convert blocks to
+    COO (`x.map_blocks(sparse.COO)`), reduce `s.sum(axis=0)[:10]`.
+
+    Contract computed in-plan: total nnz (pure JVM agg over the COO nnz
+    column), dense↔COO roundtrip exactness, and the first-10 column sums
+    matching the DENSE col_sums path to 1e-9 — sparse reductions verified
+    against an independent dense algorithm, only verdicts leave the
+    cluster."""
+    x = BlockMatrix.random(spark, 512, 128, 64, 32, seed=71)
+    masked = x.map_elementwise(lambda b: np.where(b < 0.95, 0.0, b))
+    masked.df.persist()  # read by the COO conversion, dense col_sums, roundtrip
+    s = SparseBlockMatrix.from_dense(masked)
+    s.df.persist()  # read by nnz, col_sums, to_dense
+    nnz = s.nnz()
+    sparse_cs = s.col_sums()[:10]
+    dense_cs = masked.col_sums()[:10]
+    rt_err = s.to_dense().subtract(masked).max_abs()
+    s.df.unpersist()
+    masked.df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                nnz,
+                bool(rt_err == 0.0),
+                bool(np.abs(sparse_cs - dense_cs).max() < 1e-9),
+            )
+        ],
+        "nnz bigint, roundtrip_exact boolean, colsums_match boolean",
     )
 
 
