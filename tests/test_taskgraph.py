@@ -268,3 +268,79 @@ def test_future_retry_after_failure(spark):
         os.unlink(marker)
     finally:
         c.close()
+
+
+# -- worker_client / get_client (reference worker_client.py:11-57,
+#    tests/test_worker_client.py) ----------------------------------------
+def test_submit_from_task_with_worker_client(client):
+    """The reference's test_submit_from_worker shape: a task submits
+    subtasks through worker_client() and combines their results."""
+    from wukong_spark.taskgraph import worker_client
+
+    def func(x):
+        with worker_client() as c:
+            a = c.submit(_inc, x)
+            b = c.submit(lambda v: v * 2, a, pure=False)
+            return a.result() + b.result()
+
+    x = client.submit(func, 10, with_client=True)
+    y = client.submit(func, 20, with_client=True, pure=False)
+    assert client.gather([x, y]) == [11 + 22, 21 + 42]
+
+
+def test_get_client_inside_task_and_default(client, spark):
+    from wukong_spark.taskgraph import get_client
+
+    fresh = WukongClient(spark)
+    try:
+        assert get_client() is fresh  # driver-side fallback: LATEST client
+    finally:
+        fresh.close()
+
+    def func():
+        # inside a with_client task the thread-local wins over the default
+        return get_client().submit(_inc, 41).result()
+
+    assert client.submit(func, with_client=True).result(60) == 42
+
+
+def test_worker_client_no_pool_deadlock(spark):
+    """More blocking coordinators than pool threads: coordinators run
+    seceded (outside the pool), so the children they wait on can still
+    get slots — the hazard the reference solves with secede()."""
+    from wukong_spark.taskgraph import worker_client
+
+    c = WukongClient(spark, max_workers=2)
+    try:
+        def func(x):
+            with worker_client() as wc:
+                kids = [wc.submit(_inc, x * 10 + i, pure=False) for i in range(3)]
+                return sum(wc.gather(kids))
+
+        futs = [c.submit(func, i, with_client=True, pure=False) for i in range(4)]
+        want = [sum(i * 10 + j + 1 for j in range(3)) for i in range(4)]
+        assert [f.result(120) for f in futs] == want
+    finally:
+        c.close()
+
+
+def test_with_client_task_error_propagates(client):
+    def boom():
+        raise RuntimeError("coordinator failed")
+
+    f = client.submit(boom, with_client=True, pure=False)
+    with pytest.raises(RuntimeError, match="coordinator failed"):
+        f.result(60)
+
+
+def test_with_client_chained_parent_futures(client):
+    """A coordinator task whose args are Futures still resolves parents
+    via callbacks before launching."""
+    from wukong_spark.taskgraph import get_client
+
+    parent = client.submit(_inc, 4, pure=False)
+
+    def func(v):
+        return get_client().submit(_inc, v, pure=False).result()
+
+    assert client.submit(func, parent, with_client=True, pure=False).result(60) == 6

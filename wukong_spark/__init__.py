@@ -15,7 +15,7 @@ Layers (SURVEY.md §7):
 """
 
 from wukong_spark.session import PlanCache, TABLES, get_spark, load_table
-from wukong_spark.taskgraph import Future, WukongClient
+from wukong_spark.taskgraph import Future, WukongClient, get_client, worker_client
 
 __all__ = [
     "get_spark",
@@ -24,5 +24,7 @@ __all__ = [
     "PlanCache",
     "WukongClient",
     "Future",
+    "get_client",
+    "worker_client",
 ]
 __version__ = "0.1.0"

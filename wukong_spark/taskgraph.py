@@ -34,12 +34,59 @@ import threading
 from collections import OrderedDict
 from concurrent.futures import CancelledError, ThreadPoolExecutor
 from concurrent.futures import Future as _PyFuture
-from typing import Any, Callable, Iterable
+from contextlib import contextmanager
+from typing import Any, Callable, Iterable, Iterator
 
 import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 
 from wukong_spark.session import PlanCache
+
+#: thread-local task context + process-wide default client, backing
+#: get_client() (reference: worker.py thread_state / get_client)
+_thread_ctx = threading.local()
+_default_client: "WukongClient | None" = None
+
+
+def get_client() -> "WukongClient":
+    """The client for the current task context (reference
+    `worker_client.py:11-57` / worker.py get_client): inside a
+    ``submit(..., with_client=True)`` callable this is the client that
+    submitted it; elsewhere it is the most recently constructed client —
+    dask's own driver-side get_client() fallback.
+
+    Spark disposition (NOT a port): the reference's Lambda tasks open a
+    network channel back to the scheduler to submit subtasks.  Spark
+    executors deliberately have no such channel — cluster-side code cannot
+    start jobs — so subtask-spawning tasks run DRIVER-side on a dedicated
+    thread (see ``WukongClient._launch_local``), which is also exactly
+    what the reference's ``secede()`` achieves: the coordinator leaves the
+    bounded worker pool so waiting on children can never deadlock it.
+    """
+    c = getattr(_thread_ctx, "client", None)
+    if c is not None:
+        return c
+    if _default_client is not None:
+        return _default_client
+    raise ValueError("no WukongClient exists in this process")
+
+
+@contextmanager
+def worker_client() -> Iterator["WukongClient"]:
+    """Context-manager form (`worker_client.py:11-57`):
+
+        def func(x):
+            with worker_client() as c:
+                a = c.submit(inc, x)
+                b = c.submit(dec, x)
+                return c.gather([a, b])
+
+        client.submit(func, 1, with_client=True)
+
+    secede/rejoin are implicit: a with_client task already runs outside
+    the bounded pool, so there is no pool slot to leave or re-take.
+    """
+    yield get_client()
 
 
 class Future:
@@ -121,6 +168,8 @@ class WukongClient:
         self._lock = threading.Lock()
         self._plan_cache = PlanCache()
         self._seq = itertools.count()
+        global _default_client
+        _default_client = self  # get_client() driver-side fallback
 
     def _memo_put(self, key: str, fut: Future) -> None:
         """Insert with LRU bound (caller holds self._lock)."""
@@ -130,7 +179,14 @@ class WukongClient:
             self._memo.popitem(last=False)
 
     # -- A1: submit -------------------------------------------------------
-    def submit(self, func: Callable, *args: Any, pure: bool = True, **kwargs) -> Future:
+    def submit(
+        self,
+        func: Callable,
+        *args: Any,
+        pure: bool = True,
+        with_client: bool = False,
+        **kwargs,
+    ) -> Future:
         """Run ``func(*args)`` as a 1-partition Spark job → Future.
 
         Future-valued args give the fan-in dependency semantics of chained
@@ -140,6 +196,14 @@ class WukongClient:
         arbitrarily deep/wide dependency graph can never deadlock the
         bounded worker pool (the hazard the reference client avoids with
         its scheduler's dependency counting).
+
+        ``with_client=True`` marks a COORDINATOR task — one that calls
+        ``get_client()`` / ``worker_client()`` to submit subtasks
+        (reference `worker_client.py:11-57`).  It runs driver-side on a
+        dedicated thread instead of inside a Spark task (executors cannot
+        submit jobs) and outside the bounded pool (the reference's
+        ``secede()``), so any number of coordinators blocking on children
+        cannot starve the pool the children need.
         """
         content_key = _tokenize(func, args, kwargs)
         if content_key is None:
@@ -149,6 +213,7 @@ class WukongClient:
             if pure
             else f"{getattr(func, '__name__', 'task')}-impure-{next(self._seq)}"
         )
+        launcher = self._launch_local if with_client else self._launch
         with self._lock:
             hit = self._memo.get(key) if pure else None
             if hit is not None:
@@ -159,8 +224,10 @@ class WukongClient:
             ]
 
             if not parents:
-                pf, cancel_hook = self._launch(func, args, kwargs, key)
-                fut = Future(key, pf, cancel_hook, self._make_retry(func, args, kwargs, key))
+                pf, cancel_hook = launcher(func, args, kwargs, key)
+                fut = Future(
+                    key, pf, cancel_hook, self._make_retry(func, args, kwargs, key, launcher)
+                )
             else:
                 outer: _PyFuture = _PyFuture()
                 remaining = [len(parents)]
@@ -193,7 +260,7 @@ class WukongClient:
                             return
                         remaining[0] -= 1
                         if remaining[0] == 0:
-                            ipf, icancel = self._launch(func, args, kwargs, key)
+                            ipf, icancel = launcher(func, args, kwargs, key)
                             hooks["inner_cancel"] = icancel
                             _bridge(ipf)
 
@@ -206,7 +273,8 @@ class WukongClient:
                 for p in parents:
                     p._f.add_done_callback(_parent_done)
                 fut = Future(
-                    key, outer, cancel_hook, self._make_retry(func, args, kwargs, key)
+                    key, outer, cancel_hook,
+                    self._make_retry(func, args, kwargs, key, launcher),
                 )
             if pure:
                 self._memo_put(key, fut)
@@ -255,11 +323,62 @@ class WukongClient:
 
         return pf, cancel_hook
 
-    def _make_retry(
+    def _launch_local(
         self, func: Callable, args: tuple, kwargs: dict, key: str
+    ) -> tuple[_PyFuture, Callable[[], bool]]:
+        """Start one attempt of a COORDINATOR task: driver-side, on its own
+        daemon thread (outside the bounded pool = the reference's secede),
+        with the thread-local client set so get_client()/worker_client()
+        resolve, and its own job group so Spark jobs it launches directly
+        are cancellable as a unit (subtasks it submits get their own
+        groups and their own cancel hooks, as always)."""
+        group = f"wukong-{key[:40]}-{next(self._seq)}"
+        cancelled = threading.Event()
+        pf: _PyFuture = _PyFuture()
+
+        def run() -> None:
+            if not pf.set_running_or_notify_cancel():
+                return
+            try:
+                resolved = tuple(
+                    a.result() if isinstance(a, Future) else a for a in args
+                )
+                rkw = {
+                    k: (v.result() if isinstance(v, Future) else v)
+                    for k, v in kwargs.items()
+                }
+                sc = self.spark.sparkContext
+                sc.setJobGroup(group, key, interruptOnCancel=True)
+                _thread_ctx.client = self
+                try:
+                    pf.set_result(func(*resolved, **rkw))
+                finally:
+                    _thread_ctx.client = None
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+            except BaseException as e:  # noqa: BLE001 — must reach the future
+                pf.set_exception(CancelledError(key) if cancelled.is_set() else e)
+
+        threading.Thread(target=run, daemon=True, name=f"wukong-local-{key[:32]}").start()
+
+        def cancel_hook() -> bool:
+            if pf.cancel():
+                return True  # never started
+            cancelled.set()
+            try:
+                self.spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                return False
+            return True
+
+        return pf, cancel_hook
+
+    def _make_retry(
+        self, func: Callable, args: tuple, kwargs: dict, key: str, launcher=None
     ) -> Callable[[Future], None]:
+        launcher = launcher or self._launch
+
         def retry(fut: Future) -> None:
-            pf, cancel_hook = self._launch(func, args, kwargs, key)
+            pf, cancel_hook = launcher(func, args, kwargs, key)
             fut._f = pf
             fut._cancel_hook = cancel_hook
 
