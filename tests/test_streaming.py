@@ -68,19 +68,14 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     stream the events split into 4 files (1 file per trigger), final running
     totals must equal the batch aggregation."""
     import pyspark.sql.functions as F
-    from wukong_spark.streaming import EVENTS_SCHEMA, stateful_user_totals
+    from wukong_spark.streaming import read_events_dir_stream, stateful_user_totals
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     staged = str(tmp_path / "events_split")
     raw.repartition(4).write.parquet(staged)
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = read_events_dir_stream(spark, staged, max_files_per_trigger=1)
     out = run_to_memory(
         stateful_user_totals(stream), "stateful_totals_test", mode="update"
     ).toPandas()
@@ -161,18 +156,14 @@ def test_stream_file_sink_exactly_once_across_restart(spark, tmp_path):
 def test_stream_dedup_drops_exact_dupes(spark, tmp_path):
     """Watermarked streaming dropDuplicates removes injected duplicates."""
     import pyspark.sql.functions as F
-    from wukong_spark.streaming import EVENTS_SCHEMA, dedup_stream, run_to_memory
+    from wukong_spark.streaming import dedup_stream, read_events_dir_stream, run_to_memory
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(500)
     staged = str(tmp_path / "dupes")
     raw.union(raw).write.parquet(staged)  # every event exactly twice
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(staged)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = read_events_dir_stream(spark, staged)
     out = run_to_memory(
         dedup_stream(stream, keys=["event_id"]), "dedup_stream_test", complete=False
     )
@@ -196,10 +187,10 @@ def test_stream_stream_join_bounded_state(spark):
         complete=False,
     ).count()
 
+    from wukong_spark.streaming import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    e = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     c = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("ts").alias("cts")
     )

@@ -131,9 +131,13 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     # materialize both operands BEFORE the matmul (VERDICT r2 #3): block
     # generation otherwise interleaves with the tile shuffle's sort, adding
     # ±30% run-to-run variance; the norms are collected eagerly so the
-    # caches can be released before returning
-    a.df.persist().count()
-    b.df.persist().count()
+    # caches can be released before returning.  DISK_ONLY: 16 GB of 8 MB
+    # binary cells on a 24 g heap would churn G1 (see session.py) — the OS
+    # page cache serves the spilled blocks at RAM speed anyway
+    from pyspark import StorageLevel
+
+    a.df.persist(StorageLevel.DISK_ONLY).count()
+    b.df.persist(StorageLevel.DISK_ONLY).count()
     rows = _block_fro(a.matmul(b)).collect()
     a.df.unpersist()
     b.df.unpersist()

@@ -33,9 +33,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the streaming file source requires a DIRECTORY; testdata ships single
     # parquet files → stage a symlink dir (read-only view, nothing copied)
     src = f"{sf_dir}/events.parquet"
@@ -43,11 +40,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         stage = tempfile.mkdtemp(prefix="wukong-stream-")
         os.symlink(src, os.path.join(stage, "events.parquet"))
         src = stage
-    df = reader.parquet(src)
-    # watermarks require TIMESTAMP (LTZ) — keep LTZ here (session tz pinned
-    # UTC above so semantics equal the batch NTZ path); window bounds are
-    # cast back to NTZ after aggregation for batch parity
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return read_events_dir_stream(spark, src, max_files_per_trigger)
+
+
+def read_events_dir_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source over any events-shaped parquet DIRECTORY.
+
+    The events table has shipped as both TIMESTAMP(NANOS) (read as long
+    under nanosAsLong) and TIMESTAMP(MICROS) (read as timestamp_ntz) —
+    probe the footer with a batch read and adapt, exactly as load_table
+    does, so the declared streaming schema matches the file's physical
+    type regardless of which writer produced it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    reader = spark.readStream.schema(EVENTS_SCHEMA.replace("ts long", f"ts {ts_type}"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_ts(reader.parquet(directory))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """`ts` → TIMESTAMP (LTZ; callers pin the session tz to UTC so the
+    semantics equal the batch NTZ path).  Watermarks require LTZ; window
+    bounds are cast back to NTZ after aggregation for batch parity."""
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
