@@ -793,3 +793,194 @@ def text_tfidf_top3(spark: SparkSession, sf_dir: str):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators beyond dedup: repetition filtering (Gopher-style
+# quality rule), benchmark decontamination, and PII redaction — the
+# remaining staples of a training-data pipeline.  All three are MAP-ONLY or
+# broadcast-join shapes: at 100 TB nothing here shuffles the token stream.
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of word n-grams (joined by single spaces); empty for short docs."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS sh
+      FROM toks WHERE array_length(t) >= 2
+    ), counts AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY doc_id, sh
+    ), agg AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS dist, MAX(c) AS top
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_2grams,
+           ROUND(1.0 - dist * 1.0 / n, 4) AS dup_frac,
+           ROUND(top * 1.0 / n, 4) AS top_frac,
+           (1.0 - dist * 1.0 / n) <= 0.05 AS keep
+    FROM agg
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str):
+    """Gopher-style repetition quality gate: per-document duplicate-2-gram
+    fraction and top-2-gram fraction, keep = dup_frac ≤ 0.05.
+
+    Scale shape: MAP-ONLY — both statistics come from array expressions
+    inside the row (no explode, no shuffle of the token stream).  The
+    top-gram count is the longest run in the SORTED shingle array
+    (array_sort + aggregate run-length scan, O(n log n) per doc), which is
+    how you'd compute a mode without a groupBy at 100 TB.  The oracle uses
+    the textbook unnest+GROUP BY formulation — two independent algorithms
+    must agree exactly.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = _word_ngrams(toks, 2)
+    n = F.size(sh)
+    dist = F.size(F.array_distinct(sh))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        nxt = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), nxt.alias("run"), F.greatest(acc["best"], nxt).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(sh), init, step)["best"]
+    dup_frac = F.lit(1.0) - dist * F.lit(1.0) / n
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_2grams"),
+            F.round(dup_frac, 4).alias("dup_frac"),
+            F.round(top * F.lit(1.0) / n, 4).alias("top_frac"),
+            (dup_frac <= 0.05).alias("keep"),
+        )
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, array_length(t) - 2),
+                    i -> array_to_string(t[i:i+3], ' '))) AS g
+      FROM toks WHERE array_length(t) >= 4
+    )
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM grams c
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 10) b USING (g)
+    WHERE c.doc_id >= 10
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    4-gram with the held-out set (docs 0-9 stand in for the benchmark).
+
+    Scale shape: the benchmark n-gram set is ALWAYS small (eval suites are
+    KBs-MBs against a 100 TB corpus) — distinct it and BROADCAST; the
+    corpus side streams map-side through the hash join, no shuffle of
+    corpus n-grams.  Returns (doc_id, n_overlap) for contaminated docs —
+    the drop-list a curation pipeline anti-joins against.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(toks, 4))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+#: cross-engine (Java regex / RE2) compatible PII patterns
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' ip 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(s, '{_IP_RE}')) AS n_ips,
+           length(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_IP_RE}', '<IP>', 'g')) AS redacted_len
+    FROM aug
+    WHERE len(regexp_extract_all(s, '{_EMAIL_RE}'))
+        + len(regexp_extract_all(s, '{_IP_RE}')) > 0
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str):
+    """PII scrub: regex redaction of emails and IPv4 addresses (the
+    text-normalization step every corpus pipeline runs before training).
+
+    The synthetic corpus carries no PII, so deterministic markers are
+    INJECTED first (doc_id-derived, identical in both engines) — the
+    redaction path is then verified end-to-end: per-doc match counts AND
+    the redacted text length must agree exactly.  Scale shape: map-only
+    JVM regexp (codegen), no Python, no shuffle.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("s"), F.lit(_EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(F.col("s"), F.lit(_IP_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return (
+        d.select("doc_id", aug.alias("s"))
+        .select(
+            "doc_id",
+            n_emails.cast("long").alias("n_emails"),
+            n_ips.cast("long").alias("n_ips"),
+            F.length(red).cast("long").alias("redacted_len"),
+        )
+        .filter(F.col("n_emails") + F.col("n_ips") > 0)
+    )
