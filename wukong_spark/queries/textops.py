@@ -984,3 +984,44 @@ def text_pii_redact(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_emails") + F.col("n_ips") > 0)
     )
+
+
+#: GPT-2-style pre-tokenization regex, restricted to the Java-regex ∩ RE2
+#: subset (no lookahead): contractions, letter runs, digit runs, punctuation
+#: runs (each with optional leading space), whitespace runs
+_BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, regexp_extract_all(text, $${_BPE_RE}$$) AS pieces
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           CAST(list_sum(list_transform(pieces,
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS est_tokens
+    FROM p
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str):
+    """LLM token counting via a BPE-ish pre-tokenizer (the brief's
+    "whitespace + a BPE-ish regex" pair — text_token_stats is the
+    whitespace half).  The regex is the GPT-2 pre-tokenization pattern
+    restricted to the Java∩RE2 subset so both engines split identically;
+    est_tokens applies the ~4-chars-per-BPE-token rule per piece — the
+    budget estimate a corpus pipeline runs before tokenizing 100 TB for
+    real.  Map-only JVM codegen, no shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("long"),
+        ).alias("est_tokens"),
+    )
