@@ -1025,3 +1025,58 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str):
             lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("long"),
         ).alias("est_tokens"),
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(off // 512 AS BIGINT) AS seq_id,
+           CAST(off % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str):
+    """Training-sequence packing (concat-then-chunk): assign each document
+    a (seq_id, offset) inside its shard's 512-token stream — the layout
+    step that turns a filtered corpus into fixed-budget training rows.
+
+    Deterministic contract: exclusive running token count per shard in
+    doc_id order; seq_id = offset ÷ budget.  Scale shape: the window
+    partitions by SHARD (`source`) — packing is embarrassingly parallel
+    across shards, never a global single-partition window; per-shard
+    order is the stable doc_id, so re-runs and engine swaps produce the
+    identical layout (the reproducibility a resumable 100 TB tokenization
+    job needs)."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(off / 512).cast("long").alias("seq_id"),
+            (off % 512).cast("long").alias("seq_offset"),
+        )
+    )
