@@ -96,16 +96,40 @@ def linear_chain_pipeline(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("graph_connected_components")
+@query(
+    "graph_connected_components",
+    # transitive-closure RECURSIVE CTE (same pattern as the near-dup
+    # clusters oracle): component = MIN reachable node id.  The
+    # `r.label < b.src` prune is lossless — a relayed label larger than
+    # the relay node can never be any node's minimum, because the relay
+    # node's own (smaller) label travels the same path
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), bi AS (
+      SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+    ), reach(node, label) AS (
+      SELECT src AS node, src AS label FROM bi
+      UNION
+      SELECT b.src AS node, r.label FROM bi b JOIN reach r ON r.node = b.dst
+      WHERE r.label < b.src
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY component
+    """,
+)
 def graph_connected_components(spark: SparkSession, sf_dir: str):
     """Connected components (iterative min-label propagation, driver-
-    coordinated loop — the non-SQL-expressible category) on the bipartite
-    customer↔supplier graph induced by orders⋈lineitem.
+    coordinated loop) on the bipartite customer↔supplier graph induced by
+    orders⋈lineitem.
 
     Output: per-component node counts.  Deterministic (component id = min
-    node id), so the rows-only hash is stable; the union-find oracle lives
-    in tests/test_graph.py.  See wukong_spark/operators/graph.py for the
-    per-iteration scale discipline.
+    node id); the DuckDB oracle recomputes it as a pruned transitive
+    closure, and the union-find oracle lives in tests/test_graph.py.  See
+    wukong_spark/operators/graph.py for the per-iteration scale
+    discipline.
     """
     from wukong_spark.operators.graph import connected_components
 
