@@ -21,6 +21,11 @@ SETTINGS = dict(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # fixed example sequence: random draws occasionally hit pathological
+    # corners (e.g. an 80²/3-block Cholesky = 27 driver-sequential steps
+    # ≈ 100+ latency-bound Spark jobs) and a "fast" suite run turns into
+    # a 30-minute one; derandomized draws keep the cost profile stable
+    derandomize=True,
 )
 
 
@@ -101,17 +106,19 @@ def test_salted_agg_equals_plain(spark, rows, buckets):
     n=st.integers(12, 120),
     m=st.integers(8, 60),
     br=st.integers(4, 32),
-    bc=st.integers(4, 16),
+    npanels=st.integers(1, 5),  # panel COUNT, not width: the CGS2 loop is
+    # driver-sequential per panel, so bound the panel count directly
     force_panels=st.booleans(),
     seed=st.integers(0, 10_000),
 )
 @settings(**SETTINGS)
-def test_general_qr_properties_any_shape(spark, n, m, br, bc, force_panels, seed):
+def test_general_qr_properties_any_shape(spark, n, m, br, npanels, force_panels, seed):
     """General multi-block-column QR invariants for any tall/square shape,
     both strategies (single-panel re-block and the CGS2 panel loop):
     QᵀQ = I, QR = A, R upper triangular."""
     if n < m:
         n, m = m, n  # qr() requires n_rows ≥ n_cols
+    bc = max(4, (m + npanels - 1) // npanels)
     rng = np.random.default_rng(seed)
     a = rng.standard_normal((n, m))
     q, r = BlockMatrix.from_numpy(spark, a, br, bc).qr(force_panels=force_panels)
@@ -123,13 +130,16 @@ def test_general_qr_properties_any_shape(spark, n, m, br, bc, force_panels, seed
 
 @given(
     n=st.integers(6, 80),
-    bs=st.integers(3, 30),
+    nb=st.integers(1, 6),  # BLOCK-GRID size, not block size: the loop is
+    # driver-sequential with ~4 jobs per step, so cost is linear in the
+    # grid — draw it directly to bound the per-example job count
     seed=st.integers(0, 10_000),
 )
 @settings(**SETTINGS)
-def test_cholesky_properties_any_blocking(spark, n, bs, seed):
+def test_cholesky_properties_any_blocking(spark, n, nb, seed):
     """Distributed Cholesky for any (size, blocking) incl. ragged edge
     blocks: L lower-triangular, LLᵀ = A, matches numpy."""
+    bs = max(1, (n + nb - 1) // nb)
     rng = np.random.default_rng(seed)
     g = rng.standard_normal((n, n))
     spd = g @ g.T / n + 2.0 * np.eye(n)
