@@ -1,0 +1,115 @@
+"""Driver-mimic correctness gate (per .claude/skills/verify/SKILL.md).
+
+Builds a PLAIN SparkSession (non-UTC timezone, none of wukong_spark's
+session tuning — exactly the environment the driver's verify uses),
+imports __spark_entry__, smoke-runs entry(), then runs every queries()
+entry at sf0.01 and exact-compares against oracle_sql() via DuckDB.
+
+This is the strongest local predictor of CORRECTNESS_r{N}.json: unlike
+tools/check_correctness.py it does NOT use the tuned get_spark session,
+so timezone/parquet-type sensitivities surface here first.
+
+Usage: python tools/driver_mimic.py [query ...]
+"""
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver-mimic")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows", file=sys.stderr)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    npass = nfail = nnoor = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = qs[name](spark, SF).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {e}")
+            nfail += 1
+            continue
+        if name not in oracles:
+            nnoor += 1
+            print(f"noor {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
+            continue
+        want = con.execute(oracles[name]).fetchdf()
+        g, w = normalize(got), normalize(want)
+        probs = []
+        if list(g.columns) != list(w.columns):
+            probs.append(f"columns {list(g.columns)} != {list(w.columns)}")
+        elif len(g) != len(w):
+            probs.append(f"rowcount {len(g)} != {len(w)}")
+        else:
+            for c in g.columns:
+                bad = [
+                    (i, x, y)
+                    for i, (x, y) in enumerate(zip(g[c].tolist(), w[c].tolist()))
+                    if not cells_equal(x, y)
+                ]
+                if bad:
+                    probs.append(f"col {c}: {len(bad)} diffs, first {bad[0]}")
+        if probs:
+            nfail += 1
+            print(f"FAIL {name}: {probs}")
+        else:
+            npass += 1
+            print(f"pass {name} ({time.time()-t0:.1f}s)")
+    print(f"== {npass} pass, {nfail} fail, {nnoor} no-oracle ==")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
