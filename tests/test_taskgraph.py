@@ -344,3 +344,50 @@ def test_with_client_chained_parent_futures(client):
         return get_client().submit(_inc, v, pure=False).result()
 
     assert client.submit(func, parent, with_client=True, pure=False).result(60) == 6
+
+
+# -- ClientExecutor (reference client.py:1406-1421, test_client_executor.py) --
+def test_executor_submit_and_errors(client):
+    from concurrent.futures import Future as CFuture
+
+    def boom(x):
+        raise RuntimeError(x)
+
+    with client.get_executor(pure=False) as e:
+        f1 = e.submit(_add, 1, 2)
+        assert isinstance(f1, CFuture)
+        f2 = e.submit(_add, 3, y=4)
+        f3 = e.submit(boom, "foo")
+        assert f1.result(60) == 3
+        assert f2.result(60) == 7
+        # A27 semantics: the remote error surfaces on result() with its
+        # message (Spark wraps the original RuntimeError)
+        with pytest.raises(Exception, match="foo"):
+            f3.result(60)
+
+
+def test_executor_stdlib_wait_and_as_completed(client):
+    from concurrent.futures import as_completed as cf_as_completed
+    from concurrent.futures import wait as cf_wait
+
+    with client.get_executor(pure=False) as e:
+        fs = [e.submit(_inc, i) for i in range(8)]
+        got = {f.result() for f in cf_as_completed(fs)}
+        assert got == set(range(1, 9))
+        done, not_done = cf_wait(fs, timeout=30)
+        assert len(done) == 8 and not not_done
+
+
+def test_executor_map_in_order(client):
+    with client.get_executor(pure=False) as e:
+        assert list(e.map(_inc, range(6))) == list(range(1, 7))
+        assert list(e.map(_add, [1, 2, 3], [10, 20, 30])) == [11, 22, 33]
+
+
+def test_executor_shutdown_rejects_new_work(client):
+    e = client.get_executor(pure=False)
+    f = e.submit(_inc, 1)
+    e.shutdown(wait=True)
+    assert f.result(60) == 2
+    with pytest.raises(RuntimeError):
+        e.submit(_inc, 2)

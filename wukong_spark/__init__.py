@@ -15,7 +15,13 @@ Layers (SURVEY.md §7):
 """
 
 from wukong_spark.session import PlanCache, TABLES, get_spark, load_table
-from wukong_spark.taskgraph import Future, WukongClient, get_client, worker_client
+from wukong_spark.taskgraph import (
+    ClientExecutor,
+    Future,
+    WukongClient,
+    get_client,
+    worker_client,
+)
 
 __all__ = [
     "get_spark",
@@ -25,6 +31,7 @@ __all__ = [
     "WukongClient",
     "Future",
     "get_client",
+    "ClientExecutor",
     "worker_client",
 ]
 __version__ = "0.1.0"

@@ -33,6 +33,7 @@ import itertools
 import threading
 from collections import OrderedDict
 from concurrent.futures import CancelledError, ThreadPoolExecutor
+from concurrent.futures import Executor as _CFExecutor
 from concurrent.futures import Future as _PyFuture
 from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Iterator
@@ -151,6 +152,59 @@ def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str | None:
         return None
     name = getattr(func, "__name__", "task")
     return f"{name}-{hashlib.md5(payload).hexdigest()}"
+
+
+class ClientExecutor(_CFExecutor):
+    """concurrent.futures.Executor facade over a WukongClient
+    (reference `client.py:1406-1421` get_executor + `cfexecutor.py`,
+    exercised by `tests/test_client_executor.py`).
+
+    submit() returns a REAL concurrent.futures.Future (the client
+    Future's underlying pyfuture), so every stdlib utility —
+    ``wait``, ``as_completed``, ``FIRST_COMPLETED`` — works unchanged.
+    Constructor kwargs (e.g. ``pure=False``) forward to every submit,
+    mirroring the reference's workers/resources pass-through.
+    """
+
+    def __init__(self, client: "WukongClient", **kwargs):
+        self._client = client
+        self._kw = kwargs
+        self._futures: list[Future] = []
+        self._shutdown = False
+
+    def submit(self, fn: Callable, *args: Any, **kwargs: Any) -> _PyFuture:
+        if self._shutdown:
+            raise RuntimeError("cannot schedule new futures after shutdown")
+        f = self._client.submit(fn, *args, **{**self._kw, **kwargs})
+        self._futures.append(f)
+        return f._f
+
+    def map(self, fn: Callable, *iterables, timeout: float | None = None, chunksize: int = 1):
+        """Lazy in-order results iterator (stdlib contract: raises
+        concurrent.futures.TimeoutError past the deadline)."""
+        import time as _time
+
+        end = None if timeout is None else _time.monotonic() + timeout
+        fs = [self.submit(fn, *xs) for xs in zip(*iterables)]
+
+        def gen():
+            for pf in fs:
+                yield pf.result(None if end is None else max(0.0, end - _time.monotonic()))
+
+        return gen()
+
+    def shutdown(self, wait: bool = True, *, cancel_futures: bool = False) -> None:
+        self._shutdown = True
+        if cancel_futures:
+            for f in self._futures:
+                f.cancel()
+        if wait:
+            for f in self._futures:
+                if not f._f.cancelled():
+                    try:
+                        f._f.exception()  # block; don't raise here
+                    except Exception:
+                        pass
 
 
 class WukongClient:
@@ -425,6 +479,11 @@ class WukongClient:
                 df = df.repartition(npartitions)
             return self._plan_cache.persist(df)
         return self.spark.sparkContext.broadcast(data)
+
+    def get_executor(self, **kwargs) -> ClientExecutor:
+        """concurrent.futures-compatible Executor over this client
+        (`client.py:1406-1421`); kwargs forward to every submit."""
+        return ClientExecutor(self, **kwargs)
 
     # -- A7: gather -------------------------------------------------------
     def gather(self, futures) -> Any:
