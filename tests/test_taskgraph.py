@@ -391,3 +391,26 @@ def test_executor_shutdown_rejects_new_work(client):
     assert f.result(60) == 2
     with pytest.raises(RuntimeError):
         e.submit(_inc, 2)
+
+
+def test_upload_file_module_importable_in_tasks(client, tmp_path):
+    """Reference upload_file semantics: ship a .py module, tasks import it."""
+    mod = tmp_path / "wukong_uploaded_mod.py"
+    mod.write_text("VALUE = 1234\n")
+    client.upload_file(str(mod))
+
+    def read_value():
+        import wukong_uploaded_mod
+
+        return wukong_uploaded_mod.VALUE
+
+    assert client.submit(read_value, pure=False).result(60) == 1234
+
+
+def test_run_on_every_slot(client):
+    import os
+
+    out = client.run(os.getpid)
+    n = client.spark.sparkContext.defaultParallelism
+    assert set(out) == set(range(n))
+    assert all(isinstance(v, int) for v in out.values())

@@ -485,6 +485,35 @@ class WukongClient:
         (`client.py:1406-1421`); kwargs forward to every submit."""
         return ClientExecutor(self, **kwargs)
 
+    def upload_file(self, path: str) -> None:
+        """Ship a local file to every executor (reference
+        `client.py` upload_file; tests/test_client.py exercises shipping a
+        .py module that tasks then import).  Spark-native: addPyFile puts
+        .py/.zip/.egg on every worker's import path; other files go
+        through addFile (SparkFiles.get)."""
+        if path.endswith((".py", ".zip", ".egg")):
+            self.spark.sparkContext.addPyFile(path)
+        else:
+            self.spark.sparkContext.addFile(path)
+
+    def run(self, func: Callable, *args: Any, **kwargs: Any) -> dict[int, Any]:
+        """Run ``func`` once on every executor slot and gather the results
+        (reference `client.py` Client.run — cache warming, env probes).
+        Spark has no run-on-every-worker RPC; the idiomatic mirror is a
+        job with exactly defaultParallelism single-element partitions, one
+        call per slot.  Returns {slot_index: result}."""
+        n = self.spark.sparkContext.defaultParallelism
+
+        def per_slot(it):
+            for i in it:
+                yield (i, func(*args, **kwargs))
+
+        return dict(
+            self.spark.sparkContext.parallelize(range(n), n)
+            .mapPartitions(per_slot)
+            .collect()
+        )
+
     # -- A7: gather -------------------------------------------------------
     def gather(self, futures) -> Any:
         """Fetch results (`client.py:1677-1961`); accepts one Future or an
