@@ -63,8 +63,16 @@ def test_linear_chain(client):
 
 
 def test_map_preserves_order(client):
-    fut = client.map(_inc, range(100))
-    assert fut.result() == list(range(1, 101))
+    # reference contract (`client.py:1524`): one future PER ELEMENT
+    futs = client.map(_inc, range(100))
+    assert isinstance(futs, list) and all(isinstance(f, Future) for f in futs)
+    assert client.gather(futs) == list(range(1, 101))
+    # unpacking works like the reference's `x, y = c.map(f, [10, 20])`
+    x, y = client.map(_inc, [10, 20])
+    assert (x.result(), y.result()) == (11, 21)
+    # memoized: identical map returns the same element futures
+    futs2 = client.map(_inc, range(100))
+    assert futs2[0] is futs[0]
 
 
 def test_gather_list(client):

@@ -439,9 +439,16 @@ class WukongClient:
         return retry
 
     # -- A2: map ----------------------------------------------------------
-    def map(self, func: Callable, iterable: Iterable[Any], npartitions: int | None = None) -> Future:
-        """Task per element (`client.py:1524`): one Spark job, one element
-        per logical task, results in input order."""
+    def map(
+        self, func: Callable, iterable: Iterable[Any], npartitions: int | None = None
+    ) -> list[Future]:
+        """Task per element (`client.py:1524-1675`): returns ONE FUTURE PER
+        ELEMENT — the reference's contract (``x, y = c.map(f, [10, 20])``).
+
+        Execution stays batched: a single Spark job computes every element
+        (one element per logical task, results in input order), and the
+        per-element futures resolve from the batch result when it lands —
+        n futures never cost n jobs."""
         items = list(iterable)
         n = npartitions or min(len(items), 64) or 1
 
@@ -449,16 +456,34 @@ class WukongClient:
             sc = self.spark.sparkContext
             return sc.parallelize(items, n).map(func).collect()
 
-        key = _tokenize(func, tuple(items), {})
+        # "map-" prefix: submit(f, 1, 2) and map(f, [1, 2]) tokenize the
+        # same but memoize different shapes (Future vs list[Future])
+        content = _tokenize(func, tuple(items), {})
+        key = None if content is None else f"map-{content}"
         with self._lock:
-            if key is None:
-                return Future(f"map-impure-{next(self._seq)}", self._pool.submit(run))
-            hit = self._memo.get(key)
-            if hit is not None:
-                return hit
-            fut = Future(key, self._pool.submit(run))
-            self._memo_put(key, fut)
-            return fut
+            if key is not None:
+                hit = self._memo.get(key)
+                if hit is not None:
+                    return hit  # memoized list of element futures
+            batch_key = key or f"map-impure-{next(self._seq)}"
+            batch_pf = self._pool.submit(run)
+            element_pfs = [_PyFuture() for _ in items]
+
+            def distribute(pf: _PyFuture) -> None:
+                e = pf.exception()
+                for i, epf in enumerate(element_pfs):
+                    if e is not None:
+                        epf.set_exception(e)
+                    else:
+                        epf.set_result(pf.result()[i])
+
+            batch_pf.add_done_callback(distribute)
+            futs = [
+                Future(f"{batch_key}-{i}", epf) for i, epf in enumerate(element_pfs)
+            ]
+            if key is not None:
+                self._memo_put(key, futs)
+            return futs
 
     # -- A6: scatter ------------------------------------------------------
     def scatter(self, data, npartitions: int | None = None):
