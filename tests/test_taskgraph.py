@@ -73,6 +73,8 @@ def test_map_preserves_order(client):
     # memoized: identical map returns the same element futures
     futs2 = client.map(_inc, range(100))
     assert futs2[0] is futs[0]
+    # multiple iterables zip positionally, like the reference
+    assert client.gather(client.map(_add, [1, 2, 3], [10, 20, 30])) == [11, 22, 33]
 
 
 def test_gather_list(client):

@@ -440,21 +440,23 @@ class WukongClient:
 
     # -- A2: map ----------------------------------------------------------
     def map(
-        self, func: Callable, iterable: Iterable[Any], npartitions: int | None = None
+        self, func: Callable, *iterables: Iterable[Any], npartitions: int | None = None
     ) -> list[Future]:
         """Task per element (`client.py:1524-1675`): returns ONE FUTURE PER
-        ELEMENT — the reference's contract (``x, y = c.map(f, [10, 20])``).
+        ELEMENT — the reference's contract (``x, y = c.map(f, [10, 20])``) —
+        and accepts multiple iterables zipped positionally
+        (``c.map(add, xs, ys)``).
 
         Execution stays batched: a single Spark job computes every element
         (one element per logical task, results in input order), and the
         per-element futures resolve from the batch result when it lands —
         n futures never cost n jobs."""
-        items = list(iterable)
+        items = list(zip(*iterables))
         n = npartitions or min(len(items), 64) or 1
 
         def run() -> list:
             sc = self.spark.sparkContext
-            return sc.parallelize(items, n).map(func).collect()
+            return sc.parallelize(items, n).map(lambda t: func(*t)).collect()
 
         # "map-" prefix: submit(f, 1, 2) and map(f, [1, 2]) tokenize the
         # same but memoize different shapes (Future vs list[Future])
