@@ -424,3 +424,36 @@ def test_run_on_every_slot(client):
     n = client.spark.sparkContext.defaultParallelism
     assert set(out) == set(range(n))
     assert all(isinstance(v, int) for v in out.values())
+
+
+def test_list_datasets(client, spark):
+    df = spark.range(5).withColumnRenamed("id", "v")
+    client.publish_dataset("listed_ds_a", df)
+    client.publish_dataset("listed_ds_b", df)
+    names = client.list_datasets()
+    assert {"listed_ds_a", "listed_ds_b"} <= set(names)
+    client.unpublish_dataset("listed_ds_a")
+    client.unpublish_dataset("listed_ds_b")
+    assert "listed_ds_a" not in client.list_datasets()
+
+
+def test_executor_shutdown_cancel_futures(client):
+    import time
+
+    def sleepy(t):
+        time.sleep(t)
+        return t
+
+    e = client.get_executor(pure=False)
+    fs = [e.submit(sleepy, 5.0) for _ in range(3)]
+    e.shutdown(wait=False, cancel_futures=True)
+    # every future either cancelled before starting or interrupted mid-job;
+    # none may hang — result() must resolve (value or error) promptly
+    resolved = 0
+    for pf in fs:
+        try:
+            pf.result(30)
+            resolved += 1
+        except Exception:
+            resolved += 1
+    assert resolved == 3

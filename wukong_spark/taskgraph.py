@@ -667,6 +667,15 @@ class WukongClient:
     def unpublish_dataset(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
 
+    def list_datasets(self) -> list[str]:
+        """Names of published datasets (`client.py:2273` list_datasets) —
+        the temp views of the session, sorted."""
+        return sorted(
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.tableType == "TEMPORARY"
+        )
+
     # -- A28: cancel ------------------------------------------------------
     def cancel_all(self) -> None:
         self.spark.sparkContext.cancelAllJobs()
