@@ -1080,3 +1080,48 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str):
             (off % 512).cast("long").alias("seq_offset"),
         )
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(0, array_length(t), 24)) AS start
+      FROM toks WHERE array_length(t) >= 1
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(array_length(t[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str):
+    """Document chunking into overlapping token windows (32-token chunks,
+    stride 24 → 8-token overlap) — the retrieval/RAG prep step that turns
+    a curated corpus into embeddable passages.
+
+    Scale shape: map-only — windows come from an in-row
+    sequence→transform→explode over the token array, so chunking 100 TB
+    is pure partition parallelism (the explode multiplies rows ~n/stride×
+    but never shuffles).  Slicing semantics are pinned identically in
+    both engines (1-based inclusive 32-token slice, short final chunk).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(24)),
+        lambda start: F.struct(
+            (start / 24).cast("long").alias("chunk_id"),
+            F.size(F.slice(toks, start + 1, 32)).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(toks, start + 1, 32)).alias("chunk_text"),
+        ),
+    )
+    return (
+        d.filter(n >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
+    )
