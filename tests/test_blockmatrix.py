@@ -114,6 +114,34 @@ def test_gemm_multiblock_tiles(spark, rng):
     assert np.allclose(c.to_numpy(), a @ b, atol=1e-10)
 
 
+def test_gemm_fused_random_matches_materialized(spark):
+    """Seed-generated operands fuse into the tile stage (keys-only shuffle,
+    blocks regenerated post-sort).  The fused product must equal the product
+    of the MATERIALIZED matrices exactly — to_numpy() evaluates the real
+    generator path, matmul the fused one, so this cross-checks the
+    regeneration formula block for block (ragged edges included)."""
+    a = BlockMatrix.random(spark, 96, 70, 32, 24, seed=3)
+    b = BlockMatrix.random(spark, 70, 85, 24, 32, seed=4)
+    assert a.gen_seed == 3 and b.gen_seed == 4
+    c = a.matmul(b)
+    assert c.gen_seed is None
+    assert np.allclose(c.to_numpy(), a.to_numpy() @ b.to_numpy(), atol=1e-12)
+
+
+def test_gemm_fused_mixed_operands(spark, rng):
+    """One fused (seeded) side unioned with one materialized side — the
+    mixed null/real data column through the same shuffle."""
+    x = rng.random((70, 9))
+    a = BlockMatrix.random(spark, 40, 70, 16, 16, seed=8)
+    mx = BlockMatrix.from_numpy(spark, x, 16, 9)
+    c = a.matmul(mx)
+    assert np.allclose(c.to_numpy(), a.to_numpy() @ x, atol=1e-12)
+    # transform of a random matrix must NOT carry the seed (fusion would
+    # silently drop the transform)
+    assert a.scale(2.0).gen_seed is None
+    assert a.transpose().gen_seed is None
+
+
 def test_gemm_long_contraction_stream(spark, rng):
     """Contraction extent ≫ output extent (the 100×-k shape of VERDICT r2
     #2): the sorted-stream consumer must hold only one k-superchunk at a

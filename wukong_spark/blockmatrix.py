@@ -113,6 +113,13 @@ class BlockMatrix:
     n_cols: int
     block_rows: int
     block_cols: int
+    #: set ONLY by :meth:`random` — blocks are a pure function of
+    #: (gen_seed, bi, bj), which lets consumers (GEMM) fuse generation
+    #: into their own stages instead of shuffling the 8 MB payloads
+    #: (dask's blockwise fusion of ``da.random`` into consumers).  Any
+    #: transformation constructs a new BlockMatrix without it, so the
+    #: fusion can never observe stale data.
+    gen_seed: int | None = None
 
     # -- geometry ---------------------------------------------------------
     @property
@@ -169,7 +176,9 @@ class BlockMatrix:
         df = spark.range(0, nbr * nbc, 1, min(nbr * nbc, 256)).mapInArrow(
             gen, BLOCK_SCHEMA
         )
-        return BlockMatrix(df, n_rows, n_cols, block_rows, block_cols)
+        return BlockMatrix(
+            df, n_rows, n_cols, block_rows, block_cols, gen_seed=seed
+        )
 
     @staticmethod
     def from_numpy(
@@ -549,22 +558,68 @@ class BlockMatrix:
         si_n = (gi + f - 1) // f
         sj_n = (gj + f - 1) // f
 
-        a_rep = A.df.select(
-            (F.col("bi") / f).cast("int").alias("si"),
-            F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
-            F.col("bi").alias("r"),
-            F.col("bj").alias("k"),
-            F.lit(0).alias("side"),
-            F.col("data"),
-        )
-        b_rep = B.df.select(
-            F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
-            (F.col("bj") / f).cast("int").alias("sj"),
-            F.col("bi").alias("k"),
-            F.col("bj").alias("r"),
-            F.lit(1).alias("side"),
-            F.col("data"),
-        ).select("si", "sj", "r", "k", "side", "data")
+        gk = A.grid_cols  # contraction-dimension grid extent
+        spark = A.df.sparkSession
+        a_seed, b_seed = A.gen_seed, B.gen_seed
+
+        # Seed-generated operands ship KEY ROWS ONLY through the shuffle
+        # (data = NULL) and are regenerated inside gemm_tiles post-sort —
+        # the blockwise fusion dask applies to da.random consumers
+        # (reference workload semantics, README.md:250-271).  At the
+        # reference's 10,000²/1,000-block GEMM this removes ~8 GB of
+        # shuffle payload per generated side and all operand
+        # materialization; regeneration costs O(replication · gen), which
+        # is pure per-core CPU with no I/O.
+        if a_seed is not None:
+            a_rep = (
+                spark.range(0, gi * gk, 1, min(gi * gk, 256))
+                .select(
+                    (F.col("id") / gk).cast("int").alias("r"),
+                    (F.col("id") % gk).cast("int").alias("k"),
+                )
+                .select(
+                    (F.col("r") / f).cast("int").alias("si"),
+                    F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
+                    "r",
+                    "k",
+                    F.lit(0).alias("side"),
+                    F.lit(None).cast("binary").alias("data"),
+                )
+            )
+        else:
+            a_rep = A.df.select(
+                (F.col("bi") / f).cast("int").alias("si"),
+                F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
+                F.col("bi").alias("r"),
+                F.col("bj").alias("k"),
+                F.lit(0).alias("side"),
+                F.col("data"),
+            )
+        if b_seed is not None:
+            b_rep = (
+                spark.range(0, gk * gj, 1, min(gk * gj, 256))
+                .select(
+                    (F.col("id") / gj).cast("int").alias("k"),
+                    (F.col("id") % gj).cast("int").alias("r"),
+                )
+                .select(
+                    F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
+                    (F.col("r") / f).cast("int").alias("sj"),
+                    "r",
+                    "k",
+                    F.lit(1).alias("side"),
+                    F.lit(None).cast("binary").alias("data"),
+                )
+            )
+        else:
+            b_rep = B.df.select(
+                F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
+                (F.col("bj") / f).cast("int").alias("sj"),
+                F.col("bi").alias("k"),
+                F.col("bj").alias("r"),
+                F.lit(1).alias("side"),
+                F.col("data"),
+            ).select("si", "sj", "r", "k", "side", "data")
         both = a_rep.unionByName(b_rep)
 
         def gemm_tiles(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -653,15 +708,27 @@ class BlockMatrix:
                     if side_c[i].as_py() == 0:
                         rr = min(br, n - r * br)
                         kk = min(kbs, kdim - k * kbs)
-                        abuf[(r, k)] = np.frombuffer(
-                            d_c[i].as_buffer(), dtype=np.float64
-                        ).reshape(rr, kk)
+                        if d_c[i].is_valid:
+                            abuf[(r, k)] = np.frombuffer(
+                                d_c[i].as_buffer(), dtype=np.float64
+                            ).reshape(rr, kk)
+                        else:
+                            # fused seed-generation: identical values to
+                            # BlockMatrix.random's gen (pure fn of seed+bid)
+                            abuf[(r, k)] = np.random.default_rng(
+                                a_seed + r * gk + k
+                            ).random((rr, kk))
                     else:
                         kk = min(kbs, kdim - k * kbs)
                         cc = min(bc, m - r * bc)
-                        bbuf[(r, k)] = np.frombuffer(
-                            d_c[i].as_buffer(), dtype=np.float64
-                        ).reshape(kk, cc)
+                        if d_c[i].is_valid:
+                            bbuf[(r, k)] = np.frombuffer(
+                                d_c[i].as_buffer(), dtype=np.float64
+                            ).reshape(kk, cc)
+                        else:
+                            bbuf[(r, k)] = np.random.default_rng(
+                                b_seed + k * gj + r
+                            ).random((kk, cc))
             if cur is not None:
                 flush_superchunk()
                 yield emit_tile()

@@ -128,20 +128,13 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     n, bs = (10000, 1000) if _sf(sf_dir) >= 0.1 else (2000, 500)
     a = BlockMatrix.random(spark, n, n, bs, bs, seed=31)
     b = BlockMatrix.random(spark, n, n, bs, bs, seed=32)
-    # materialize both operands BEFORE the matmul (VERDICT r2 #3): block
-    # generation otherwise interleaves with the tile shuffle's sort, adding
-    # ±30% run-to-run variance; the norms are collected eagerly so the
-    # caches can be released before returning.  DISK_ONLY: 16 GB of 8 MB
-    # binary cells on a 24 g heap would churn G1 (see session.py) — the OS
-    # page cache serves the spilled blocks at RAM speed anyway
-    from pyspark import StorageLevel
-
-    a.df.persist(StorageLevel.DISK_ONLY).count()
-    b.df.persist(StorageLevel.DISK_ONLY).count()
-    rows = _block_fro(a.matmul(b)).collect()
-    a.df.unpersist()
-    b.df.unpersist()
-    return spark.createDataFrame(rows, "bi int, bj int, fro double")
+    # Both operands are seed-generated, so matmul fuses generation into the
+    # tile stage: only (si,sj,r,k,side) key rows shuffle and each block is
+    # regenerated from its seed post-sort (blockmatrix.py matmul).  The r4
+    # variant persisted both operands DISK_ONLY (~16 GB write + ~8 GB
+    # shuffle); fusion removes all of that I/O — at 100× scale the operand
+    # materialization WAS the job.
+    return _block_fro(a.matmul(b))
 
 
 @query(
@@ -326,8 +319,8 @@ def la_gemm_check(spark: SparkSession, sf_dir: str):
     the cluster."""
     a = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=11)
     b = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=22)
-    a.df.persist()  # read by C=A·B and by A·(B·X)
-    b.df.persist()
+    # a/b are seed-generated → every matmul below fuses their generation
+    # into its tile stage (no operand scan, so no persist needed)
     x = BlockMatrix.from_numpy(
         spark, np.random.default_rng(99).standard_normal((1024, 8)), 256, 8
     )
@@ -338,8 +331,7 @@ def la_gemm_check(spark: SparkSession, sf_dir: str):
     # |entries of C·X| ~ 1e4; accumulated float64 error ~1e-10 — the 1e-6
     # absolute gate has 4 orders of margin on both sides
     err = lhs.subtract(rhs).max_abs()
-    for bm in (a, b, x):
-        bm.df.unpersist()
+    x.df.unpersist()
     return spark.createDataFrame(
         [(bool(err < 1e-6), c.grid_rows * c.grid_cols)],
         "matvec_identity boolean, blocks int",
