@@ -63,6 +63,19 @@ def test_stream_is_incremental(spark):
     assert agg.isStreaming
 
 
+def test_stream_starts_on_empty_source_dir(spark, tmp_path):
+    """ADVICE r4: the ts-type probe must not kill the stream when the
+    source directory exists but has no files yet — it falls back to the
+    declared long type and the stream starts."""
+    from wukong_spark.streaming import read_events_dir_stream
+
+    empty = tmp_path / "events_empty"
+    empty.mkdir()
+    stream = read_events_dir_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"  # normalized from long
+
+
 def test_stateful_user_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState accumulates per-user state across micro-batches:
     stream the events split into 4 files (1 file per trigger), final running

@@ -437,6 +437,73 @@ def test_list_datasets(client, spark):
     assert "listed_ds_a" not in client.list_datasets()
 
 
+def test_map_element_cancel_does_not_strand_batch(client):
+    """ADVICE r4: cancelling ONE element future of a map batch must not
+    abort result distribution for the remaining elements."""
+    import time
+
+    def slow_inc(x):
+        time.sleep(1.5)
+        return x + 1
+
+    futs = client.map(slow_inc, [700, 800, 900])
+    assert futs[1].cancel()  # pending element pyfuture → cancel succeeds
+    # the other elements must still resolve from the batch result
+    assert futs[0].result(60) == 701
+    assert futs[2].result(60) == 901
+    with pytest.raises(Exception):
+        futs[1].result(5)
+
+
+def test_executor_follower_tracks_retry_swap(client, tmp_path):
+    """ADVICE r4: the executor future must follow the client Future's
+    CURRENT attempt — a retry that swaps in a new pyfuture before the old
+    attempt resolves re-attaches the follower instead of copying the old
+    attempt's outcome."""
+    import time
+    from concurrent.futures import Future as PyFuture
+
+    gate = tmp_path / "go"
+
+    def gated(p=str(gate)):
+        import os
+        import time as _t
+
+        while not os.path.exists(p):
+            _t.sleep(0.05)
+        return 1
+
+    e = client.get_executor(pure=False)
+    out = e.submit(gated)
+    cf = e._futures[-1]
+    newpf: PyFuture = PyFuture()
+    cf._f = newpf  # simulate Future.retry() swapping in attempt 2
+    gate.write_text("")  # attempt 1 now finishes with result 1
+    deadline = time.time() + 30
+    while not newpf._done_callbacks and time.time() < deadline:
+        time.sleep(0.05)  # wait for the chain to re-attach to attempt 2
+    assert newpf._done_callbacks, "follower never re-attached to the retry"
+    assert not out.done()  # attempt 1's outcome must NOT have been copied
+    newpf.set_result(2)
+    assert out.result(10) == 2
+
+
+def test_get_client_cleared_after_close(client, spark):
+    """ADVICE r4: a closed client must not be handed out by get_client()."""
+    import wukong_spark.taskgraph as tg
+    from wukong_spark.taskgraph import get_client
+
+    c2 = WukongClient(spark)
+    assert get_client() is c2  # latest constructed wins
+    c2.close()
+    with pytest.raises(ValueError):
+        get_client()
+    # restore the module fixture's client as the process default for any
+    # later test relying on the driver-side fallback
+    tg._default_client = client
+    assert get_client() is client
+
+
 def test_executor_shutdown_cancel_futures(client):
     import time
 

@@ -56,10 +56,14 @@ def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
     # counts are fixed integers; the closest sample to the decision boundary
     # sits at |margin| 2.8e-6 — 7 orders above float64 BLAS drift, so no
     # count can flip across platforms.  (Counts are the sf<0.1 branch's —
-    # the only branch the correctness gate runs.)
+    # the only branch the correctness gate runs.)  margin_ok asserts that
+    # minimum-|margin| contract IN-PLAN (ADVICE r4): if platform drift ever
+    # pushes a sample inside the 1e-7 gate, this column flips first and the
+    # failure reads as a margin violation, not an opaque count mismatch.
     oracle="""
-    SELECT * FROM (VALUES (0, 0, 39846), (0, 1, 47), (1, 0, 76), (1, 1, 40031))
-      AS t(label, prediction, n)
+    SELECT * FROM (VALUES (0, 0, 39846, TRUE), (0, 1, 47, TRUE),
+                          (1, 0, 76, TRUE), (1, 1, 40031, TRUE))
+      AS t(label, prediction, n, margin_ok)
     ORDER BY label, prediction
     """,
 )
@@ -85,9 +89,28 @@ def ml_predict_ref(spark: SparkSession, sf_dir: str):
     y0 = (x0 @ np.random.default_rng(17).standard_normal(20) >= 0).astype(np.int32)
     model = LinearModel.fit(x0, y0)
     pred = predict_broadcast(df, model, id_cols=("sample_id", "label"))
+    conf = pred.groupBy("label", "prediction").agg(F.count("*").alias("n"))
+    # min |decision margin| computed JVM-side (zip_with dot product) — the
+    # boundary-distance contract behind the literal confusion counts
+    w_arr = F.array(*[F.lit(float(v)) for v in model.weights])
+    margin = df.select(
+        F.abs(
+            F.aggregate(
+                F.zip_with(F.col("features"), w_arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(float(model.bias))
+        ).alias("am")
+    ).agg(F.min("am").alias("min_margin"))
     return (
-        pred.groupBy("label", "prediction")
-        .agg(F.count("*").alias("n"))
+        conf.crossJoin(F.broadcast(margin))
+        .select(
+            "label",
+            "prediction",
+            "n",
+            (F.col("min_margin") > F.lit(1e-7)).alias("margin_ok"),
+        )
         .orderBy("label", "prediction")
     )
 

@@ -1001,8 +1001,8 @@ _BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
     )
     SELECT doc_id,
            CAST(len(pieces) AS BIGINT) AS n_pieces,
-           CAST(list_sum(list_transform(pieces,
-                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS est_tokens
+           CAST(COALESCE(list_sum(list_transform(pieces,
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
     FROM p
     """,
 )

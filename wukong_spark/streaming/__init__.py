@@ -55,7 +55,14 @@ def read_events_dir_stream(
     type regardless of which writer produced it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    # the probe is an eager batch read — on an EMPTY / not-yet-populated
+    # source directory it throws (unable to infer schema); fall back to the
+    # declared long type so the stream can start before the first file
+    # arrives (ADVICE r4)
+    try:
+        ts_type = dict(spark.read.parquet(directory).dtypes).get("ts", "long")
+    except Exception:
+        ts_type = "long"
     reader = spark.readStream.schema(EVENTS_SCHEMA.replace("ts long", f"ts {ts_type}"))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

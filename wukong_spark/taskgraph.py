@@ -32,7 +32,7 @@ import hashlib
 import itertools
 import threading
 from collections import OrderedDict
-from concurrent.futures import CancelledError, ThreadPoolExecutor
+from concurrent.futures import CancelledError, InvalidStateError, ThreadPoolExecutor
 from concurrent.futures import Executor as _CFExecutor
 from concurrent.futures import Future as _PyFuture
 from contextlib import contextmanager
@@ -154,6 +154,19 @@ def _tokenize(func: Callable, args: tuple, kwargs: dict) -> str | None:
     return f"{name}-{hashlib.md5(payload).hexdigest()}"
 
 
+class _FollowerFuture(_PyFuture):
+    """stdlib Future mirroring a client Future's CURRENT attempt; cancel
+    forwards to the client Future (job-group interrupt) as well."""
+
+    def __init__(self, client_future: "Future"):
+        super().__init__()
+        self._client_future = client_future
+
+    def cancel(self) -> bool:
+        self._client_future.cancel()
+        return super().cancel()
+
+
 class ClientExecutor(_CFExecutor):
     """concurrent.futures.Executor facade over a WukongClient
     (reference `client.py:1406-1421` get_executor + `cfexecutor.py`,
@@ -177,7 +190,32 @@ class ClientExecutor(_CFExecutor):
             raise RuntimeError("cannot schedule new futures after shutdown")
         f = self._client.submit(fn, *args, **{**self._kw, **kwargs})
         self._futures.append(f)
-        return f._f
+        # Follower future (ADVICE r4): returning the raw f._f goes stale
+        # when Future.retry() swaps in a new attempt's pyfuture.  The
+        # follower is a genuine stdlib Future (wait/as_completed work), and
+        # its chain callback re-attaches whenever the attempt it observed
+        # is no longer the client Future's current one.
+        out = _FollowerFuture(f)
+
+        def chain(pf: _PyFuture) -> None:
+            cur = f._f
+            if cur is not pf:  # a retry swapped attempts — follow it
+                cur.add_done_callback(chain)
+                return
+            if out.cancelled():
+                return
+            try:
+                if pf.cancelled():
+                    out.cancel()
+                elif pf.exception() is not None:
+                    out.set_exception(pf.exception())
+                else:
+                    out.set_result(pf.result())
+            except InvalidStateError:
+                pass
+
+        f._f.add_done_callback(chain)
+        return out
 
     def map(self, fn: Callable, *iterables, timeout: float | None = None, chunksize: int = 1):
         """Lazy in-order results iterator (stdlib contract: raises
@@ -472,12 +510,27 @@ class WukongClient:
             element_pfs = [_PyFuture() for _ in items]
 
             def distribute(pf: _PyFuture) -> None:
-                e = pf.exception()
+                # Cancellation-safe (ADVICE r4): pf.exception() raises
+                # CancelledError if the batch itself was cancelled, and a
+                # caller-cancelled ELEMENT future rejects set_result with
+                # InvalidStateError — either way one bad future must not
+                # strand the remaining elements unresolved forever.
+                if pf.cancelled():
+                    e: BaseException | None = CancelledError()
+                    vals = None
+                else:
+                    e = pf.exception()
+                    vals = None if e is not None else pf.result()
                 for i, epf in enumerate(element_pfs):
-                    if e is not None:
-                        epf.set_exception(e)
-                    else:
-                        epf.set_result(pf.result()[i])
+                    if epf.cancelled():
+                        continue
+                    try:
+                        if e is not None:
+                            epf.set_exception(e)
+                        else:
+                            epf.set_result(vals[i])
+                    except InvalidStateError:
+                        continue  # cancelled between the check and the set
 
             batch_pf.add_done_callback(distribute)
             futs = [
@@ -683,6 +736,10 @@ class WukongClient:
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)
         self._plan_cache.clear()
+        # get_client() must not hand out a closed client (ADVICE r4)
+        global _default_client
+        if _default_client is self:
+            _default_client = None
 
     # -- B-I: tree reduction ----------------------------------------------
     def tree_reduce(
