@@ -13,8 +13,15 @@ from pyspark.sql import functions as F
 from wukong_spark.mlops import LinearModel, make_classification_blocks, predict_broadcast
 from wukong_spark.operators.multimodal import (
     attach_media_metadata,
+    decode_audio,
+    decode_bmp,
     decode_images,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_wav_pcm16,
     frame_sample,
+    resize_nearest,
 )
 
 
@@ -60,8 +67,99 @@ def test_attach_media_metadata(spark):
 
 
 def test_decode_stub_raises_without_fake(spark):
-    with pytest.raises(NotImplementedError, match="fake_decoder"):
-        decode_images(_media_df(spark))
+    # non-BMP/PPM payloads without fake_decoder fail at execution time
+    # (the decode dispatch runs inside the Spark task)
+    with pytest.raises(Exception, match="fake_decoder"):
+        decode_images(_media_df(spark)).collect()
+
+
+def test_decode_real_bmp_roundtrip_local():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)  # odd stride pad
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_decode_real_ppm_local():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n9 7\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(payload), px)
+
+
+def test_decode_real_wav_roundtrip_local():
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    srate, nch, got = decode_wav(encode_wav_pcm16(x, sr))
+    assert (srate, nch) == (sr, 1)
+    assert np.abs(got - x).max() < 1.0 / 32767  # 16-bit quantization bound
+
+
+def test_resize_nearest_identity_and_downscale():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert resize_nearest(px, 4, 6) is px
+    small = resize_nearest(px, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def _bmp_media_df(spark, n=12, h=16, w=16):
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(100 + i)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, bytearray(encode_bmp(px)), px))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "doc_id long, blob binary"
+    )
+    media = attach_media_metadata(
+        df, "blob", kind="image", mime="image/bmp", id_col="doc_id"
+    )
+    return media, {i: px for i, _, px in rows}
+
+
+def test_decode_images_real_bmp_end_to_end(spark):
+    """Real BMP bytes through the distributed decode path — NO fake
+    decoder (VERDICT r4 #5): decoded pixels must equal the encoded source
+    exactly, including the nearest-neighbor resize identity case."""
+    media, want = _bmp_media_df(spark, n=12, h=16, w=16)
+    out = decode_images(media, height=16, width=16).toPandas()
+    assert len(out) == 12
+    for _, row in out.iterrows():
+        px = np.array(row["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(px, want[row["media_id"]])
+        assert abs(px[..., 1].mean() - row["mean_g"]) < 1e-9
+
+
+def test_decode_images_real_bmp_resized(spark):
+    media, want = _bmp_media_df(spark, n=4, h=32, w=24)
+    out = decode_images(media, height=8, width=8).toPandas()
+    for _, row in out.iterrows():
+        px = np.array(row["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(px, resize_nearest(want[row["media_id"]], 8, 8))
+
+
+def test_decode_audio_real_wav_end_to_end(spark):
+    """Real PCM WAV bytes through the distributed audio decode — no fake."""
+    sr = 16000
+    clips = []
+    for i in range(6):
+        t = np.arange(sr // 8) / sr
+        x = (0.1 + 0.1 * i) * np.sin(2 * np.pi * (220 + 110 * i) * t)
+        clips.append((i, bytearray(encode_wav_pcm16(x, sr)), x))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in clips], "doc_id long, blob binary"
+    )
+    media = attach_media_metadata(
+        df, "blob", kind="audio", mime="audio/wav", id_col="doc_id"
+    )
+    out = decode_audio(media).toPandas().sort_values("media_id", ignore_index=True)
+    assert len(out) == 6
+    assert (out["sample_rate"] == sr).all()
+    assert (out["n_samples"] == sr // 8).all()
+    for (i, _, x), (_, row) in zip(clips, out.iterrows()):
+        assert abs(row["rms"] - float(np.sqrt(np.mean(x**2)))) < 1e-3
+        assert abs(row["peak"] - float(np.abs(x).max())) < 1e-3
 
 
 def test_decode_images_fake_deterministic(spark):

@@ -5,16 +5,24 @@ struct — the 100 TB-scale pattern: bytes flow through Arrow batches, never
 through Python row-at-a-time; decode/feature-extract runs per batch in
 `mapInPandas`.
 
-The actual codec step is STUBBED (image/audio libs are not in this
-container): `decode_stub` raises NotImplementedError unless
-`fake_decoder=True`, in which case a deterministic fake (seeded by content
-hash) produces real-shaped arrays so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is fully exercised and tested.
+Decode support (VERDICT r4 #5):
+- REAL, dependency-free decoders for the uncompressed formats — 24/32-bit
+  BI_RGB BMP and binary P6 PPM images (struct + numpy), and PCM WAV audio
+  (stdlib ``wave`` + numpy) — plus matching encoders for fixture
+  generation and roundtrip tests.
+- Codec formats (PNG/JPEG/MP3/H.264 …) remain STUBBED: the libs are not
+  in this container, so unrecognized payloads raise NotImplementedError
+  unless ``fake_decoder=True``, in which case a deterministic fake (seeded
+  by content hash) produces real-shaped arrays so the Spark-side plumbing
+  is still fully exercised.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -48,6 +56,132 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+# -- real uncompressed-format codecs (pure numpy / stdlib) -----------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    npx = bpp // 8
+    stride = ((w * npx + 3) // 4) * 4
+    arr = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    arr = arr.reshape(h, stride)[:, : w * npx].reshape(h, w, npx)
+    rgb = arr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up rows)."""
+    h, w, _ = px.shape
+    pad = (4 - (w * 3) % 4) % 4
+    img = px[::-1, :, ::-1].astype(np.uint8)  # bottom-up, RGB → BGR
+    body = b"".join(img[i].tobytes() + b"\x00" * pad for i in range(h))
+    data_off = 14 + 40
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return head + info + body
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM (maxval ≤ 255) → (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-sample PPM unsupported")
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM WAV → (sample_rate, n_channels, mono float64 samples in [−1, 1]);
+    multi-channel audio is downmixed by channel mean."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    elif sw == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return sr, nch, x
+
+
+def encode_wav_pcm16(x: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float64 samples in [−1, 1] → 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(px: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize — pure-numpy index gather, no interpolation
+    libs; identity when dims already match."""
+    sh, sw = px.shape[:2]
+    if (sh, sw) == (h, w):
+        return px
+    return px[np.arange(h) * sh // h][:, np.arange(w) * sw // w]
+
+
+def _decode_pixels(
+    payload: bytes, height: int, width: int, fake_decoder: bool
+) -> np.ndarray:
+    """Dispatch on magic bytes: real decoders for the uncompressed formats,
+    deterministic fake (opt-in) for everything else."""
+    if payload[:2] == b"BM":
+        return resize_nearest(decode_bmp(payload), height, width)
+    if payload[:2] == b"P6":
+        return resize_nearest(decode_ppm(payload), height, width)
+    if fake_decoder:
+        return _fake_pixels(payload, height, width)
+    raise NotImplementedError(
+        "payload is not an uncompressed BMP/P6-PPM (the formats decoded "
+        "natively); codec libraries for compressed formats are not "
+        "available in this environment — pass fake_decoder=True to "
+        "exercise the pipeline with a deterministic content-seeded decoder"
+    )
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -57,17 +191,12 @@ def decode_images(
 ) -> DataFrame:
     """binary → fixed-size RGB tensor + channel statistics, Arrow-batched.
 
-    Real codec integration point: replace `_fake_pixels` with
-    PIL/libvips/ffmpeg. The Spark plumbing (batch shape, schema,
-    partition-parallelism) is identical either way.
+    Uncompressed BMP / P6 PPM payloads decode NATIVELY (magic-byte
+    dispatch, pure numpy) and are nearest-neighbor-resized to
+    (height, width); other formats require ``fake_decoder=True`` (codec
+    libs absent — see module docstring).  Plumbing (batch shape, schema,
+    partition-parallelism) is identical for a PIL/libvips decoder.
     """
-    if not fake_decoder:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake_decoder=True to exercise the pipeline with a "
-            "deterministic content-seeded decoder"
-        )
-
     out_schema = (
         "media_id long, height int, width int, pixels array<int>, "
         "mean_r double, mean_g double, mean_b double"
@@ -77,7 +206,7 @@ def decode_images(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                px = _fake_pixels(bytes(payload), height, width)
+                px = _decode_pixels(bytes(payload), height, width, fake_decoder)
                 means = px.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
@@ -95,6 +224,60 @@ def decode_images(
                 columns=[
                     "media_id", "height", "width", "pixels",
                     "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake_decoder: bool = False,
+) -> DataFrame:
+    """binary → per-clip audio features, Arrow-batched.
+
+    PCM WAV payloads decode NATIVELY (stdlib ``wave`` + numpy, downmixed
+    to mono); other formats require ``fake_decoder=True``."""
+    out_schema = (
+        "media_id long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, rms double, peak double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    sr, nch, x = decode_wav(b)
+                elif fake_decoder:
+                    seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+                    sr, nch = 16000, 1
+                    x = np.random.default_rng(seed).uniform(-1, 1, 1600)
+                else:
+                    raise NotImplementedError(
+                        "payload is not PCM WAV (the format decoded "
+                        "natively); audio codec libraries are not "
+                        "available — pass fake_decoder=True"
+                    )
+                n = len(x)
+                rows.append(
+                    (
+                        int(mid),
+                        int(sr),
+                        int(nch),
+                        n,
+                        n / sr if sr else 0.0,
+                        float(np.sqrt(np.mean(x**2))) if n else 0.0,
+                        float(np.abs(x).max()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "peak",
                 ],
             )
 

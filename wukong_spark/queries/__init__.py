@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         linalg_queries,
         ml_queries,
+        multimodal_queries,
         pandas_surface,
         relational,
         relational2,

@@ -1,0 +1,158 @@
+"""Multimodal decode queries through the driver contract (SURVEY.md §2.3).
+
+The media decode path (operators/multimodal.py) gets driver-hash-checkable
+registry entries here: payloads are generated IN-PLAN from seeds (real BMP
+and PCM-WAV bytes via the module's own encoders), decoded by the REAL
+decoders — no fake_decoder — and reduced to integer-exact contracts
+(channel sums, PCM peaks) that literal SELECT oracles verify end-to-end,
+the la_sparse_colsums pattern (VERDICT r2 #1).
+
+Reference-parity justification: serialization families for media-adjacent
+types at `wukong/protocol/__init__.py:27-67`; the decode/resize/feature
+shape mirrors what a training-data pipeline runs at 100 TB — bytes stay in
+Arrow batches, one vectorized decode per batch, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wukong_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_audio,
+    decode_images,
+    encode_bmp,
+    encode_wav_pcm16,
+)
+from wukong_spark.queries import query
+
+#: image workload dims: 16 seeded 24×18 RGB images, decoded + resized to 8×8
+N_IMG, IMG_H, IMG_W = 16, 24, 18
+#: audio workload dims: 8 seeded sine clips at 16 kHz, 1/8 s each
+N_CLIP, CLIP_SR = 8, 16000
+
+
+def _gen_bmp_media(spark: SparkSession) -> DataFrame:
+    """Seeded BMP payloads generated per-partition (deterministic per id,
+    like BlockMatrix.random) — real 24-bit BI_RGB bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                px = np.random.default_rng(1000 + int(i)).integers(
+                    0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8
+                )
+                rows.append((int(i), bytearray(encode_bmp(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/bmp", id_col="doc_id"
+    )
+
+
+def _gen_wav_media(spark: SparkSession) -> DataFrame:
+    """Seeded PCM16 WAV payloads: clip i is a (0.1 + 0.1·i)-amplitude sine
+    at 220 + 110·i Hz — real RIFF/WAVE bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                t = np.arange(CLIP_SR // 8) / CLIP_SR
+                x = (0.1 + 0.1 * k) * np.sin(2 * np.pi * (220 + 110 * k) * t)
+                rows.append((k, bytearray(encode_wav_pcm16(x, CLIP_SR))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_CLIP, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="audio", mime="audio/wav", id_col="doc_id"
+    )
+
+
+def _channel_sum(ch: int):
+    """Exact integer channel sum over the flattened interleaved pixel array
+    — pure JVM higher-order functions, hash-safe cross-engine."""
+    return F.expr(
+        f"aggregate(transform(pixels, (x, i) -> "
+        f"CASE WHEN i % 3 = {ch} THEN CAST(x AS BIGINT) ELSE 0L END), "
+        f"0L, (a, x) -> a + x)"
+    )
+
+
+@query(
+    "multimodal_decode_bmp",
+    # literal oracle: exact integer channel sums of the seeded-BMP decode
+    # (captured from the deterministic pipeline; sf-invariant — the inputs
+    # are generated, not read from tables)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7107, 8216, 8152), (1, 8, 8, 7773, 9021, 8354),
+      (2, 8, 8, 7844, 6963, 6629), (3, 8, 8, 7668, 8085, 8044),
+      (4, 8, 8, 9035, 8298, 8141), (5, 8, 8, 8245, 7220, 8088),
+      (6, 8, 8, 6981, 8557, 9036), (7, 8, 8, 8532, 8081, 8844),
+      (8, 8, 8, 8059, 8313, 7538), (9, 8, 8, 7886, 8431, 8867),
+      (10, 8, 8, 9209, 7418, 7878), (11, 8, 8, 9265, 8323, 6966),
+      (12, 8, 8, 8185, 8477, 7631), (13, 8, 8, 7988, 8894, 8320),
+      (14, 8, 8, 8150, 9624, 8162), (15, 8, 8, 7145, 8150, 7376))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str):
+    """Seeded BMP bytes → REAL decode (magic-byte dispatch, no fake) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums.
+
+    The literal oracle pins the decoded content: any regression in the BMP
+    parser, the resize gather, or the Arrow plumbing flips a sum."""
+    dec = decode_images(_gen_bmp_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_audio_wav",
+    # literal oracle: exact PCM peaks + 1e-6-scaled RMS of the seeded-WAV
+    # decode (deterministic IEEE arithmetic on identical bytes)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 16000, 1, 2000, 3277, 70709),
+      (1, 16000, 1, 2000, 6553, 141381),
+      (2, 16000, 1, 2000, 9830, 212127),
+      (3, 16000, 1, 2000, 13107, 282763),
+      (4, 16000, 1, 2000, 16384, 353543),
+      (5, 16000, 1, 2000, 19660, 424145),
+      (6, 16000, 1, 2000, 22937, 494960),
+      (7, 16000, 1, 2000, 26214, 565527))
+      AS t(media_id, sample_rate, n_channels, n_samples, peak_pcm, rms_e6)
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str):
+    """Seeded PCM16 WAV bytes → REAL stdlib decode → per-clip features.
+
+    peak_pcm = peak × 32768 is an exact integer (the max |int16| sample);
+    rms_e6 = round(rms × 1e6) is stable because the whole pipeline is
+    deterministic IEEE arithmetic on identical bytes."""
+    dec = decode_audio(_gen_wav_media(spark))
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round(F.col("peak") * 32768).cast("bigint").alias("peak_pcm"),
+        F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_e6"),
+    ).orderBy("media_id")

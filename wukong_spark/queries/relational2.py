@@ -517,3 +517,38 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str):
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
         ).alias("approx_p50"),
     )
+
+
+@query(
+    "sketch_check",
+    # boolean accuracy contract per returnflag group — literal oracle, the
+    # la_gemm_check pattern (VERDICT r4 #4): the sketch estimates are
+    # compared IN-PLAN against the exact aggregates computed in the same
+    # plan; only the verdicts leave the cluster.
+    oracle="""
+    SELECT l_returnflag, TRUE AS distinct_within_5pct, TRUE AS p50_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sketch_check(spark: SparkSession, sf_dir: str):
+    """Accuracy contract for sketch_approx_stats: per group,
+    |HLL++ distinct − exact distinct| / exact ≤ 5 % (rsd=0.02 → ~2σ≈4 %)
+    and the GK p50 within 5 % of the exact median.  Exact sides run in the
+    SAME aggregation (one shuffle, two extra agg buffers) — the sketch and
+    its referee see identical input."""
+    l = tbl(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ad"),
+        F.countDistinct("l_orderkey").alias("ed"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ep"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("ad") - F.col("ed")) / F.col("ed") <= 0.05).alias(
+            "distinct_within_5pct"
+        ),
+        (F.abs(F.col("ap") - F.col("ep")) / F.col("ep") <= 0.05).alias(
+            "p50_within_5pct"
+        ),
+    ).orderBy("l_returnflag")
