@@ -504,6 +504,34 @@ def test_get_client_cleared_after_close(client, spark):
     assert get_client() is client
 
 
+def test_cluster_introspection_surface(client):
+    """Client-surface parity (`client.py:3032-3479`): scheduler_info /
+    ncores / who_has / has_what / processing on the Spark-native mirror."""
+    f = client.submit(_inc, 4100)
+    assert f.result(60) == 4101
+    info = client.scheduler_info()
+    assert info["type"] == "SparkDriver" and info["master"].startswith("local")
+    cores = client.ncores()
+    assert cores and all(v >= 1 for v in cores.values())
+    wh = client.who_has([f])
+    assert wh[f.key] == ["driver"]
+    assert f.key in client.has_what()["driver"]
+    assert f.key not in client.processing()["driver"]
+
+
+def test_replicate_and_restart(client, spark):
+    df = spark.range(10)
+    rep = client.replicate(df)
+    assert rep.storageLevel.replication == 2
+    rep.unpersist()
+    assert client.replicate(42) == 42  # non-DataFrame passes through
+    assert client.rebalance() is None
+    f = client.submit(_inc, 4200)
+    f.result(60)
+    client.restart()
+    assert client.has_what()["driver"] == []  # memo dropped
+
+
 def test_executor_shutdown_cancel_futures(client):
     import time
 
