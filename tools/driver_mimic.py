@@ -9,10 +9,11 @@ This is the strongest local predictor of CORRECTNESS_r{N}.json: unlike
 tools/check_correctness.py it does NOT use the tuned get_spark session,
 so timezone/parquet-type sensitivities surface here first.
 
-Usage: python tools/driver_mimic.py [query ...]
+Usage: python tools/driver_mimic.py [--json OUT.json] [query ...]
 """
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -49,7 +50,14 @@ def cells_equal(a, b) -> bool:
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("driver-mimic")
@@ -79,11 +87,13 @@ def main() -> None:
             got = qs[name](spark, SF).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {e}")
+            results[name] = {"status": "fail", "err": f"spark error {e}"[:300]}
             nfail += 1
             continue
         if name not in oracles:
             nnoor += 1
             print(f"noor {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "no_oracle", "rows": len(got)}
             continue
         want = con.execute(oracles[name]).fetchdf()
         g, w = normalize(got), normalize(want)
@@ -104,10 +114,33 @@ def main() -> None:
         if probs:
             nfail += 1
             print(f"FAIL {name}: {probs}")
+            results[name] = {
+                "status": "fail",
+                "rows": len(g),
+                "oracle_rows": len(w),
+                "err": "; ".join(str(p)[:200] for p in probs),
+            }
         else:
             npass += 1
             print(f"pass {name} ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(g),
+                "secs": round(time.time() - t0, 1),
+            }
     print(f"== {npass} pass, {nfail} fail, {nnoor} no-oracle ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "summary": {"pass": npass, "fail": nfail, "no_oracle": nnoor},
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}", file=sys.stderr)
     spark.stop()
 
 
