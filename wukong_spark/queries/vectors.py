@@ -11,6 +11,8 @@ array<double> — no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
@@ -502,4 +504,141 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("sum_q"),
         (F.array_max(err) <= F.col("scale") * F.lit(0.5000001)).alias("within_bound"),
+    )
+
+
+# -- distributed KMeans (corpus clustering for curation/stratification) ----
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_DIM = 64
+#: assignment-margin gate: a vector within this d² of TWO centroids could
+#: flip cluster under cross-engine float drift (~1e-13); the margin_ok
+#: contract certifies the corpus is nowhere near that regime
+KMEANS_MARGIN = 1e-6
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB oracle: Lloyd's algorithm UNROLLED as 5 CTE stages — a real
+    cross-engine differential test of the iterative computation, not a
+    captured literal.  Same init (centroids = vectors vec_id < k), same
+    distance expansion (x·x − 2·x·c + c·c), same lowest-cluster tie-break,
+    same keep-old-centroid rule for empty clusters."""
+    d2 = (
+        "list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, c.cx)"
+        " + list_dot_product(c.cx, c.cx)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,"
+        f" embedding::DOUBLE[] AS cx FROM embeddings WHERE vec_id < {KMEANS_K})",
+    ]
+    for t in range(KMEANS_ITERS):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, x, cluster FROM ("
+            f"SELECT e.vec_id, e.x, c.cluster,"
+            f" ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster)"
+            f" AS rn FROM e CROSS JOIN cent{t} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cluster, i, AVG(x[i]) AS v FROM a{t},"
+            f" (SELECT unnest(range(1, {KMEANS_DIM + 1})) AS i) s"
+            f" GROUP BY cluster, i)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT cluster, list(v ORDER BY i) AS cx"
+            f" FROM m{t} GROUP BY cluster)"
+        )
+        parts.append(
+            f"cent{t + 1} AS (SELECT c.cluster, COALESCE(n.cx, c.cx) AS cx"
+            f" FROM cent{t} c LEFT JOIN n{t} n USING (cluster))"
+        )
+    parts.append(
+        f"fin AS (SELECT vec_id, cluster, d2, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM ("
+        f"SELECT e.vec_id, c.cluster, {d2} AS d2"
+        f" FROM e CROSS JOIN cent{KMEANS_ITERS} c))"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT f1.cluster, COUNT(*) AS n,
+           MIN(f2.d2 - f1.d2) > {KMEANS_MARGIN} AS margin_ok
+    FROM fin f1 JOIN fin f2 ON f1.vec_id = f2.vec_id AND f2.rn = 2
+    WHERE f1.rn = 1
+    GROUP BY f1.cluster ORDER BY f1.cluster
+    """
+    )
+
+
+@query("embed_kmeans_clusters", oracle=_kmeans_oracle(), headline=False)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
+    """Distributed Lloyd's KMeans over the embedding corpus (k=8, 5 fixed
+    iterations, deterministic init from the first k vec_ids) — the
+    clustering primitive behind stratified corpus sampling / diversity
+    curation at 100 TB.
+
+    Per iteration: centroids ship in the task closure (k×64 doubles —
+    broadcast-scale), assignment is ONE vectorized pandas_udf (B×64 @
+    64×k per Arrow batch), and the centroid update is a Spark
+    partial+final aggregation over (cluster, dim) — the driver only ever
+    holds k×64 floats.  No rounding anywhere: cross-engine float drift is
+    ~1e-13 and the emitted margin_ok contract certifies every vector is
+    ≥1e-6 from any cluster boundary, so counts are drift-stable.
+    """
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS x")
+        .persist()
+    )
+    init = e.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents = np.array([r.x for r in init])
+
+    def assign_with(c: np.ndarray):
+        c_sq = (c**2).sum(axis=1)
+
+        @F.pandas_udf(f"cluster int, margin double")
+        def assign(xs: pd.Series) -> pd.DataFrame:
+            x = np.vstack(xs.to_numpy())
+            # same expansion as the SQL oracle: x·x − 2 x·c + c·c
+            d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+            best = np.argmin(d2, axis=1)  # first min = lowest cluster id
+            part = np.partition(d2, 1, axis=1)
+            return pd.DataFrame(
+                {"cluster": best.astype(np.int32), "margin": part[:, 1] - part[:, 0]}
+            )
+
+        return assign
+
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            "vec_id", "x", assign_with(cents)(F.col("x")).getField("cluster").alias("cluster")
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("x").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        newc = cents.copy()  # empty clusters keep their old centroid
+        sums = np.zeros((KMEANS_K, KMEANS_DIM))
+        counts = np.zeros(KMEANS_K)
+        for r in stats:
+            sums[r.cluster, r.i] = r.s
+            counts[r.cluster] = r.cnt
+        nonempty = counts > 0
+        newc[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = newc
+
+    final = e.select(assign_with(cents)(F.col("x")).alias("a")).select(
+        F.col("a.cluster").alias("cluster"), F.col("a.margin").alias("margin")
+    )
+    e.unpersist()
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("margin") > F.lit(KMEANS_MARGIN)).alias("margin_ok"),
+        )
+        .orderBy("cluster")
     )
