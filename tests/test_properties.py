@@ -152,6 +152,76 @@ def test_cholesky_properties_any_blocking(spark, n, nb, seed):
 
 
 @given(
+    n=st.integers(2, 80),
+    k=st.integers(2, 80),
+    m=st.integers(2, 80),
+    br=st.integers(2, 30),
+    bk=st.integers(2, 30),
+    bc=st.integers(2, 30),
+    sa=st.integers(0, 10_000),
+    sb=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_gemm_fused_equals_materialized_any_shape(spark, n, k, m, br, bk, bc, sa, sb):
+    """Fused seed-generated GEMM (keys-only shuffle + in-task regeneration)
+    must equal the materialized product EXACTLY for any shape/blocking —
+    to_numpy() evaluates the real generator, matmul the fused path."""
+    a = BlockMatrix.random(spark, n, k, br, bk, seed=sa)
+    b = BlockMatrix.random(spark, k, m, bk, bc, seed=sb)
+    got = a.matmul(b).to_numpy()
+    assert np.allclose(got, a.to_numpy() @ b.to_numpy(), atol=1e-10)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=20, deadline=None, derandomize=True)
+def test_bmp_roundtrip_any_dims(h, w, seed):
+    """BMP encode→decode is pixel-exact for ANY dims (all four row-pad
+    residues included) — pure-local, so many examples are cheap."""
+    from wukong_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@given(
+    n=st.integers(1, 5000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=20, deadline=None, derandomize=True)
+def test_wav_roundtrip_any_length(n, sr, seed):
+    from wukong_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    x = np.random.default_rng(seed).uniform(-1, 1, n)
+    srate, nch, got = decode_wav(encode_wav_pcm16(x, sr))
+    assert (srate, nch, len(got)) == (sr, 1, n)
+    assert np.abs(got - x).max() <= 1.0 / 32767
+
+
+@given(
+    sh=st.integers(1, 30),
+    sw=st.integers(1, 30),
+    th=st.integers(1, 30),
+    tw=st.integers(1, 30),
+)
+@settings(max_examples=20, deadline=None, derandomize=True)
+def test_resize_nearest_any_dims(sh, sw, th, tw):
+    """Resize picks only source pixels (no interpolation artifacts) and
+    always yields the target shape, up- or down-scaling."""
+    from wukong_spark.operators.multimodal import resize_nearest
+
+    px = np.random.default_rng(1).integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+    out = resize_nearest(px, th, tw)
+    assert out.shape == (th, tw, 3)
+    src_set = {bytes(p) for row in px for p in row}
+    assert all(bytes(p) in src_set for row in out for p in row)
+
+
+@given(
     n=st.integers(8, 200),
     c=st.integers(1, 12),
     br=st.integers(4, 64),

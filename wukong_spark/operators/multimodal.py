@@ -143,8 +143,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def encode_wav_pcm16(x: np.ndarray, sample_rate: int) -> bytes:
-    """Mono float64 samples in [−1, 1] → 16-bit PCM WAV bytes."""
-    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    """Mono float64 samples in [−1, 1] → 16-bit PCM WAV bytes.
+
+    Same full-scale convention as decode_wav (±32768, +1.0 clips to
+    32767), so a roundtrip is exact to half a quantization step."""
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)

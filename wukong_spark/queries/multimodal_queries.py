@@ -129,14 +129,14 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str):
     # decode (deterministic IEEE arithmetic on identical bytes)
     oracle="""
     SELECT * FROM (VALUES
-      (0, 16000, 1, 2000, 3277, 70709),
-      (1, 16000, 1, 2000, 6553, 141381),
-      (2, 16000, 1, 2000, 9830, 212127),
-      (3, 16000, 1, 2000, 13107, 282763),
-      (4, 16000, 1, 2000, 16384, 353543),
-      (5, 16000, 1, 2000, 19660, 424145),
-      (6, 16000, 1, 2000, 22937, 494960),
-      (7, 16000, 1, 2000, 26214, 565527))
+      (0, 16000, 1, 2000, 3277, 70710),
+      (1, 16000, 1, 2000, 6554, 141386),
+      (2, 16000, 1, 2000, 9830, 212131),
+      (3, 16000, 1, 2000, 13107, 282772),
+      (4, 16000, 1, 2000, 16384, 353552),
+      (5, 16000, 1, 2000, 19661, 424159),
+      (6, 16000, 1, 2000, 22938, 494975),
+      (7, 16000, 1, 2000, 26214, 565543))
       AS t(media_id, sample_rate, n_channels, n_samples, peak_pcm, rms_e6)
     ORDER BY media_id
     """,
