@@ -13,6 +13,7 @@ import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
 import gemm  # noqa: E402
 import linear_dag  # noqa: E402
+import multimodal_pipeline  # noqa: E402
 import single_node  # noqa: E402
 import svd1  # noqa: E402
 import svd2  # noqa: E402
@@ -23,6 +24,7 @@ ALL = {
     "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
     "linear_dag": linear_dag.run,
+    "multimodal_pipeline": multimodal_pipeline.run,
     "fan_in": fan_in.run,
     "tree_reduction": tree_reduction.run,
     "svd1": svd1.run,
