@@ -642,3 +642,70 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "ivf_recall_check",
+    oracle=_IVF_COMMON_SQL
+    + f"""
+    , probes AS (
+      SELECT q_id, qv, qn, cell FROM (
+        SELECT q.vec_id AS q_id, q.embedding::DOUBLE[] AS qv,
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS qn,
+               c.c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.embedding::DOUBLE[], c.cv)
+                          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * c.cn)
+                          DESC, c.c_id) AS prn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE prn <= {IVF_NPROBE}
+    ), ivf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT p.q_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                 ORDER BY list_dot_product(p.qv, a.ev) / (p.qn * a.nrm) DESC, a.vec_id) AS rn
+        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+      ) WHERE rn <= {IVF_TOPK}
+    ), exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                          / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                          DESC, e.vec_id) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {IVF_TOPK}
+    )
+    SELECT e.q_id, COUNT(*) AS n_exact, COUNT(i.vec_id) AS n_hit
+    FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+    GROUP BY e.q_id ORDER BY e.q_id
+    """,
+)
+def ivf_recall_check(spark: SparkSession, sf_dir: str):
+    """ANN QUALITY measurement, fully in-plan: per query, how many of the
+    exact cosine top-10 (embed_cosine_topk's brute-force leg) the IVF probe
+    path (ivf_ann_topk's leg) retrieves.  Emits exact integers — the
+    recall@10 differential every ANN deployment tracks, here itself
+    differential-tested against DuckDB running both legs.
+
+    Scale: the exact leg is the measurement harness (run on a sampled
+    query set, as here), not the serving path — recall of the
+    partition-pruned IVF index is certified without ever materializing
+    all-pairs on the full corpus."""
+    exact = embed_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf = ivf_ann_topk(spark, sf_dir).select(
+        F.col("q_id").alias("iq"), F.col("vec_id").alias("iv")
+    )
+    hit = exact.join(
+        ivf, (F.col("q_id") == F.col("iq")) & (F.col("vec_id") == F.col("iv")), "left"
+    )
+    return (
+        hit.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("iv").alias("n_hit"),
+        )
+        .orderBy("q_id")
+    )
