@@ -119,3 +119,29 @@ def test_winnow_fingerprint_single_doc_shuffle(spark):
     assert plans.count_shuffles(plan) <= 2
     rows, _ = plans.python_eval_count(plan)
     assert rows == 0
+
+
+def test_fused_gemm_shuffles_keys_only(spark):
+    """Seed-generated GEMM operands must ship KEY ROWS through the shuffle
+    — the plan's exchange inputs come from Range (id arithmetic), never
+    from a generator mapInArrow.  A regression here re-shuffles the full
+    block payloads (~8 GB/side at reference dims)."""
+    from wukong_spark.blockmatrix import BlockMatrix
+
+    a = BlockMatrix.random(spark, 64, 64, 16, 16, seed=1)
+    b = BlockMatrix.random(spark, 64, 64, 16, 16, seed=2)
+    plan = plans.formatted_plan(a.matmul(b).df)
+    # exactly one python stage: the tile consumer AFTER the shuffle; both
+    # exchange inputs are Range arithmetic with a literal-null data column
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("Range") >= 2
+    assert "null AS data" in plan
+    assert "Exchange" in plan
+    # mixed case: x is driver data (LocalTableScan) — still exactly one
+    # python stage (the consumer), and the generated side stays keys-only
+    x = BlockMatrix.from_numpy(
+        spark, __import__("numpy").zeros((64, 8)), 16, 8
+    )
+    mixed = plans.formatted_plan(a.matmul(x).df)
+    assert mixed.count("MapInArrow") == 1
+    assert "null AS data" in mixed
