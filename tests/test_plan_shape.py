@@ -133,7 +133,7 @@ def test_fused_gemm_shuffles_keys_only(spark):
     plan = plans.formatted_plan(a.matmul(b).df)
     # exactly one python stage: the tile consumer AFTER the shuffle; both
     # exchange inputs are Range arithmetic with a literal-null data column
-    assert plan.count("MapInArrow") == 1
+    assert plan.count("MapInArrow (") == 1  # tree header: one node
     assert plan.count("Range") >= 2
     assert "null AS data" in plan
     assert "Exchange" in plan
@@ -143,5 +143,5 @@ def test_fused_gemm_shuffles_keys_only(spark):
         spark, __import__("numpy").zeros((64, 8)), 16, 8
     )
     mixed = plans.formatted_plan(a.matmul(x).df)
-    assert mixed.count("MapInArrow") == 1
+    assert mixed.count("MapInArrow (") == 1
     assert "null AS data" in mixed
