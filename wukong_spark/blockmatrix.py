@@ -749,8 +749,10 @@ class BlockMatrix:
         # input across 32 tasks at reference dims); sortWithinPartitions
         # clusters each tile's rows and orders them by k so the consumer
         # above can stream — it's a post-shuffle local sort of row POINTERS
-        # (≤ 2·f·grid_k rows per tile), not an extra exchange
-        nparts = min(si_n * sj_n, 512)
+        # (≤ 2·f·grid_k rows per tile), not an extra exchange.  The cap
+        # scales with the cluster (≥512, ≥4 waves of cores) so a
+        # 1000-executor deployment isn't pinned to 512 shuffle partitions.
+        nparts = min(si_n * sj_n, max(512, 4 * par))
         out_df = (
             both.repartition(nparts, "si", "sj")
             .sortWithinPartitions("si", "sj", "k", "side", "r")
