@@ -46,3 +46,23 @@ def test_from_dataframe_and_back(spark):
     out = b.to_dataframe(spark, "x long, double long")
     assert out.count() == 10
     assert out.agg({"double": "sum"}).collect()[0][0] == 90
+
+
+def test_bag_topk_pluck_starmap_remove(spark):
+    """Round-5 parity adds: topk (TakeOrdered, no full sort), pluck with
+    default, starmap over tuples, remove = inverted filter."""
+    from wukong_spark.bag import Bag
+
+    b = Bag.from_sequence(spark, [5, 1, 9, 3, 7], npartitions=3)
+    assert b.topk(2) == [9, 7]
+    assert b.topk(2, key=lambda x: -x) == [1, 3]
+
+    d = Bag.from_sequence(
+        spark, [{"a": 1, "b": 2}, {"a": 3}, {"b": 4}], npartitions=2
+    )
+    assert sorted(d.pluck("a", default=-1).compute()) == [-1, 1, 3]
+
+    t = Bag.from_sequence(spark, [(1, 2), (3, 4)], npartitions=2)
+    assert sorted(t.starmap(lambda x, y: x + y).compute()) == [3, 7]
+
+    assert sorted(b.remove(lambda x: x > 4).compute()) == [1, 3]

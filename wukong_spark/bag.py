@@ -20,6 +20,22 @@ from typing import Any, Callable, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _Neg:
+    """Order-reversing key wrapper (works for any comparable, not just
+    numbers — takeOrdered ascends, topk wants descending)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 class Bag:
     def __init__(self, rdd):
         self._rdd = rdd
@@ -82,6 +98,26 @@ class Bag:
     def distinct(self) -> "Bag":
         return Bag(self._rdd.distinct())
 
+    def starmap(self, fn: Callable[..., Any]) -> "Bag":
+        """Apply fn(*x) to each (tuple) element — dask.bag.starmap."""
+        return Bag(self._rdd.map(lambda x: fn(*x)))
+
+    def remove(self, pred: Callable[[Any], bool]) -> "Bag":
+        """Drop elements where pred holds — dask.bag.remove (¬filter)."""
+        return Bag(self._rdd.filter(lambda x: not pred(x)))
+
+    def pluck(self, key: Any, default: Any = None) -> "Bag":
+        """Extract `key` from each mapping/sequence element —
+        dask.bag.pluck; missing keys yield `default`."""
+
+        def get(x):
+            try:
+                return x[key]
+            except (KeyError, IndexError, TypeError):
+                return default
+
+        return Bag(self._rdd.map(get))
+
     def repartition(self, npartitions: int) -> "Bag":
         return Bag(self._rdd.repartition(npartitions))
 
@@ -105,6 +141,13 @@ class Bag:
 
     def sum(self) -> Any:
         return self._rdd.sum()
+
+    def topk(self, k: int, key: Callable[[Any], Any] | None = None) -> list:
+        """Largest k elements (dask.bag.topk) — distributed TakeOrdered,
+        never a full sort/collect."""
+        if key is None:
+            return self._rdd.takeOrdered(k, key=lambda x: _Neg(x))
+        return self._rdd.takeOrdered(k, key=lambda x: _Neg(key(x)))
 
     # -- exit ramp to the declarative layer --------------------------------
     def to_dataframe(self, spark: SparkSession, schema: str) -> DataFrame:
