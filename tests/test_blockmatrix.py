@@ -67,6 +67,18 @@ def test_reductions(spark, rng):
     assert np.allclose(m.col_sums(), a.sum(axis=0))
 
 
+def test_scalar_and_moment_reductions(spark, rng):
+    """x.sum()/x.mean()/x.std(axis=0) — the reference's array-reduction
+    triple (test_collections.py:92-94), exact vs numpy."""
+    a = rng.random((45, 18))
+    m = BlockMatrix.from_numpy(spark, a, 12, 7)
+    assert np.isclose(m.sum(), a.sum())
+    assert np.isclose(m.mean(), a.mean())
+    assert np.allclose(m.col_means(), a.mean(axis=0))
+    assert np.allclose(m.col_stds(), a.std(axis=0))
+    assert np.allclose(m.col_stds(ddof=1), a.std(axis=0, ddof=1))
+
+
 def test_gemm_matches_numpy(spark, rng):
     """GEMM (README.md:250-271) — exact vs an in-order numpy accumulation."""
     a, b = rng.random((48, 36)), rng.random((36, 28))

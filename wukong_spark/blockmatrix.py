@@ -443,6 +443,32 @@ class BlockMatrix:
             out[row.bi * br : row.bi * br + r] = np.frombuffer(row.partial)
         return out
 
+    def sum(self) -> float:
+        """Global sum — reference ``x.sum()`` (test_collections.py:92-94)."""
+        return float(self.col_sums().sum())
+
+    def mean(self) -> float:
+        """Global mean — reference ``x.mean()`` (test_collections.py:92)."""
+        return float(self.col_sums().sum() / (self.n_rows * self.n_cols))
+
+    def col_means(self) -> np.ndarray:
+        """Per-column means — ``x.mean(axis=0)``."""
+        return self.col_sums() / self.n_rows
+
+    def col_stds(self, ddof: int = 0) -> np.ndarray:
+        """Per-column standard deviation — reference ``x.std(axis=0)``
+        (test_collections.py:93).  Moment formula over two pipelined
+        passes (column sums, column sums-of-squares — the square fuses
+        into the same map task, no extra shuffle); only 2·m doubles ever
+        reach the driver."""
+        s = self.col_sums()
+        ss = self.map_elementwise(lambda b: b * b).col_sums()
+        n = self.n_rows
+        var0 = np.maximum(ss / n - (s / n) ** 2, 0.0)
+        if ddof:
+            var0 = var0 * (n / (n - ddof))
+        return np.sqrt(var0)
+
     def map_with_row_vector(
         self, vec: np.ndarray, fn: Callable[[np.ndarray, np.ndarray], np.ndarray]
     ) -> "BlockMatrix":

@@ -597,7 +597,7 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
     def assign_with(c: np.ndarray):
         c_sq = (c**2).sum(axis=1)
 
-        @F.pandas_udf(f"cluster int, margin double")
+        @F.pandas_udf("cluster int, margin double")
         def assign(xs: pd.Series) -> pd.DataFrame:
             x = np.vstack(xs.to_numpy())
             # same expansion as the SQL oracle: x·x − 2 x·c + c·c
