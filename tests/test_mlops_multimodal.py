@@ -181,3 +181,18 @@ def test_frame_sample(spark):
     out = frame_sample(_media_df(spark), n_frames=3, fake_decoder=True).toPandas()
     assert len(out) == 60
     assert set(out["frame_idx"]) == {0, 1, 2}
+
+
+def test_fake_decoder_survives_bmp_lookalike_payloads(spark):
+    """A payload that merely starts with 'BM'/'P6'/'RIFF' but isn't valid
+    media must fall through to the fake decoder (testdata text can start
+    with anything), while invalid lookalikes WITHOUT fake_decoder raise."""
+    rows = [(0, bytearray(b"BM plain text, not a bitmap")),
+            (1, bytearray(b"P6 also just text")),
+            (2, bytearray(b"neither"))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = attach_media_metadata(df, "blob", kind="image", mime="x", id_col="doc_id")
+    out = decode_images(media, fake_decoder=True, height=4, width=4).toPandas()
+    assert len(out) == 3 and all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+    with pytest.raises(Exception):
+        decode_images(media, height=4, width=4).collect()

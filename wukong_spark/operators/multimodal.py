@@ -170,11 +170,17 @@ def _decode_pixels(
     payload: bytes, height: int, width: int, fake_decoder: bool
 ) -> np.ndarray:
     """Dispatch on magic bytes: real decoders for the uncompressed formats,
-    deterministic fake (opt-in) for everything else."""
-    if payload[:2] == b"BM":
-        return resize_nearest(decode_bmp(payload), height, width)
-    if payload[:2] == b"P6":
-        return resize_nearest(decode_ppm(payload), height, width)
+    deterministic fake (opt-in) for everything else.  With fake_decoder, a
+    payload that merely STARTS like BMP/PPM but fails to parse (e.g. text
+    bytes beginning "BM") falls through to the fake instead of failing —
+    magic bytes are a heuristic, not a guarantee."""
+    if payload[:2] in (b"BM", b"P6"):
+        try:
+            px = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+            return resize_nearest(px, height, width)
+        except Exception:
+            if not fake_decoder:
+                raise
     if fake_decoder:
         return _fake_pixels(payload, height, width)
     raise NotImplementedError(
@@ -252,8 +258,15 @@ def decode_audio(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 b = bytes(payload)
+                decoded = None
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    sr, nch, x = decode_wav(b)
+                    try:
+                        decoded = decode_wav(b)
+                    except Exception:
+                        if not fake_decoder:
+                            raise
+                if decoded is not None:
+                    sr, nch, x = decoded
                 elif fake_decoder:
                     seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
                     sr, nch = 16000, 1
