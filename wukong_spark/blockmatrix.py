@@ -616,7 +616,7 @@ class BlockMatrix:
                 )
                 .select(
                     (F.col("r") / f).cast("int").alias("si"),
-                    F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
+                    F.explode(F.sequence(F.lit(0), F.lit(sj_n - 1))).alias("sj"),
                     "r",
                     "k",
                     F.lit(0).alias("side"),
@@ -626,7 +626,7 @@ class BlockMatrix:
         else:
             a_rep = A.df.select(
                 (F.col("bi") / f).cast("int").alias("si"),
-                F.explode(F.array(*[F.lit(j) for j in range(sj_n)])).alias("sj"),
+                F.explode(F.sequence(F.lit(0), F.lit(sj_n - 1))).alias("sj"),
                 F.col("bi").alias("r"),
                 F.col("bj").alias("k"),
                 F.lit(0).alias("side"),
@@ -640,7 +640,7 @@ class BlockMatrix:
                     (F.col("id") % gj).cast("int").alias("r"),
                 )
                 .select(
-                    F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
+                    F.explode(F.sequence(F.lit(0), F.lit(si_n - 1))).alias("si"),
                     (F.col("r") / f).cast("int").alias("sj"),
                     "r",
                     "k",
@@ -650,7 +650,7 @@ class BlockMatrix:
             )
         else:
             b_rep = B.df.select(
-                F.explode(F.array(*[F.lit(i) for i in range(si_n)])).alias("si"),
+                F.explode(F.sequence(F.lit(0), F.lit(si_n - 1))).alias("si"),
                 (F.col("bj") / f).cast("int").alias("sj"),
                 F.col("bi").alias("k"),
                 F.col("bj").alias("r"),
