@@ -1343,6 +1343,16 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
     remaining = a.df.filter(F.col("bi") >= F.col("bj")).localCheckpoint()
     panels: list[DataFrame] = []
     diag_blocks: list[tuple[int, int, bytes]] = []
+
+    def _release(df: DataFrame) -> None:
+        # free a superseded localCheckpoint's RDD cache immediately (same
+        # hygiene as operators/graph.py): across a 16-grid factorization the
+        # per-step trailing checkpoints otherwise pile up ~O(n²) bytes in
+        # executor storage until driver GC gets around to them
+        try:
+            df._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass  # best-effort
     for j in range(nb):
         row = remaining.filter((F.col("bi") == j) & (F.col("bj") == j)).collect()[0]
         r = min(bs, n - j * bs)
@@ -1414,12 +1424,14 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
                         out["data"].append((aik - lij @ lkj.T).tobytes())
                     yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+            prev = remaining
             remaining = (
                 remaining.filter(F.col("bj") > j)
                 .mapInArrow(update_bc, BLOCK_SCHEMA)
                 .localCheckpoint()
             )
             bc.unpersist()  # checkpoint materialized — broadcast releasable
+            _release(prev)
             continue
 
         li = panel.select(F.col("bi").alias("pi"), F.col("data").alias("dli"))
@@ -1452,6 +1464,7 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
                     out["data"].append((aik - lij @ lkj.T).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+        prev = remaining
         remaining = (
             remaining.filter(F.col("bj") > j)
             .join(li, F.col("bi") == F.col("pi"))
@@ -1460,6 +1473,7 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
             .mapInArrow(update, BLOCK_SCHEMA)
             .localCheckpoint()
         )
+        _release(prev)
 
     out = spark.createDataFrame(diag_blocks, BLOCK_SCHEMA)
     for p in panels:
