@@ -129,7 +129,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str):
     node id); the DuckDB oracle recomputes it as a pruned transitive
     closure, and the union-find oracle lives in tests/test_graph.py.  See
     wukong_spark/operators/graph.py for the per-iteration scale
-    discipline.
+    discipline.  Oracle scale caveat (r5 audit): the RECURSIVE closure is
+    gate-scale-only — at sf0.1 the reachable-pair enumeration explodes in
+    DuckDB while the Spark side converges in O(diameter) rounds.
     """
     from wukong_spark.operators.graph import connected_components
 

@@ -594,6 +594,11 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str):
     near-dup clusters are tiny cliques, so 2-3 rounds).  The DuckDB oracle
     re-derives the transitive closure with a RECURSIVE CTE — a full SQL
     value-check of an iterative graph computation.
+
+    Oracle scale caveat (r5 audit): the RECURSIVE closure enumerates
+    (node, reachable-label) pairs, which explodes past the sf0.01 gate
+    (~9M LSH pairs at sf0.1 ground for >40 min).  The SPARK side converges
+    fine at any scale — only the SQL referee is gate-scale-only.
     """
     from wukong_spark.operators.graph import connected_components
 
