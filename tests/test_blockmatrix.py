@@ -347,3 +347,50 @@ def test_transpose_plus_other(spark, rng):
     by = BlockMatrix.from_numpy(spark, y, 12, 12)
     got = bx.transpose().add(by).to_numpy()
     assert np.array_equal(got, x.T + y)
+
+
+def test_rechunk_exact(spark, rng):
+    a = rng.random((53, 41))
+    m = BlockMatrix.from_numpy(spark, a, 16, 16)
+    r = m.rechunk(10, 25)
+    assert (r.block_rows, r.block_cols) == (10, 25)
+    assert np.array_equal(r.to_numpy(), a)  # pure data movement — bitwise
+    # roundtrip back to the original blocking
+    assert np.array_equal(r.rechunk(16, 16).to_numpy(), a)
+    # identity rechunk passes through
+    assert m.rechunk(16, 16) is m
+
+
+def test_rechunk_coarsen_and_single_block(spark, rng):
+    a = rng.random((30, 20))
+    m = BlockMatrix.from_numpy(spark, a, 7, 6)  # ragged both axes
+    assert np.array_equal(m.rechunk(30, 20).to_numpy(), a)
+    assert np.array_equal(m.rechunk(64, 64).to_numpy(), a)
+
+
+def test_vstack_hstack_exact(spark, rng):
+    a, b = rng.random((23, 15)), rng.random((17, 15))
+    ma = BlockMatrix.from_numpy(spark, a, 8, 8)
+    mb = BlockMatrix.from_numpy(spark, b, 5, 9)  # incompatible blocking
+    v = ma.vstack(mb)
+    assert (v.n_rows, v.n_cols) == (40, 15)
+    assert (v.block_rows, v.block_cols) == (8, 8)
+    assert np.array_equal(v.to_numpy(), np.vstack([a, b]))
+
+    c = rng.random((23, 11))
+    mc = BlockMatrix.from_numpy(spark, c, 6, 4)
+    h = ma.hstack(mc)
+    assert (h.n_rows, h.n_cols) == (23, 26)
+    assert np.array_equal(h.to_numpy(), np.hstack([a, c]))
+
+
+def test_vstack_then_matmul(spark, rng):
+    # stacked matrices feed the existing operator set unchanged
+    a, b = rng.random((12, 10)), rng.random((8, 10))
+    x = rng.random((10, 6))
+    v = BlockMatrix.from_numpy(spark, a, 5, 5).vstack(
+        BlockMatrix.from_numpy(spark, b, 4, 7)
+    )
+    mx = BlockMatrix.from_numpy(spark, x, 5, 6)
+    got = v.matmul(mx).to_numpy()
+    assert np.allclose(got, np.vstack([a, b]) @ x, atol=1e-12)

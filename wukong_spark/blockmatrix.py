@@ -1020,6 +1020,131 @@ class BlockMatrix:
             self.df.groupBy("bi").applyInPandas(stitch, BLOCK_SCHEMA), n, m, br, m
         )
 
+    # -- re-chunking / concatenation (da.rechunk / da.concatenate) --------
+    def _emit_pieces(self, row_off: int, col_off: int, tbr: int, tbc: int) -> DataFrame:
+        """Map side of rechunk/vstack/hstack: slice every block into the
+        pieces that intersect the TARGET blocking (tbr × tbc) after a global
+        (row_off, col_off) shift.  Pieces carry their destination block id
+        and in-block offsets; payloads are contiguous copies of sub-slices,
+        so the downstream stitch is pure byte placement — re-chunking is
+        bitwise-exact data movement, never recomputation."""
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [
+                    ("obi", pa.int32()),
+                    ("obj", pa.int32()),
+                    ("r0", pa.int32()),
+                    ("c0", pa.int32()),
+                    ("nr", pa.int32()),
+                    ("nc", pa.int32()),
+                    ("p", pa.binary()),
+                ]
+            )
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {
+                    "obi": [], "obj": [], "r0": [], "c0": [], "nr": [], "nc": [], "p": []
+                }
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    gr0, gc0 = row_off + bi * br, col_off + bj * bc
+                    for obi in range(gr0 // tbr, (gr0 + r - 1) // tbr + 1):
+                        rs = max(gr0, obi * tbr)
+                        re = min(gr0 + r, (obi + 1) * tbr)
+                        for obj in range(gc0 // tbc, (gc0 + c - 1) // tbc + 1):
+                            cs = max(gc0, obj * tbc)
+                            ce = min(gc0 + c, (obj + 1) * tbc)
+                            piece = np.ascontiguousarray(
+                                blk[rs - gr0 : re - gr0, cs - gc0 : ce - gc0]
+                            )
+                            out["obi"].append(obi)
+                            out["obj"].append(obj)
+                            out["r0"].append(rs - obi * tbr)
+                            out["c0"].append(cs - obj * tbc)
+                            out["nr"].append(re - rs)
+                            out["nc"].append(ce - cs)
+                            out["p"].append(piece.tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        return self.df.mapInArrow(
+            part, "obi int, obj int, r0 int, c0 int, nr int, nc int, p binary"
+        )
+
+    @staticmethod
+    def _stitch_pieces(
+        pieces: DataFrame, n: int, m: int, tbr: int, tbc: int
+    ) -> "BlockMatrix":
+        """Reduce side of rechunk/vstack/hstack: one shuffle on the
+        destination block id, then byte placement into the output block."""
+
+        def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            obi, obj = int(key[0]), int(key[1])
+            r = min(tbr, n - obi * tbr)
+            c = min(tbc, m - obj * tbc)
+            out = np.zeros((r, c))
+            for r0, c0, nr, nc, p in zip(
+                pdf["r0"], pdf["c0"], pdf["nr"], pdf["nc"], pdf["p"]
+            ):
+                out[int(r0) : int(r0) + int(nr), int(c0) : int(c0) + int(nc)] = (
+                    np.frombuffer(p).reshape(int(nr), int(nc))
+                )
+            return pd.DataFrame([(obi, obj, out.tobytes())], columns=["bi", "bj", "data"])
+
+        return BlockMatrix(
+            pieces.groupBy("obi", "obj").applyInPandas(stitch, BLOCK_SCHEMA),
+            n, m, tbr, tbc,
+        )
+
+    def rechunk(self, block_rows: int, block_cols: int) -> "BlockMatrix":
+        """Re-block to a new chunking — ``da.rechunk`` parity (chunking is
+        the user-visible parallelism knob, README.md:63; dask exposes
+        rechunk on every collection).
+
+        ONE shuffle whose volume is exactly the matrix size — the lower
+        bound, since every byte changes blocks at most once.  At 100 TB the
+        plan holds: pieces inherit the scan's partitioning, the groupBy
+        shuffles each piece directly to its destination reducer, and no
+        task ever holds more than one output block plus its incoming
+        pieces."""
+        if block_rows == self.block_rows and block_cols == self.block_cols:
+            return self
+        pieces = self._emit_pieces(0, 0, block_rows, block_cols)
+        return BlockMatrix._stitch_pieces(
+            pieces, self.n_rows, self.n_cols, block_rows, block_cols
+        )
+
+    def vstack(self, other: "BlockMatrix") -> "BlockMatrix":
+        """Row-wise concatenation — ``da.concatenate(axis=0)`` parity.
+
+        Output blocking = self's; both inputs are sliced against that
+        target (so arbitrary, mutually ragged blockings concatenate in the
+        SAME single shuffle a plain rechunk costs — no pre-alignment
+        pass)."""
+        assert self.n_cols == other.n_cols, "vstack: column counts must match"
+        tbr, tbc = self.block_rows, self.block_cols
+        n = self.n_rows + other.n_rows
+        pieces = self._emit_pieces(0, 0, tbr, tbc).unionByName(
+            other._emit_pieces(self.n_rows, 0, tbr, tbc)
+        )
+        return BlockMatrix._stitch_pieces(pieces, n, self.n_cols, tbr, tbc)
+
+    def hstack(self, other: "BlockMatrix") -> "BlockMatrix":
+        """Column-wise concatenation — ``da.concatenate(axis=1)`` parity."""
+        assert self.n_rows == other.n_rows, "hstack: row counts must match"
+        tbr, tbc = self.block_rows, self.block_cols
+        m = self.n_cols + other.n_cols
+        pieces = self._emit_pieces(0, 0, tbr, tbc).unionByName(
+            other._emit_pieces(0, self.n_cols, tbr, tbc)
+        )
+        return BlockMatrix._stitch_pieces(pieces, self.n_rows, m, tbr, tbc)
+
     def qr(self, force_panels: bool = False) -> tuple["BlockMatrix", np.ndarray]:
         """General (multi-block-column) QR — the reference's own QR example
         is a WIDE grid, 128×128 with 16×16 chunks

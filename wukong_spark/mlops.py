@@ -84,6 +84,58 @@ def predict_broadcast(
     return df.select(*keep).mapInPandas(run, schema)
 
 
+def linreg_fit_normal(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    l2: float = 0.0,
+) -> tuple[np.ndarray, float]:
+    """Closed-form linear regression via distributed normal equations —
+    the training-side complement of `predict_broadcast` (the reference's
+    dask_ml surface pairs chunked predict with chunked estimators,
+    README.md:280-305).
+
+    ONE distributed pass: each Arrow batch accumulates XᵀX and Xᵀy with an
+    intercept column appended; per-partition partials are (d+1)×(d+2)
+    doubles, so driver traffic is O(d²·partitions) — independent of row
+    count, the same scaling story as BlockMatrix.gramian.  The (d+1)²
+    solve runs on the driver ((XᵀX + λ·diag(1…1,0))β = Xᵀy — the
+    intercept is not penalized).
+
+    Returns (weights, intercept).
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[features_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            x = np.hstack([x, np.ones((len(x), 1))])
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            m = np.hstack([x.T @ x, (x.T @ y)[:, None]])
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"d": [g.shape[0]], "p": [g.tobytes()]})
+
+    rows = (
+        df.select(features_col, label_col).mapInPandas(partials, "d int, p binary")
+    ).collect()
+    if not rows:
+        raise ValueError("linreg_fit_normal: empty input")
+    d1 = rows[0].d
+    total = np.zeros((d1, d1 + 1))
+    for row in rows:
+        total += np.frombuffer(row.p).reshape(d1, d1 + 1)
+    g, b = total[:, :d1], total[:, d1]
+    reg = np.eye(d1) * l2
+    reg[-1, -1] = 0.0  # never shrink the intercept
+    beta = np.linalg.solve(g + reg, b)
+    return beta[:-1], float(beta[-1])
+
+
 def make_classification_blocks(
     spark,
     n_samples: int,

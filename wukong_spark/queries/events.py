@@ -380,3 +380,70 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str):
         F.sum("n").alias("n_events"),
         F.sum("sv4").alias("sum_value_4"),
     )
+
+
+@query(
+    "events_resample_5m",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 300) AS BIGINT)) * 300 * 1000000
+             ) AS bucket, value
+      FROM events
+    ),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sv4,
+             ROUND(MIN(value), 4) AS mn4,
+             ROUND(MAX(value), 4) AS mx4
+      FROM b GROUP BY bucket
+    ),
+    bounds AS (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket
+      FROM bounds
+    )
+    SELECT s.bucket AS bucket,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.sv4, 0) AS sum_value_4,
+           COALESCE(a.mn4, 0.0) AS min_value_4,
+           COALESCE(a.mx4, 0.0) AS max_value_4
+    FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+    """,
+)
+def events_resample_5m(spark: SparkSession, sf_dir: str):
+    """Time-series resample to a regular 5-minute grid WITH gap filling —
+    dask.dataframe's `df.resample('5min').agg(...)` surface (pandas
+    semantics: empty bins appear in the output; the reference runs exactly
+    such pandas-time-series tasks as opaque graphs,
+    `wukong/tests/test_collections.py:138-141`).
+
+    Plan: one shuffle aggregates events into 5-minute buckets; the bucket
+    spine comes from sequence(min, max, 5 min) exploded off the 1-row
+    bounds agg and left-joins the (small) bucket aggregate.  Empty bins
+    are COALESCE-filled on both sides — the driver's comparator treats
+    NULL/NaN as unequal, and n_events = 0 already marks them.
+
+    Scale: the aggregated bucket table is O(time-range), not O(events) —
+    at 100 TB of events it is still ~100k rows/year, so the spine join is
+    a broadcast."""
+    e = tbl(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.window("ts", "5 minutes").getField("start").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sv4"),
+        r4(F.min("value")).alias("mn4"),
+        r4(F.max("value")).alias("mx4"),
+    )
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 5 minutes"))).alias("bucket")
+    )
+    return spine.join(agg, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("sv4", F.lit(0).cast("long")).alias("sum_value_4"),
+        F.coalesce("mn4", F.lit(0.0)).alias("min_value_4"),
+        F.coalesce("mx4", F.lit(0.0)).alias("max_value_4"),
+    )

@@ -448,6 +448,80 @@ def la_sparse_colsums(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "la_rechunk_check",
+    oracle="SELECT TRUE AS roundtrip_exact, TRUE AS colsums_match, 16 AS blocks",
+)
+def la_rechunk_check(spark: SparkSession, sf_dir: str):
+    """Re-chunking contract (da.rechunk — chunking is the reference's
+    user-visible parallelism knob, README.md:63): a seeded 1000×700 matrix
+    in ragged (256,128) blocks re-blocked to (300,200), then back.
+
+    Contracts computed in-plan: the roundtrip is BITWISE exact (rechunk is
+    pure data movement — pieces are byte copies, so subtract reduces to
+    exactly 0.0), and the re-blocked matrix's column sums match the
+    original's to 1e-9 (same addends, different grouping order).  Only the
+    verdicts leave the cluster."""
+    a = BlockMatrix.random(spark, 1000, 700, 256, 128, seed=55)
+    a.df.persist()  # read by rechunk, the roundtrip subtract, and col_sums
+    b = a.rechunk(300, 200)
+    b.df.persist()  # read by the roundtrip rechunk and col_sums
+    rt_err = b.rechunk(256, 128).subtract(a).max_abs()
+    cs_err = float(np.abs(b.col_sums() - a.col_sums()).max())
+    blocks = b.grid_rows * b.grid_cols
+    b.df.unpersist()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(rt_err == 0.0), bool(cs_err < 1e-9), blocks)],
+        "roundtrip_exact boolean, colsums_match boolean, blocks int",
+    )
+
+
+@query(
+    "la_concat_check",
+    oracle=(
+        "SELECT TRUE AS fro_additive_v, TRUE AS rowsums_match,"
+        " TRUE AS fro_additive_h, 21 AS v_blocks, 16 AS h_blocks"
+    ),
+)
+def la_concat_check(spark: SparkSession, sf_dir: str):
+    """Concatenation contract (da.concatenate over chunked arrays —
+    SURVEY §1.1 dask.array surface): vstack a ragged 500×300/(128,128)
+    matrix over a 300×300/(100,150) one (mutually incompatible blockings —
+    the general case), and hstack a 500×200/(64,64) one beside it.
+
+    In-plan contracts: Frobenius² additivity for both axes (disjoint
+    supports), and the stacked row_sums equal the per-input row_sums
+    concatenated.  Block counts pin the output geometry."""
+    a = BlockMatrix.random(spark, 500, 300, 128, 128, seed=61)
+    b = BlockMatrix.random(spark, 300, 300, 100, 150, seed=62)
+    c = BlockMatrix.random(spark, 500, 200, 64, 64, seed=63)
+    a.df.persist()  # read by both stacks, fro, and row_sums
+    b.df.persist()
+    v = a.vstack(b)  # 800×300 in (128,128) → 7×3 = 21 blocks
+    v.df.persist()  # read by fro and row_sums
+    fa2, fb2, fv2 = (
+        a.frobenius_norm() ** 2, b.frobenius_norm() ** 2, v.frobenius_norm() ** 2
+    )
+    fro_v_ok = abs(fv2 - (fa2 + fb2)) / (fa2 + fb2) < 1e-9
+    rs_err = float(
+        np.abs(v.row_sums() - np.concatenate([a.row_sums(), b.row_sums()])).max()
+    )
+    h = a.hstack(c)  # 500×500 in (128,128) → 4×4 = 16 blocks
+    fc2, fh2 = c.frobenius_norm() ** 2, h.frobenius_norm() ** 2
+    fro_h_ok = abs(fh2 - (fa2 + fc2)) / (fa2 + fc2) < 1e-9
+    v_blocks = v.grid_rows * v.grid_cols
+    h_blocks = h.grid_rows * h.grid_cols
+    v.df.unpersist()
+    b.df.unpersist()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(fro_v_ok), bool(rs_err < 1e-9), bool(fro_h_ok), v_blocks, h_blocks)],
+        "fro_additive_v boolean, rowsums_match boolean, fro_additive_h boolean,"
+        " v_blocks int, h_blocks int",
+    )
+
+
 @query("la_svd_tall_skinny_sigma", headline=True)
 def la_svd_tall_skinny_sigma(spark: SparkSession, sf_dir: str):
     """Tall-skinny SVD (README.md:204-225) on seeded 20000×16, 2500-row

