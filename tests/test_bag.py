@@ -66,3 +66,13 @@ def test_bag_topk_pluck_starmap_remove(spark):
     assert sorted(t.starmap(lambda x, y: x + y).compute()) == [3, 7]
 
     assert sorted(b.remove(lambda x: x > 4).compute()) == [1, 3]
+
+
+def test_bag_pluck_no_default_raises(spark):
+    import pytest
+
+    b = Bag.from_sequence(spark, [1, 2, 3])
+    with pytest.raises(Exception):  # Py4J wraps the executor TypeError
+        b.pluck("a").compute()
+    # an explicit default masks the same error (toolz.get semantics)
+    assert b.pluck("a", default=-1).compute() == [-1, -1, -1]

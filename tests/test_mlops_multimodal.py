@@ -196,3 +196,12 @@ def test_fake_decoder_survives_bmp_lookalike_payloads(spark):
     assert len(out) == 3 and all(len(p) == 4 * 4 * 3 for p in out["pixels"])
     with pytest.raises(Exception):
         decode_images(media, height=4, width=4).collect()
+
+
+def test_decode_ppm_scales_small_maxval():
+    # spec: samples are fractions of maxval — full intensity at maxval=100
+    # must decode as 255, half intensity as ~128
+    px = np.array([[[100, 50, 0]]], dtype=np.uint8)
+    payload = b"P6\n1 1\n100\n" + px.tobytes()
+    got = decode_ppm(payload)
+    assert got.tolist() == [[[255, 128, 0]]]

@@ -552,3 +552,72 @@ def test_executor_shutdown_cancel_futures(client):
         except Exception:
             resolved += 1
     assert resolved == 3
+
+
+def test_executor_follower_survives_hung_attempt_retry(client, tmp_path):
+    """Retrying a HUNG attempt (the usual reason to retry) must re-attach
+    the follower via the swap itself — the hung attempt's done-callback
+    never fires, so it cannot be the re-attach trigger."""
+    counter = tmp_path / "attempts"
+    gate = tmp_path / "gate"
+
+    def attempt_dependent(cpath=str(counter), gpath=str(gate)):
+        import os
+        import time as _t
+
+        with open(cpath, "a") as fh:
+            fh.write("x")
+        with open(cpath) as fh:
+            n = len(fh.read())
+        if n == 1:  # first attempt: hang until the test releases it
+            while not os.path.exists(gpath):
+                _t.sleep(0.05)
+            return -1
+        return 42
+
+    e = client.get_executor(pure=False)
+    out = e.submit(attempt_dependent)
+    cf = e._futures[-1]
+    import time
+
+    deadline = time.time() + 30
+    while not counter.exists() and time.time() < deadline:
+        time.sleep(0.05)  # attempt 1 is running (and hung)
+    cf.retry()  # attempt 2 returns 42 while attempt 1 still hangs
+    try:
+        assert out.result(timeout=60) == 42
+    finally:
+        gate.write_text("")  # release attempt 1 so its job can finish
+
+
+def test_follower_cancel_reports_failure(client):
+    """stdlib contract: cancel() returns False when the underlying work
+    could not be cancelled — the follower must not mark itself cancelled
+    while the Spark job keeps running."""
+    import time
+
+    def sleepy():
+        time.sleep(3)
+        return 7
+
+    e = client.get_executor(pure=False)
+    out = e.submit(sleepy)
+    cf = e._futures[-1]
+    cf._cancel_hook = lambda: False  # job-group cancel "failed"
+    assert out.cancel() is False
+    assert not out.cancelled()
+    assert out.result(timeout=60) == 7  # the uncancelled work still lands
+
+
+def test_release_checkpoint_frees_persistent_rdd(spark):
+    """release_checkpoint must unpersist the localCheckpoint's REGISTERED
+    RDD (queryExecution().toRdd() is a derived wrapper whose unpersist is
+    a no-op — verified against getPersistentRDDs)."""
+    from wukong_spark.session import release_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(1000).selectExpr("id", "id * 2 AS y").localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    release_checkpoint(df)
+    assert jsc.getPersistentRDDs().size() == before

@@ -54,6 +54,8 @@ def main() -> None:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: driver_mimic.py [--json OUT.json] [query ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     only = set(args)

@@ -19,6 +19,9 @@ from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: pluck's "no default supplied" marker (None is a legitimate default)
+_NO_DEFAULT = object()
+
 
 class _Neg:
     """Order-reversing key wrapper (works for any comparable, not just
@@ -106,14 +109,23 @@ class Bag:
         """Drop elements where pred holds — dask.bag.remove (¬filter)."""
         return Bag(self._rdd.filter(lambda x: not pred(x)))
 
-    def pluck(self, key: Any, default: Any = None) -> "Bag":
+    def pluck(self, key: Any, default: Any = _NO_DEFAULT) -> "Bag":
         """Extract `key` from each mapping/sequence element —
-        dask.bag.pluck; missing keys yield `default`."""
+        dask.bag.pluck (toolz.get semantics): withOUT a default, lookup
+        errors propagate (a bag of ints plucked by key is a programming
+        error, not a column of defaults); WITH one, missing keys yield
+        it."""
+
+        # resolved DRIVER-side: the sentinel is identity-compared, and a
+        # cloudpickled closure cell would deserialize to a different object
+        has_default = default is not _NO_DEFAULT
 
         def get(x):
             try:
                 return x[key]
             except (KeyError, IndexError, TypeError):
+                if not has_default:
+                    raise
                 return default
 
         return Bag(self._rdd.map(get))

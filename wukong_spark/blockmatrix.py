@@ -1469,15 +1469,11 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
     panels: list[DataFrame] = []
     diag_blocks: list[tuple[int, int, bytes]] = []
 
-    def _release(df: DataFrame) -> None:
-        # free a superseded localCheckpoint's RDD cache immediately (same
-        # hygiene as operators/graph.py): across a 16-grid factorization the
-        # per-step trailing checkpoints otherwise pile up ~O(n²) bytes in
-        # executor storage until driver GC gets around to them
-        try:
-            df._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass  # best-effort
+    # free each superseded trailing checkpoint immediately: across a
+    # 16-grid factorization they otherwise pile up ~O(n²) bytes in
+    # executor storage until driver GC gets around to them
+    from wukong_spark.session import release_checkpoint as _release
+
     for j in range(nb):
         row = remaining.filter((F.col("bi") == j) & (F.col("bj") == j)).collect()[0]
         r = min(bs, n - j * bs)

@@ -48,14 +48,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _release(df: DataFrame) -> None:
-        # free a localCheckpoint's cached RDD immediately instead of waiting
-        # for driver GC + ContextCleaner (the checkpoint lives as RDD-level
-        # cache, so DataFrame.unpersist() cannot find it)
-        try:
-            df._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass  # best-effort: GC reclaims it eventually
+    # free each superseded checkpoint's cached RDD immediately instead of
+    # waiting for driver GC + ContextCleaner
+    from wukong_spark.session import release_checkpoint as _release
 
     converged = False
     for _ in range(max_iter):

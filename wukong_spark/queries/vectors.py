@@ -633,15 +633,20 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
     final = e.select(assign_with(cents)(F.col("x")).alias("a")).select(
         F.col("a.cluster").alias("cluster"), F.col("a.margin").alias("margin")
     )
-    e.unpersist()
-    return (
+    out = (
         final.groupBy("cluster")
         .agg(
             F.count("*").alias("n"),
             (F.min("margin") > F.lit(KMEANS_MARGIN)).alias("margin_ok"),
         )
         .orderBy("cluster")
+        # k-row result materialized eagerly WHILE e is still cached — the
+        # caller's collect then reads the checkpoint instead of re-scanning
+        # the embeddings uncached after the unpersist below
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    return out
 
 
 @query(

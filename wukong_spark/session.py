@@ -165,3 +165,18 @@ class PlanCache:
         for df in self._cache.values():
             df.unpersist()
         self._cache.clear()
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's persisted RDD immediately instead of waiting
+    for driver GC + ContextCleaner.
+
+    The checkpoint lives as RDD-level cache on the RDD held by the plan's
+    LogicalRDD leaf — `DataFrame.unpersist()` cannot find it, and
+    `queryExecution().toRdd()` returns a DERIVED wrapper RDD whose
+    unpersist is a no-op (verified against getPersistentRDDs).  Only the
+    analyzed plan's own `.rdd()` is the registered persistent RDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: GC reclaims it eventually

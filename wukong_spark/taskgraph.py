@@ -105,6 +105,10 @@ class Future:
         self._f = pyfuture
         self._cancel_hook = cancel_hook
         self._retry_hook = retry_hook
+        #: called with the NEW attempt's pyfuture whenever retry() swaps
+        #: attempts — lets followers re-attach even when the old attempt
+        #: never completes (a hung attempt is the usual reason to retry)
+        self._attempt_listeners: list[Callable[[_PyFuture], None]] = []
 
     def result(self, timeout: float | None = None) -> Any:
         """Block for the value; re-raises remote errors (A27 parity:
@@ -163,7 +167,16 @@ class _FollowerFuture(_PyFuture):
         self._client_future = client_future
 
     def cancel(self) -> bool:
-        self._client_future.cancel()
+        # stdlib contract: return False when the work could not actually be
+        # cancelled — don't mark the follower cancelled while the Spark job
+        # keeps running (its result would be silently discarded)
+        if not self._client_future.cancel():
+            return False
+        return super().cancel()
+
+    def _mark_cancelled(self) -> bool:
+        """State-only cancel, used when the ATTEMPT already resolved
+        cancelled — no client forwarding (nothing left to cancel)."""
         return super().cancel()
 
 
@@ -206,7 +219,7 @@ class ClientExecutor(_CFExecutor):
                 return
             try:
                 if pf.cancelled():
-                    out.cancel()
+                    out._mark_cancelled()
                 elif pf.exception() is not None:
                     out.set_exception(pf.exception())
                 else:
@@ -214,6 +227,10 @@ class ClientExecutor(_CFExecutor):
             except InvalidStateError:
                 pass
 
+        # attempt listener (not just the done-callback re-attach): when a
+        # HUNG attempt is retried, its done-callback never fires, so the
+        # swap itself must re-attach the follower to the new attempt
+        f._attempt_listeners.append(lambda pf: pf.add_done_callback(chain))
         f._f.add_done_callback(chain)
         return out
 
@@ -473,6 +490,8 @@ class WukongClient:
             pf, cancel_hook = launcher(func, args, kwargs, key)
             fut._f = pf
             fut._cancel_hook = cancel_hook
+            for cb in list(fut._attempt_listeners):
+                cb(pf)
 
         return retry
 
