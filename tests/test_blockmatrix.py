@@ -394,3 +394,26 @@ def test_vstack_then_matmul(spark, rng):
     mx = BlockMatrix.from_numpy(spark, x, 5, 6)
     got = v.matmul(mx).to_numpy()
     assert np.allclose(got, np.vstack([a, b]) @ x, atol=1e-12)
+
+
+def test_slice_exact(spark, rng):
+    a = rng.random((57, 43))
+    m = BlockMatrix.from_numpy(spark, a, 16, 12)
+    s = m.slice(5, 41, 7, 40)
+    assert (s.n_rows, s.n_cols) == (36, 33)
+    assert np.array_equal(s.to_numpy(), a[5:41, 7:40])
+    # block-aligned slice and full-matrix slice
+    assert np.array_equal(m.slice(16, 48, 12, 24).to_numpy(), a[16:48, 12:24])
+    assert np.array_equal(m.slice(0, 57, 0, 43).to_numpy(), a)
+    # single-element
+    assert np.array_equal(m.slice(56, 57, 42, 43).to_numpy(), a[56:57, 42:43])
+
+
+def test_cumsum_rows(spark, rng):
+    a = rng.random((45, 22))
+    m = BlockMatrix.from_numpy(spark, a, 10, 8)  # ragged both axes
+    got = m.cumsum_rows().to_numpy()
+    assert np.allclose(got, np.cumsum(a, axis=0), atol=1e-12)
+    # single block row: offsets all zero, local path only
+    m1 = BlockMatrix.from_numpy(spark, a, 64, 8)
+    assert np.allclose(m1.cumsum_rows().to_numpy(), np.cumsum(a, axis=0), atol=1e-12)

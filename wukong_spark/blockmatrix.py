@@ -1021,11 +1021,21 @@ class BlockMatrix:
         )
 
     # -- re-chunking / concatenation (da.rechunk / da.concatenate) --------
-    def _emit_pieces(self, row_off: int, col_off: int, tbr: int, tbc: int) -> DataFrame:
-        """Map side of rechunk/vstack/hstack: slice every block into the
-        pieces that intersect the TARGET blocking (tbr × tbc) after a global
-        (row_off, col_off) shift.  Pieces carry their destination block id
-        and in-block offsets; payloads are contiguous copies of sub-slices,
+    def _emit_pieces(
+        self,
+        row_off: int,
+        col_off: int,
+        tbr: int,
+        tbc: int,
+        clip_rows: int | None = None,
+        clip_cols: int | None = None,
+    ) -> DataFrame:
+        """Map side of rechunk/vstack/hstack/slice: slice every block into
+        the pieces that intersect the TARGET blocking (tbr × tbc) after a
+        global (row_off, col_off) shift, clipped to the output extent
+        [0, clip_rows) × [0, clip_cols) (negative offsets + clipping give
+        range slicing).  Pieces carry their destination block id and
+        in-block offsets; payloads are contiguous copies of sub-slices,
         so the downstream stitch is pure byte placement — re-chunking is
         bitwise-exact data movement, never recomputation."""
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
@@ -1055,12 +1065,20 @@ class BlockMatrix:
                     c = min(bc, m - bj * bc)
                     blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
                     gr0, gc0 = row_off + bi * br, col_off + bj * bc
-                    for obi in range(gr0 // tbr, (gr0 + r - 1) // tbr + 1):
-                        rs = max(gr0, obi * tbr)
-                        re = min(gr0 + r, (obi + 1) * tbr)
-                        for obj in range(gc0 // tbc, (gc0 + c - 1) // tbc + 1):
-                            cs = max(gc0, obj * tbc)
-                            ce = min(gc0 + c, (obj + 1) * tbc)
+                    lo_r, hi_r = max(gr0, 0), gr0 + r
+                    lo_c, hi_c = max(gc0, 0), gc0 + c
+                    if clip_rows is not None:
+                        hi_r = min(hi_r, clip_rows)
+                    if clip_cols is not None:
+                        hi_c = min(hi_c, clip_cols)
+                    if hi_r <= lo_r or hi_c <= lo_c:
+                        continue
+                    for obi in range(lo_r // tbr, (hi_r - 1) // tbr + 1):
+                        rs = max(lo_r, obi * tbr)
+                        re = min(hi_r, (obi + 1) * tbr)
+                        for obj in range(lo_c // tbc, (hi_c - 1) // tbc + 1):
+                            cs = max(lo_c, obj * tbc)
+                            ce = min(hi_c, (obj + 1) * tbc)
                             piece = np.ascontiguousarray(
                                 blk[rs - gr0 : re - gr0, cs - gc0 : ce - gc0]
                             )
@@ -1144,6 +1162,128 @@ class BlockMatrix:
             other._emit_pieces(0, self.n_cols, tbr, tbc)
         )
         return BlockMatrix._stitch_pieces(pieces, self.n_rows, m, tbr, tbc)
+
+    def slice(self, r0: int, r1: int, c0: int, c1: int) -> "BlockMatrix":
+        """Range slice ``a[r0:r1, c0:c1]`` — dask array-slicing parity
+        (chunked `a[i:j]` is core da surface; the reference executes such
+        graphs opaquely).  Output keeps this matrix's blocking, re-anchored
+        at the slice origin.
+
+        Blocks outside the range are pruned JVM-SIDE (a Catalyst filter on
+        (bi, bj) — never decoded), then the rechunk piece machinery runs
+        with a negative offset + output clipping: one shuffle whose volume
+        is the SLICE size, not the matrix size."""
+        assert 0 <= r0 < r1 <= self.n_rows and 0 <= c0 < c1 <= self.n_cols
+        br, bc = self.block_rows, self.block_cols
+        pruned = self.df.filter(
+            (F.col("bi") >= r0 // br)
+            & (F.col("bi") <= (r1 - 1) // br)
+            & (F.col("bj") >= c0 // bc)
+            & (F.col("bj") <= (c1 - 1) // bc)
+        )
+        sub = BlockMatrix(pruned, self.n_rows, self.n_cols, br, bc)
+        pieces = sub._emit_pieces(
+            -r0, -c0, br, bc, clip_rows=r1 - r0, clip_cols=c1 - c0
+        )
+        return BlockMatrix._stitch_pieces(pieces, r1 - r0, c1 - c0, br, bc)
+
+    def cumsum_rows(self) -> "BlockMatrix":
+        """Cumulative sum down each column (``da.cumsum(axis=0)`` parity)
+        — the classic two-phase distributed prefix sum:
+
+        1. a light pass reduces each block to its 1×c column-total row;
+           grouped by bj, the grid_rows tiny rows per block column become
+           exclusive prefix offsets — distributed, O(grid · bc) per task,
+           never a driver collect;
+        2. a map pass computes each block's LOCAL column-wise cumsum; the
+           offsets (broadcast — they are ~grid⁻¹·br⁻¹ of the matrix)
+           equi-join in and add row-broadcast.
+
+        The input is read by both passes — persist it for one scan each,
+        exactly the contract tsqr/gramian consumers already follow.
+
+        At 100 TB the plan holds: the only shuffled payload beyond the
+        local pass is the offsets table — grid_rows × n_cols doubles,
+        ~10⁻⁵ of the matrix."""
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        def local(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(np.ascontiguousarray(np.cumsum(blk, axis=0)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        partial = self.df.mapInArrow(local, BLOCK_SCHEMA)
+
+        def totals(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [("bi", pa.int32()), ("bj", pa.int32()), ("tot", pa.binary())]
+            )
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"bi": [], "bj": [], "tot": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["tot"].append(np.ascontiguousarray(blk.sum(axis=0)).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        def offsets(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("bi")
+            run = None
+            rows = {"bi": [], "bj": [], "off": []}
+            for bi, tot in zip(pdf["bi"], pdf["tot"]):
+                cur = np.zeros(len(np.frombuffer(tot))) if run is None else run
+                rows["bi"].append(int(bi))
+                rows["bj"].append(int(key[0]))
+                rows["off"].append(cur.tobytes())
+                run = cur + np.frombuffer(tot)
+            return pd.DataFrame(rows)
+
+        off = (
+            self.df.mapInArrow(totals, "bi int, bj int, tot binary")
+            .groupBy("bj")
+            .applyInPandas(offsets, "bi int, bj int, off binary")
+        )
+        joined = partial.join(F.broadcast(off), ["bi", "bj"])
+
+        def add_off(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c = rb.column("bi"), rb.column("bj")
+                d_c, o_c = rb.column("data"), rb.column("off")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    offv = np.frombuffer(o_c[i].as_buffer(), dtype=np.float64)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append((blk + offv[None, :]).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        return BlockMatrix(joined.mapInArrow(add_off, BLOCK_SCHEMA), n, m, br, bc)
 
     def qr(self, force_panels: bool = False) -> tuple["BlockMatrix", np.ndarray]:
         """General (multi-block-column) QR — the reference's own QR example

@@ -447,3 +447,35 @@ def events_resample_5m(spark: SparkSession, sf_dir: str):
         F.coalesce("mn4", F.lit(0.0)).alias("min_value_4"),
         F.coalesce("mx4", F.lit(0.0)).alias("max_value_4"),
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
+    FROM events
+    GROUP BY bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str):
+    """Fixed-width histogram over the value column — da.histogram /
+    dask.dataframe binning parity (the reference's array surface includes
+    histogramming via opaque chunked graphs).
+
+    Bin id = floor(value / width): a single double division + floor —
+    bit-identical cross-engine on identical inputs (no accumulation), so
+    bin membership never flips.  One map-side bin computation + one
+    shuffle on bin; counts and integer-scaled sums are exact.
+
+    At 100 TB this is the textbook map-side-combine aggregation: ~dozens
+    of distinct bins means partial aggregation collapses each task to a
+    handful of rows before the exchange."""
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 5.0).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
+    )

@@ -522,6 +522,43 @@ def la_concat_check(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "la_cumsum_check",
+    oracle=(
+        "SELECT TRUE AS last_row_matches_colsums, TRUE AS diff_reconstructs,"
+        " 40 AS blocks"
+    ),
+)
+def la_cumsum_check(spark: SparkSession, sf_dir: str):
+    """Distributed prefix-sum contract (da.cumsum(axis=0) + da slicing —
+    SURVEY §1.1 dask.array surface) on a seeded 1000×300/(128,64) matrix:
+
+    - last_row_matches_colsums: the cumsum's final row (extracted with the
+      pruned-scan slice operator) equals col_sums — two INDEPENDENT
+      distributed reductions must agree;
+    - diff_reconstructs: cumsum minus its one-row-down shift (a zero row
+      vstacked over cumsum[0:n−1] — slice + concat in anger) recovers the
+      input to 1e-9, verified blockwise + max_abs.
+
+    Only verdicts leave the cluster (the slice row is 1×300)."""
+    a = BlockMatrix.random(spark, 1000, 300, 128, 64, seed=77)
+    a.df.persist()  # read by cumsum's two passes, col_sums, and the diff
+    cs = a.cumsum_rows()
+    cs.df.persist()  # read by the slice probes and the diff check
+    last = cs.slice(999, 1000, 0, 300).to_numpy().ravel()
+    col_err = float(np.abs(last - a.col_sums()).max())
+    zrow = BlockMatrix.from_numpy(spark, np.zeros((1, 300)), 128, 64)
+    shifted = zrow.vstack(cs.slice(0, 999, 0, 300))
+    recon_err = cs.subtract(shifted).subtract(a).max_abs()
+    blocks = cs.grid_rows * cs.grid_cols
+    cs.df.unpersist()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(col_err < 1e-8), bool(recon_err < 1e-9), blocks)],
+        "last_row_matches_colsums boolean, diff_reconstructs boolean, blocks int",
+    )
+
+
 @query("la_svd_tall_skinny_sigma", headline=True)
 def la_svd_tall_skinny_sigma(spark: SparkSession, sf_dir: str):
     """Tall-skinny SVD (README.md:204-225) on seeded 20000×16, 2500-row
