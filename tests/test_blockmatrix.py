@@ -417,3 +417,22 @@ def test_cumsum_rows(spark, rng):
     # single block row: offsets all zero, local path only
     m1 = BlockMatrix.from_numpy(spark, a, 64, 8)
     assert np.allclose(m1.cumsum_rows().to_numpy(), np.cumsum(a, axis=0), atol=1e-12)
+
+
+def test_lstsq_matches_numpy(spark, rng):
+    a = rng.random((400, 12))
+    xt = rng.standard_normal((12, 2))
+    b = a @ xt + 0.01 * rng.standard_normal((400, 2))
+    ma = BlockMatrix.from_numpy(spark, a, 64, 12)
+    mb = BlockMatrix.from_numpy(spark, b, 64, 2)
+    got = ma.lstsq(mb)
+    want, *_ = np.linalg.lstsq(a, b, rcond=None)
+    assert np.abs(got - want).max() < 1e-9
+    # multi-block-column A takes the qr() ladder path
+    wide = rng.random((300, 40))
+    bw = wide @ rng.standard_normal((40, 1))
+    mw = BlockMatrix.from_numpy(spark, wide, 50, 16)
+    gb = BlockMatrix.from_numpy(spark, bw, 50, 1)
+    got_w = mw.lstsq(gb)
+    want_w, *_ = np.linalg.lstsq(wide, bw, rcond=None)
+    assert np.abs(got_w - want_w).max() < 1e-8

@@ -1528,6 +1528,24 @@ class BlockMatrix:
             out[row.bj * bc : row.bj * bc + c, :] = np.frombuffer(row.z).reshape(c, p)
         return out
 
+    def lstsq(self, b: "BlockMatrix") -> np.ndarray:
+        """Least-squares solve argmin_X ‖A·X − B‖_F for tall-skinny A —
+        ``da.linalg.lstsq`` parity (dask routes it through the same TSQR
+        this uses).
+
+        QR path, numerically stable vs. normal equations: TSQR gives Q
+        (distributed) and R (c×c, driver); X = R⁻¹·(QᵀB) with QᵀB reduced
+        distributed by transpose_matvec.  The driver only ever holds
+        c×c / c×k factors.  B must share A's row blocking (one block
+        wide) — the natural layout for a label/target matrix.
+
+        Callers that also read A elsewhere should persist it (tsqr makes
+        two passes)."""
+        assert self.n_rows == b.n_rows and self.block_rows == b.block_rows
+        q, r = self.qr()  # strategy ladder: TSQR / re-block+TSQR / CGS2
+        qtb = q.transpose_matvec(b)
+        return np.linalg.solve(r, qtb)
+
 
 def _subtract_panel_projection(
     q: BlockMatrix, w: BlockMatrix, s: np.ndarray

@@ -456,6 +456,7 @@ def events_resample_5m(spark: SparkSession, sf_dir: str):
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY bin
     """,
 )
@@ -473,7 +474,11 @@ def events_value_histogram(spark: SparkSession, sf_dir: str):
     of distinct bins means partial aggregation collapses each task to a
     handful of rows before the exchange."""
     e = tbl(spark, sf_dir, "events")
-    return e.groupBy(
+    # null hygiene (symmetric with the oracle): a NULL bin would reach the
+    # comparator as NaN, which it treats as unequal — and the driver
+    # regenerates testdata between rounds, so "no NULLs today" is not a
+    # contract
+    return e.filter(F.col("value").isNotNull()).groupBy(
         F.floor(F.col("value") / 5.0).alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),

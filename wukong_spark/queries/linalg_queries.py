@@ -523,6 +523,38 @@ def la_concat_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "la_lstsq_check",
+    oracle=(
+        "SELECT TRUE AS qr_ne_agree, TRUE AS residual_orthogonal, 16 AS n_cols"
+    ),
+)
+def la_lstsq_check(spark: SparkSession, sf_dir: str):
+    """Least-squares contract (da.linalg.lstsq — dask routes it through
+    TSQR exactly as BlockMatrix.lstsq does) on the 20000×16 tall-skinny
+    workload shape: solve min‖AX−B‖ by TWO independent distributed
+    algorithms — the QR path (lstsq: TSQR, then QᵀB via transpose_matvec)
+    and the normal equations (gramian + AᵀB, driver solve) — and require
+    1e-8 relative agreement; plus first-order optimality
+    ‖Aᵀ(B−AX)‖∞ / ‖AᵀB‖∞ < 1e-10.  Only verdicts leave the cluster."""
+    a = BlockMatrix.random(spark, 20000, 16, 2500, 16, seed=9)
+    b = BlockMatrix.random(spark, 20000, 2, 2500, 2, seed=10)
+    a.df.persist()  # read by qr (2 passes), gramian, and transpose_matvec
+    b.df.persist()  # read by both algorithms' reductions
+    x_qr = a.lstsq(b)
+    g = a.gramian()
+    atb = a.transpose_matvec(b)
+    x_ne = np.linalg.solve(g, atb)
+    agree = float(np.abs(x_qr - x_ne).max()) / float(np.abs(x_ne).max())
+    orth = float(np.abs(atb - g @ x_qr).max()) / float(np.abs(atb).max())
+    b.df.unpersist()
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(agree < 1e-8), bool(orth < 1e-10), a.n_cols)],
+        "qr_ne_agree boolean, residual_orthogonal boolean, n_cols int",
+    )
+
+
+@query(
     "la_cumsum_check",
     oracle=(
         "SELECT TRUE AS last_row_matches_colsums, TRUE AS diff_reconstructs,"
