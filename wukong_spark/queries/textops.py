@@ -1130,3 +1130,72 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str):
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
     )
+
+
+@query(
+    "text_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(0, array_length(t), 10)) AS start
+      FROM toks WHERE array_length(t) >= 1
+    ), segs AS (
+      SELECT doc_id,
+             array_to_string(t[start + 1 : start + 10], ' ') AS seg,
+             array_length(t[start + 1 : start + 10]) AS stoks
+      FROM starts
+    ), freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS dfreq FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id AS doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN f.dfreq = 1 THEN s.stoks END), 0) AS BIGINT)
+             AS kept_tokens
+    FROM segs s JOIN freq f ON f.seg = s.seg
+    GROUP BY s.doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str):
+    """Segment-level (CCNet/C4-style paragraph) deduplication: split each
+    document into non-overlapping 10-token segments, drop every segment
+    that appears VERBATIM in more than one document, report per-doc
+    keep counts.  This is the within-corpus repeated-boilerplate scrub
+    that document-level dedup (dedup_exact_md5 / minhash) cannot express —
+    duplicated headers/footers inside otherwise-unique documents.
+
+    Plan: map-only segmentation (sequence→transform→explode, the
+    text_chunk_windows slicing semantics pinned cross-engine), one
+    groupBy(seg) for corpus document-frequency, one equi-join back, one
+    per-doc agg.  At 100 TB the seg join is the heavy stage: hash join on
+    the segment string (or its hash at scale), with AQE skew splitting
+    handling ultra-common boilerplate segments."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(10)),
+        lambda start: F.struct(
+            F.concat_ws(" ", F.slice(toks, start + 1, 10)).alias("seg"),
+            F.size(F.slice(toks, start + 1, 10)).cast("long").alias("stoks"),
+        ),
+    )
+    segs = (
+        d.filter(n >= 1)
+        .select("doc_id", F.explode(seg_structs).alias("s"))
+        .select("doc_id", "s.seg", "s.stoks")
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("dfreq"))
+    keep = F.col("dfreq") == 1
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("stoks"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
