@@ -484,3 +484,49 @@ def events_value_histogram(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_value_4"),
     )
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
+    """STREAMING tumbling-window aggregation, hash-verified against the
+    batch SQL oracle — the batch/stream-parity invariant
+    (wukong_spark/streaming: same window expressions, watermark-bounded
+    state) promoted from pytest into the driver's correctness gate.
+
+    Runs the events table as a bounded stream (trigger=availableNow over
+    the parquet source, watermark 2 h) into a memory sink; with all data
+    available the watermark finalizes every window, so the streaming
+    result equals the batch aggregation exactly.  At 100 TB the identical
+    plan runs unbounded: per-window state is evicted once older than
+    max(event_time) − watermark."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        out = run_to_memory(
+            windowed_counts(ev), f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+        )
+        # materialized sink rows — tz-insensitive from here on
+        return out
+    finally:
+        # read_events_stream pins UTC for watermark semantics; restore the
+        # caller's tz so later queries in the same (possibly non-UTC
+        # driver) session see their own setting
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
