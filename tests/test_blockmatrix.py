@@ -436,3 +436,17 @@ def test_lstsq_matches_numpy(spark, rng):
     got_w = mw.lstsq(gb)
     want_w, *_ = np.linalg.lstsq(wide, bw, rcond=None)
     assert np.abs(got_w - want_w).max() < 1e-8
+
+
+def test_cumsum_rows_absent_blocks(spark, rng):
+    """Absent blocks ≡ zero (the convention cholesky output uses): their
+    cumsum below nonzero blocks is the running offset, NOT zero."""
+    a = rng.random((8, 4))
+    a[2:6, :] = 0.0  # rows covered by blocks (1,*) in 2-row blocking
+    m_full = BlockMatrix.from_numpy(spark, a, 2, 2)
+    # drop the all-zero blocks entirely (bi in {1, 2})
+    from pyspark.sql import functions as F
+    sparse_df = m_full.df.filter(~F.col("bi").isin(1, 2))
+    m = BlockMatrix(sparse_df, 8, 4, 2, 2)
+    got = m.cumsum_rows().to_numpy()
+    assert np.allclose(got, np.cumsum(a, axis=0), atol=1e-12)

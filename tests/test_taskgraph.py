@@ -621,3 +621,19 @@ def test_release_checkpoint_frees_persistent_rdd(spark):
     assert jsc.getPersistentRDDs().size() == before + 1
     release_checkpoint(df)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_executor_listener_pruned_after_resolve(client):
+    """Memoized pure Futures outlive their followers — the attempt listener
+    must be removed once the follower resolves, or repeated submits of the
+    same key accumulate dead closures on the memo entry."""
+    import time
+
+    e = client.get_executor()
+    out = e.submit(_inc, 41)
+    assert out.result(30) == 42
+    cf = e._futures[-1]
+    deadline = time.time() + 10
+    while cf._attempt_listeners and time.time() < deadline:
+        time.sleep(0.05)  # chain's _unlisten runs in the done-callback
+    assert cf._attempt_listeners == []

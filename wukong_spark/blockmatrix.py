@@ -1245,24 +1245,62 @@ class BlockMatrix:
                     out["tot"].append(np.ascontiguousarray(blk.sum(axis=0)).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+        grid_rows = self.grid_rows
+
         def offsets(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("bi")
-            run = None
-            rows = {"bi": [], "bj": [], "off": []}
-            for bi, tot in zip(pdf["bi"], pdf["tot"]):
-                cur = np.zeros(len(np.frombuffer(tot))) if run is None else run
-                rows["bi"].append(int(bi))
+            # emit a row for EVERY bi in the grid, not just present blocks:
+            # an absent block (≡ zero, the documented convention) has a
+            # NONZERO cumsum output below nonzero blocks — its constant
+            # offset row, flagged present=False so it can be materialized
+            # without joining the (absent) data
+            present_tot = {int(bi): tot for bi, tot in zip(pdf["bi"], pdf["tot"])}
+            width = len(np.frombuffer(next(iter(present_tot.values()))))
+            run = np.zeros(width)
+            rows = {"bi": [], "bj": [], "off": [], "present": []}
+            for bi in range(grid_rows):
+                rows["bi"].append(bi)
                 rows["bj"].append(int(key[0]))
-                rows["off"].append(cur.tobytes())
-                run = cur + np.frombuffer(tot)
+                rows["off"].append(run.tobytes())
+                rows["present"].append(bi in present_tot)
+                if bi in present_tot:
+                    run = run + np.frombuffer(present_tot[bi])
             return pd.DataFrame(rows)
 
-        off = (
+        off_all = (
             self.df.mapInArrow(totals, "bi int, bj int, tot binary")
             .groupBy("bj")
-            .applyInPandas(offsets, "bi int, bj int, off binary")
+            .applyInPandas(offsets, "bi int, bj int, off binary, present boolean")
         )
-        joined = partial.join(F.broadcast(off), ["bi", "bj"])
+        joined = partial.join(
+            F.broadcast(off_all.filter(F.col("present")).drop("present")),
+            ["bi", "bj"],
+        )
+
+        def tile_off(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                bi_c, bj_c, o_c = rb.column("bi"), rb.column("bj"), rb.column("off")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    offv = np.frombuffer(o_c[i].as_buffer(), dtype=np.float64)
+                    out["bi"].append(bi)
+                    out["bj"].append(bj)
+                    out["data"].append(np.ascontiguousarray(np.tile(offv, (r, 1))).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        # absent blocks below nonzero ones: output = their constant offset
+        # row tiled — generated straight from the tiny offsets table, never
+        # joined against data.  (A block column with NO present blocks emits
+        # nothing: all-zero outputs stay absent, preserving the convention.)
+        fillers = (
+            off_all.filter(~F.col("present"))
+            .drop("present")
+            .mapInArrow(tile_off, BLOCK_SCHEMA)
+        )
 
         def add_off(batches) -> Iterator:
             import pyarrow as pa
@@ -1283,7 +1321,10 @@ class BlockMatrix:
                     out["data"].append((blk + offv[None, :]).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-        return BlockMatrix(joined.mapInArrow(add_off, BLOCK_SCHEMA), n, m, br, bc)
+        return BlockMatrix(
+            joined.mapInArrow(add_off, BLOCK_SCHEMA).unionByName(fillers),
+            n, m, br, bc,
+        )
 
     def qr(self, force_panels: bool = False) -> tuple["BlockMatrix", np.ndarray]:
         """General (multi-block-column) QR — the reference's own QR example

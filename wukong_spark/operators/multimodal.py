@@ -118,14 +118,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("16-bit-per-sample PPM unsupported")
+    if maxval <= 0:
+        raise ValueError(f"invalid PPM maxval {maxval}")
     arr = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos).reshape(
         h, w, 3
     )
     if maxval != 255:
         # spec: samples are fractions of maxval — rescale to full-range
         # uint8 (integer round-half-up; a maxval=100 full-intensity pixel
-        # must decode as 255, not 100)
-        arr = ((arr.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(np.uint8)
+        # must decode as 255, not 100).  Out-of-spec samples > maxval
+        # saturate instead of wrapping modulo 256 (corrupt/truncated
+        # payloads must stay monotone, not turn mid-gray)
+        scaled = (arr.astype(np.uint32) * 255 + maxval // 2) // maxval
+        arr = np.minimum(scaled, 255).astype(np.uint8)
     return arr
 
 

@@ -210,12 +210,23 @@ class ClientExecutor(_CFExecutor):
         # is no longer the client Future's current one.
         out = _FollowerFuture(f)
 
+        def _unlisten() -> None:
+            # memoized pure Futures live for the memo's lifetime — prune the
+            # listener once this follower resolved so repeated submits of
+            # the same key don't accumulate dead closures (and retries
+            # don't re-attach dead chains)
+            try:
+                f._attempt_listeners.remove(listener)
+            except ValueError:
+                pass
+
         def chain(pf: _PyFuture) -> None:
             cur = f._f
             if cur is not pf:  # a retry swapped attempts — follow it
                 cur.add_done_callback(chain)
                 return
             if out.cancelled():
+                _unlisten()
                 return
             try:
                 if pf.cancelled():
@@ -226,11 +237,15 @@ class ClientExecutor(_CFExecutor):
                     out.set_result(pf.result())
             except InvalidStateError:
                 pass
+            _unlisten()
 
         # attempt listener (not just the done-callback re-attach): when a
         # HUNG attempt is retried, its done-callback never fires, so the
         # swap itself must re-attach the follower to the new attempt
-        f._attempt_listeners.append(lambda pf: pf.add_done_callback(chain))
+        def listener(pf: _PyFuture) -> None:
+            pf.add_done_callback(chain)
+
+        f._attempt_listeners.append(listener)
         f._f.add_done_callback(chain)
         return out
 
