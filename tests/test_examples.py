@@ -9,6 +9,7 @@ import pytest
 
 sys.path.insert(0, "/root/repo/examples")
 
+import array_ops  # noqa: E402
 import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
 import gemm  # noqa: E402
@@ -21,6 +22,7 @@ import svc_inference  # noqa: E402
 import tree_reduction  # noqa: E402
 
 ALL = {
+    "array_ops": array_ops.run,
     "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
     "linear_dag": linear_dag.run,
