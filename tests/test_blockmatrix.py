@@ -450,3 +450,34 @@ def test_cumsum_rows_absent_blocks(spark, rng):
     m = BlockMatrix(sparse_df, 8, 4, 2, 2)
     got = m.cumsum_rows().to_numpy()
     assert np.allclose(got, np.cumsum(a, axis=0), atol=1e-12)
+
+
+def test_cumsum_cols(spark, rng):
+    a = rng.random((20, 33))
+    m = BlockMatrix.from_numpy(spark, a, 6, 9)
+    assert np.allclose(m.cumsum_cols().to_numpy(), np.cumsum(a, axis=1), atol=1e-12)
+
+
+def test_diagonal(spark, rng):
+    a = rng.random((37, 23))
+    m = BlockMatrix.from_numpy(spark, a, 10, 7)
+    assert np.array_equal(m.diagonal(), np.diag(a))
+    # wide case + square case
+    b = rng.random((8, 30))
+    assert np.array_equal(
+        BlockMatrix.from_numpy(spark, b, 3, 11).diagonal(), np.diag(b)
+    )
+
+
+def test_argmax_argmin(spark, rng):
+    a = rng.standard_normal((29, 17))
+    m = BlockMatrix.from_numpy(spark, a, 8, 5)
+    r, c = m.argmax()
+    assert (r * 17 + c) == np.argmax(a)
+    r, c = m.argmin()
+    assert (r * 17 + c) == np.argmin(a)
+    # tie at two positions resolves to the lowest flat index, like numpy
+    t = np.zeros((6, 6))
+    t[1, 2] = t[4, 4] = 5.0
+    mt = BlockMatrix.from_numpy(spark, t, 3, 3)
+    assert mt.argmax() == (1, 2)

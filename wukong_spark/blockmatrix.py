@@ -1326,6 +1326,101 @@ class BlockMatrix:
             n, m, br, bc,
         )
 
+    def cumsum_cols(self) -> "BlockMatrix":
+        """Cumulative sum along each row (``da.cumsum(axis=1)``) — the
+        transpose composition: two map-only passes around the axis-0
+        prefix sum (transpose is shuffle-free blockwise relabeling, so the
+        only exchanges are cumsum_rows' own offset broadcast)."""
+        return self.transpose().cumsum_rows().transpose()
+
+    def diagonal(self) -> np.ndarray:
+        """Main diagonal as a driver vector (``da.diagonal`` for the
+        square/rectangular main-diagonal case) — the usual post-factorization
+        probe (diag(R), diag(AᵀA)).  Blocks off the diagonal band are
+        pruned JVM-SIDE; the driver receives O(min(n,m)) doubles."""
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+        k = min(n, m)
+
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema([("g0", pa.int64()), ("v", pa.binary())])
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"g0": [], "v": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    r0, c0 = bi * br, bj * bc
+                    lo = max(r0, c0)
+                    hi = min(r0 + r, c0 + c, k)
+                    if hi <= lo:
+                        continue
+                    idx = np.arange(lo, hi)
+                    out["g0"].append(lo)
+                    out["v"].append(
+                        np.ascontiguousarray(blk[idx - r0, idx - c0]).tobytes()
+                    )
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        # JVM-side band pruning: a block intersects the diagonal iff its
+        # row and column ranges overlap
+        banded = self.df.filter(
+            (F.col("bi") * br < (F.col("bj") + 1) * bc)
+            & (F.col("bj") * bc < (F.col("bi") + 1) * br)
+        )
+        out = np.zeros(k)
+        for row in banded.mapInArrow(part, "g0 long, v binary").collect():
+            v = np.frombuffer(row.v)
+            out[row.g0 : row.g0 + len(v)] = v
+        return out
+
+    def argmax(self) -> tuple[int, int]:
+        """(row, col) of the maximum element — ``da.argmax`` (flat-index
+        variant is ``r * n_cols + c``).  Per-block local argmax, then one
+        grid-sized candidate table to the driver; ties resolve to the
+        lowest flat index, matching numpy."""
+        return self._arg_reduce(True)
+
+    def argmin(self) -> tuple[int, int]:
+        """(row, col) of the minimum element — ``da.argmin``."""
+        return self._arg_reduce(False)
+
+    def _arg_reduce(self, take_max: bool) -> tuple[int, int]:
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        def part(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [("r", pa.int64()), ("c", pa.int64()), ("v", pa.float64())]
+            )
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"r": [], "c": [], "v": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    flat = int(np.argmax(blk) if take_max else np.argmin(blk))
+                    out["r"].append(bi * br + flat // c)
+                    out["c"].append(bj * bc + flat % c)
+                    out["v"].append(float(blk.flat[flat]))
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        cands = self.df.mapInArrow(part, "r long, c long, v double").collect()
+        if not cands:
+            raise ValueError("argmax/argmin of an empty matrix")
+        best = None
+        for row in cands:
+            key = (row.v, -(row.r * m + row.c)) if take_max else (-row.v, -(row.r * m + row.c))
+            if best is None or key > best[0]:
+                best = (key, (row.r, row.c))
+        return best[1]
+
     def qr(self, force_panels: bool = False) -> tuple["BlockMatrix", np.ndarray]:
         """General (multi-block-column) QR — the reference's own QR example
         is a WIDE grid, 128×128 with 16×16 chunks
