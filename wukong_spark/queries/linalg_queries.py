@@ -563,7 +563,7 @@ def la_lstsq_check(spark: SparkSession, sf_dir: str):
 )
 def la_cumsum_check(spark: SparkSession, sf_dir: str):
     """Distributed prefix-sum contract (da.cumsum(axis=0) + da slicing —
-    SURVEY §1.1 dask.array surface) on a seeded 1000×300/(128,64) matrix:
+    SURVEY §1.1 dask.array surface) on a seeded 512×160/(128,64) matrix:
 
     - last_row_matches_colsums: the cumsum's final row (extracted with the
       pruned-scan slice operator) equals col_sums — two INDEPENDENT
@@ -588,6 +588,44 @@ def la_cumsum_check(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         [(bool(col_err < 1e-8), bool(recon_err < 1e-9), blocks)],
         "last_row_matches_colsums boolean, diff_reconstructs boolean, blocks int",
+    )
+
+
+@query(
+    "la_probe_check",
+    oracle=(
+        "SELECT TRUE AS gram_diag_matches, TRUE AS rowsum_matches,"
+        " TRUE AS argmax_is_max, 160 AS diag_len"
+    ),
+)
+def la_probe_check(spark: SparkSession, sf_dir: str):
+    """Probe-operator contract (da.diagonal / da.argmax / da.cumsum(axis=1))
+    on a seeded 512×160/(128,64) matrix — every probe cross-checked by an
+    INDEPENDENT distributed reduction:
+
+    - gram_diag_matches: diag(AᵀA) (gramian path) equals the column sums of
+      A∘A (elementwise-square + col_sums path) to 1e-9 relative;
+    - rowsum_matches: the last column of cumsum_cols (extracted with slice)
+      equals row_sums;
+    - argmax_is_max: the value at argmax's (r, c) — read back via a 1×1
+      slice — equals max_abs (entries are uniform [0,1), so max ≡ max_abs);
+    - diag_len: diagonal() returns min(n, m) values."""
+    a = BlockMatrix.random(spark, 512, 160, 128, 64, seed=88)
+    a.df.persist()  # read by gramian, squares, cumsum passes, slices
+    gd = np.diag(a.reblock_single_column().gramian())
+    cs2 = a.map_elementwise(lambda b: b * b).col_sums()
+    gram_ok = float(np.abs(gd - cs2).max()) / float(np.abs(cs2).max()) < 1e-9
+    last_col = a.cumsum_cols().slice(0, 512, 159, 160).to_numpy().ravel()
+    row_ok = float(np.abs(last_col - a.row_sums()).max()) < 1e-9
+    r, c = a.argmax()
+    v = a.slice(r, r + 1, c, c + 1).to_numpy()[0, 0]
+    arg_ok = abs(v - a.max_abs()) < 1e-15
+    dlen = len(a.diagonal())
+    a.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(gram_ok), bool(row_ok), bool(arg_ok), dlen)],
+        "gram_diag_matches boolean, rowsum_matches boolean,"
+        " argmax_is_max boolean, diag_len int",
     )
 
 
