@@ -481,3 +481,23 @@ def test_argmax_argmin(spark, rng):
     t[1, 2] = t[4, 4] = 5.0
     mt = BlockMatrix.from_numpy(spark, t, 3, 3)
     assert mt.argmax() == (1, 2)
+
+
+def test_argmax_absent_blocks(spark, rng):
+    """Absent blocks ≡ zero: with all present entries negative, the max is
+    an absent zero position — numpy-first-occurrence semantics."""
+    from pyspark.sql import functions as F
+
+    a = -1.0 - rng.random((8, 8))  # strictly negative everywhere
+    m_full = BlockMatrix.from_numpy(spark, a, 4, 4)
+    m = BlockMatrix(m_full.df.filter(~((F.col("bi") == 0) & (F.col("bj") == 1))), 8, 8, 4, 4)
+    dense = a.copy()
+    dense[0:4, 4:8] = 0.0
+    r, c = m.argmax()
+    assert (r * 8 + c) == np.argmax(dense)
+    # argmin unaffected (minimum stays in a present block)
+    r, c = m.argmin()
+    assert (r * 8 + c) == np.argmin(dense)
+    # an entirely-filtered (all-zero) matrix: numpy picks index 0
+    empty = BlockMatrix(m_full.df.filter(F.lit(False)), 8, 8, 4, 4)
+    assert empty.argmax() == (0, 0)

@@ -1256,12 +1256,13 @@ class BlockMatrix:
             present_tot = {int(bi): tot for bi, tot in zip(pdf["bi"], pdf["tot"])}
             width = len(np.frombuffer(next(iter(present_tot.values()))))
             run = np.zeros(width)
-            rows = {"bi": [], "bj": [], "off": [], "present": []}
+            rows = {"bi": [], "bj": [], "off": [], "present": [], "nz": []}
             for bi in range(grid_rows):
                 rows["bi"].append(bi)
                 rows["bj"].append(int(key[0]))
                 rows["off"].append(run.tobytes())
                 rows["present"].append(bi in present_tot)
+                rows["nz"].append(bool(np.any(run)))
                 if bi in present_tot:
                     run = run + np.frombuffer(present_tot[bi])
             return pd.DataFrame(rows)
@@ -1269,10 +1270,17 @@ class BlockMatrix:
         off_all = (
             self.df.mapInArrow(totals, "bi int, bj int, tot binary")
             .groupBy("bj")
-            .applyInPandas(offsets, "bi int, bj int, off binary, present boolean")
+            .applyInPandas(
+                offsets, "bi int, bj int, off binary, present boolean, nz boolean"
+            )
         )
+        # read by the join branch AND the filler branch: persist so the
+        # totals scan + offsets stage run once per action, not twice.  The
+        # table is ~1/block_rows of the matrix (grid·n_cols doubles); it
+        # stays cached until LRU eviction — the cost of keeping cumsum lazy.
+        off_all = off_all.persist()
         joined = partial.join(
-            F.broadcast(off_all.filter(F.col("present")).drop("present")),
+            F.broadcast(off_all.filter(F.col("present")).drop("present", "nz")),
             ["bi", "bj"],
         )
 
@@ -1294,11 +1302,13 @@ class BlockMatrix:
 
         # absent blocks below nonzero ones: output = their constant offset
         # row tiled — generated straight from the tiny offsets table, never
-        # joined against data.  (A block column with NO present blocks emits
-        # nothing: all-zero outputs stay absent, preserving the convention.)
+        # joined against data.  Absent blocks whose offset is still all
+        # zeros (above the first present block, or in an empty column) stay
+        # absent: their correct output IS zero, so densifying them would
+        # waste exactly the storage the sparse layout saves.
         fillers = (
-            off_all.filter(~F.col("present"))
-            .drop("present")
+            off_all.filter(~F.col("present") & F.col("nz"))
+            .drop("present", "nz")
             .mapInArrow(tile_off, BLOCK_SCHEMA)
         )
 
@@ -1411,14 +1421,31 @@ class BlockMatrix:
                     out["v"].append(float(blk.flat[flat]))
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-        cands = self.df.mapInArrow(part, "r long, c long, v double").collect()
-        if not cands:
+        if n == 0 or m == 0:
             raise ValueError("argmax/argmin of an empty matrix")
+        cands = [
+            (row.r, row.c, row.v)
+            for row in self.df.mapInArrow(part, "r long, c long, v double").collect()
+        ]
+        # absent blocks ≡ zero (the convention to_numpy/matmul/cumsum honor):
+        # the FIRST absent block's origin is the lowest-flat-index zero
+        # candidate, and per-block argmax already returns each present
+        # block's lowest-flat-index extremum, so the global tie-break below
+        # stays numpy-exact
+        present = {(r // br, c // bc) for r, c, _ in cands}
+        if len(present) < self.grid_rows * self.grid_cols:
+            first_absent = next(
+                (bi, bj)
+                for bi in range(self.grid_rows)
+                for bj in range(self.grid_cols)
+                if (bi, bj) not in present
+            )
+            cands.append((first_absent[0] * br, first_absent[1] * bc, 0.0))
         best = None
-        for row in cands:
-            key = (row.v, -(row.r * m + row.c)) if take_max else (-row.v, -(row.r * m + row.c))
+        for r, c, v in cands:
+            key = (v, -(r * m + c)) if take_max else (-v, -(r * m + c))
             if best is None or key > best[0]:
-                best = (key, (row.r, row.c))
+                best = (key, (r, c))
         return best[1]
 
     def qr(self, force_panels: bool = False) -> tuple["BlockMatrix", np.ndarray]:

@@ -509,31 +509,22 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
     result equals the batch aggregation exactly.  At 100 TB the identical
     plan runs unbounded: per-window state is evicted once older than
     max(event_time) − watermark."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from wukong_spark.streaming import (
-        read_events_dir_stream,
+        read_events_stream,
         run_to_memory,
         windowed_counts,
     )
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    # own staging dir (the file source needs a directory) + own sink name,
-    # BOTH cleaned up — a long-lived driver session re-running the gate must
-    # not accumulate dead memory-sink tables or temp symlink dirs
-    stage = tempfile.mkdtemp(prefix="wukong-stream-q-")
+    # unique sink name, dropped afterwards — a long-lived driver session
+    # re-running the gate must not accumulate dead memory-sink tables.
+    # (Staging for the single-file source is read_events_stream's cached,
+    # atexit-cleaned symlink dir.)
     sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     try:
-        src = os.path.abspath(f"{sf_dir}/events.parquet")
-        if os.path.isdir(src):  # already a directory-shaped table
-            stream_dir = src
-        else:
-            os.symlink(src, os.path.join(stage, "events.parquet"))
-            stream_dir = stage
-        ev = read_events_dir_stream(spark, stream_dir)
+        ev = read_events_stream(spark, sf_dir)
         rows = run_to_memory(windowed_counts(ev), sink).collect()
         schema = (
             "window_start timestamp_ntz, event_type string,"
@@ -542,8 +533,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
-        shutil.rmtree(stage, ignore_errors=True)
-        # read_events_dir_stream pins UTC for watermark semantics; restore
-        # the caller's tz so later queries in the same (possibly non-UTC
+        # read_events_stream pins UTC for watermark semantics; restore the
+        # caller's tz so later queries in the same (possibly non-UTC
         # driver) session see their own setting
         spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -563,7 +563,7 @@ def la_lstsq_check(spark: SparkSession, sf_dir: str):
 )
 def la_cumsum_check(spark: SparkSession, sf_dir: str):
     """Distributed prefix-sum contract (da.cumsum(axis=0) + da slicing —
-    SURVEY §1.1 dask.array surface) on a seeded 512×160/(128,64) matrix:
+    SURVEY §1.1 dask.array surface) on a seeded 1000×300/(128,64) matrix:
 
     - last_row_matches_colsums: the cumsum's final row (extracted with the
       pruned-scan slice operator) equals col_sums — two INDEPENDENT

@@ -14,7 +14,9 @@ result — tests/test_streaming.py enforces it.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,27 @@ from pyspark.sql import functions as F
 from wukong_spark.session import load_table
 
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+#: single-file source → its staged symlink directory; one dir per distinct
+#: source for the process lifetime (repeated calls reuse it instead of
+#: leaking one mkdtemp per call), all removed at interpreter exit
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_dir(src: str) -> str:
+    stage = _STAGE_CACHE.get(src)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="wukong-stream-")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+        _STAGE_CACHE[src] = stage
+    return stage
+
+
+@atexit.register
+def _cleanup_stages() -> None:
+    for stage in _STAGE_CACHE.values():
+        shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE.clear()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -35,11 +58,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the streaming file source requires a DIRECTORY; testdata ships single
     # parquet files → stage a symlink dir (read-only view, nothing copied)
-    src = f"{sf_dir}/events.parquet"
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
     if os.path.isfile(src):
-        stage = tempfile.mkdtemp(prefix="wukong-stream-")
-        os.symlink(src, os.path.join(stage, "events.parquet"))
-        src = stage
+        src = _staged_dir(src)
     return read_events_dir_stream(spark, src, max_files_per_trigger)
 
 
