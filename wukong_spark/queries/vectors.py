@@ -714,3 +714,159 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str):
         )
         .orderBy("q_id")
     )
+
+
+@query(
+    "embed_covariance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) s
+      WHERE vec_id < 1000
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS cnt FROM ex),
+    mu AS (SELECT i, SUM(x) / (SELECT cnt FROM n) AS m FROM ex GROUP BY i)
+    SELECT a.i AS i, b.i AS j,
+           ROUND(SUM((a.x - ma.m) * (b.x - mb.m)) / (SELECT cnt FROM n), 6)
+             AS cov
+    FROM ex a
+    JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    JOIN mu ma ON ma.i = a.i
+    JOIN mu mb ON mb.i = b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embed_covariance(spark: SparkSession, sf_dir: str):
+    """Population covariance matrix of the embedding columns (upper
+    triangle), fully relational — the whitening/PCA-prep statistic a
+    training-data pipeline computes before dimension reduction.
+
+    Same plan family as embed_gramian: posexplode → broadcast the 64-row
+    mean vector → row-local self-join on vec_id → hash agg on (i, j).
+    Round-6 absorbs summation-order drift (the embed_gramian precedent).
+
+    Scale shape: the self-join key is vec_id (row-local, no skew); means
+    are a 64-row broadcast; one shuffle for the (i, j) aggregation."""
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    n = ex.select(F.countDistinct("vec_id").alias("cnt"))
+    mu = (
+        ex.groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("sx") / F.col("cnt")).alias("m"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ma = F.broadcast(mu.select(F.col("i").alias("ai"), F.col("m").alias("am")))
+    mb = F.broadcast(mu.select(F.col("i").alias("bi"), F.col("m").alias("bm")))
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .join(ma, F.col("ai") == F.col("a.i"))
+        .join(mb, F.col("bi") == F.col("b.i"))
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.round(
+                F.sum((F.col("a.x") - F.col("am")) * (F.col("b.x") - F.col("bm")))
+                / F.first("cnt"),
+                6,
+            ).alias("cov")
+        )
+    )
+
+
+@query(
+    "embed_pca_check",
+    oracle=(
+        "SELECT TRUE AS decorrelated, TRUE AS variance_sorted,"
+        " TRUE AS variance_captured, 8 AS k"
+    ),
+)
+def embed_pca_check(spark: SparkSession, sf_dir: str):
+    """PCA projection contract — the dimension-reduction step a vector
+    pipeline runs before ANN indexing (64 → 8 components here).
+
+    Fit: one distributed pass accumulates per-partition (n, Σx, XᵀX)
+    partials (the linreg_fit_normal scaling story — O(d²·partitions)
+    driver traffic); driver eigh gives the top-k components.  Project:
+    components broadcast, one vectorized mapInPandas pass.
+
+    Contracts, each verified by an INDEPENDENT second distributed pass
+    over the PROJECTED vectors:
+    - decorrelated: the projected covariance is diagonal (off-diagonal
+      max < 1e-8 of the top eigenvalue);
+    - variance_sorted: projected per-component variances descend and
+      match the eigenvalues to 1e-8 relative;
+    - variance_captured: top-8 eigenvalue mass / total variance matches
+      the projected total variance ratio.
+    Only verdicts leave the cluster."""
+    import pandas as pd
+
+    k = 8
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(embedding AS array<double>) AS v"
+    )
+    e = e.persist()  # read by the fit pass and the verification pass
+
+    def moments(batches):
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].map(np.asarray).to_numpy()).astype(np.float64)
+            m = np.concatenate(
+                [[float(len(x))], x.sum(axis=0), (x.T @ x).ravel()]
+            )
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"p": [g.tobytes()]})
+
+    rows = e.mapInPandas(moments, "p binary").collect()
+    total = np.sum([np.frombuffer(r.p) for r in rows], axis=0)
+    # payload layout is [n | Σx (d) | XᵀX (d²)] → d from the quadratic
+    d = int((-1 + (1 + 4 * (len(total) - 1)) ** 0.5) / 2)
+    n, sx, xtx = total[0], total[1 : 1 + d], total[1 + d :].reshape(d, d)
+    mean = sx / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    comp = evecs[:, :k]  # d×k
+    bc = e.sparkSession.sparkContext.broadcast((mean, comp))
+
+    def project_moments(batches):
+        mu, w = bc.value
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].map(np.asarray).to_numpy()).astype(np.float64)
+            z = (x - mu) @ w
+            m = np.concatenate([[float(len(z))], z.sum(axis=0), (z.T @ z).ravel()])
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"p": [g.tobytes()]})
+
+    rows = e.mapInPandas(project_moments, "p binary").collect()
+    e.unpersist()
+    ptotal = np.sum([np.frombuffer(r.p) for r in rows], axis=0)
+    pn, psx, pzz = ptotal[0], ptotal[1 : 1 + k], ptotal[1 + k :].reshape(k, k)
+    pcov = pzz / pn - np.outer(psx / pn, psx / pn)
+    off = pcov - np.diag(np.diag(pcov))
+    decorrelated = float(np.abs(off).max()) / float(evals[0]) < 1e-8
+    pvar = np.diag(pcov)
+    variance_sorted = bool(
+        np.all(np.diff(pvar) <= 1e-12)
+        and np.abs(pvar - evals[:k]).max() / evals[0] < 1e-8
+    )
+    variance_captured = (
+        abs(float(pvar.sum()) - float(evals[:k].sum())) / float(evals.sum()) < 1e-8
+    )
+    return spark.createDataFrame(
+        [(bool(decorrelated), variance_sorted, bool(variance_captured), k)],
+        "decorrelated boolean, variance_sorted boolean,"
+        " variance_captured boolean, k int",
+    )
