@@ -501,3 +501,29 @@ def test_argmax_absent_blocks(spark, rng):
     # an entirely-filtered (all-zero) matrix: numpy picks index 0
     empty = BlockMatrix(m_full.df.filter(F.lit(False)), 8, 8, 4, 4)
     assert empty.argmax() == (0, 0)
+
+
+def test_solve_triangular_and_spd(spark, rng):
+    from wukong_spark.blockmatrix import solve_spd
+
+    # forward/backward substitution on a cholesky factor
+    idx = np.arange(100)
+    spd = np.exp(-np.abs(idx[:, None] - idx[None, :]) / 10.0)
+    m = BlockMatrix.from_numpy(spark, spd, 25, 25)
+    m.df.persist()
+    l_np = np.linalg.cholesky(spd)
+    l_bm = cholesky_blocked(m)
+    l_bm.df.persist()
+    b = rng.standard_normal((100, 3))
+    y = l_bm.solve_triangular(b, lower=True)
+    assert np.abs(y - np.linalg.solve(l_np, b)).max() < 1e-9
+    x = l_bm.solve_triangular(y, lower=True, transpose=True)
+    assert np.abs(x - np.linalg.solve(spd, b)).max() < 1e-8
+    l_bm.df.unpersist()
+
+    # end-to-end SPD solve, 1-D RHS path
+    b1 = rng.standard_normal(100)
+    x1 = solve_spd(m, b1)
+    assert x1.shape == (100,)
+    assert np.abs(x1 - np.linalg.solve(spd, b1)).max() < 1e-8
+    m.df.unpersist()

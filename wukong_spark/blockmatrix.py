@@ -1709,6 +1709,103 @@ class BlockMatrix:
         qtb = q.transpose_matvec(b)
         return np.linalg.solve(r, qtb)
 
+    def solve_triangular(
+        self, b: np.ndarray, lower: bool = True, transpose: bool = False
+    ) -> np.ndarray:
+        """Blocked triangular substitution L·X = B (or Lᵀ·X = B with
+        ``transpose=True``) for a square-blocked triangular matrix in the
+        cholesky_blocked layout (absent off-triangle blocks ≡ zero) and a
+        DRIVER-HELD narrow RHS (n×k, small k — the post-factorization
+        use; ``da.linalg.solve_triangular`` parity and the substitution
+        half of ``da.linalg.solve``).
+
+        Sequential over block rows — the inherent dependency of
+        substitution — but each round's off-diagonal contribution
+        Σⱼ L_ij·X_j is ONE distributed job over that block row/column
+        (solved X ships in the task closure; partial products, not L
+        blocks, come back).  Driver traffic per round is O(bs·k) + one
+        bs×bs diagonal block; ~2·grid small jobs total, the same
+        latency-bound shape as the cholesky loop that produces L."""
+        assert self.n_rows == self.n_cols and self.block_rows == self.block_cols
+        bs, n = self.block_rows, self.n_rows
+        gr = self.grid_rows
+        k = b.shape[1] if b.ndim == 2 else 1
+        b2 = b.reshape(n, k).astype(np.float64)
+        x = np.zeros((n, k))
+        forward = lower != transpose  # Lᵀ on lower storage solves backward
+        order = range(gr) if forward else range(gr - 1, -1, -1)
+        solved: list[int] = []
+        for i in order:
+            ri = min(bs, n - i * bs)
+            s = np.zeros((ri, k))
+            if solved:
+                if not transpose:
+                    band = self.df.filter(
+                        (F.col("bi") == i) & F.col("bj").isin(solved)
+                    )
+                else:  # Lᵀ_ij = (L_ji)ᵀ — read column i of the stored blocks
+                    band = self.df.filter(
+                        (F.col("bj") == i) & F.col("bi").isin(solved)
+                    )
+                xs = {int(j): x[j * bs : j * bs + min(bs, n - j * bs), :] for j in solved}
+                tr = transpose
+
+                def part(batches, _xs=xs, _tr=tr) -> Iterator:
+                    import pyarrow as pa
+
+                    schema = pa.schema([("p", pa.binary())])
+                    for rb in batches:
+                        bi_c, bj_c, d_c = (
+                            rb.column("bi"), rb.column("bj"), rb.column("data")
+                        )
+                        acc = None
+                        for q_ in range(rb.num_rows):
+                            bi, bj = bi_c[q_].as_py(), bj_c[q_].as_py()
+                            r = min(bs, n - bi * bs)
+                            c = min(bs, n - bj * bs)
+                            blk = np.frombuffer(
+                                d_c[q_].as_buffer(), dtype=np.float64
+                            ).reshape(r, c)
+                            contrib = (
+                                blk.T @ _xs[bi] if _tr else blk @ _xs[bj]
+                            )
+                            acc = contrib if acc is None else acc + contrib
+                        if acc is not None:
+                            yield pa.RecordBatch.from_pydict(
+                                {"p": [np.ascontiguousarray(acc).tobytes()]},
+                                schema=schema,
+                            )
+
+                for row in band.mapInArrow(part, "p binary").collect():
+                    s += np.frombuffer(row.p).reshape(ri, k)
+            diag_row = self.df.filter(
+                (F.col("bi") == i) & (F.col("bj") == i)
+            ).collect()[0]
+            diag = np.frombuffer(diag_row.data).reshape(ri, ri)
+            rhs = b2[i * bs : i * bs + ri, :] - s
+            if transpose:
+                diag = diag.T
+            # dense bs×bs triangular back-substitution on the driver — the
+            # sequential pivot, same role as cholesky's diagonal factor
+            x[i * bs : i * bs + ri, :] = (
+                np.linalg.solve(diag, rhs)
+            )
+            solved.append(i)
+        return x if b.ndim == 2 else x.ravel()
+
+
+def solve_spd(a: "BlockMatrix", b: np.ndarray) -> np.ndarray:
+    """A·X = B for a distributed SPD matrix and a driver-held narrow RHS —
+    ``da.linalg.solve`` (SPD case): Cholesky factorization (distributed)
+    followed by the two triangular substitutions.  The driver only ever
+    holds bs×bs diagonal blocks and the n×k solution."""
+    l_bm = cholesky_blocked(a)
+    l_bm.df.persist()  # read by both substitution sweeps
+    y = l_bm.solve_triangular(b, lower=True)
+    x = l_bm.solve_triangular(y, lower=True, transpose=True)
+    l_bm.df.unpersist()
+    return x
+
 
 def _subtract_panel_projection(
     q: BlockMatrix, w: BlockMatrix, s: np.ndarray

@@ -592,6 +592,44 @@ def la_cumsum_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "la_solve_check",
+    oracle=(
+        "SELECT TRUE AS residual_small, TRUE AS matches_dense, 4 AS blocks"
+    ),
+)
+def la_solve_check(spark: SparkSession, sf_dir: str):
+    """SPD linear-system contract (da.linalg.solve = cholesky + the two
+    triangular substitutions; docs/examples/examples.rst:84-100 is the
+    factorization half): exp-covariance SPD 500²/125 blocks, seeded
+    500×3 RHS.
+
+    - residual_small: ‖A·X − B‖∞ / ‖B‖∞ < 1e-8 with A·X computed
+      DISTRIBUTED (X re-blockified, SUMMA matmul, blockwise subtract +
+      max_abs) — verification never trusts the solver's own arithmetic;
+    - matches_dense: X equals the driver-local dense solve to 1e-6
+      (500² is small enough to afford the independent local oracle)."""
+    idx = np.arange(500)
+    spd = np.exp(-np.abs(idx[:, None] - idx[None, :]) / 25.0)
+    m = BlockMatrix.from_numpy(spark, spd, 125, 125)
+    m.df.persist()  # read by cholesky and the residual matmul
+    b = np.random.default_rng(101).standard_normal((500, 3))
+    from wukong_spark.blockmatrix import solve_spd
+
+    x = solve_spd(m, b)
+    xbm = BlockMatrix.from_numpy(spark, x, 125, 3)
+    bbm = BlockMatrix.from_numpy(spark, b, 125, 3)
+    resid = m.matmul(xbm).subtract(bbm).max_abs()
+    residual_small = resid / float(np.abs(b).max()) < 1e-8
+    matches_dense = float(np.abs(x - np.linalg.solve(spd, b)).max()) < 1e-6
+    blocks = m.grid_rows
+    m.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(residual_small), bool(matches_dense), blocks)],
+        "residual_small boolean, matches_dense boolean, blocks int",
+    )
+
+
+@query(
     "la_probe_check",
     oracle=(
         "SELECT TRUE AS gram_diag_matches, TRUE AS rowsum_matches,"
