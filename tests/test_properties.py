@@ -241,3 +241,47 @@ def test_tsqr_properties_any_shape(spark, n, c, br, seed):
     assert np.allclose(qn @ r, a, atol=1e-9)
     assert np.allclose(r, np.triu(r), atol=1e-12)
     assert (np.diag(r) >= -1e-12).all()
+
+
+@given(
+    n=st.integers(10, 60),
+    m=st.integers(10, 60),
+    br1=st.integers(4, 20),
+    bc1=st.integers(4, 20),
+    br2=st.integers(4, 20),
+    bc2=st.integers(4, 20),
+    seed=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_rechunk_roundtrip_property(spark, n, m, br1, bc1, br2, bc2, seed):
+    """rechunk is bitwise-exact data movement for ANY source/target
+    blocking pair, including mutually ragged grids."""
+    rng = np.random.default_rng(seed)
+    a = rng.random((n, m))
+    src = BlockMatrix.from_numpy(spark, a, br1, bc1)
+    out = src.rechunk(br2, bc2)
+    assert np.array_equal(out.to_numpy(), a)
+    assert np.array_equal(out.rechunk(br1, bc1).to_numpy(), a)
+
+
+@given(
+    n1=st.integers(5, 40),
+    n2=st.integers(5, 40),
+    m=st.integers(5, 30),
+    br1=st.integers(3, 12),
+    br2=st.integers(3, 12),
+    seed=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_vstack_slice_property(spark, n1, n2, m, br1, br2, seed):
+    """vstack of arbitrary mutually-ragged blockings equals np.vstack, and
+    slicing the halves back out recovers each input bitwise."""
+    rng = np.random.default_rng(seed)
+    a, b = rng.random((n1, m)), rng.random((n2, m))
+    ma = BlockMatrix.from_numpy(spark, a, br1, max(3, m // 2))
+    mb = BlockMatrix.from_numpy(spark, b, br2, max(2, m // 3))
+    v = ma.vstack(mb)
+    dense = np.vstack([a, b])
+    assert np.array_equal(v.to_numpy(), dense)
+    assert np.array_equal(v.slice(0, n1, 0, m).to_numpy(), a)
+    assert np.array_equal(v.slice(n1, n1 + n2, 0, m).to_numpy(), b)
