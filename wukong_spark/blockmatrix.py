@@ -1720,15 +1720,17 @@ class BlockMatrix:
         half of ``da.linalg.solve``).
 
         Sequential over block rows — the inherent dependency of
-        substitution — but each round's off-diagonal contribution
-        Σⱼ L_ij·X_j is ONE distributed job over that block row/column
-        (solved X ships in the task closure; partial products, not L
-        blocks, come back).  Driver traffic per round is O(bs·k) + one
-        bs×bs diagonal block; ~2·grid small jobs total, the same
-        latency-bound shape as the cholesky loop that produces L."""
+        substitution — but each round is ONE distributed job over that
+        block row/column: the solved X prefix ships once per executor
+        (sc.broadcast, released after the round — never in task
+        closures), tasks return O(bs·k) partial products plus the tagged
+        diagonal block, and the driver never holds more than one bs×bs
+        block.  ~grid small jobs per sweep, the same latency-bound shape
+        as the cholesky loop that produces L."""
         assert self.n_rows == self.n_cols and self.block_rows == self.block_cols
         bs, n = self.block_rows, self.n_rows
         gr = self.grid_rows
+        sc = self.df.sparkSession.sparkContext
         k = b.shape[1] if b.ndim == 2 else 1
         b2 = b.reshape(n, k).astype(np.float64)
         x = np.zeros((n, k))
@@ -1737,59 +1739,66 @@ class BlockMatrix:
         solved: list[int] = []
         for i in order:
             ri = min(bs, n - i * bs)
+            if not transpose:
+                band = self.df.filter(
+                    (F.col("bi") == i) & (F.col("bj").isin(solved) | (F.col("bj") == i))
+                )
+            else:  # Lᵀ_ij = (L_ji)ᵀ — read column i of the stored blocks
+                band = self.df.filter(
+                    (F.col("bj") == i) & (F.col("bi").isin(solved) | (F.col("bi") == i))
+                )
+            bc = sc.broadcast(
+                {int(j): x[j * bs : j * bs + min(bs, n - j * bs), :] for j in solved}
+            )
+            tr, cur = transpose, i
+
+            def part(batches, _bc=bc, _tr=tr, _i=cur) -> Iterator:
+                import pyarrow as pa
+
+                schema = pa.schema([("kind", pa.int32()), ("p", pa.binary())])
+                xs = _bc.value
+                for rb in batches:
+                    bi_c, bj_c, d_c = (
+                        rb.column("bi"), rb.column("bj"), rb.column("data")
+                    )
+                    acc = None
+                    diag = None
+                    for q_ in range(rb.num_rows):
+                        bi, bj = bi_c[q_].as_py(), bj_c[q_].as_py()
+                        if bi == _i and bj == _i:
+                            diag = d_c[q_].as_py()
+                            continue
+                        r = min(bs, n - bi * bs)
+                        c = min(bs, n - bj * bs)
+                        blk = np.frombuffer(
+                            d_c[q_].as_buffer(), dtype=np.float64
+                        ).reshape(r, c)
+                        contrib = blk.T @ xs[bi] if _tr else blk @ xs[bj]
+                        acc = contrib if acc is None else acc + contrib
+                    out: dict[str, list] = {"kind": [], "p": []}
+                    if acc is not None:
+                        out["kind"].append(0)
+                        out["p"].append(np.ascontiguousarray(acc).tobytes())
+                    if diag is not None:
+                        out["kind"].append(1)
+                        out["p"].append(diag)
+                    if out["kind"]:
+                        yield pa.RecordBatch.from_pydict(out, schema=schema)
+
             s = np.zeros((ri, k))
-            if solved:
-                if not transpose:
-                    band = self.df.filter(
-                        (F.col("bi") == i) & F.col("bj").isin(solved)
-                    )
-                else:  # Lᵀ_ij = (L_ji)ᵀ — read column i of the stored blocks
-                    band = self.df.filter(
-                        (F.col("bj") == i) & F.col("bi").isin(solved)
-                    )
-                xs = {int(j): x[j * bs : j * bs + min(bs, n - j * bs), :] for j in solved}
-                tr = transpose
-
-                def part(batches, _xs=xs, _tr=tr) -> Iterator:
-                    import pyarrow as pa
-
-                    schema = pa.schema([("p", pa.binary())])
-                    for rb in batches:
-                        bi_c, bj_c, d_c = (
-                            rb.column("bi"), rb.column("bj"), rb.column("data")
-                        )
-                        acc = None
-                        for q_ in range(rb.num_rows):
-                            bi, bj = bi_c[q_].as_py(), bj_c[q_].as_py()
-                            r = min(bs, n - bi * bs)
-                            c = min(bs, n - bj * bs)
-                            blk = np.frombuffer(
-                                d_c[q_].as_buffer(), dtype=np.float64
-                            ).reshape(r, c)
-                            contrib = (
-                                blk.T @ _xs[bi] if _tr else blk @ _xs[bj]
-                            )
-                            acc = contrib if acc is None else acc + contrib
-                        if acc is not None:
-                            yield pa.RecordBatch.from_pydict(
-                                {"p": [np.ascontiguousarray(acc).tobytes()]},
-                                schema=schema,
-                            )
-
-                for row in band.mapInArrow(part, "p binary").collect():
+            diag = None
+            for row in band.mapInArrow(part, "kind int, p binary").collect():
+                if row.kind == 1:
+                    diag = np.frombuffer(row.p).reshape(ri, ri)
+                else:
                     s += np.frombuffer(row.p).reshape(ri, k)
-            diag_row = self.df.filter(
-                (F.col("bi") == i) & (F.col("bj") == i)
-            ).collect()[0]
-            diag = np.frombuffer(diag_row.data).reshape(ri, ri)
+            bc.unpersist()
             rhs = b2[i * bs : i * bs + ri, :] - s
             if transpose:
                 diag = diag.T
             # dense bs×bs triangular back-substitution on the driver — the
             # sequential pivot, same role as cholesky's diagonal factor
-            x[i * bs : i * bs + ri, :] = (
-                np.linalg.solve(diag, rhs)
-            )
+            x[i * bs : i * bs + ri, :] = np.linalg.solve(diag, rhs)
             solved.append(i)
         return x if b.ndim == 2 else x.ravel()
 

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from wukong_spark.blockmatrix import BlockMatrix, cholesky_blocked
+from wukong_spark.blockmatrix import BlockMatrix, cholesky_blocked, solve_spd
 from wukong_spark.sparse import SparseBlockMatrix
 from wukong_spark.queries import query
 from wukong_spark.queries.helpers import tbl
@@ -613,8 +613,6 @@ def la_solve_check(spark: SparkSession, sf_dir: str):
     m = BlockMatrix.from_numpy(spark, spd, 125, 125)
     m.df.persist()  # read by cholesky and the residual matmul
     b = np.random.default_rng(101).standard_normal((500, 3))
-    from wukong_spark.blockmatrix import solve_spd
-
     x = solve_spd(m, b)
     xbm = BlockMatrix.from_numpy(spark, x, 125, 3)
     bbm = BlockMatrix.from_numpy(spark, b, 125, 3)

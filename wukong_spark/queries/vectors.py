@@ -725,15 +725,15 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str):
       WHERE vec_id < 1000
     ),
     n AS (SELECT COUNT(DISTINCT vec_id) AS cnt FROM ex),
-    mu AS (SELECT i, SUM(x) / (SELECT cnt FROM n) AS m FROM ex GROUP BY i)
-    SELECT a.i AS i, b.i AS j,
-           ROUND(SUM((a.x - ma.m) * (b.x - mb.m)) / (SELECT cnt FROM n), 6)
-             AS cov
-    FROM ex a
-    JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
-    JOIN mu ma ON ma.i = a.i
-    JOIN mu mb ON mb.i = b.i
-    GROUP BY a.i, b.i
+    mu AS (SELECT i, SUM(x) / (SELECT cnt FROM n) AS m FROM ex GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT g.i AS i, g.j AS j,
+           ROUND(g.s / (SELECT cnt FROM n) - ma.m * mb.m, 6) AS cov
+    FROM g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j
     """,
 )
 def embed_covariance(spark: SparkSession, sf_dir: str):
@@ -741,12 +741,16 @@ def embed_covariance(spark: SparkSession, sf_dir: str):
     triangle), fully relational — the whitening/PCA-prep statistic a
     training-data pipeline computes before dimension reduction.
 
-    Same plan family as embed_gramian: posexplode → broadcast the 64-row
-    mean vector → row-local self-join on vec_id → hash agg on (i, j).
-    Round-6 absorbs summation-order drift (the embed_gramian precedent).
+    Computed as cov_ij = gramian_ij/n − m_i·m_j: the fact table is
+    exploded and self-joined ONCE for the gramian (the embed_gramian
+    plan) and once for the means — the centered-product form would
+    re-explode it four times.  The mean join happens AFTER the (i, j)
+    aggregation, on the 64²-row result, not per fact row.  Round-6
+    absorbs summation-order drift (the embed_gramian precedent).
 
-    Scale shape: the self-join key is vec_id (row-local, no skew); means
-    are a 64-row broadcast; one shuffle for the (i, j) aggregation."""
+    Scale shape: self-join key is vec_id (row-local, no skew); one
+    shuffle for the (i, j) aggregation; means and n broadcast onto the
+    tiny aggregate."""
     e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     ex = e.select(
         "vec_id",
@@ -760,20 +764,21 @@ def embed_covariance(spark: SparkSession, sf_dir: str):
         .select("i", (F.col("sx") / F.col("cnt")).alias("m"))
     )
     a, b = ex.alias("a"), ex.alias("b")
-    ma = F.broadcast(mu.select(F.col("i").alias("ai"), F.col("m").alias("am")))
-    mb = F.broadcast(mu.select(F.col("i").alias("bi"), F.col("m").alias("bm")))
-    return (
+    g = (
         a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
-        .join(ma, F.col("ai") == F.col("a.i"))
-        .join(mb, F.col("bi") == F.col("b.i"))
-        .crossJoin(F.broadcast(n))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.round(
-                F.sum((F.col("a.x") - F.col("am")) * (F.col("b.x") - F.col("bm")))
-                / F.first("cnt"),
-                6,
-            ).alias("cov")
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("s"))
+    )
+    ma = F.broadcast(mu.select(F.col("i").alias("mi"), F.col("m").alias("am")))
+    mb = F.broadcast(mu.select(F.col("i").alias("mj"), F.col("m").alias("bm")))
+    return (
+        g.join(ma, F.col("mi") == F.col("i"))
+        .join(mb, F.col("mj") == F.col("j"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s") / F.col("cnt") - F.col("am") * F.col("bm"), 6).alias("cov"),
         )
     )
 
@@ -852,19 +857,22 @@ def embed_pca_check(spark: SparkSession, sf_dir: str):
 
     rows = e.mapInPandas(project_moments, "p binary").collect()
     e.unpersist()
+    bc.unpersist()  # release the (mean, components) broadcast on executors
     ptotal = np.sum([np.frombuffer(r.p) for r in rows], axis=0)
     pn, psx, pzz = ptotal[0], ptotal[1 : 1 + k], ptotal[1 + k :].reshape(k, k)
     pcov = pzz / pn - np.outer(psx / pn, psx / pn)
     off = pcov - np.diag(np.diag(pcov))
-    decorrelated = float(np.abs(off).max()) / float(evals[0]) < 1e-8
+    # degenerate (near-constant) data must yield a FAIL verdict, not a
+    # ZeroDivisionError crash
+    top = max(float(evals[0]), 1e-300)
+    tot = max(float(evals.sum()), 1e-300)
+    decorrelated = float(np.abs(off).max()) / top < 1e-8
     pvar = np.diag(pcov)
     variance_sorted = bool(
         np.all(np.diff(pvar) <= 1e-12)
-        and np.abs(pvar - evals[:k]).max() / evals[0] < 1e-8
+        and np.abs(pvar - evals[:k]).max() / top < 1e-8
     )
-    variance_captured = (
-        abs(float(pvar.sum()) - float(evals[:k].sum())) / float(evals.sum()) < 1e-8
-    )
+    variance_captured = abs(float(pvar.sum()) - float(evals[:k].sum())) / tot < 1e-8
     return spark.createDataFrame(
         [(bool(decorrelated), variance_sorted, bool(variance_captured), k)],
         "decorrelated boolean, variance_sorted boolean,"
