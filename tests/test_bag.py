@@ -76,3 +76,51 @@ def test_bag_pluck_no_default_raises(spark):
         b.pluck("a").compute()
     # an explicit default masks the same error (toolz.get semantics)
     assert b.pluck("a", default=-1).compute() == [-1, -1, -1]
+
+
+def test_bag_scalar_reductions(spark):
+    import math
+
+    xs = [3.0, -1.0, 4.0, 1.0, 5.0, -9.0, 2.0, 6.0]
+    b = Bag.from_sequence(spark, xs, npartitions=3)
+    assert b.min() == min(xs)
+    assert b.max() == max(xs)
+    assert abs(b.mean() - sum(xs) / len(xs)) < 1e-12
+    mu = sum(xs) / len(xs)
+    assert abs(b.var() - sum((x - mu) ** 2 for x in xs) / len(xs)) < 1e-9
+    assert abs(b.std(ddof=1) - math.sqrt(sum((x - mu) ** 2 for x in xs) / 7)) < 1e-9
+    assert Bag.from_sequence(spark, [0, 0, 2]).any() is True
+    assert Bag.from_sequence(spark, [0, 0]).any() is False
+    assert Bag.from_sequence(spark, [1, 2, 3]).all() is True
+    assert Bag.from_sequence(spark, [1, 0, 3]).all() is False
+
+
+def test_bag_accumulate_matches_itertools(spark):
+    import itertools
+    import operator
+
+    xs = list(range(1, 21))
+    b = Bag.from_sequence(spark, xs, npartitions=4)
+    assert b.accumulate(operator.add).compute() == list(
+        itertools.accumulate(xs, operator.add)
+    )
+    # with initial (itertools semantics: prepended, length n+1)
+    assert b.accumulate(operator.add, initial=100).compute() == list(
+        itertools.accumulate(xs, operator.add, initial=100)
+    )
+    # non-commutative but associative binop (string concat)
+    ws = list("abcdefg")
+    bw = Bag.from_sequence(spark, ws, npartitions=3)
+    assert bw.accumulate(operator.add).compute() == list(
+        itertools.accumulate(ws, operator.add)
+    )
+
+
+def test_bag_random_sample_deterministic(spark):
+    b = Bag.from_sequence(spark, list(range(1000)), npartitions=4)
+    s1 = b.random_sample(0.1, random_state=7).compute()
+    s2 = b.random_sample(0.1, random_state=7).compute()
+    assert s1 == s2
+    assert 40 < len(s1) < 200  # ~100 expected
+    s3 = b.random_sample(0.1, random_state=8).compute()
+    assert s1 != s3

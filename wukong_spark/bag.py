@@ -161,6 +161,96 @@ class Bag:
             return self._rdd.takeOrdered(k, key=lambda x: _Neg(x))
         return self._rdd.takeOrdered(k, key=lambda x: _Neg(key(x)))
 
+    def min(self) -> Any:
+        return self._rdd.min()
+
+    def max(self) -> Any:
+        return self._rdd.max()
+
+    def mean(self) -> float:
+        n, s = self._rdd.aggregate(
+            (0, 0.0), lambda a, x: (a[0] + 1, a[1] + x),
+            lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        )
+        return s / n
+
+    def var(self, ddof: int = 0) -> float:
+        """dask.bag.var: single-pass (n, Σx, Σx²) fold."""
+        n, s, ss = self._rdd.aggregate(
+            (0, 0.0, 0.0),
+            lambda a, x: (a[0] + 1, a[1] + x, a[2] + x * x),
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        )
+        return (ss - s * s / n) / (n - ddof)
+
+    def std(self, ddof: int = 0) -> float:
+        return self.var(ddof) ** 0.5
+
+    def any(self) -> bool:
+        """True iff any element is truthy — EARLY-EXIT: take(1) over the
+        filtered bag stops at the first hit instead of scanning all
+        partitions."""
+        return bool(self._rdd.filter(bool).take(1))
+
+    def all(self) -> bool:
+        return not bool(self._rdd.filter(lambda x: not x).take(1))
+
+    def random_sample(self, prob: float, random_state: int = 0) -> "Bag":
+        """Deterministic Bernoulli sample (dask.bag.random_sample):
+        per-partition PCG64 seeded by (random_state, partition id), so the
+        selection is reproducible for a fixed partitioning — the bag-level
+        analogue of the content-hash sampling queries."""
+        import numpy as _np
+
+        def part(pid: int, it: Iterable[Any]):
+            rng = _np.random.default_rng((random_state, pid))
+            for x in it:
+                if rng.random() < prob:
+                    yield x
+
+        return Bag(self._rdd.mapPartitionsWithIndex(part))
+
+    def accumulate(self, binop: Callable[[Any, Any], Any], initial: Any = _NO_DEFAULT) -> "Bag":
+        """Prefix scan (dask.bag.accumulate / itertools.accumulate
+        semantics, `initial` prepended when given).  `binop` must be
+        associative — the scan runs as the classic two-phase distributed
+        prefix: per-partition totals → driver exclusive carries (one tiny
+        collect of npartitions values) → per-partition local scan seeded
+        by its carry.  Same shape as BlockMatrix.cumsum_rows."""
+
+        def part_total(it: Iterable[Any]):
+            t, has = None, False
+            for x in it:
+                t = x if not has else binop(t, x)
+                has = True
+            yield (has, t)
+
+        totals = self._rdd.mapPartitions(part_total, preservesPartitioning=True).collect()
+        carries: list[tuple[bool, Any]] = []
+        cur, cur_has = (initial, True) if initial is not _NO_DEFAULT else (None, False)
+        for has, t in totals:
+            carries.append((cur_has, cur))
+            if has:
+                cur = t if not cur_has else binop(cur, t)
+                cur_has = True
+
+        def scan(pid: int, it: Iterable[Any]):
+            chas, c = carries[pid]
+            acc, has = None, False
+            for x in it:
+                if not has:
+                    acc = binop(c, x) if chas else x
+                    has = True
+                else:
+                    acc = binop(acc, x)
+                yield acc
+
+        out = self._rdd.mapPartitionsWithIndex(scan)
+        if initial is not _NO_DEFAULT:
+            head = self._rdd.context.parallelize([initial], 1)
+            out = head.union(out)
+        return Bag(out)
+
     # -- exit ramp to the declarative layer --------------------------------
     def to_dataframe(self, spark: SparkSession, schema: str) -> DataFrame:
         """Escape to DataFrames as soon as structure emerges — everything
