@@ -1,9 +1,15 @@
 """Benchmark runner (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-   "stages": {...}, "passes": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The line is kept small (< 4 KB, self-checked) because the driver captures
+only a stdout tail — round 5's per-pass/per-stage diagnostics inflated the
+line past the capture window and the driver recorded "parsed": null
+(VERDICT r5 §wrong).  Diagnostics now land in a sidecar FILE instead:
+BENCH_STAGES_r{N}.json next to this script, holding {"passes": {...},
+"stages": {...}} — committed alongside the round artifacts.
 
 Timing policy (VERDICT r4 #2 — variance-proofing on unknown hosts):
 - every query gets best-of-2 (steady-state latency, not GC/JIT noise);
@@ -157,19 +163,36 @@ def main() -> None:
     stages_out = {
         n: rows for n, rows in stage_rows.items() if timings.get(n, 0) > 2.0 and rows
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_e2e",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": pass_log,
-                "stages": stages_out,
-                "sf": float(sf),
-            }
-        )
+    # per-pass + per-stage diagnostics go to a FILE, never the stdout line
+    # (the driver's tail capture is small; see module docstring)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[len("BENCH_r") : -len(".json")])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json") and f[7:-5].isdigit()
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    sidecar = os.path.join(here, f"BENCH_STAGES_r{rnd:02d}.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"passes": pass_log, "stages": stages_out, "sf": float(sf)}, f)
+        print(f"# stage sidecar -> {sidecar}", file=sys.stderr)
+    except OSError as e:  # read-only checkout must not kill the bench line
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_e2e",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    # driver-contract self-check: one parseable line, compact
+    assert json.loads(line)["value"] == total
+    assert len(line) < 4096, f"bench line {len(line)} B >= 4 KB driver cap"
+    print(line)
     spark.stop()
 
 
