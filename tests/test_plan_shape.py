@@ -145,3 +145,22 @@ def test_fused_gemm_shuffles_keys_only(spark):
     mixed = plans.formatted_plan(a.matmul(x).df)
     assert mixed.count("MapInArrow (") == 1
     assert "null AS data" in mixed
+
+
+def test_set_index_is_range_partitioned(spark):
+    """set_index must compile to a RANGE exchange (quantile-sampled bounds,
+    dask's task-shuffle set_index) + an in-partition sort — never a global
+    single-partition sort and never a hash exchange (which would destroy
+    the contiguous-key-range postcondition)."""
+    from wukong_spark.operators.setindex import set_index
+    from wukong_spark.queries.helpers import tbl
+
+    d = set_index(
+        tbl(spark, SF_CORRECT, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        16,
+    )
+    plan = plans.formatted_plan(d)
+    assert "rangepartitioning(o_custkey" in plan.lower(), plan
+    # the sort must stay partition-local (global=False ≡ "Sort [..], false")
+    assert "hashpartitioning(o_custkey" not in plan.lower()

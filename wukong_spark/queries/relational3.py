@@ -817,3 +817,85 @@ def window_pct_rank_dist(spark: SparkSession, sf_dir: str):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "set_index_orders",
+    oracle="""
+    SELECT TRUE AS ranges_monotonic, TRUE AS sorted_within,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    """,
+)
+def set_index_orders(spark: SparkSession, sf_dir: str):
+    """set_index as a named range-repartition operator (VERDICT r5 #4;
+    reference `test_collections.py:113-129` — `set_index('name',
+    shuffle='tasks')`): operators.setindex.set_index = repartitionByRange
+    + sortWithinPartitions, the Spark-native form of dask's task-shuffle
+    set_index (quantile-sampled range exchange, then per-partition sort).
+
+    The dask postconditions are verified IN-PLAN and only verdicts leave
+    the cluster: a one-pass mapInPandas probe emits per-partition
+    (min, max, count, sorted) rows — sortedness tracked ACROSS arrow
+    batches, not just within each — and a lag window over the ≤16 probe
+    rows checks that consecutive partitions hold disjoint, monotonically
+    increasing key ranges.  Row preservation is the one table-derived
+    fact, so the oracle recomputes COUNT(*) rather than hardcoding it.
+    Partition boundaries themselves come from reservoir sampling and are
+    NOT asserted — dask's set_index divisions are sample-derived too."""
+    import pandas as pd  # noqa: F401 (mapInPandas batches are pandas)
+
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import set_index
+
+    d = set_index(
+        tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        16,
+    ).withColumn("pid", F.spark_partition_id())
+
+    def probe(batches):
+        import pandas as pd
+
+        pid = mn = mx = None
+        cnt = 0
+        sorted_ok = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf["o_custkey"].to_numpy()
+            pid = int(pdf["pid"].iloc[0])
+            if mx is not None and vals[0] < mx:
+                sorted_ok = False
+            if len(vals) > 1 and bool((vals[1:] < vals[:-1]).any()):
+                sorted_ok = False
+            if mn is None:
+                mn = int(vals[0])
+            mx = int(vals[-1])
+            cnt += len(pdf)
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "mn": [mn],
+                    "mx": [mx],
+                    "cnt": [cnt],
+                    "sorted_ok": [sorted_ok],
+                }
+            )
+
+    stats = d.mapInPandas(
+        probe, "pid int, mn bigint, mx bigint, cnt bigint, sorted_ok boolean"
+    )
+    # ≤16 probe rows — the global lag window is bounded by n_partitions
+    w = Window.orderBy("pid")
+    return (
+        stats.withColumn("prev_mx", F.lag("mx").over(w))
+        .agg(
+            F.min(
+                F.col("prev_mx").isNull() | (F.col("prev_mx") <= F.col("mn"))
+            ).alias("ranges_monotonic"),
+            F.min("sorted_ok").alias("sorted_within"),
+            F.sum("cnt").alias("n_rows"),
+        )
+    )
