@@ -527,3 +527,45 @@ def test_solve_triangular_and_spd(spark, rng):
     assert x1.shape == (100,)
     assert np.abs(x1 - np.linalg.solve(spd, b1)).max() < 1e-8
     m.df.unpersist()
+
+
+def test_argmax_nan_matches_numpy(spark, rng):
+    """NaN propagation (ADVICE r5): np.argmax/argmin return the FIRST NaN
+    position; the driver tie-break must not let NaN candidates lose."""
+    a = rng.standard_normal((12, 9))
+    a[5, 3] = np.nan
+    a[7, 1] = np.nan  # later in row-major order — must not win
+    m = BlockMatrix.from_numpy(spark, a, 4, 3)
+    assert m.argmax() == (5, 3)
+    assert (5 * 9 + 3) == np.argmax(a)
+    assert m.argmin() == (5, 3)
+    assert (5 * 9 + 3) == np.argmin(a)
+
+
+def test_solve_triangular_missing_diag_raises(spark, rng):
+    """A filtered input with an absent diagonal block must fail with a
+    clear contract error, not an AttributeError on None (ADVICE r5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = np.tril(1.0 + rng.random((8, 8)))
+    m_full = BlockMatrix.from_numpy(spark, t, 4, 4)
+    m = BlockMatrix(
+        m_full.df.filter(~((F.col("bi") == 1) & (F.col("bj") == 1))), 8, 8, 4, 4
+    )
+    with pytest.raises(ValueError, match=r"diagonal block \(1,1\)"):
+        m.solve_triangular(rng.standard_normal((8, 2)), lower=True)
+
+
+def test_cumsum_release_frees_offsets_cache(spark, rng):
+    """cumsum_rows persists its offsets table internally; release() must
+    unpersist it (ADVICE r5 — it used to linger until LRU eviction)."""
+    a = rng.standard_normal((40, 12))
+    m = BlockMatrix.from_numpy(spark, a, 16, 6)
+    cs = m.cumsum_rows()
+    got = cs.to_numpy()
+    assert np.abs(got - np.cumsum(a, axis=0)).max() < 1e-12
+    assert len(cs._cached_deps) == 1
+    cs.release()
+    assert cs._cached_deps == []
+    cs.release()  # idempotent

@@ -225,7 +225,16 @@ class Bag:
                 has = True
             yield (has, t)
 
-        totals = self._rdd.mapPartitions(part_total, preservesPartitioning=True).collect()
+        # The scan needs TWO passes over the parent (totals now, per-element
+        # scan later).  Cache the parent across them (ADVICE r5): without it
+        # a nondeterministic or expensive upstream would re-evaluate between
+        # passes — diverging carries produce silently wrong prefixes.  The
+        # cache is left to LRU eviction because the scan RDD is lazy (an
+        # eager unpersist here would run before the second pass).  NOTE:
+        # unlike the rest of the Bag surface, accumulate is EAGER — the
+        # totals pass runs at call time (dask defers it to compute()).
+        parent = self._rdd.cache()
+        totals = parent.mapPartitions(part_total, preservesPartitioning=True).collect()
         carries: list[tuple[bool, Any]] = []
         cur, cur_has = (initial, True) if initial is not _NO_DEFAULT else (None, False)
         for has, t in totals:
@@ -245,9 +254,9 @@ class Bag:
                     acc = binop(acc, x)
                 yield acc
 
-        out = self._rdd.mapPartitionsWithIndex(scan)
+        out = parent.mapPartitionsWithIndex(scan)
         if initial is not _NO_DEFAULT:
-            head = self._rdd.context.parallelize([initial], 1)
+            head = parent.context.parallelize([initial], 1)
             out = head.union(out)
         return Bag(out)
 

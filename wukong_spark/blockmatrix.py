@@ -1276,13 +1276,21 @@ class BlockMatrix:
         )
         # read by the join branch AND the filler branch: persist so the
         # totals scan + offsets stage run once per action, not twice.  The
-        # table is ~1/block_rows of the matrix (grid·n_cols doubles); it
-        # stays cached until LRU eviction — the cost of keeping cumsum lazy.
+        # persisted table is released via the returned matrix's release()
+        # (ADVICE r5: it used to sit cached until LRU eviction, one table
+        # per cumsum call); callers that drop the result without calling
+        # release() still fall back to LRU.
         off_all = off_all.persist()
-        joined = partial.join(
-            F.broadcast(off_all.filter(F.col("present")).drop("present", "nz")),
-            ["bi", "bj"],
-        )
+        # offsets are grid_rows × n_cols doubles = matrix_bytes/block_rows:
+        # tiny for blocked matrices, but tens of GB for a 100 TB matrix —
+        # broadcast only under the same 256 MB gate the other broadcast
+        # sites use, else let it flow through a shuffle equi-join
+        # (ADVICE r5: the unconditional broadcast contradicted the scale
+        # story in the docstring).
+        off_join = off_all.filter(F.col("present")).drop("present", "nz")
+        if grid_rows * m * 8 <= 256 * 1024 * 1024:
+            off_join = F.broadcast(off_join)
+        joined = partial.join(off_join, ["bi", "bj"])
 
         def tile_off(batches) -> Iterator:
             import pyarrow as pa
@@ -1331,17 +1339,33 @@ class BlockMatrix:
                     out["data"].append((blk + offv[None, :]).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-        return BlockMatrix(
+        out = BlockMatrix(
             joined.mapInArrow(add_off, BLOCK_SCHEMA).unionByName(fillers),
             n, m, br, bc,
         )
+        # let release() free the offsets cache once the caller is done
+        out._cached_deps = [off_all]
+        return out
+
+    def release(self) -> None:
+        """Unpersist any internal DataFrames an operator cached on behalf
+        of this matrix (currently: cumsum's offsets table).  Safe to call
+        any time after the LAST action on this matrix; idempotent."""
+        for df in getattr(self, "_cached_deps", []):
+            df.unpersist()
+        self._cached_deps = []
 
     def cumsum_cols(self) -> "BlockMatrix":
         """Cumulative sum along each row (``da.cumsum(axis=1)``) — the
         transpose composition: two map-only passes around the axis-0
         prefix sum (transpose is shuffle-free blockwise relabeling, so the
         only exchanges are cumsum_rows' own offset broadcast)."""
-        return self.transpose().cumsum_rows().transpose()
+        cs = self.transpose().cumsum_rows()
+        out = cs.transpose()
+        # carry the offsets-cache handle through the transpose so the
+        # caller's release() still frees it
+        out._cached_deps = getattr(cs, "_cached_deps", [])
+        return out
 
     def diagonal(self) -> np.ndarray:
         """Main diagonal as a driver vector (``da.diagonal`` for the
@@ -1441,6 +1465,15 @@ class BlockMatrix:
                 if (bi, bj) not in present
             )
             cands.append((first_absent[0] * br, first_absent[1] * bc, 0.0))
+        # NaN propagation (ADVICE r5): python's `>` makes a NaN candidate
+        # lose every comparison, silently diverging from numpy — np.argmax/
+        # argmin return the FIRST NaN position.  Per-block argmax already
+        # returns each block's first NaN (local row-major ≡ global row-major
+        # within a block), so the global first NaN is the lowest-flat-index
+        # NaN candidate.
+        nan_cands = [(r, c) for r, c, v in cands if v != v]
+        if nan_cands:
+            return min(nan_cands, key=lambda rc: rc[0] * m + rc[1])
         best = None
         for r, c, v in cands:
             key = (v, -(r * m + c)) if take_max else (-v, -(r * m + c))
@@ -1808,6 +1841,15 @@ class BlockMatrix:
                     s += np.frombuffer(row.p).reshape(ri, k)
             bc.unpersist()
             rhs = b2[i * bs : i * bs + ri, :] - s
+            # contract check (ADVICE r5): a filtered/sparse/non-conforming
+            # input may simply not contain block (i,i); without this the
+            # failure surfaces later as an opaque AttributeError on None
+            if diag is None:
+                raise ValueError(
+                    f"solve_triangular: no diagonal block ({i},{i}) in the "
+                    "input — triangular solve requires every diagonal block "
+                    "to be present (absent-as-zero would be singular)"
+                )
             if transpose:
                 diag = diag.T
             # dense bs×bs triangular back-substitution on the driver — the

@@ -666,6 +666,7 @@ def la_cumsum_check(spark: SparkSession, sf_dir: str):
     recon_err = cs.subtract(shifted).subtract(a).max_abs()
     blocks = cs.grid_rows * cs.grid_cols
     cs.df.unpersist()
+    cs.release()  # frees cumsum's internal offsets cache
     a.df.unpersist()
     return spark.createDataFrame(
         [(bool(col_err < 1e-8), bool(recon_err < 1e-9), blocks)],

@@ -868,8 +868,12 @@ def embed_pca_check(spark: SparkSession, sf_dir: str):
     tot = max(float(evals.sum()), 1e-300)
     decorrelated = float(np.abs(off).max()) / top < 1e-8
     pvar = np.diag(pcov)
+    # monotonicity tolerance RELATIVE to the top eigenvalue (ADVICE r5):
+    # pvar only matches the eigenvalues to ~1e-8·top, so an absolute 1e-12
+    # gate could flip nondeterministically on near-degenerate adjacent
+    # eigenvalues — scale it like every other contract gate here
     variance_sorted = bool(
-        np.all(np.diff(pvar) <= 1e-12)
+        np.all(np.diff(pvar) <= 1e-8 * top)
         and np.abs(pvar - evals[:k]).max() / top < 1e-8
     )
     variance_captured = abs(float(pvar.sum()) - float(evals[:k].sum())) / tot < 1e-8
