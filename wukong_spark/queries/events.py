@@ -537,3 +537,114 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
         # caller's tz so later queries in the same (possibly non-UTC
         # driver) session see their own setting
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "stream_sessionize_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < 1800000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_4
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_30m(spark: SparkSession, sf_dir: str):
+    """STREAMING sessionization (F.session_window, 30-min gap), hash-
+    verified against the batch lag+cumsum rewrite — the second
+    batch/stream-parity entry in the driver gate (VERDICT r5 #6).
+
+    Boundary semantics, encoded exactly in the oracle: session_window
+    assigns each event the interval [ts, ts+gap) and merges OVERLAPPING
+    intervals, so an event exactly `gap` after its predecessor starts a
+    NEW session — the oracle's lag test is strict `<` (the batch
+    `events_sessionize_30m` entry keeps dask-style `<=`; both are valid
+    sessionization contracts, this one is Spark's native).  With
+    trigger=availableNow and all data behind the watermark, streaming
+    session state finalizes completely, so the results agree exactly.
+    At 100 TB the same plan runs unbounded with per-user session state
+    evicted at the watermark."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        rows = run_to_memory(sessionize_stream(ev), sink).collect()
+        schema = (
+            "user_id long, session_start timestamp_ntz,"
+            " n_events long, sum_value_4 long"
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(ROUND(value * 10000) AS BIGINT) AS value_4
+    FROM events
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str):
+    """STREAMING exact dedup (dropDuplicatesWithinWatermark), hash-verified
+    against batch DISTINCT — the third batch/stream-parity entry in the
+    driver gate (VERDICT r5 #6) and the streaming face of the batch
+    `events_dedup_exact` / `dedup_exact_md5` operators.
+
+    Emits only the surviving KEY SET: which physical row survives a
+    streaming dedup depends on arrival order (file split order here), so
+    any row-identity column (event_id, ts) would be nondeterministic — the
+    deterministic contract is the distinct keys, which is also what the
+    batch fingerprint dedup certifies.  State is O(keys inside the
+    watermark horizon); at 100 TB that bound (not the full key history) is
+    what makes streaming dedup feasible."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            "ts",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("value_4"),
+        )
+        d = dedup_stream(ev, ["user_id", "event_type", "value_4"]).select(
+            "user_id", "event_type", "value_4"
+        )
+        # dedup emits rows as they arrive → append-mode sink
+        rows = run_to_memory(d, sink, complete=False).collect()
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, value_4 long"
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
