@@ -817,16 +817,45 @@ class BlockMatrix:
                         {"g": [0], "gram": [total.tobytes()]}, schema=schema
                     )
 
+        seed = self.gen_seed
+
+        def part_gen(batches) -> Iterator:
+            # fused generation (VERDICT r5 #3): blocks are a pure function
+            # of (gen_seed, bid) — regenerate INSIDE the gramian stage and
+            # reduce immediately, so the O(matrix) block payloads never
+            # cross the JVM↔Python boundary at all (the unfused path ships
+            # them twice: generator stage out, gramian stage in).  Must
+            # generate exactly as random() does: rng(seed + bid), grid_cols
+            # == 1 so bid == bi and the block spans all n_cols.
+            import pyarrow as pa
+
+            schema = pa.schema([("g", pa.int32()), ("gram", pa.binary())])
+            for rb in batches:
+                id_c = rb.column("id")
+                total = None
+                for i in range(rb.num_rows):
+                    bi = id_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    blk = np.random.default_rng(seed + bi).random((r, c_total))
+                    g = blk.T @ blk
+                    total = g if total is None else total + g
+                if total is not None:
+                    yield pa.RecordBatch.from_pydict(
+                        {"g": [0], "gram": [total.tobytes()]}, schema=schema
+                    )
+
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             total = np.sum([np.frombuffer(p) for p in pdf["gram"]], axis=0)
             return pd.DataFrame({"g": [0], "gram": [total.tobytes()]})
 
-        rows = (
-            self.df.mapInArrow(part, "g int, gram binary")
-            .groupBy("g")
-            .applyInPandas(merge, "g int, gram binary")
-            .collect()
-        )
+        if seed is not None:
+            gr = self.grid_rows
+            src = self.df.sparkSession.range(0, gr, 1, min(gr, 256)).mapInArrow(
+                part_gen, "g int, gram binary"
+            )
+        else:
+            src = self.df.mapInArrow(part, "g int, gram binary")
+        rows = src.groupBy("g").applyInPandas(merge, "g int, gram binary").collect()
         return np.frombuffer(rows[0].gram).reshape(c_total, c_total)
 
     def tsqr(self) -> tuple["BlockMatrix", np.ndarray]:
