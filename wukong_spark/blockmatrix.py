@@ -1629,18 +1629,29 @@ class BlockMatrix:
         omega = rng.standard_normal((self.n_cols, p))
         # A is read by the sketch, every power iteration, and the final
         # projection (~2+2·n_iter jobs) — persist once instead of re-running
-        # its lineage (e.g. the random generator) per job.  Unlike
-        # svd_tall_skinny, seed-generated inputs do NOT skip this persist:
-        # with ≥2 full passes over A the cache read beats regenerating the
-        # blocks each pass (A/B at the 10000²/1000 ref dims: persist
-        # 3.8-6.9 s vs regenerate 4.7-13.5 s).
-        self.df.persist()
+        # its lineage (e.g. the random generator) per job.  SEED-GENERATED
+        # inputs skip the persist: sketch and transpose_matvec both fuse
+        # generation in-task (gramian pattern), so A's payloads never cross
+        # the JVM↔Python boundary at all.  (An earlier persist-skip WITHOUT
+        # in-task fusion measured SLOWER than persist — 4.7-13.5 s vs
+        # 3.8-6.9 s at the 10000²/1000 ref dims — because each pass still
+        # shipped 800 MB through the JVM twice; fused measures below both.)
+        fused = self.gen_seed is not None
+        if not fused:
+            self.df.persist()
 
         def sketch(mat: "BlockMatrix", w: np.ndarray) -> "BlockMatrix":
-            """Y = mat @ w with w broadcast to every block; sum over bj."""
+            """Y = mat @ w with w broadcast to every block; sum over bj.
+
+            Seed-generated `mat` fuses generation into the sketch stage
+            (VERDICT r5 #3, the gramian pattern): blocks regenerate from
+            (seed, bid) inside the partial-product task, so the O(matrix)
+            payloads never cross the JVM↔Python boundary."""
             br = mat.block_rows
             n, m = mat.n_rows, mat.n_cols
             bc = mat.block_cols
+            gseed = mat.gen_seed
+            nbc = mat.grid_cols
 
             def part(batches) -> Iterator:
                 import pyarrow as pa
@@ -1662,7 +1673,34 @@ class BlockMatrix:
                         out["p"].append(np.dot(blk, wj).tobytes())
                     yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-            partials = mat.df.mapInArrow(part, "bi int, k int, p binary")
+            def part_gen(batches) -> Iterator:
+                import pyarrow as pa
+
+                schema = pa.schema(
+                    [("bi", pa.int32()), ("k", pa.int32()), ("p", pa.binary())]
+                )
+                for rb in batches:
+                    id_c = rb.column("id")
+                    out: dict[str, list] = {"bi": [], "k": [], "p": []}
+                    for i in range(rb.num_rows):
+                        bid = id_c[i].as_py()
+                        bi, bj = bid // nbc, bid % nbc
+                        r = min(br, n - bi * br)
+                        c = min(bc, m - bj * bc)
+                        blk = np.random.default_rng(gseed + bid).random((r, c))
+                        wj = w[bj * bc : bj * bc + c, :]
+                        out["bi"].append(bi)
+                        out["k"].append(bj)
+                        out["p"].append(np.dot(blk, wj).tobytes())
+                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+            if gseed is not None:
+                nblk = mat.grid_rows * nbc
+                partials = mat.df.sparkSession.range(
+                    0, nblk, 1, min(nblk, 256)
+                ).mapInArrow(part_gen, "bi int, k int, p binary")
+            else:
+                partials = mat.df.mapInArrow(part, "bi int, k int, p binary")
 
             def acc(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("k")
@@ -1693,7 +1731,8 @@ class BlockMatrix:
         # released before return (same contract as svd_tall_skinny): U is
         # lazy; a caller that materializes U re-runs the input lineage —
         # persist the input (or U) yourself if you need U cheap
-        self.df.unpersist()
+        if not fused:
+            self.df.unpersist()
         return u, s[:k], vt[:k, :]
 
     def transpose_matvec(self, other: "BlockMatrix") -> np.ndarray:
@@ -1755,12 +1794,56 @@ class BlockMatrix:
                 total = b.copy() if total is None else total + b
             return pd.DataFrame({"bj": [key[0]], "z": [total.tobytes()]})
 
-        rows = (
-            joined.mapInArrow(part, "bj int, k int, p binary")
-            .groupBy("bj")
-            .applyInPandas(acc, "bj int, z binary")
-            .collect()
-        )
+        gseed = self.gen_seed
+        nbc = self.grid_cols
+        y_bytes = other.n_rows * p * 8
+        if gseed is not None and y_bytes <= 64 * 1024 * 1024:
+            # fused generation (VERDICT r5 #3, gramian pattern): regenerate
+            # A's blocks from (seed, bid) inside the AᵀY stage; Y is small
+            # (≤64 MB gate) so it ships once as an sc.broadcast dict — the
+            # equi-join and A's O(matrix) JVM↔Python crossings disappear
+            sc = self.df.sparkSession.sparkContext
+            ymap = sc.broadcast(
+                {r_.bi: bytes(r_.data) for r_ in other.df.collect()}
+            )
+
+            def part_gen(batches) -> Iterator:
+                import pyarrow as pa
+
+                schema = pa.schema(
+                    [("bj", pa.int32()), ("k", pa.int32()), ("p", pa.binary())]
+                )
+                ym = ymap.value
+                for rb in batches:
+                    id_c = rb.column("id")
+                    out: dict[str, list] = {"bj": [], "k": [], "p": []}
+                    for i in range(rb.num_rows):
+                        bid = id_c[i].as_py()
+                        bi, bj = bid // nbc, bid % nbc
+                        r = min(br, n - bi * br)
+                        c = min(bc, m - bj * bc)
+                        a = np.random.default_rng(gseed + bid).random((r, c))
+                        yv = np.frombuffer(ym[bi], dtype=np.float64).reshape(r, p)
+                        out["bj"].append(bj)
+                        out["k"].append(bi)
+                        out["p"].append(np.dot(a.T, yv).tobytes())
+                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+            nblk = self.grid_rows * nbc
+            partials = self.df.sparkSession.range(
+                0, nblk, 1, min(nblk, 256)
+            ).mapInArrow(part_gen, "bj int, k int, p binary")
+            rows = (
+                partials.groupBy("bj").applyInPandas(acc, "bj int, z binary").collect()
+            )
+            ymap.unpersist()
+        else:
+            rows = (
+                joined.mapInArrow(part, "bj int, k int, p binary")
+                .groupBy("bj")
+                .applyInPandas(acc, "bj int, z binary")
+                .collect()
+            )
         out = np.zeros((m, p))
         for row in rows:
             c = min(bc, m - row.bj * bc)
