@@ -189,9 +189,16 @@ def main() -> None:
             "sf": float(sf),
         }
     )
-    # driver-contract self-check: one parseable line, compact
-    assert json.loads(line)["value"] == total
-    assert len(line) < 4096, f"bench line {len(line)} B >= 4 KB driver cap"
+    # driver-contract self-check: the line must stay inside the driver's
+    # stdout tail capture.  Degrade gracefully (drop per-query detail, keep
+    # the total) rather than die — a missing line is the r5 failure mode;
+    # no assert, which python -O would strip and whose firing would kill
+    # the very output it protects.
+    if len(line) >= 4096:
+        print(f"# bench line {len(line)} B >= 4 KB — dropping queries detail", file=sys.stderr)
+        line = json.dumps(
+            {"metric": "headline_queries_e2e", "value": total, "unit": "sec", "sf": float(sf)}
+        )
     print(line)
     spark.stop()
 

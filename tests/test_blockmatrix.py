@@ -569,3 +569,42 @@ def test_cumsum_release_frees_offsets_cache(spark, rng):
     cs.release()
     assert cs._cached_deps == []
     cs.release()  # idempotent
+
+
+def test_gramian_fused_matches_materialized(spark):
+    """Seed-generated inputs take the in-task-generation gramian branch;
+    it must agree EXACTLY with the materialized-scan branch (the GEMM
+    fusion guard's pattern) — a drifting fused rng/bid convention plus a
+    re-captured literal oracle would otherwise bake in wrong results."""
+    a = BlockMatrix.random(spark, 3000, 48, 640, 48, seed=37)
+    unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    assert np.abs(a.gramian() - unfused.gramian()).max() == 0.0
+
+
+def test_svd_compressed_fused_matches_materialized(spark):
+    """Same guard for the sketch + transpose_matvec fusion inside
+    svd_compressed (covers the power-iteration path too via n_iter=1)."""
+    a = BlockMatrix.random(spark, 900, 700, 256, 256, seed=41)
+    unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    _, s_f, vt_f = a.svd_compressed(k=4, seed=2, n_iter=1)
+    _, s_u, vt_u = unfused.svd_compressed(k=4, seed=2, n_iter=1)
+    assert np.abs(np.asarray(s_f) - np.asarray(s_u)).max() == 0.0
+    assert np.abs(vt_f - vt_u).max() == 0.0
+
+
+def test_transpose_matvec_fused_matches_join(spark, rng):
+    """Fused (broadcast-Y + in-task generation) vs join path, including
+    the absent-Y-block ≡ zero convention both must honor."""
+    from pyspark.sql import functions as F
+
+    a = BlockMatrix.random(spark, 1200, 300, 256, 128, seed=5)
+    unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    y_full = BlockMatrix.from_numpy(spark, rng.standard_normal((1200, 3)), 256, 3)
+    # drop one Y block: contribution must be treated as zero, not KeyError
+    y = BlockMatrix(y_full.df.filter(F.col("bi") != 2), 1200, 3, 256, 3)
+    got = a.transpose_matvec(y)
+    want = unfused.transpose_matvec(y)
+    assert np.abs(got - want).max() == 0.0
+    yn = y_full.to_numpy()
+    yn[2 * 256 : 3 * 256, :] = 0.0
+    assert np.abs(got - a.to_numpy().T @ yn).max() < 1e-10

@@ -66,6 +66,10 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    try:
+        sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_val = 0.01
     only = set(sys.argv[2:])
     reg = load_all()
     spark = get_spark("check-correctness")
@@ -87,6 +91,15 @@ def main() -> int:
             continue
         if spec.oracle is None:
             print(f"SKIP {name}: no oracle (rows={len(spark_pdf)}) [{time.time()-t0:.1f}s]")
+            n_skip += 1
+            continue
+        if spec.oracle_sf is not None and abs(spec.oracle_sf - sf_val) > 1e-12:
+            # literal oracle captured for the gate branch only — at other
+            # sf the query runs reference dims no literal can match
+            print(
+                f"SKIP {name}: oracle valid at sf={spec.oracle_sf} only "
+                f"(rows={len(spark_pdf)}) [{time.time()-t0:.1f}s]"
+            )
             n_skip += 1
             continue
         try:

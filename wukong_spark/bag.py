@@ -226,14 +226,21 @@ class Bag:
             yield (has, t)
 
         # The scan needs TWO passes over the parent (totals now, per-element
-        # scan later).  Cache the parent across them (ADVICE r5): without it
-        # a nondeterministic or expensive upstream would re-evaluate between
-        # passes — diverging carries produce silently wrong prefixes.  The
-        # cache is left to LRU eviction because the scan RDD is lazy (an
-        # eager unpersist here would run before the second pass).  NOTE:
+        # scan later).  Persist the parent across them (ADVICE r5): without
+        # it a nondeterministic or expensive upstream would re-evaluate
+        # between passes — diverging carries produce silently wrong
+        # prefixes.  MEMORY_AND_DISK, not cache(): a MEMORY_ONLY partition
+        # evicted under pressure would be recomputed in pass 2, which is
+        # the exact divergence this guards against.  If the caller already
+        # persisted at some level, honor theirs (changing levels raises).
+        # The persist is left to LRU because the scan RDD is lazy.  NOTE:
         # unlike the rest of the Bag surface, accumulate is EAGER — the
         # totals pass runs at call time (dask defers it to compute()).
-        parent = self._rdd.cache()
+        from pyspark import StorageLevel
+
+        parent = self._rdd
+        if parent.getStorageLevel() == StorageLevel.NONE:
+            parent = parent.persist(StorageLevel.MEMORY_AND_DISK)
         totals = parent.mapPartitions(part_total, preservesPartitioning=True).collect()
         carries: list[tuple[bool, Any]] = []
         cur, cur_has = (initial, True) if initial is not _NO_DEFAULT else (None, False)

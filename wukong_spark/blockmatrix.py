@@ -1379,7 +1379,12 @@ class BlockMatrix:
     def release(self) -> None:
         """Unpersist any internal DataFrames an operator cached on behalf
         of this matrix (currently: cumsum's offsets table).  Safe to call
-        any time after the LAST action on this matrix; idempotent."""
+        any time after the LAST action on this matrix; idempotent.
+
+        LIMITATION: handles do not propagate through further
+        transformations (slice/map/matmul construct fresh BlockMatrix
+        objects) — hold the operator's direct result and call release() on
+        THAT, or the cache lingers until LRU eviction."""
         for df in getattr(self, "_cached_deps", []):
             df.unpersist()
         self._cached_deps = []
@@ -1749,22 +1754,6 @@ class BlockMatrix:
         bc = self.block_cols
         n = self.n_rows
 
-        # Y is n×p with small p — broadcast it when it fits so the heavy
-        # AᵢᵀYᵢ stage runs map-side at A's scan parallelism (the bi join key
-        # has only grid_rows distinct values; a shuffle join would cap the
-        # stage at that)
-        ydf = other.df
-        if other.n_rows * other.n_cols * 8 <= 256 * 1024 * 1024:
-            ydf = F.broadcast(ydf)
-        joined = self.df.alias("a").join(
-            ydf.alias("y"), F.col("a.bi") == F.col("y.bi")
-        ).select(
-            F.col("a.bi").alias("bi"),
-            F.col("a.bj").alias("bj"),
-            F.col("a.data").alias("da"),
-            F.col("y.data").alias("dy"),
-        )
-
         def part(batches) -> Iterator:
             import pyarrow as pa
 
@@ -1820,14 +1809,21 @@ class BlockMatrix:
                     for i in range(rb.num_rows):
                         bid = id_c[i].as_py()
                         bi, bj = bid // nbc, bid % nbc
+                        ybuf = ym.get(bi)
+                        if ybuf is None:
+                            # absent Y block ≡ zero (the codebase-wide
+                            # convention; the unfused inner join drops the
+                            # pair the same way) — zero contribution
+                            continue
                         r = min(br, n - bi * br)
                         c = min(bc, m - bj * bc)
                         a = np.random.default_rng(gseed + bid).random((r, c))
-                        yv = np.frombuffer(ym[bi], dtype=np.float64).reshape(r, p)
+                        yv = np.frombuffer(ybuf, dtype=np.float64).reshape(r, p)
                         out["bj"].append(bj)
                         out["k"].append(bi)
                         out["p"].append(np.dot(a.T, yv).tobytes())
-                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+                    if out["bj"]:
+                        yield pa.RecordBatch.from_pydict(out, schema=schema)
 
             nblk = self.grid_rows * nbc
             partials = self.df.sparkSession.range(
@@ -1838,6 +1834,21 @@ class BlockMatrix:
             )
             ymap.unpersist()
         else:
+            # Y is n×p with small p — broadcast it when it fits so the
+            # heavy AᵢᵀYᵢ stage runs map-side at A's scan parallelism (the
+            # bi join key has only grid_rows distinct values; a shuffle
+            # join would cap the stage at that)
+            ydf = other.df
+            if y_bytes <= 256 * 1024 * 1024:
+                ydf = F.broadcast(ydf)
+            joined = self.df.alias("a").join(
+                ydf.alias("y"), F.col("a.bi") == F.col("y.bi")
+            ).select(
+                F.col("a.bi").alias("bi"),
+                F.col("a.bj").alias("bj"),
+                F.col("a.data").alias("da"),
+                F.col("y.data").alias("dy"),
+            )
             rows = (
                 joined.mapInArrow(part, "bj int, k int, p binary")
                 .groupBy("bj")

@@ -28,17 +28,35 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
     headline: bool = False  # include in bench.py
     doc: str = ""
+    #: sf the oracle is valid at, or None for every sf.  Queries with
+    #: sf-branching dims (la_*_ref) capture literal oracles for the
+    #: sf<0.1 gate branch only — at bench sf they emit reference-dim
+    #: results no literal can match, so sf-aware checkers (
+    #: tools/check_correctness.py) skip the compare instead of
+    #: reporting a spurious FAIL.  The driver's gate always runs at
+    #: 0.01, where every oracle below is valid.
+    oracle_sf: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, headline: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    oracle_sf: float | None = None,
+):
     """Decorator registering a query implementation."""
 
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or ""
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            headline=headline,
+            doc=fn.__doc__ or "",
+            oracle_sf=oracle_sf,
         )
         return fn
 

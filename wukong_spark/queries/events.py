@@ -637,9 +637,16 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
             "event_type",
             F.round(F.col("value") * 10000).cast("long").alias("value_4"),
         )
-        d = dedup_stream(ev, ["user_id", "event_type", "value_4"]).select(
-            "user_id", "event_type", "value_4"
-        )
+        # watermark wider than the table's whole time span: parity with
+        # batch DISTINCT must not depend on availableNow happening to run
+        # one micro-batch — if the source ever splits into several batches
+        # (multi-file layout, maxFilesPerTrigger), a 2 h watermark would
+        # evict state and re-emit far-apart duplicate keys.  Production
+        # streams keep dedup_stream's bounded default; THIS entry's
+        # contract is exact batch parity, so state must span the data.
+        d = dedup_stream(
+            ev, ["user_id", "event_type", "value_4"], watermark="3650 days"
+        ).select("user_id", "event_type", "value_4")
         # dedup emits rows as they arrive → append-mode sink
         rows = run_to_memory(d, sink, complete=False).collect()
         return spark.createDataFrame(

@@ -175,6 +175,7 @@ def la_gemm_block_norms(spark: SparkSession, sf_dir: str):
         " (2, 3, 250095), (3, 0, 250123), (3, 1, 250000), (3, 2, 249996),"
         " (3, 3, 250165)) AS t(bi, bj, fro_i)"
     ),
+    oracle_sf=0.01,
 )
 def la_gemm_ref(spark: SparkSession, sf_dir: str):
     """GEMM at the reference's published workload size (README.md:265-267):
@@ -201,6 +202,7 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     # hold at every scale), rank is the column count of the sf<0.1 branch —
     # the only branch the sf=0.01 correctness gate ever runs
     oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, 32 AS rank",
+    oracle_sf=0.01,
 )
 def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     """TSQR at the reference's published workload size
@@ -237,6 +239,7 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
         " (13, 34108), (14, 34052), (15, 33987), (16, 33974), (17, 33917),"
         " (18, 33829), (19, 33808)) AS t(rank, sigma_i)"
     ),
+    oracle_sf=0.01,
 )
 def la_svd_ts_ref(spark: SparkSession, sf_dir: str):
     """Tall-skinny SVD at the reference's published workload size
@@ -264,6 +267,7 @@ def la_svd_ts_ref(spark: SparkSession, sf_dir: str):
         " (13, 41509), (14, 41460), (15, 41424), (16, 41341), (17, 41320),"
         " (18, 41223), (19, 41213)) AS t(rank, sigma_i)"
     ),
+    oracle_sf=0.01,
 )
 def la_svd_ts_docs(spark: SparkSession, sf_dir: str):
     """Tall-skinny SVD at the reference's docs-variant workload size
@@ -290,6 +294,7 @@ def la_svd_ts_docs(spark: SparkSession, sf_dir: str):
         "SELECT * FROM (VALUES (0, 871386), (1, 18579), (2, 18440),"
         " (3, 18279), (4, 17945)) AS t(rank, sigma_i)"
     ),
+    oracle_sf=0.01,
 )
 def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
     """Compressed/randomized SVD k=5 at the reference's published workload
@@ -734,7 +739,12 @@ def la_probe_check(spark: SparkSession, sf_dir: str):
     gd = np.diag(a.reblock_single_column().gramian())
     cs2 = a.map_elementwise(lambda b: b * b).col_sums()
     gram_ok = float(np.abs(gd - cs2).max()) / float(np.abs(cs2).max()) < 1e-9
-    last_col = a.cumsum_cols().slice(0, 512, 159, 160).to_numpy().ravel()
+    # hold the cumsum result so its internal offsets cache can be released
+    # (release() handles do NOT propagate through further derivations like
+    # slice — chaining would orphan the persisted offsets table)
+    ccs = a.cumsum_cols()
+    last_col = ccs.slice(0, 512, 159, 160).to_numpy().ravel()
+    ccs.release()
     row_ok = float(np.abs(last_col - a.row_sums()).max()) < 1e-9
     r, c = a.argmax()
     v = a.slice(r, r + 1, c, c + 1).to_numpy()[0, 0]
@@ -790,6 +800,7 @@ def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
     # 4 = grid count of the sf<0.1 branch (100² / 25-blocks), the branch the
     # sf=0.01 correctness gate runs; the boolean residual bound is sf-invariant
     oracle="SELECT TRUE AS reconstructs, 4 AS blocks",
+    oracle_sf=0.01,
 )
 def la_cholesky_check(spark: SparkSession, sf_dir: str):
     """DISTRIBUTED Cholesky (docs/examples/examples.rst:84-100) on the
