@@ -608,3 +608,14 @@ def test_transpose_matvec_fused_matches_join(spark, rng):
     yn = y_full.to_numpy()
     yn[2 * 256 : 3 * 256, :] = 0.0
     assert np.abs(got - a.to_numpy().T @ yn).max() < 1e-10
+
+
+def test_tsqr_fused_matches_materialized(spark):
+    """Seed-generated inputs take the in-task-generation TSQR stage-1
+    branch; Q and R must match the materialized-scan branch exactly."""
+    a = BlockMatrix.random(spark, 8192, 32, 1024, 32, seed=5)
+    unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    qf, rf = a.tsqr()
+    qu, ru = unfused.tsqr()
+    assert np.abs(rf - ru).max() == 0.0
+    assert qf.subtract(qu).max_abs() == 0.0

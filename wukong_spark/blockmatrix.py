@@ -898,9 +898,41 @@ class BlockMatrix:
                     out["r1"].append(np.ascontiguousarray(r1).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-        stage1 = self.df.mapInArrow(
-            local_qr, "bi int, q1 binary, r1 binary"
-        ).persist()
+        gseed = self.gen_seed
+
+        def local_qr_gen(batches) -> Iterator:
+            # fused generation (gramian pattern): regenerate each block from
+            # (seed, bid) inside the per-block QR stage — grid_cols == 1 so
+            # bid == bi; the O(matrix) payload never crosses JVM↔Python
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [("bi", pa.int32()), ("q1", pa.binary()), ("r1", pa.binary())]
+            )
+            for rb in batches:
+                id_c = rb.column("id")
+                out: dict[str, list] = {"bi": [], "q1": [], "r1": []}
+                for i in range(rb.num_rows):
+                    bi = id_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    blk = np.random.default_rng(gseed + bi).random((r, c))
+                    q1, r1 = np.linalg.qr(blk, mode="reduced")
+                    out["bi"].append(bi)
+                    out["q1"].append(np.ascontiguousarray(q1).tobytes())
+                    out["r1"].append(np.ascontiguousarray(r1).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        if gseed is not None:
+            gr = self.grid_rows
+            stage1 = (
+                self.df.sparkSession.range(0, gr, 1, min(gr, 256))
+                .mapInArrow(local_qr_gen, "bi int, q1 binary, r1 binary")
+                .persist()
+            )
+        else:
+            stage1 = self.df.mapInArrow(
+                local_qr, "bi int, q1 binary, r1 binary"
+            ).persist()
         if self.grid_rows > TSQR_TREE_FANOUT:
             return self._tsqr_tree(stage1)
         r_rows = stage1.select("bi", "r1").collect()

@@ -214,13 +214,14 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     else:
         n, br, c = 16384, 1024, 32
     a = BlockMatrix.random(spark, n, c, br, c, seed=35)
-    a.df.persist()
+    # no a.df.persist(): tsqr fuses seeded generation into its first stage
+    # and the reconstruction subtract regenerates blocks in-task — a never
+    # materializes (r6)
     q, r = a.tsqr()
     q.df.persist()
     orth_err = float(np.abs(q.gramian() - np.eye(c)).max())
     recon_err = q._map_blocks(lambda blk, _r=r: blk @ _r).subtract(a).max_abs()
     q.df.unpersist()
-    a.df.unpersist()
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, c)],
         "orthonormal boolean, reconstructs boolean, rank int",
@@ -325,14 +326,14 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     collect): ‖QᵀQ−I‖ via gramian(), ‖QR−A‖ via blockwise subtract +
     max_abs — the driver only ever sees c×c factors."""
     a = BlockMatrix.random(spark, 8192, 32, 1024, 32, seed=5)
-    a.df.persist()  # read by tsqr and by the reconstruction check
+    # no a.df.persist(): generation fuses into tsqr's first stage and into
+    # the reconstruction subtract (r6)
     q, r = a.tsqr()
     q.df.persist()  # read by gramian and the reconstruction check
     orth_err = float(np.abs(q.gramian() - np.eye(32)).max())
     qr_prod = q._map_blocks(lambda blk, _r=r: blk @ _r, out_cols=32)
     recon_err = qr_prod.subtract(a).max_abs()
     q.df.unpersist()
-    a.df.unpersist()
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, 32)],
         "orthonormal boolean, reconstructs boolean, rank int",
