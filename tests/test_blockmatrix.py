@@ -619,3 +619,27 @@ def test_tsqr_fused_matches_materialized(spark):
     qu, ru = unfused.tsqr()
     assert np.abs(rf - ru).max() == 0.0
     assert qf.subtract(qu).max_abs() == 0.0
+
+
+def test_cumsum_and_cholesky_past_broadcast_gate(spark, rng, monkeypatch):
+    """Force the at-scale fallback branches (shuffle join instead of
+    broadcast) by patching BROADCAST_CAP to zero — results must be
+    identical to the broadcast path the small-input tests exercise."""
+    import wukong_spark.blockmatrix as bmod
+    from wukong_spark.blockmatrix import cholesky_blocked
+
+    monkeypatch.setattr(bmod, "BROADCAST_CAP", 0)
+    a = rng.standard_normal((40, 12))
+    m = BlockMatrix.from_numpy(spark, a, 16, 6)
+    cs = m.cumsum_rows()
+    assert np.abs(cs.to_numpy() - np.cumsum(a, axis=0)).max() < 1e-12
+    cs.release()
+
+    idx = np.arange(100)
+    spd = np.exp(-np.abs(idx[:, None] - idx[None, :]) / 10.0)
+    ms = BlockMatrix.from_numpy(spark, spd, 25, 25)
+    ms.df.persist()
+    l = cholesky_blocked(ms)
+    ln = l.to_numpy()
+    ms.df.unpersist()
+    assert np.abs(ln @ ln.T - spd).max() < 1e-9

@@ -77,6 +77,13 @@ TSQR_TREE_FANOUT = 32
 #: k-superchunk operands each stay under this)
 GEMM_TILE_MEM_CAP = 256 * 1024 * 1024
 
+#: largest driver-side/broadcast payload the size-gated operators accept
+#: before falling back to their shuffle-join path (cumsum offsets,
+#: cholesky panel, transpose_matvec's Y).  Module-level so tests can
+#: patch it down and exercise the at-scale fallback branches on small
+#: inputs.
+BROADCAST_CAP = 256 * 1024 * 1024
+
 
 def _gemm_tile_factor(gi: int, gj: int, br: int, bc: int, parallelism: int) -> int:
     """Largest tile factor f whose (grid/f)² output tiles still cover ~¾ of
@@ -1349,7 +1356,7 @@ class BlockMatrix:
         # (ADVICE r5: the unconditional broadcast contradicted the scale
         # story in the docstring).
         off_join = off_all.filter(F.col("present")).drop("present", "nz")
-        if grid_rows * m * 8 <= 256 * 1024 * 1024:
+        if grid_rows * m * 8 <= BROADCAST_CAP:
             off_join = F.broadcast(off_join)
         joined = partial.join(off_join, ["bi", "bj"])
 
@@ -1871,7 +1878,7 @@ class BlockMatrix:
             # bi join key has only grid_rows distinct values; a shuffle
             # join would cap the stage at that)
             ydf = other.df
-            if y_bytes <= 256 * 1024 * 1024:
+            if y_bytes <= BROADCAST_CAP:
                 ydf = F.broadcast(ydf)
             joined = self.df.alias("a").join(
                 ydf.alias("y"), F.col("a.bi") == F.col("y.bi")
@@ -2156,7 +2163,7 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
         # fall back to the shuffle equi-join: no driver funnel at all, the
         # 100 TB-discipline path.
         panel_bytes = (nb - j - 1) * bs * bs * 8
-        if panel_bytes <= 256 * 1024 * 1024:
+        if panel_bytes <= BROADCAST_CAP:
             pdict = {r_.bi: bytes(r_.data) for r_ in panel.collect()}
             bc = spark.sparkContext.broadcast(pdict)
 
