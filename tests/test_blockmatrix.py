@@ -643,3 +643,18 @@ def test_cumsum_and_cholesky_past_broadcast_gate(spark, rng, monkeypatch):
     ln = l.to_numpy()
     ms.df.unpersist()
     assert np.abs(ln @ ln.T - spd).max() < 1e-9
+
+
+def test_zip_fused_matches_join(spark, rng):
+    """subtract/add with one seed-generated side takes the in-task
+    regeneration branch; it must match the join path exactly, in both
+    argument orders (fn is not commutative for subtract)."""
+    a = BlockMatrix.random(spark, 200, 90, 64, 32, seed=17)
+    unfused_a = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    x = BlockMatrix.from_numpy(spark, rng.standard_normal((200, 90)), 64, 32)
+    assert x.subtract(a).subtract(x.subtract(unfused_a)).max_abs() == 0.0
+    assert a.subtract(x).subtract(unfused_a.subtract(x)).max_abs() == 0.0
+    # both sides generated: still exact vs fully-materialized
+    b = BlockMatrix.random(spark, 200, 90, 64, 32, seed=18)
+    unfused_b = BlockMatrix(b.df, b.n_rows, b.n_cols, b.block_rows, b.block_cols)
+    assert a.add(b).subtract(unfused_a.add(unfused_b)).max_abs() == 0.0

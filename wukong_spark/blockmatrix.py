@@ -260,6 +260,47 @@ class BlockMatrix:
         assert (self.n_rows, self.n_cols) == (other.n_rows, other.n_cols)
         assert (self.block_rows, self.block_cols) == (other.block_rows, other.block_cols)
         br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+
+        # fused generation (gramian pattern): when one side is
+        # seed-generated, regenerate its block from (seed, bid) inside the
+        # zip task instead of equi-joining the two block streams — the
+        # residual checks (X − A for generated A) lose their only shuffle.
+        # Semantics match the inner join exactly: a generated side has
+        # every block of the grid, so no pair is ever dropped.  When both
+        # sides are generated, the self side still scans (executing its
+        # generation plan) — one fused side already removes the join.
+        def _gen_zip(scan: "BlockMatrix", seed: int, gcols: int, gen_is_self: bool):
+            def run(batches) -> Iterator:
+                import pyarrow as pa
+
+                schema = _pa_block_schema(pa)
+                for rb in batches:
+                    bi_c, bj_c, d_c = (
+                        rb.column("bi"), rb.column("bj"), rb.column("data")
+                    )
+                    out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                    for i in range(rb.num_rows):
+                        bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                        r = min(br, n - bi * br)
+                        c = min(bc, m - bj * bc)
+                        scanned = np.frombuffer(
+                            d_c[i].as_buffer(), dtype=np.float64
+                        ).reshape(r, c)
+                        gen = np.random.default_rng(seed + bi * gcols + bj).random(
+                            (r, c)
+                        )
+                        x, y = (gen, scanned) if gen_is_self else (scanned, gen)
+                        out["bi"].append(bi)
+                        out["bj"].append(bj)
+                        out["data"].append(np.ascontiguousarray(fn(x, y)).tobytes())
+                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+            return BlockMatrix(scan.df.mapInArrow(run, BLOCK_SCHEMA), n, m, br, bc)
+
+        if other.gen_seed is not None:
+            return _gen_zip(self, other.gen_seed, other.grid_cols, gen_is_self=False)
+        if self.gen_seed is not None:
+            return _gen_zip(other, self.gen_seed, self.grid_cols, gen_is_self=True)
         joined = self.df.alias("a").join(
             other.df.alias("b"),
             (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bj") == F.col("b.bj")),
