@@ -164,3 +164,19 @@ def test_set_index_is_range_partitioned(spark):
     assert "rangepartitioning(o_custkey" in plan.lower(), plan
     # the sort must stay partition-local (global=False ≡ "Sort [..], false")
     assert "hashpartitioning(o_custkey" not in plan.lower()
+
+
+def test_zip_with_generated_side_has_no_join(spark):
+    """x.subtract(a) for seed-generated `a` must regenerate a's blocks
+    inside the zip task — the plan may contain NO join and NO exchange
+    (a join would shuffle the regenerated matrix; the r6 fusion exists to
+    prevent exactly that)."""
+    import numpy as np
+
+    from wukong_spark.blockmatrix import BlockMatrix
+
+    a = BlockMatrix.random(spark, 256, 64, 64, 32, seed=3)
+    x = BlockMatrix.from_numpy(spark, np.zeros((256, 64)), 64, 32)
+    plan = plans.formatted_plan(x.subtract(a).df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
