@@ -1022,6 +1022,10 @@ class BlockMatrix:
 
         qdf = stage1.select("bi", "q1").mapInArrow(emit_q, BLOCK_SCHEMA)
         q = BlockMatrix(qdf, n, c, br, c)
+        # stage1 stays persisted (Q's backing store); q.release() frees it
+        # once the caller is done — unpersisting is safe any time (persist
+        # does not truncate lineage; later reads just recompute)
+        q._cached_deps = [stage1]
         return q, r_final
 
     def _tsqr_tree(
@@ -1104,7 +1108,9 @@ class BlockMatrix:
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         qdf = joined.mapInArrow(emit_q, BLOCK_SCHEMA)
-        return BlockMatrix(qdf, n, c, br, c), r_final
+        q = BlockMatrix(qdf, n, c, br, c)
+        q._cached_deps = [stage1, lvl2]  # freed by q.release()
+        return q, r_final
 
     def reblock_single_column(self) -> "BlockMatrix":
         """Horizontal re-block: stitch each block row's column blocks into

@@ -222,6 +222,7 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     orth_err = float(np.abs(q.gramian() - np.eye(c)).max())
     recon_err = q._map_blocks(lambda blk, _r=r: blk @ _r).subtract(a).max_abs()
     q.df.unpersist()
+    q.release()  # frees tsqr's internal stage-1 persist
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, c)],
         "orthonormal boolean, reconstructs boolean, rank int",
@@ -334,6 +335,7 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     qr_prod = q._map_blocks(lambda blk, _r=r: blk @ _r, out_cols=32)
     recon_err = qr_prod.subtract(a).max_abs()
     q.df.unpersist()
+    q.release()  # frees tsqr's internal stage-1 persist
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, 32)],
         "orthonormal boolean, reconstructs boolean, rank int",
