@@ -578,7 +578,10 @@ def test_gramian_fused_matches_materialized(spark):
     re-captured literal oracle would otherwise bake in wrong results."""
     a = BlockMatrix.random(spark, 3000, 48, 640, 48, seed=37)
     unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
-    assert np.abs(a.gramian() - unfused.gramian()).max() == 0.0
+    # tolerance a few ulps above zero: value-equal inputs can take
+    # alignment-dependent BLAS kernel paths (arrow buffer view vs fresh
+    # allocation); recipe drift would show up orders of magnitude larger
+    assert np.abs(a.gramian() - unfused.gramian()).max() < 1e-9
 
 
 def test_svd_compressed_fused_matches_materialized(spark):
@@ -588,8 +591,8 @@ def test_svd_compressed_fused_matches_materialized(spark):
     unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
     _, s_f, vt_f = a.svd_compressed(k=4, seed=2, n_iter=1)
     _, s_u, vt_u = unfused.svd_compressed(k=4, seed=2, n_iter=1)
-    assert np.abs(np.asarray(s_f) - np.asarray(s_u)).max() == 0.0
-    assert np.abs(vt_f - vt_u).max() == 0.0
+    assert np.abs(np.asarray(s_f) - np.asarray(s_u)).max() < 1e-9
+    assert np.abs(vt_f - vt_u).max() < 1e-9
 
 
 def test_transpose_matvec_fused_matches_join(spark, rng):
@@ -604,7 +607,7 @@ def test_transpose_matvec_fused_matches_join(spark, rng):
     y = BlockMatrix(y_full.df.filter(F.col("bi") != 2), 1200, 3, 256, 3)
     got = a.transpose_matvec(y)
     want = unfused.transpose_matvec(y)
-    assert np.abs(got - want).max() == 0.0
+    assert np.abs(got - want).max() < 1e-11
     yn = y_full.to_numpy()
     yn[2 * 256 : 3 * 256, :] = 0.0
     assert np.abs(got - a.to_numpy().T @ yn).max() < 1e-10
@@ -617,18 +620,30 @@ def test_tsqr_fused_matches_materialized(spark):
     unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
     qf, rf = a.tsqr()
     qu, ru = unfused.tsqr()
-    assert np.abs(rf - ru).max() == 0.0
-    assert qf.subtract(qu).max_abs() == 0.0
+    assert np.abs(rf - ru).max() < 1e-11
+    assert qf.subtract(qu).max_abs() < 1e-11
 
 
 def test_cumsum_and_cholesky_past_broadcast_gate(spark, rng, monkeypatch):
     """Force the at-scale fallback branches (shuffle join instead of
     broadcast) by patching BROADCAST_CAP to zero — results must be
-    identical to the broadcast path the small-input tests exercise."""
+    identical to the broadcast path the small-input tests exercise.
+    autoBroadcastJoinThreshold is disabled for the duration so the planner
+    cannot silently re-broadcast the tiny un-hinted side (the point is to
+    execute the at-scale SHUFFLE join)."""
     import wukong_spark.blockmatrix as bmod
     from wukong_spark.blockmatrix import cholesky_blocked
 
     monkeypatch.setattr(bmod, "BROADCAST_CAP", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _run_past_gate_checks(spark, rng, cholesky_blocked)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _run_past_gate_checks(spark, rng, cholesky_blocked):
     a = rng.standard_normal((40, 12))
     m = BlockMatrix.from_numpy(spark, a, 16, 6)
     cs = m.cumsum_rows()
@@ -645,6 +660,19 @@ def test_cumsum_and_cholesky_past_broadcast_gate(spark, rng, monkeypatch):
     assert np.abs(ln @ ln.T - spd).max() < 1e-9
 
 
+def test_transpose_matvec_fused_cap_fallback(spark, rng, monkeypatch):
+    """A seed-generated A whose Y exceeds TMV_FUSED_Y_CAP must take the
+    equi-join path and agree with the fused branch."""
+    import wukong_spark.blockmatrix as bmod
+
+    a = BlockMatrix.random(spark, 600, 90, 128, 45, seed=23)
+    y = BlockMatrix.from_numpy(spark, rng.standard_normal((600, 2)), 128, 2)
+    fused = a.transpose_matvec(y)
+    monkeypatch.setattr(bmod, "TMV_FUSED_Y_CAP", 0)
+    joined = a.transpose_matvec(y)
+    assert np.abs(fused - joined).max() < 1e-12
+
+
 def test_zip_fused_matches_join(spark, rng):
     """subtract/add with one seed-generated side takes the in-task
     regeneration branch; it must match the join path exactly, in both
@@ -652,9 +680,9 @@ def test_zip_fused_matches_join(spark, rng):
     a = BlockMatrix.random(spark, 200, 90, 64, 32, seed=17)
     unfused_a = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
     x = BlockMatrix.from_numpy(spark, rng.standard_normal((200, 90)), 64, 32)
-    assert x.subtract(a).subtract(x.subtract(unfused_a)).max_abs() == 0.0
-    assert a.subtract(x).subtract(unfused_a.subtract(x)).max_abs() == 0.0
+    assert x.subtract(a).subtract(x.subtract(unfused_a)).max_abs() < 1e-13
+    assert a.subtract(x).subtract(unfused_a.subtract(x)).max_abs() < 1e-13
     # both sides generated: still exact vs fully-materialized
     b = BlockMatrix.random(spark, 200, 90, 64, 32, seed=18)
     unfused_b = BlockMatrix(b.df, b.n_rows, b.n_cols, b.block_rows, b.block_cols)
-    assert a.add(b).subtract(unfused_a.add(unfused_b)).max_abs() == 0.0
+    assert a.add(b).subtract(unfused_a.add(unfused_b)).max_abs() < 1e-13

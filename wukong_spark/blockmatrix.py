@@ -58,6 +58,16 @@ BLOCK_SCHEMA = StructType(
 )
 
 
+def _gen_block(seed: int, bid: int, r: int, c: int) -> "np.ndarray":
+    """THE canonical seeded block generator: every fused consumer (matmul
+    tiles, gramian, sketch, transpose_matvec, tsqr stage 1, elementwise
+    zips) and :meth:`BlockMatrix.random` itself MUST generate through this
+    one function — fusion correctness is bitwise identity with random(),
+    and a drifting inlined copy would silently produce wrong fused
+    results.  bid = bi * grid_cols + bj."""
+    return np.random.default_rng(seed + bid).random((r, c))
+
+
 def _grid(n: int, bs: int) -> int:
     return (n + bs - 1) // bs
 
@@ -83,6 +93,12 @@ GEMM_TILE_MEM_CAP = 256 * 1024 * 1024
 #: patch it down and exercise the at-scale fallback branches on small
 #: inputs.
 BROADCAST_CAP = 256 * 1024 * 1024
+
+#: largest Y a fused (seed-generated A) transpose_matvec ships as an
+#: sc.broadcast dict; larger Y falls back to the equi-join path.  Separate
+#: (and smaller) than BROADCAST_CAP because the dict is also pickled into
+#: the driver heap; patchable so tests can drive the fallback.
+TMV_FUSED_Y_CAP = 64 * 1024 * 1024
 
 
 def _gemm_tile_factor(gi: int, gj: int, br: int, bc: int, parallelism: int) -> int:
@@ -172,10 +188,9 @@ class BlockMatrix:
                     bi, bj = bid // nbc, bid % nbc
                     r = min(block_rows, n_rows - bi * block_rows)
                     c = min(block_cols, n_cols - bj * block_cols)
-                    rng = np.random.default_rng(seed + bid)
                     out["bi"].append(bi)
                     out["bj"].append(bj)
-                    out["data"].append(rng.random((r, c)).tobytes())
+                    out["data"].append(_gen_block(seed, bid, r, c).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         # one block per row, partition count set at range creation — no
@@ -286,9 +301,7 @@ class BlockMatrix:
                         scanned = np.frombuffer(
                             d_c[i].as_buffer(), dtype=np.float64
                         ).reshape(r, c)
-                        gen = np.random.default_rng(seed + bi * gcols + bj).random(
-                            (r, c)
-                        )
+                        gen = _gen_block(seed, bi * gcols + bj, r, c)
                         x, y = (gen, scanned) if gen_is_self else (scanned, gen)
                         out["bi"].append(bi)
                         out["bj"].append(bj)
@@ -800,9 +813,9 @@ class BlockMatrix:
                         else:
                             # fused seed-generation: identical values to
                             # BlockMatrix.random's gen (pure fn of seed+bid)
-                            abuf[(r, k)] = np.random.default_rng(
-                                a_seed + r * gk + k
-                            ).random((rr, kk))
+                            abuf[(r, k)] = _gen_block(
+                                a_seed, r * gk + k, rr, kk
+                            )
                     else:
                         kk = min(kbs, kdim - k * kbs)
                         cc = min(bc, m - r * bc)
@@ -811,9 +824,9 @@ class BlockMatrix:
                                 d_c[i].as_buffer(), dtype=np.float64
                             ).reshape(kk, cc)
                         else:
-                            bbuf[(r, k)] = np.random.default_rng(
-                                b_seed + k * gj + r
-                            ).random((kk, cc))
+                            bbuf[(r, k)] = _gen_block(
+                                b_seed, k * gj + r, kk, cc
+                            )
             if cur is not None:
                 flush_superchunk()
                 yield emit_tile()
@@ -884,7 +897,7 @@ class BlockMatrix:
                 for i in range(rb.num_rows):
                     bi = id_c[i].as_py()
                     r = min(br, n - bi * br)
-                    blk = np.random.default_rng(seed + bi).random((r, c_total))
+                    blk = _gen_block(seed, bi, r, c_total)  # grid_cols == 1
                     g = blk.T @ blk
                     total = g if total is None else total + g
                 if total is not None:
@@ -963,7 +976,7 @@ class BlockMatrix:
                 for i in range(rb.num_rows):
                     bi = id_c[i].as_py()
                     r = min(br, n - bi * br)
-                    blk = np.random.default_rng(gseed + bi).random((r, c))
+                    blk = _gen_block(gseed, bi, r, c)  # grid_cols == 1
                     q1, r1 = np.linalg.qr(blk, mode="reduced")
                     out["bi"].append(bi)
                     out["q1"].append(np.ascontiguousarray(q1).tobytes())
@@ -1464,8 +1477,12 @@ class BlockMatrix:
 
     def release(self) -> None:
         """Unpersist any internal DataFrames an operator cached on behalf
-        of this matrix (currently: cumsum's offsets table).  Safe to call
-        any time after the LAST action on this matrix; idempotent.
+        of this matrix.  Current carriers: cumsum_rows/cumsum_cols (the
+        offsets table), tsqr and the tree path (the stage-1 per-block QR
+        factors Q reads from, plus lvl2), svd_compressed (U carries its
+        internal tsqr's handle).  Safe to call any time after the LAST
+        action on this matrix (persist does not truncate lineage — later
+        reads just recompute); idempotent.
 
         LIMITATION: handles do not propagate through further
         transformations (slice/map/matmul construct fresh BlockMatrix
@@ -1660,6 +1677,7 @@ class BlockMatrix:
             qj, rjj = w.tsqr()
             r_mat[j * bc : j * bc + cj, j * bc : j * bc + cj] = rjj
             qj_df = qj.df.withColumn("bj", F.lit(j)).localCheckpoint()
+            qj.release()  # checkpoint materialized — free tsqr's stage 1
             panel_dfs.append(qj_df)
             grown = qj_df if qpref is None else qpref.df.unionByName(qj_df)
             qpref = BlockMatrix(grown, n, j * bc + cj, br, bc)
@@ -1778,7 +1796,7 @@ class BlockMatrix:
                         bi, bj = bid // nbc, bid % nbc
                         r = min(br, n - bi * br)
                         c = min(bc, m - bj * bc)
-                        blk = np.random.default_rng(gseed + bid).random((r, c))
+                        blk = _gen_block(gseed, bid, r, c)
                         wj = w[bj * bc : bj * bc + c, :]
                         out["bi"].append(bi)
                         out["k"].append(bj)
@@ -1819,6 +1837,10 @@ class BlockMatrix:
         b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
         ub, s, vt = np.linalg.svd(b, full_matrices=False)
         u = q._map_blocks(lambda blk: blk @ ub[:, :k], out_cols=k)
+        # U reads q (backed by tsqr's persisted stage 1) — transfer the
+        # release handle so the CALLER frees it after materializing U
+        # (releasing here would force U to re-run the whole sketch chain)
+        u._cached_deps = getattr(q, "_cached_deps", [])
         # released before return (same contract as svd_tall_skinny): U is
         # lazy; a caller that materializes U re-runs the input lineage —
         # persist the input (or U) yourself if you need U cheap
@@ -1872,7 +1894,7 @@ class BlockMatrix:
         gseed = self.gen_seed
         nbc = self.grid_cols
         y_bytes = other.n_rows * p * 8
-        if gseed is not None and y_bytes <= 64 * 1024 * 1024:
+        if gseed is not None and y_bytes <= TMV_FUSED_Y_CAP:
             # fused generation (VERDICT r5 #3, gramian pattern): regenerate
             # A's blocks from (seed, bid) inside the AᵀY stage; Y is small
             # (≤64 MB gate) so it ships once as an sc.broadcast dict — the
@@ -1903,7 +1925,7 @@ class BlockMatrix:
                             continue
                         r = min(br, n - bi * br)
                         c = min(bc, m - bj * bc)
-                        a = np.random.default_rng(gseed + bid).random((r, c))
+                        a = _gen_block(gseed, bid, r, c)
                         yv = np.frombuffer(ybuf, dtype=np.float64).reshape(r, p)
                         out["bj"].append(bj)
                         out["k"].append(bi)
@@ -1963,6 +1985,7 @@ class BlockMatrix:
         assert self.n_rows == b.n_rows and self.block_rows == b.block_rows
         q, r = self.qr()  # strategy ladder: TSQR / re-block+TSQR / CGS2
         qtb = q.transpose_matvec(b)
+        q.release()  # QᵀB is materialized — free tsqr's stage-1 persist
         return np.linalg.solve(r, qtb)
 
     def solve_triangular(
