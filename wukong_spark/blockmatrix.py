@@ -735,6 +735,7 @@ class BlockMatrix:
             # per task — tens of GB at 100× the reference's k.
             cur: tuple[int, int] | None = None  # current tile (si, sj)
             acc: np.ndarray | None = None
+            tmp: np.ndarray | None = None  # reused dgemm output buffer
             r0 = c0 = 0
             sk_cur = 0
             abuf: dict[tuple[int, int], np.ndarray] = {}
@@ -744,12 +745,28 @@ class BlockMatrix:
                 """Stitch the buffered superchunk and dgemm into acc.
                 Ascending-sk call order keeps the accumulation determinstic
                 (same order as the buffered variant)."""
-                nonlocal abuf, bbuf, acc
+                nonlocal abuf, bbuf, acc, tmp
                 if not abuf and not bbuf:
                     return
                 k0 = sk_cur * f * kbs
                 kt = min(f * kbs, kdim - k0)
                 rt, ct = acc.shape
+                if len(abuf) == 1 and len(bbuf) == 1:
+                    ablk = next(iter(abuf.values()))
+                    bblk = next(iter(bbuf.values()))
+                    if ablk.shape == (rt, kt) and bblk.shape == (kt, ct):
+                        # f=1 fast path: the superchunk IS one full block
+                        # pair — dgemm straight from the source views into
+                        # a reused temp, skipping the 2×bs² stitch copies
+                        # and the per-chunk result allocation (measured
+                        # `matmul(out=) + +=` ≈ 2.4× `acc += a @ b` at
+                        # 1000³ on this host)
+                        if tmp is None or tmp.shape != (rt, ct):
+                            tmp = np.empty((rt, ct))
+                        np.matmul(ablk, bblk, out=tmp)
+                        acc += tmp
+                        abuf, bbuf = {}, {}
+                        return
                 ach = np.zeros((rt, kt))
                 bch = np.zeros((kt, ct))
                 for (bi, k), blk in abuf.items():
