@@ -686,3 +686,34 @@ def test_zip_fused_matches_join(spark, rng):
     b = BlockMatrix.random(spark, 200, 90, 64, 32, seed=18)
     unfused_b = BlockMatrix(b.df, b.n_rows, b.n_cols, b.block_rows, b.block_cols)
     assert a.add(b).subtract(unfused_a.add(unfused_b)).max_abs() < 1e-13
+
+
+def test_map_overlap_stencil_matches_numpy(spark, rng):
+    """3-row zero-padded stencil via map_overlap(depth=1) equals the
+    whole-matrix numpy computation — interior halo rows absorb the
+    per-block zero-padding, edges keep the global zero-pad semantic."""
+    a = rng.standard_normal((50, 21))
+    m = BlockMatrix.from_numpy(spark, a, 16, 8)
+
+    def stencil(x):
+        z = np.zeros((1, x.shape[1]))
+        up = np.vstack([z, x[:-1]])
+        down = np.vstack([x[1:], z])
+        return (x + up) + down
+
+    got = m.map_overlap(stencil, depth=1).to_numpy()
+    want = stencil(a)
+    assert np.abs(got - want).max() == 0.0
+
+
+def test_map_overlap_contract_errors(spark, rng):
+    import pytest
+    from pyspark.sql import functions as F
+
+    a = BlockMatrix.from_numpy(spark, rng.standard_normal((32, 8)), 8, 8)
+    # worker-side ValueErrors surface as PythonException — match message
+    with pytest.raises(Exception, match="shape-preserving"):
+        a.map_overlap(lambda x: x[:-1], depth=1).to_numpy()
+    sparse = BlockMatrix(a.df.filter(F.col("bi") != 1), 32, 8, 8, 8)
+    with pytest.raises(Exception, match="dense"):
+        sparse.map_overlap(lambda x: x, depth=1).to_numpy()

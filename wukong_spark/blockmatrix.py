@@ -1521,6 +1521,111 @@ class BlockMatrix:
         out._cached_deps = getattr(cs, "_cached_deps", [])
         return out
 
+    def map_overlap(
+        self, fn: Callable[[np.ndarray], np.ndarray], depth: int
+    ) -> "BlockMatrix":
+        """Ghost-cell (halo) map along axis 0 — ``da.map_overlap`` with
+        ``boundary='none'`` semantics: each block is presented to ``fn``
+        with ``depth`` extra rows from its vertical neighbors prepended /
+        appended (fewer at the matrix edges), ``fn`` must be
+        shape-preserving, and the halo rows are trimmed from its output.
+        The standard chunked-stencil primitive (rolling windows, finite
+        differences, local smoothing).
+
+        Spark-first plan: every block emits its core plus two ``depth``-row
+        slivers addressed to its neighbors; ONE shuffle co-locates each
+        target block with its halos (groupBy (tbi, bj)) and an
+        applyInPandas task assembles [top-halo; core; bottom-halo], applies
+        ``fn``, and trims.  Halo traffic is 2·depth/block_rows of the
+        matrix; the core movement is one full exchange — the same volume
+        dask's overlap graph ships when chunks live on different workers.
+
+        Requires a DENSE input (every grid block present): halo exchange
+        addresses physical neighbors, and an absent-as-zero block would
+        silently contribute a truncated halo instead of zeros.
+        """
+        assert 0 < depth <= self.block_rows, "depth must be ≤ block_rows (one-neighbor halo)"
+        br, bc, n, m = self.block_rows, self.block_cols, self.n_rows, self.n_cols
+        gr = self.grid_rows
+
+        def emit(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [
+                    ("tbi", pa.int32()),
+                    ("bj", pa.int32()),
+                    ("role", pa.int32()),
+                    ("data", pa.binary()),
+                ]
+            )
+            for rb in batches:
+                bi_c, bj_c, d_c = rb.column("bi"), rb.column("bj"), rb.column("data")
+                out: dict[str, list] = {"tbi": [], "bj": [], "role": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi, bj = bi_c[i].as_py(), bj_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    c = min(bc, m - bj * bc)
+                    blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(r, c)
+                    out["tbi"].append(bi)
+                    out["bj"].append(bj)
+                    out["role"].append(0)  # core
+                    out["data"].append(d_c[i].as_py())
+                    if bi + 1 < gr:  # this block's tail = below-neighbor's top halo
+                        out["tbi"].append(bi + 1)
+                        out["bj"].append(bj)
+                        out["role"].append(1)
+                        out["data"].append(
+                            np.ascontiguousarray(blk[-depth:]).tobytes()
+                        )
+                    if bi > 0:  # this block's head = above-neighbor's bottom halo
+                        out["tbi"].append(bi - 1)
+                        out["bj"].append(bj)
+                        out["role"].append(2)
+                        out["data"].append(
+                            np.ascontiguousarray(blk[:depth]).tobytes()
+                        )
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tbi, bj = int(key[0]), int(key[1])
+            c = min(bc, m - bj * bc)
+            core = top = bottom = None
+            for role, buf in zip(pdf["role"], pdf["data"]):
+                arr = np.frombuffer(buf, dtype=np.float64).reshape(-1, c)
+                if role == 0:
+                    core = arr
+                elif role == 1:
+                    top = arr
+                else:
+                    bottom = arr
+            if core is None:
+                raise ValueError(
+                    f"map_overlap: block ({tbi},{bj}) absent — halo exchange "
+                    "requires a dense input (absent-as-zero is unsupported)"
+                )
+            pieces = [p for p in (top, core, bottom) if p is not None]
+            stacked = np.vstack(pieces) if len(pieces) > 1 else core
+            result = fn(stacked)
+            if result.shape != stacked.shape:
+                raise ValueError(
+                    "map_overlap: fn must be shape-preserving, got "
+                    f"{result.shape} for input {stacked.shape}"
+                )
+            t = 0 if top is None else top.shape[0]
+            b = result.shape[0] - (0 if bottom is None else bottom.shape[0])
+            trimmed = np.ascontiguousarray(result[t:b])
+            return pd.DataFrame(
+                {"bi": [tbi], "bj": [bj], "data": [trimmed.tobytes()]}
+            )
+
+        out_df = (
+            self.df.mapInArrow(emit, "tbi int, bj int, role int, data binary")
+            .groupBy("tbi", "bj")
+            .applyInPandas(assemble, BLOCK_SCHEMA)
+        )
+        return BlockMatrix(out_df, n, m, br, bc)
+
     def diagonal(self) -> np.ndarray:
         """Main diagonal as a driver vector (``da.diagonal`` for the
         square/rectangular main-diagonal case) — the usual post-factorization

@@ -838,3 +838,47 @@ def la_cholesky_check(spark: SparkSession, sf_dir: str):
         [(bool(max_err < 1e-8), m.grid_rows)],
         "reconstructs boolean, blocks int",
     )
+
+
+@query(
+    "la_overlap_check",
+    oracle=(
+        "SELECT TRUE AS stencil_matches, TRUE AS interior_nonzero, 32 AS blocks"
+    ),
+)
+def la_overlap_check(spark: SparkSession, sf_dir: str):
+    """Ghost-cell stencil contract (da.map_overlap, boundary='none' —
+    beyond-reference dask.array surface, r6): a 3-row zero-padded vertical
+    stencil x + shift_down(x) + shift_up(x) on a seeded 1000×200/(128,64)
+    matrix computed by TWO independent distributed algorithms:
+
+    - map_overlap(depth=1): halo exchange (each block carries one
+      neighbor row on each side), per-block stencil, halos trimmed;
+    - the slice/vstack composition: zero-row-padded shifted copies added
+      blockwise — no halo machinery at all.
+
+    The additions run in the same order on both paths, so agreement is
+    exact (gate 1e-12); interior_nonzero guards against a degenerate
+    all-zero comparison.  Only verdicts leave the cluster."""
+    a = BlockMatrix.random(spark, 1000, 200, 128, 64, seed=91)
+
+    def stencil(x):
+        z = np.zeros((1, x.shape[1]))
+        up = np.vstack([z, x[:-1]])
+        down = np.vstack([x[1:], z])
+        return (x + up) + down
+
+    via_overlap = a.map_overlap(stencil, depth=1)
+    zrow = BlockMatrix.from_numpy(spark, np.zeros((1, 200)), 128, 64)
+    shifted_down = zrow.vstack(a.slice(0, 999, 0, 200))
+    shifted_up = a.slice(1, 1000, 0, 200).vstack(zrow)
+    ref = a.add(shifted_down).add(shifted_up)
+    ref.df.persist()  # read by the agreement check and the probe slice
+    err = via_overlap.subtract(ref).max_abs()
+    probe = float(np.abs(ref.slice(500, 501, 0, 200).to_numpy()).max())
+    blocks = via_overlap.grid_rows * via_overlap.grid_cols
+    ref.df.unpersist()
+    return spark.createDataFrame(
+        [(bool(err < 1e-12), bool(probe > 0.1), blocks)],
+        "stencil_matches boolean, interior_nonzero boolean, blocks int",
+    )
