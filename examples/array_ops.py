@@ -36,6 +36,14 @@ def run(spark) -> bool:
     cs = a.cumsum_rows()
     ok_cumsum = np.allclose(cs.to_numpy(), np.cumsum(dense, axis=0), atol=1e-10)
 
+    # map_overlap: ghost-cell stencil (3-row zero-padded vertical sum)
+    def stencil(x):
+        z = np.zeros((1, x.shape[1]))
+        return (x + np.vstack([z, x[:-1]])) + np.vstack([x[1:], z])
+
+    mo = a.map_overlap(stencil, depth=1)
+    ok_overlap = np.array_equal(mo.to_numpy(), stencil(dense))
+
     # least squares: QR path, QᵀB reduced distributed
     xt = np.random.default_rng(5).standard_normal((200, 1))
     y = BlockMatrix.from_numpy(spark, dense @ xt, 128, 1)
@@ -45,9 +53,9 @@ def run(spark) -> bool:
     a.df.unpersist()
     print(
         f"  rechunk={ok_rechunk} slice={ok_slice} concat={ok_concat}"
-        f" cumsum={ok_cumsum} lstsq={ok_lstsq}"
+        f" cumsum={ok_cumsum} overlap={ok_overlap} lstsq={ok_lstsq}"
     )
-    return all([ok_rechunk, ok_slice, ok_concat, ok_cumsum, ok_lstsq])
+    return all([ok_rechunk, ok_slice, ok_concat, ok_cumsum, ok_overlap, ok_lstsq])
 
 
 if __name__ == "__main__":
