@@ -717,3 +717,17 @@ def test_map_overlap_contract_errors(spark, rng):
     sparse = BlockMatrix(a.df.filter(F.col("bi") != 1), 32, 8, 8, 8)
     with pytest.raises(Exception, match="dense"):
         sparse.map_overlap(lambda x: x, depth=1).to_numpy()
+
+
+def test_map_overlap_cols_matches_numpy(spark, rng):
+    """Axis-1 stencil (3-col zero-padded horizontal sum) through the
+    transpose composition."""
+    a = rng.standard_normal((40, 33))
+    m = BlockMatrix.from_numpy(spark, a, 16, 8)
+
+    def stencil(x):
+        z = np.zeros((x.shape[0], 1))
+        return (x + np.hstack([z, x[:, :-1]])) + np.hstack([x[:, 1:], z])
+
+    got = m.map_overlap_cols(stencil, depth=1).to_numpy()
+    assert np.abs(got - stencil(a)).max() == 0.0

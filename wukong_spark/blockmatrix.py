@@ -1626,6 +1626,18 @@ class BlockMatrix:
         )
         return BlockMatrix(out_df, n, m, br, bc)
 
+    def map_overlap_cols(
+        self, fn: Callable[[np.ndarray], np.ndarray], depth: int
+    ) -> "BlockMatrix":
+        """Axis-1 ghost-cell map — the transpose composition of
+        :meth:`map_overlap` (transpose is shuffle-free blockwise
+        relabeling, so the only exchange is the halo co-location).  ``fn``
+        still receives the block in its ORIGINAL orientation with ``depth``
+        extra columns attached left/right."""
+        return self.transpose().map_overlap(
+            lambda x: np.ascontiguousarray(fn(np.ascontiguousarray(x.T)).T), depth
+        ).transpose()
+
     def diagonal(self) -> np.ndarray:
         """Main diagonal as a driver vector (``da.diagonal`` for the
         square/rectangular main-diagonal case) — the usual post-factorization
