@@ -655,3 +655,66 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "stream_interval_join_clicks",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+           CAST(ROUND(p.value * 10000) AS BIGINT) AS purchase_value_4
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.user_id % 5 = 0 AND c.user_id % 5 = 0
+    """,
+)
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str):
+    """STREAM-STREAM interval join, hash-verified against the batch
+    interval join — the fourth batch/stream-parity entry in the driver
+    gate: every (purchase, click-of-same-user-within-preceding-hour)
+    pair, both sides arriving as streams with bounded join state.
+
+    Unlike stream dedup, the full pair set is arrival-order independent,
+    so every output column is deterministic.  The watermark is set wider
+    than the data span for the same reason as stream_dedup_exact: parity
+    must not depend on availableNow running one micro-batch (state
+    evicted between batches would silently drop pairs).  Production use
+    keeps purchases_with_last_click_stream's bounded default — at 100 TB
+    the watermark IS the state bound."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        purchases_with_last_click_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    try:
+        # deterministic 1-in-5 user subset: bounds the gate's join state
+        # and output while exercising the identical plan (the oracle
+        # filters the same subset)
+        ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+        j = purchases_with_last_click_stream(
+            ev, join_window="1 hour", watermark="3650 days"
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            F.round(F.col("value") * 10000).cast("long").alias("purchase_value_4"),
+        )
+        rows = run_to_memory(j, sink, complete=False).collect()
+        schema = (
+            "purchase_id long, user_id long, purchase_ts timestamp_ntz,"
+            " click_id long, click_ts timestamp_ntz, purchase_value_4 long"
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
