@@ -287,6 +287,38 @@ def test_tsqr_tree_merge(spark, rng):
     assert (np.diag(r) >= 0).all()
 
 
+def test_tsqr_tree_merge_fused_seeded(spark, rng):
+    """Seeded input through the tree path (r7): stage 1 carries only R1s
+    and Q1 is regenerated in-task from (seed, bi) — the factors must still
+    satisfy the full QR contract against the materialized matrix."""
+    from wukong_spark.blockmatrix import TSQR_TREE_FANOUT
+
+    m = BlockMatrix.random(spark, 1600, 8, 16, 8, seed=99)  # 100 rows > fanout
+    assert m.grid_rows > TSQR_TREE_FANOUT and m.gen_seed is not None
+    a = m.to_numpy()
+    q, r = m.tsqr()
+    qn = q.to_numpy()
+    q.release()
+    assert np.allclose(qn.T @ qn, np.eye(8), atol=1e-10)
+    assert np.allclose(qn @ r, a, atol=1e-10)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) >= 0).all()
+
+
+def test_tsqr_direct_fused_seeded_edge_block(spark, rng):
+    """Seeded direct path (r7 no-persist fusion) with a ragged last block
+    (n % br != 0): in-task Q1 regeneration must reproduce stage 1's QR
+    bitwise, including the short edge block."""
+    m = BlockMatrix.random(spark, 150, 6, 32, 6, seed=41)
+    assert m.gen_seed is not None
+    a = m.to_numpy()
+    q, r = m.tsqr()
+    qn = q.to_numpy()
+    q.release()
+    assert np.allclose(qn.T @ qn, np.eye(6), atol=1e-10)
+    assert np.allclose(qn @ r, a, atol=1e-10)
+
+
 def test_qr_square_reference_shape(spark, rng):
     """General multi-block-column QR at the reference's own example shape —
     128×128 with 16×16 chunks (docs/examples/examples.rst:62-70)."""

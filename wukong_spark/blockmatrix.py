@@ -978,35 +978,36 @@ class BlockMatrix:
 
         gseed = self.gen_seed
 
-        def local_qr_gen(batches) -> Iterator:
+        def local_r_gen(batches) -> Iterator:
             # fused generation (gramian pattern): regenerate each block from
             # (seed, bid) inside the per-block QR stage — grid_cols == 1 so
-            # bid == bi; the O(matrix) payload never crosses JVM↔Python
+            # bid == bi; only the small c×c R1 is emitted.  Q1 is NOT kept:
+            # emit_q regenerates the block and redoes its QR in-task (~100 ms
+            # for an 8192×128 block), which beats writing + re-reading a
+            # 256 MB Q1 cache store (r7 A/B; same lesson as the r6 gramian
+            # fusion — regeneration beats materialization for seeded inputs)
             import pyarrow as pa
 
-            schema = pa.schema(
-                [("bi", pa.int32()), ("q1", pa.binary()), ("r1", pa.binary())]
-            )
+            schema = pa.schema([("bi", pa.int32()), ("r1", pa.binary())])
             for rb in batches:
                 id_c = rb.column("id")
-                out: dict[str, list] = {"bi": [], "q1": [], "r1": []}
+                out: dict[str, list] = {"bi": [], "r1": []}
                 for i in range(rb.num_rows):
                     bi = id_c[i].as_py()
                     r = min(br, n - bi * br)
                     blk = _gen_block(gseed, bi, r, c)  # grid_cols == 1
-                    q1, r1 = np.linalg.qr(blk, mode="reduced")
+                    _, r1 = np.linalg.qr(blk, mode="reduced")
                     out["bi"].append(bi)
-                    out["q1"].append(np.ascontiguousarray(q1).tobytes())
                     out["r1"].append(np.ascontiguousarray(r1).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
         if gseed is not None:
             gr = self.grid_rows
-            stage1 = (
-                self.df.sparkSession.range(0, gr, 1, min(gr, 256))
-                .mapInArrow(local_qr_gen, "bi int, q1 binary, r1 binary")
-                .persist()
+            stage1 = self.df.sparkSession.range(0, gr, 1, min(gr, 256)).mapInArrow(
+                local_r_gen, "bi int, r1 binary"
             )
+            # no persist: each consumer (the R collect below, or lvl2 in the
+            # tree path, and emit_q) regenerates independently
         else:
             stage1 = self.df.mapInArrow(
                 local_qr, "bi int, q1 binary, r1 binary"
@@ -1050,6 +1051,33 @@ class BlockMatrix:
                     out["data"].append(np.dot(q1, sl).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+        def emit_q_gen(batches) -> Iterator:
+            # fused tail: regenerate the block and redo its per-block QR
+            # in-task (bitwise-identical to stage 1: same bytes through the
+            # same LAPACK), then apply the broadcast Q2 slice — zero reads,
+            # zero shuffle, no cache store
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            for rb in batches:
+                id_c = rb.column("id")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    bi = id_c[i].as_py()
+                    r = min(br, n - bi * br)
+                    q1, _ = np.linalg.qr(_gen_block(gseed, bi, r, c), mode="reduced")
+                    out["bi"].append(bi)
+                    out["bj"].append(0)
+                    out["data"].append(np.dot(q1, q2_slices[bi]).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        if gseed is not None:
+            qdf = self.df.sparkSession.range(0, self.grid_rows, 1, min(self.grid_rows, 256)).mapInArrow(
+                emit_q_gen, BLOCK_SCHEMA
+            )
+            q = BlockMatrix(qdf, n, c, br, c)
+            q._cached_deps = []  # nothing persisted — release() is a no-op
+            return q, r_final
         qdf = stage1.select("bi", "q1").mapInArrow(emit_q, BLOCK_SCHEMA)
         q = BlockMatrix(qdf, n, c, br, c)
         # stage1 stays persisted (Q's backing store); q.release() frees it
@@ -1114,29 +1142,45 @@ class BlockMatrix:
         q3_slices = {gid: q3[o : o + k, :] for gid, (o, k) in offsets.items()}
 
         members = lvl2.filter(F.col("bi") >= 0).select("bi", "gid", "q2")
-        joined = stage1.select("bi", "q1").join(members, "bi")
+        gseed = self.gen_seed
 
         def emit_q(batches) -> Iterator:
+            # fused variant: q1 is regenerated in-task from (seed, bi) —
+            # the rb carries no q1 column, only (bi, gid, q2)
             import pyarrow as pa
 
             schema = _pa_block_schema(pa)
             for rb in batches:
-                bi_c, q1_c = rb.column("bi"), rb.column("q1")
+                bi_c = rb.column("bi")
                 gid_c, q2_c = rb.column("gid"), rb.column("q2")
+                q1_c = rb.column("q1") if gseed is None else None
                 out: dict[str, list] = {"bi": [], "bj": [], "data": []}
                 for i in range(rb.num_rows):
+                    bi = bi_c[i].as_py()
                     g3 = q3_slices[gid_c[i].as_py()]
                     q2 = np.frombuffer(q2_c[i].as_buffer(), dtype=np.float64).reshape(
                         -1, g3.shape[0]
                     )
-                    q1 = np.frombuffer(q1_c[i].as_buffer(), dtype=np.float64).reshape(
-                        -1, q2.shape[0]
-                    )
-                    out["bi"].append(bi_c[i].as_py())
+                    if gseed is None:
+                        q1 = np.frombuffer(
+                            q1_c[i].as_buffer(), dtype=np.float64
+                        ).reshape(-1, q2.shape[0])
+                    else:
+                        r = min(br, n - bi * br)
+                        q1, _ = np.linalg.qr(
+                            _gen_block(gseed, bi, r, c), mode="reduced"
+                        )
+                    out["bi"].append(bi)
                     out["bj"].append(0)
                     out["data"].append(np.dot(q1, np.dot(q2, g3)).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+        if gseed is not None:
+            qdf = members.mapInArrow(emit_q, BLOCK_SCHEMA)
+            q = BlockMatrix(qdf, n, c, br, c)
+            q._cached_deps = [lvl2]  # stage1 was never persisted (fused)
+            return q, r_final
+        joined = stage1.select("bi", "q1").join(members, "bi")
         qdf = joined.mapInArrow(emit_q, BLOCK_SCHEMA)
         q = BlockMatrix(qdf, n, c, br, c)
         q._cached_deps = [stage1, lvl2]  # freed by q.release()
