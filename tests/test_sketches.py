@@ -12,11 +12,20 @@ REG = load_all()
 
 
 def test_approx_stats_within_bounds(spark):
+    # the sketch surface itself (registry-wise it lives inside
+    # sketch_check's aggregation since r7): numeric error bounds vs exact
+    l = load_table(spark, SF_CORRECT, "lineitem")
     got = {
         r["l_returnflag"]: r
-        for r in REG["sketch_approx_stats"].fn(spark, SF_CORRECT).collect()
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("approx_p50"),
+        )
+        .collect()
     }
-    l = load_table(spark, SF_CORRECT, "lineitem")
     exact = {
         r["l_returnflag"]: r
         for r in l.groupBy("l_returnflag")

@@ -498,27 +498,6 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str):
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
     )
 
-@query("sketch_approx_stats")
-def sketch_approx_stats(spark: SparkSession, sf_dir: str):
-    """Sketch aggregates — HyperLogLog++ distinct and GK approximate
-    quantiles per returnflag.
-
-    No SQL oracle: sketch outputs are estimator-specific (DuckDB's HLL and
-    Spark's HLL++ differ by design), so the driver records a rows-only
-    check; the accuracy contract (≤5 % relative error vs exact) is enforced
-    in tests/test_sketches.py.  At 100 TB these replace their exact
-    counterparts: HLL++ is O(1) memory per group vs an O(distinct) hash
-    set, approx_percentile streams one GK summary vs a full sort.
-    """
-    l = tbl(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
-        ).alias("approx_p50"),
-    )
-
-
 @query(
     "sketch_check",
     # boolean accuracy contract per returnflag group — literal oracle, the
@@ -531,11 +510,21 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str):
     """,
 )
 def sketch_check(spark: SparkSession, sf_dir: str):
-    """Accuracy contract for sketch_approx_stats: per group,
-    |HLL++ distinct − exact distinct| / exact ≤ 5 % (rsd=0.02 → ~2σ≈4 %)
-    and the GK p50 within 5 % of the exact median.  Exact sides run in the
-    SAME aggregation (one shuffle, two extra agg buffers) — the sketch and
-    its referee see identical input."""
+    """Sketch aggregates — HyperLogLog++ distinct and GK approximate
+    quantiles per returnflag — behind an in-plan accuracy contract
+    (r7: the former rows-only `sketch_approx_stats` entry is folded in
+    here so every registry row is hash-oracled).
+
+    Sketch outputs are estimator-specific (DuckDB's HLL and Spark's HLL++
+    differ by design), so the estimates themselves cannot be cross-engine
+    hashed; instead, per group, |HLL++ distinct − exact distinct| / exact
+    ≤ 5 % (rsd=0.02 → ~2σ≈4 %) and the GK p50 within 5 % of the exact
+    median.  Exact referees run in the SAME aggregation (one shuffle, two
+    extra agg buffers) — sketch and referee see identical input.  At
+    100 TB the sketches replace their exact counterparts: HLL++ is O(1)
+    memory per group vs an O(distinct) hash set, approx_percentile
+    streams one GK summary vs a full sort.  The ≤5 %/≤1 % numeric error
+    contract is additionally enforced in tests/test_sketches.py."""
     l = tbl(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ad"),
