@@ -166,12 +166,19 @@ def main() -> None:
     # per-pass + per-stage diagnostics go to a FILE, never the stdout line
     # (the driver's tail capture is small; see module docstring)
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(f[len("BENCH_r") : -len(".json")])
-        for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json") and f[7:-5].isdigit()
-    ]
-    rnd = (max(rounds) + 1) if rounds else 0
+    # sidecar round number: explicit override first (re-running bench.py
+    # before the driver writes BENCH_rNN.json would otherwise overwrite the
+    # same sidecar, and a stray BENCH_r file would skew the inference)
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if rnd_env.isdigit():
+        rnd = int(rnd_env)
+    else:
+        rounds = [
+            int(f[len("BENCH_r") : -len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json") and f[7:-5].isdigit()
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
     sidecar = os.path.join(here, f"BENCH_STAGES_r{rnd:02d}.json")
     try:
         with open(sidecar, "w") as f:

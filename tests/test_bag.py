@@ -124,3 +124,31 @@ def test_bag_random_sample_deterministic(spark):
     assert 40 < len(s1) < 200  # ~100 expected
     s3 = b.random_sample(0.1, random_state=8).compute()
     assert s1 != s3
+
+
+def test_bag_accumulate_release_frees_parent_store(spark):
+    import operator
+
+    from pyspark import StorageLevel
+
+    from wukong_spark.bag import Bag
+
+    b = Bag.from_sequence(spark, list(range(50)), npartitions=4)
+    acc = b.accumulate(operator.add)
+    assert len(acc._cached_deps) == 1
+    parent = acc._cached_deps[0]
+    assert parent.getStorageLevel() != StorageLevel.NONE
+    got = acc.compute()
+    acc.release()
+    assert acc._cached_deps == []
+    assert parent.getStorageLevel() == StorageLevel.NONE
+    # results remain valid after release (lineage recompute)
+    assert got[-1] == sum(range(50))
+    acc.release()  # idempotent
+
+    # caller-persisted parent: accumulate must NOT claim ownership
+    b2 = Bag.from_sequence(spark, [1, 2, 3], npartitions=2)
+    b2._rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    acc2 = b2.accumulate(operator.add)
+    assert acc2._cached_deps == []
+    b2._rdd.unpersist()

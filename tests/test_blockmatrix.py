@@ -751,6 +751,24 @@ def test_map_overlap_contract_errors(spark, rng):
         sparse.map_overlap(lambda x: x, depth=1).to_numpy()
 
 
+def test_map_overlap_absent_neighbor_raises_even_if_unmaterialized(spark, rng):
+    """ADVICE r6: a missing EDGE block (bi=0) must raise from its
+    neighbor's assembly (missing top halo), not only when the absent
+    block's own output position is read — otherwise a downstream
+    projection excluding that position silently computes block 1 with a
+    truncated halo."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    a = BlockMatrix.from_numpy(spark, rng.standard_normal((32, 8)), 8, 8)
+    sparse = BlockMatrix(a.df.filter(F.col("bi") != 0), 32, 8, 8, 8)
+    out = sparse.map_overlap(lambda x: x, depth=1)
+    # read ONLY surviving positions (bi >= 2 — away from both the absent
+    # block and its immediate neighbor): the guard must still fire
+    with pytest.raises(Exception, match="halo"):
+        out.df.filter(F.col("bi") >= 2).collect()
+
+
 def test_map_overlap_cols_matches_numpy(spark, rng):
     """Axis-1 stencil (3-col zero-padded horizontal sum) through the
     transpose composition."""

@@ -42,6 +42,21 @@ class _Neg:
 class Bag:
     def __init__(self, rdd):
         self._rdd = rdd
+        #: RDDs an operator persisted on behalf of this bag (accumulate's
+        #: parent store) — freed by release(), the BlockMatrix pattern
+        self._cached_deps: list = []
+
+    def release(self) -> None:
+        """Unpersist any RDDs an operator cached on behalf of this bag
+        (currently: accumulate's two-pass parent store).  Safe any time
+        after the last action on this bag — persist does not truncate
+        lineage, later reads just recompute; idempotent."""
+        for rdd in self._cached_deps:
+            try:
+                rdd.unpersist()
+            except Exception:
+                pass  # already unpersisted / context gone
+        self._cached_deps = []
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -233,13 +248,16 @@ class Bag:
         # evicted under pressure would be recomputed in pass 2, which is
         # the exact divergence this guards against.  If the caller already
         # persisted at some level, honor theirs (changing levels raises).
-        # The persist is left to LRU because the scan RDD is lazy.  NOTE:
-        # unlike the rest of the Bag surface, accumulate is EAGER — the
-        # totals pass runs at call time (dask defers it to compute()).
+        # The store is stashed on the RETURNED bag: call result.release()
+        # once done (ADVICE r6 — mirrors BlockMatrix.release()), else it
+        # lingers until LRU eviction.  NOTE: unlike the rest of the Bag
+        # surface, accumulate is EAGER — the totals pass runs at call time
+        # (dask defers it to compute()).
         from pyspark import StorageLevel
 
         parent = self._rdd
-        if parent.getStorageLevel() == StorageLevel.NONE:
+        ours = parent.getStorageLevel() == StorageLevel.NONE
+        if ours:
             parent = parent.persist(StorageLevel.MEMORY_AND_DISK)
         totals = parent.mapPartitions(part_total, preservesPartitioning=True).collect()
         carries: list[tuple[bool, Any]] = []
@@ -265,7 +283,10 @@ class Bag:
         if initial is not _NO_DEFAULT:
             head = parent.context.parallelize([initial], 1)
             out = head.union(out)
-        return Bag(out)
+        result = Bag(out)
+        if ours:
+            result._cached_deps = [parent]
+        return result
 
     # -- exit ramp to the declarative layer --------------------------------
     def to_dataframe(self, spark: SparkSession, schema: str) -> DataFrame:

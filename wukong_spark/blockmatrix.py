@@ -1648,6 +1648,23 @@ class BlockMatrix:
                     f"map_overlap: block ({tbi},{bj}) absent — halo exchange "
                     "requires a dense input (absent-as-zero is unsupported)"
                 )
+            # ADVICE r6: also verify expected halo PRESENCE — an absent
+            # neighbor whose own output position is never materialized (e.g.
+            # a downstream slice excludes it) would otherwise silently
+            # compute this block with a truncated halo (missing rows treated
+            # as the matrix edge) instead of raising
+            if top is None and tbi > 0:
+                raise ValueError(
+                    f"map_overlap: block ({tbi - 1},{bj}) absent — block "
+                    f"({tbi},{bj}) is missing its top halo (dense input "
+                    "required; absent-as-zero is unsupported)"
+                )
+            if bottom is None and tbi < gr - 1:
+                raise ValueError(
+                    f"map_overlap: block ({tbi + 1},{bj}) absent — block "
+                    f"({tbi},{bj}) is missing its bottom halo (dense input "
+                    "required; absent-as-zero is unsupported)"
+                )
             pieces = [p for p in (top, core, bottom) if p is not None]
             stacked = np.vstack(pieces) if len(pieces) > 1 else core
             result = fn(stacked)

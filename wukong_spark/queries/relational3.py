@@ -892,8 +892,11 @@ def set_index_orders(spark: SparkSession, sf_dir: str):
     return (
         stats.withColumn("prev_mx", F.lag("mx").over(w))
         .agg(
+            # STRICT <: range partitioning never splits equal keys, so an
+            # identical key straddling two partitions (prev_mx == mn) is a
+            # tie-handling regression, not a pass (ADVICE r6)
             F.min(
-                F.col("prev_mx").isNull() | (F.col("prev_mx") <= F.col("mn"))
+                F.col("prev_mx").isNull() | (F.col("prev_mx") < F.col("mn"))
             ).alias("ranges_monotonic"),
             F.min("sorted_ok").alias("sorted_within"),
             F.sum("cnt").alias("n_rows"),
