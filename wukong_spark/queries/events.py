@@ -718,3 +718,67 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_4
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState) — the
+    fifth batch/stream-parity entry in the driver gate (VERDICT r6 #5):
+    per-user running (count, sum) totals maintained in explicit state
+    across micro-batches, hash-verified against the batch per-user
+    aggregate.
+
+    Determinism recipe: values are integer-scaled BEFORE entering the
+    state machine (round(value·10⁴) as a double — exact in float64 far
+    beyond any realistic per-user total), so the state sum is
+    order-independent integer arithmetic, not order-dependent float
+    accumulation.  Update mode emits one running-total row per touched
+    key per micro-batch; the final per-user row is selected by max
+    n_events (the count is strictly monotone per emission), making the
+    result identical whether availableNow ran one micro-batch or many.
+    At 100 TB: state is partitioned by user_id in the state store, O(1)
+    per key — total state grows with distinct users, not events."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from wukong_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            "ts",
+            "user_id",
+            F.round(F.col("value") * 10000).cast("double").alias("value"),
+        )
+        st = stateful_user_totals(ev)
+        rows = run_to_memory(st, sink, mode="update").collect()
+        emitted = spark.createDataFrame(
+            rows, "user_id long, n_events long, sum_value double"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.col("sum_value").cast("long").alias("sum_value_4"),
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
