@@ -781,3 +781,27 @@ def test_map_overlap_cols_matches_numpy(spark, rng):
 
     got = m.map_overlap_cols(stencil, depth=1).to_numpy()
     assert np.abs(got - stencil(a)).max() == 0.0
+
+
+def test_gen_parts_scales_with_cluster_parallelism(spark):
+    """VERDICT r6 #4: generation-stage partition caps must derive from
+    defaultParallelism (local floor 256), not encode the local[32] host —
+    a 1,000-core cluster gets >= 2 waves of its own cores."""
+    from types import SimpleNamespace
+
+    from wukong_spark.blockmatrix import GEN_PART_CAP_FLOOR, _gen_parts
+
+    def fake(par):
+        return SimpleNamespace(sparkContext=SimpleNamespace(defaultParallelism=par))
+
+    # small matrix: one partition per block regardless of cluster size
+    assert _gen_parts(fake(32), 8) == 8
+    assert _gen_parts(fake(1000), 8) == 8
+    # big matrix, local host: capped at the floor (unchanged local tuning)
+    assert _gen_parts(fake(32), 100_000) == GEN_PART_CAP_FLOOR
+    # big matrix, big cluster: cap scales as 2x parallelism
+    assert _gen_parts(fake(1000), 100_000) == 2000
+    assert _gen_parts(fake(1000), 1500) == 1500  # nblk below the scaled cap
+    # the real session's generation plan honors the helper
+    m = BlockMatrix.random(spark, 64, 64, 8, 8, seed=3)  # 64 blocks
+    assert m.df.rdd.getNumPartitions() == _gen_parts(spark, 64)
