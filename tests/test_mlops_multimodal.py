@@ -280,3 +280,35 @@ def test_decode_images_real_png_end_to_end(spark):
     got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
     assert np.array_equal(got, px)
     assert row.mean_r == pytest.approx(px[:, :, 0].mean())
+
+
+# -- logistic regression (r7: Newton-IRLS, distributed gradient/Hessian) ----
+
+
+def test_logreg_fit_newton_matches_local_newton(spark):
+    from wukong_spark.mlops import logreg_fit_newton, make_classification_blocks
+
+    df = make_classification_blocks(spark, 400, 6, 8, seed=11)
+    w, b = logreg_fit_newton(df, l2=1e-2, iters=30)
+
+    # independent driver-local Newton on the same rows, same math
+    pdf = df.toPandas().sort_values("sample_id")
+    x = np.vstack(pdf["features"].map(np.asarray)).astype(np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    xi = np.hstack([x, np.ones((len(x), 1))])
+    wl = np.zeros(xi.shape[1])
+    reg = np.eye(xi.shape[1]) * 1e-2
+    reg[-1, -1] = 0.0
+    for _ in range(30):
+        p = 1 / (1 + np.exp(-(xi @ wl)))
+        g = xi.T @ (y - p) - reg @ wl
+        if np.abs(g).max() / len(y) < 1e-10:
+            break
+        s = p * (1 - p)
+        h = xi.T @ (xi * s[:, None]) + reg + np.eye(xi.shape[1]) * 1e-12
+        wl = wl + np.linalg.solve(h, g)
+    assert np.allclose(np.append(w, b), wl, atol=1e-8)
+    # the fit satisfies first-order optimality on its own
+    p = 1 / (1 + np.exp(-(x @ w + b)))
+    grad = np.append(x.T @ (y - p) - 1e-2 * w, (y - p).sum())
+    assert np.abs(grad).max() / len(y) < 1e-9

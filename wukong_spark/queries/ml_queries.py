@@ -257,3 +257,73 @@ def ml_linreg_check(spark: SparkSession, sf_dir: str):
         [(bool(grad_rel < 1e-8), bool(sse < sse_mean), d)],
         "gradient_zero boolean, beats_mean_baseline boolean, n_features int",
     )
+
+
+@query(
+    "ml_logreg_check",
+    oracle=(
+        "SELECT TRUE AS gradient_zero, TRUE AS beats_null_logloss,"
+        " 64 AS n_features"
+    ),
+)
+def ml_logreg_check(spark: SparkSession, sf_dir: str):
+    """Distributed Newton-IRLS logistic regression contract on the
+    embeddings table (P(label is odd) ~ embedding, λ=1e-3): fit via
+    `logreg_fit_newton` (one gradient/Hessian pass per step, coefficients
+    re-broadcast), then verify with an INDEPENDENT second pass:
+
+    - gradient_zero: ‖Xᵀ(y−σ(Xw)) − λw‖∞ / max(1, n) < 1e-8 — the
+      first-order optimality condition of the regularized log-likelihood,
+      recomputed from per-row probabilities, not the solver's own
+      accumulators;
+    - beats_null_logloss: Σ logloss(model) < Σ logloss(ȳ) — a fitted
+      intercept-bearing model can never lose to the base-rate-only model
+      at λ this small.
+
+    Only the verdicts leave the cluster (la_gemm_check pattern)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import logreg_fit_newton
+
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(embedding AS array<double>) AS features",
+        "CAST(label % 2 AS double) AS label",
+    )
+    e = e.persist()  # read by every Newton pass and the verification pass
+    w, b = logreg_fit_newton(e, l2=1e-3)
+    bc = spark.sparkContext.broadcast((w, b))
+
+    def verify(batches):
+        wv, bv = bc.value
+        g = None  # [Xᵀ(y−p) (d) | Σ logloss_model, Σy, n]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["features"].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            y = pdf["label"].to_numpy(dtype=np.float64)
+            z = x @ wv + bv
+            p = 1.0 / (1.0 + np.exp(-z))
+            # numerically-stable per-row logloss: log(1+e^z) − y·z
+            ll = np.logaddexp(0.0, z) - y * z
+            m = np.concatenate(
+                [x.T @ (y - p), [float(ll.sum()), float(y.sum()), float(len(y))]]
+            )
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"p": [g.tobytes()]})
+
+    parts = e.select("features", "label").mapInPandas(verify, "p binary").collect()
+    e.unpersist()
+    total = np.sum([np.frombuffer(row.p) for row in parts], axis=0)
+    d = len(w)
+    grad, ll_model, sy, n = total[:d], total[d], total[d + 1], total[d + 2]
+    grad_rel = float(np.abs(grad - 1e-3 * w).max()) / max(1.0, float(n))
+    pbar = sy / n
+    ll_null = -n * (pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
+    return spark.createDataFrame(
+        [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), d)],
+        "gradient_zero boolean, beats_null_logloss boolean, n_features int",
+    )
