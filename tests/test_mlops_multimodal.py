@@ -312,3 +312,82 @@ def test_logreg_fit_newton_matches_local_newton(spark):
     p = 1 / (1 + np.exp(-(x @ w + b)))
     grad = np.append(x.T @ (y - p) - 1e-2 * w, (y - p).sum())
     assert np.abs(grad).max() / len(y) < 1e-9
+
+
+# -- JPEG codec (r7: baseline DCT, pure numpy + stdlib) ---------------------
+
+
+def test_jpeg_q100_roundtrip_error_bounded():
+    """Quality 100 → quant tables ≈ 1, so decode(encode(x)) differs only
+    by DCT float rounding + the uint8 clamp: ≤ 2 levels on any content."""
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    for shape in ((16, 16), (24, 18), (9, 7), (1, 1)):
+        px = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=100, subsampling="444"))
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2, shape
+
+
+def test_jpeg_constant_color_exact():
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((17, 13, 3), (200, 50, 120), np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsampling=sub))
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1, sub
+
+
+def test_jpeg_smooth_gradient_quality_ladder():
+    """Errors shrink as quality rises; q90 on smooth content stays tight."""
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.add.outer(np.arange(32), np.arange(24)).astype(np.uint8)
+    px = np.stack([(g * 3) % 256, (g * 5) % 256, 255 - g], axis=2)
+    errs = []
+    for q in (50, 75, 90):
+        out = decode_jpeg(encode_jpeg(px, quality=q))
+        errs.append(np.abs(out.astype(int) - px.astype(int)).mean())
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 4.0
+
+
+def test_jpeg_420_subsampling_smaller_and_close():
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(18)
+    # smooth chroma, detailed luma — the content 4:2:0 is designed for
+    y = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    px = np.stack([y, y, y], axis=2)  # grey: chroma flat at 128
+    b444 = encode_jpeg(px, quality=90, subsampling="444")
+    b420 = encode_jpeg(px, quality=90, subsampling="420")
+    assert len(b420) < len(b444)
+    out = decode_jpeg(b420)
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 12.0
+
+
+def test_jpeg_rejects_non_baseline():
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 to SOF2 (progressive) in a valid stream → NotImplementedError
+    b = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_decode_images_real_jpeg_end_to_end(spark):
+    from wukong_spark.operators.jpeg import encode_jpeg
+
+    px = np.full((16, 16, 3), (10, 200, 90), np.uint8)
+    payload = encode_jpeg(px, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = decode_images(df, height=16, width=16).collect()[0]
+    got = np.array(row.pixels, np.uint8).reshape(16, 16, 3)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1

@@ -9,10 +9,12 @@ Decode support (VERDICT r4 #5, r6 #1):
 - REAL, dependency-free decoders — 24/32-bit BI_RGB BMP and binary P6 PPM
   images (struct + numpy), 8-bit non-interlaced PNG (stdlib ``zlib``
   inflate + numpy per-row unfiltering, all five filter types, greyscale /
-  grey+alpha / RGB / RGBA), and PCM WAV audio (stdlib ``wave`` + numpy) —
-  plus matching encoders for fixture generation and roundtrip tests.
-- Remaining codec formats (JPEG/MP3/H.264 …) stay STUBBED: the libs are
-  not in this container, so unrecognized payloads raise
+  grey+alpha / RGB / RGBA), baseline JPEG (operators/jpeg.py: Huffman
+  entropy decode, IDCT, 4:4:4/4:2:2/4:2:0 chroma; r7), and PCM WAV audio
+  (stdlib ``wave`` + numpy) — plus matching encoders for fixture
+  generation and roundtrip tests.
+- Remaining codec formats (progressive JPEG/MP3/H.264 …) stay STUBBED:
+  the libs are not in this container, so unrecognized payloads raise
   NotImplementedError unless ``fake_decoder=True``, in which case a
   deterministic fake (seeded by content hash) produces real-shaped arrays
   so the Spark-side plumbing is still fully exercised.
@@ -322,10 +324,18 @@ def _decode_pixels(
     payload that merely STARTS like BMP/PPM but fails to parse (e.g. text
     bytes beginning "BM") falls through to the fake instead of failing —
     magic bytes are a heuristic, not a guarantee."""
-    if payload[:2] in (b"BM", b"P6") or payload[:8] == PNG_MAGIC:
+    from wukong_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
+
+    if (
+        payload[:2] in (b"BM", b"P6")
+        or payload[:8] == PNG_MAGIC
+        or payload[:2] == JPEG_MAGIC
+    ):
         try:
             if payload[:8] == PNG_MAGIC:
                 px = png_to_rgb(decode_png(payload))
+            elif payload[:2] == JPEG_MAGIC:
+                px = decode_jpeg(payload)
             elif payload[:2] == b"BM":
                 px = decode_bmp(payload)
             else:
@@ -337,10 +347,11 @@ def _decode_pixels(
     if fake_decoder:
         return _fake_pixels(payload, height, width)
     raise NotImplementedError(
-        "payload is not a BMP / P6-PPM / 8-bit PNG (the formats decoded "
-        "natively); codec libraries for other compressed formats are not "
-        "available in this environment — pass fake_decoder=True to "
-        "exercise the pipeline with a deterministic content-seeded decoder"
+        "payload is not a BMP / P6-PPM / 8-bit PNG / baseline JPEG (the "
+        "formats decoded natively); codec libraries for other compressed "
+        "formats are not available in this environment — pass "
+        "fake_decoder=True to exercise the pipeline with a deterministic "
+        "content-seeded decoder"
     )
 
 
@@ -353,8 +364,8 @@ def decode_images(
 ) -> DataFrame:
     """binary → fixed-size RGB tensor + channel statistics, Arrow-batched.
 
-    BMP / P6 PPM / 8-bit PNG payloads decode NATIVELY (magic-byte
-    dispatch, pure numpy + stdlib zlib) and are nearest-neighbor-resized to
+    BMP / P6 PPM / 8-bit PNG / baseline JPEG payloads decode NATIVELY
+    (magic-byte dispatch, pure numpy + stdlib) and are nearest-neighbor-resized to
     (height, width); other formats require ``fake_decoder=True`` (codec
     libs absent — see module docstring).  Plumbing (batch shape, schema,
     partition-parallelism) is identical for a PIL/libvips decoder.

@@ -188,6 +188,73 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_jpeg_media(spark: SparkSession) -> DataFrame:
+    """Seeded baseline-JPEG payloads generated per-partition: image i
+    alternates 4:4:4 / 4:2:0 chroma subsampling, quality 90 — real JFIF
+    bytes from the module's own encoder (operators/jpeg.py)."""
+    from wukong_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                px = np.random.default_rng(3000 + k).integers(
+                    0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8
+                )
+                sub = "420" if k % 2 else "444"
+                rows.append(
+                    (k, bytearray(encode_jpeg(px, quality=90, subsampling=sub)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/jpeg", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg",
+    # literal oracle: exact integer channel sums of the seeded-JPEG decode.
+    # Unlike BMP/PNG the pipeline is float (DCT/IDCT + YCbCr round), but
+    # it is deterministic IEEE arithmetic on identical bytes, and no
+    # rounded pixel sits near a .5 boundary at double precision — the
+    # same determinism class as the WAV rms_e6 oracle.
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7708, 7611, 8328), (1, 8, 8, 7734, 8208, 8003),
+      (2, 8, 8, 7781, 7259, 8144), (3, 8, 8, 8557, 8437, 9260),
+      (4, 8, 8, 8572, 8815, 8083), (5, 8, 8, 8505, 7976, 8063),
+      (6, 8, 8, 8168, 8359, 7787), (7, 8, 8, 8401, 8332, 7670),
+      (8, 8, 8, 8011, 8440, 7774), (9, 8, 8, 8217, 8551, 8694),
+      (10, 8, 8, 8262, 8084, 7278), (11, 8, 8, 8037, 8186, 7945),
+      (12, 8, 8, 8697, 7661, 7961), (13, 8, 8, 8163, 7508, 8588),
+      (14, 8, 8, 8663, 8289, 7600), (15, 8, 8, 8356, 8086, 8534))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str):
+    """Seeded baseline-JPEG bytes (alternating 4:4:4 / 4:2:0) → REAL
+    decode (segment walk, Huffman entropy decode, dequantize + IDCT,
+    chroma upsample, YCbCr→RGB — operators/jpeg.py, r7) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums.
+
+    The literal oracle pins the decoded content: any regression in the
+    entropy decoder, the IDCT, either chroma path, or the color
+    conversion flips a sum."""
+    dec = decode_images(_gen_jpeg_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 @query(
     "multimodal_audio_wav",
     # literal oracle: exact PCM peaks + 1e-6-scaled RMS of the seeded-WAV
