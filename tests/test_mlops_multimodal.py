@@ -391,3 +391,81 @@ def test_decode_images_real_jpeg_end_to_end(spark):
     row = decode_images(df, height=16, width=16).collect()[0]
     got = np.array(row.pixels, np.uint8).reshape(16, 16, 3)
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+# -- GIF codec (r7: LZW + palette + interlace, pure numpy + stdlib) ---------
+
+
+def test_gif_lzw_roundtrip_all_code_sizes():
+    from wukong_spark.operators.gif import lzw_compress, lzw_decompress
+
+    rng = np.random.default_rng(21)
+    for mcs in (2, 3, 4, 8):
+        for n in (0, 1, 7, 4096, 20000):  # 20000 random forces table-full clears
+            idx = rng.integers(0, 1 << mcs, size=n).astype(np.uint8)
+            got = lzw_decompress(lzw_compress(idx, mcs), mcs, n)
+            assert np.array_equal(got, idx), (mcs, n)
+
+
+def test_gif_roundtrip_palettes_and_interlace():
+    from wukong_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(22)
+    for npal, shape in ((256, (33, 47)), (16, (8, 8)), (2, (64, 64)), (5, (1, 1))):
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=shape, dtype=np.uint8)
+        for inter in (False, True):
+            out = decode_gif(encode_gif(idx, pal, interlace=inter))
+            assert np.array_equal(out, pal[idx]), (npal, shape, inter)
+
+
+def test_gif_repetitive_content_compresses():
+    """Real LZW, not a stored format: repetitive indices shrink well below
+    raw size and still roundtrip exactly."""
+    from wukong_spark.operators.gif import decode_gif, encode_gif
+
+    idx = np.tile(np.arange(8, dtype=np.uint8), (64, 8))  # 64×64, repeating
+    pal = np.arange(256 * 3, dtype=np.uint16).reshape(256, 3).astype(np.uint8)[:8]
+    b = encode_gif(idx, pal)
+    assert len(b) < idx.size // 2
+    assert np.array_equal(decode_gif(b), pal[idx])
+
+
+def test_gif_skips_extension_blocks():
+    """GIF89a extension blocks (GCE/comment) before the image descriptor
+    must be skipped structurally."""
+    from wukong_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 6), dtype=np.uint8)
+    b = bytearray(encode_gif(idx, pal))
+    # splice a Graphic Control Extension + comment after the screen block
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    comment = bytes([0x21, 0xFE, 5]) + b"hello" + bytes([0])
+    insert_at = 13 + 4 * 3  # header + LSD + 4-entry (padded) GCT
+    spliced = bytes(b[:insert_at]) + gce + comment + bytes(b[insert_at:])
+    assert np.array_equal(decode_gif(spliced), pal[idx])
+
+
+def test_gif_rejects_invalid():
+    from wukong_spark.operators.gif import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif at all")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # trailer, no image
+
+
+def test_decode_images_real_gif_end_to_end(spark):
+    from wukong_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(24)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(8, 8), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(idx, pal)))], "media_id long, payload binary"
+    )
+    row = decode_images(df, height=8, width=8).collect()[0]
+    got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, pal[idx])

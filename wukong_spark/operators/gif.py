@@ -1,0 +1,252 @@
+"""GIF codec — dependency-free (numpy + stdlib).
+
+Completes the image-format family for the multimodal decode path (BMP /
+PPM / PNG / JPEG already native): a real GIF87a/89a decoder — logical
+screen + image descriptors, global/local color tables, LZW decompression
+(variable 3–12-bit codes, LSB-first packing, clear/EOI handling including
+the KwKwK case), 4-pass interlace — plus a matching encoder (real LZW
+compression with clear-on-full-table) for fixture generation and
+roundtrip tests.  GIF is lossless over its palette, so roundtrips are
+exact, unlike JPEG.
+
+Scope (disclosed): the FIRST image frame is decoded (the still-image
+semantics a training-data pipeline wants); extension blocks (GCE,
+comments, application/NETSCAPE loops) are skipped structurally, so
+animated files decode to their first frame.  Transparency indexes are
+ignored (the pixel keeps its palette color).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_width(next_code: int, min_code_size: int) -> int:
+    """Code width both sides agree on: wide enough for the decoder's next
+    assignable index (receivable via the KwKwK case), floored at
+    min_code_size+1, capped at 12."""
+    return max(min_code_size + 1, next_code.bit_length()) if next_code >= (
+        1 << (min_code_size + 1)
+    ) else min_code_size + 1
+
+
+class _LSBWriter:
+    """LSB-first bit packer (GIF's bit order — opposite of JPEG)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+class _LSBReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over a palette-index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LSBWriter()
+
+    def reset():
+        return {}, eoi + 1
+
+    table, next_code = reset()
+    bw.write(clear, _lzw_width(next_code, min_code_size))
+    it = iter(int(x) for x in indices)
+    try:
+        cur = next(it)
+    except StopIteration:
+        bw.write(eoi, _lzw_width(next_code, min_code_size))
+        return bw.flush()
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        # width must cover the decoder's next assignable (== our last
+        # assigned), i.e. next_code - 1
+        bw.write(cur, _lzw_width(next_code - 1, min_code_size))
+        table[(cur, k)] = next_code
+        next_code += 1
+        cur = k
+        if next_code == 4096:
+            bw.write(clear, _lzw_width(next_code - 1, min_code_size))
+            table, next_code = reset()
+    bw.write(cur, _lzw_width(next_code - 1, min_code_size))
+    bw.write(eoi, _lzw_width(next_code, min_code_size))
+    return bw.flush()
+
+
+def lzw_decompress(data: bytes, min_code_size: int, n_out: int) -> np.ndarray:
+    """Inverse of lzw_compress; stops after n_out indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    rd = _LSBReader(data)
+    out = np.empty(n_out, np.uint8)
+    npix = 0
+    table: list[bytes] = []
+    prev: bytes | None = None
+    next_code = eoi + 1
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    while npix < n_out:
+        width = min(12, _lzw_width(next_code, min_code_size))
+        code = rd.read(width)
+        if code == clear:
+            table = reset_table()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("GIF LZW data before first clear code")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table) and code != eoi:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        take = min(len(entry), n_out - npix)
+        out[npix : npix + take] = np.frombuffer(entry[:take], np.uint8)
+        npix += take
+        prev = entry
+    if npix < n_out:
+        raise ValueError("GIF pixel data truncated")
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB of the first image frame."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = lzw_decompress(b"".join(chunks), mcs, w * h)
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # 4-pass interlace: reorder rows
+            de = np.empty_like(rows)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    de[y] = rows[src]
+                    src += 1
+            rows = de
+        return np.ascontiguousarray(ct[rows])
+    raise ValueError("GIF missing image descriptor")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(h, w) uint8 palette indices + (n≤256, 3) uint8 palette → GIF89a
+    bytes (global color table, real LZW).  Lossless: decode_gif returns
+    exactly palette[indices]."""
+    h, w = indices.shape
+    n = len(palette)
+    assert n <= 256 and indices.max(initial=0) < n
+    bits = max(1, int(n - 1).bit_length())
+    size_field = bits - 1
+    ct = np.zeros((2**bits, 3), np.uint8)
+    ct[:n] = palette
+    mcs = max(2, bits)
+    rows = indices
+    if interlace:
+        order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+        rows = indices[order]
+    data = lzw_compress(rows.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | size_field, 0, 0)
+    out += ct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)

@@ -324,18 +324,22 @@ def _decode_pixels(
     payload that merely STARTS like BMP/PPM but fails to parse (e.g. text
     bytes beginning "BM") falls through to the fake instead of failing —
     magic bytes are a heuristic, not a guarantee."""
+    from wukong_spark.operators.gif import GIF_MAGICS, decode_gif
     from wukong_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
 
     if (
         payload[:2] in (b"BM", b"P6")
         or payload[:8] == PNG_MAGIC
         or payload[:2] == JPEG_MAGIC
+        or payload[:6] in GIF_MAGICS
     ):
         try:
             if payload[:8] == PNG_MAGIC:
                 px = png_to_rgb(decode_png(payload))
             elif payload[:2] == JPEG_MAGIC:
                 px = decode_jpeg(payload)
+            elif payload[:6] in GIF_MAGICS:
+                px = decode_gif(payload)
             elif payload[:2] == b"BM":
                 px = decode_bmp(payload)
             else:
@@ -347,9 +351,9 @@ def _decode_pixels(
     if fake_decoder:
         return _fake_pixels(payload, height, width)
     raise NotImplementedError(
-        "payload is not a BMP / P6-PPM / 8-bit PNG / baseline JPEG (the "
-        "formats decoded natively); codec libraries for other compressed "
-        "formats are not available in this environment — pass "
+        "payload is not a BMP / P6-PPM / 8-bit PNG / baseline JPEG / GIF "
+        "(the formats decoded natively); codec libraries for other "
+        "compressed formats are not available in this environment — pass "
         "fake_decoder=True to exercise the pipeline with a deterministic "
         "content-seeded decoder"
     )

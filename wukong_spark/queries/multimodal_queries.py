@@ -255,6 +255,72 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_gif_media(spark: SparkSession) -> DataFrame:
+    """Seeded GIF payloads generated per-partition: image i cycles palette
+    size 256/16/64/4 and alternates interlaced rows — real GIF89a bytes
+    from the module's own LZW encoder (operators/gif.py)."""
+    from wukong_spark.operators.gif import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(4000 + k)
+                npal = (256, 16, 64, 4)[k % 4]
+                pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+                idx = rng.integers(0, npal, size=(IMG_H, IMG_W), dtype=np.uint8)
+                rows.append(
+                    (k, bytearray(encode_gif(idx, pal, interlace=bool(k % 2))))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/gif", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_gif",
+    # literal oracle: exact integer channel sums of the seeded-GIF decode
+    # — GIF is lossless over its palette and the whole pipeline is integer,
+    # so the sums are exact by construction (BMP/PNG determinism class)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7544, 7396, 8150), (1, 8, 8, 8127, 4787, 8339),
+      (2, 8, 8, 7919, 8960, 6818), (3, 8, 8, 6930, 7986, 9958),
+      (4, 8, 8, 9501, 7305, 8960), (5, 8, 8, 8262, 8276, 8626),
+      (6, 8, 8, 9479, 8219, 7372), (7, 8, 8, 9384, 10105, 6632),
+      (8, 8, 8, 8482, 8675, 9459), (9, 8, 8, 6417, 8328, 8504),
+      (10, 8, 8, 8125, 8967, 8790), (11, 8, 8, 9974, 6396, 8208),
+      (12, 8, 8, 9025, 7360, 7513), (13, 8, 8, 11241, 11192, 6667),
+      (14, 8, 8, 6988, 8258, 8002), (15, 8, 8, 7662, 11049, 6684))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str):
+    """Seeded GIF bytes (palette sizes 256/16/64/4, alternating 4-pass
+    interlace) → REAL decode (LZW decompression with variable-width codes
+    and clear handling, palette lookup, interlace reorder —
+    operators/gif.py, r7) → nearest-neighbor resize to 8×8 → exact
+    integer channel sums.
+
+    The literal oracle pins the decoded content: any regression in the
+    LZW decoder, the palette lookup, or the interlace reorder flips a
+    sum."""
+    dec = decode_images(_gen_gif_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 @query(
     "multimodal_audio_wav",
     # literal oracle: exact PCM peaks + 1e-6-scaled RMS of the seeded-WAV
