@@ -469,3 +469,76 @@ def test_decode_images_real_gif_end_to_end(spark):
     row = decode_images(df, height=8, width=8).collect()[0]
     got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
     assert np.array_equal(got, pal[idx])
+
+
+# -- G.711 + float WAV decode (r7) ------------------------------------------
+
+
+def test_g711_codecs_bit_identical_to_audioop():
+    """Pin both companding codecs against CPython's audioop (the vendored
+    Sun g711.c reference) over every int16 input and every code byte."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from wukong_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _linear_to_alaw,
+        _linear_to_ulaw,
+        _ulaw_to_linear,
+    )
+
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    assert np.array_equal(
+        _linear_to_ulaw(s), np.frombuffer(audioop.lin2ulaw(s.tobytes(), 2), np.uint8)
+    )
+    assert np.array_equal(
+        _linear_to_alaw(s), np.frombuffer(audioop.lin2alaw(s.tobytes(), 2), np.uint8)
+    )
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        _ulaw_to_linear(codes),
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), np.int16),
+    )
+    assert np.array_equal(
+        _alaw_to_linear(codes),
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), np.int16),
+    )
+
+
+def test_wav_g711_and_float_roundtrip_local():
+    from wukong_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_float32,
+        encode_wav_g711,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    for law in ("ulaw", "alaw"):
+        gsr, nch, got = decode_wav(encode_wav_g711(x, sr, law))
+        assert (gsr, nch) == (sr, 1)
+        # G.711 is ~13-bit log quantization: worst step at 0.4 FS ≈ 2^-7
+        assert np.abs(got - x).max() < 0.01, law
+    gsr, nch, got = decode_wav(encode_wav_float32(x, sr))
+    assert np.abs(got - x).max() < 1e-7
+
+
+def test_decode_audio_g711_end_to_end(spark):
+    from wukong_spark.operators.multimodal import decode_audio, encode_wav_g711
+
+    sr = 8000
+    t = np.arange(sr // 8) / sr
+    x = 0.3 * np.sin(2 * np.pi * 300 * t)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_g711(x, sr, "ulaw"))),
+         (2, bytearray(encode_wav_g711(x, sr, "alaw")))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    for mid in (1, 2):
+        assert out[mid].sample_rate == sr
+        assert abs(out[mid].rms - float(np.sqrt(np.mean(x**2)))) < 0.01

@@ -22,22 +22,43 @@ def _orders(spark):
     return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc", "xml"])
 def test_roundtrip_formats(spark, tmppath, fmt):
     src = _orders(spark).limit(200)
+    if fmt == "xml":  # XML writes timestamps as strings; keep types simple
+        src = src.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     write_any(src, f"{tmppath}/data", fmt=fmt)
-    # parquet/orc are self-describing; csv/json need the explicit schema
-    schema = (
-        None
-        if fmt in ("parquet", "orc")
-        else "o_orderkey long, o_custkey long, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
-    )
+    # parquet/orc are self-describing; csv/json/xml need the explicit schema
+    if fmt in ("parquet", "orc"):
+        schema = None
+    elif fmt == "xml":
+        schema = (
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double"
+        )
+    else:
+        schema = (
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+        )
     back = read_any(spark, f"{tmppath}/data", fmt=fmt, schema=schema)
     assert back.count() == 200
     a = src.agg(F.sum("o_orderkey")).collect()[0][0]
     b = back.agg(F.sum("o_orderkey")).collect()[0][0]
     assert a == b
+
+
+def test_text_format_lines_roundtrip(spark, tmppath):
+    src = _orders(spark).limit(50).selectExpr("o_orderpriority AS value")
+    write_any(src, f"{tmppath}/lines", fmt="text")
+    back = read_any(spark, f"{tmppath}/lines", fmt="text")
+    assert back.count() == 50
+    assert dict(back.dtypes) == {"value": "string"}
+
+
+def test_avro_unavailable_raises_clearly(spark):
+    with pytest.raises(ValueError, match="spark-avro"):
+        read_any(spark, "/nonexistent", fmt="avro")
 
 
 def test_partitioned_write_prunes(spark, tmppath):

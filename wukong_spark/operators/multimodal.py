@@ -273,23 +273,152 @@ def png_to_rgb(px: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])
 
 
+def _ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16-range linears (audioop.ulaw2lin math)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -mag, mag)
+
+
+def _alaw_to_linear(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16-range linears (audioop.alaw2lin math;
+    note A-law's sign bit is 1 for POSITIVE, opposite of µ-law)."""
+    a = b.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+    )
+    return np.where(sign != 0, mag, -mag)
+
+
+_SEG_UEND = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF])
+_SEG_AEND = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def _linear_to_ulaw(s: np.ndarray) -> np.ndarray:
+    """int16-range linears → G.711 µ-law bytes — the exact reference
+    algorithm (Sun g711.c, as vendored by CPython's audioop): 14-bit
+    pre-shift, bias 33, table segment search.  Bit-identical to
+    audioop.lin2ulaw over the full int16 range (pinned in tests)."""
+    pcm = s.astype(np.int64) >> 2
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    pcm = np.minimum(np.abs(pcm), 8159) + 33
+    seg = np.searchsorted(_SEG_UEND, pcm, side="left")
+    uval = np.where(
+        seg >= 8, 0x7F, (seg << 4) | ((pcm >> np.minimum(seg + 1, 8)) & 0x0F)
+    )
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _linear_to_alaw(s: np.ndarray) -> np.ndarray:
+    """int16-range linears → G.711 A-law bytes (same provenance as
+    _linear_to_ulaw; 13-bit pre-shift, seg<2 special case)."""
+    pcm = s.astype(np.int64) >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm < 0, -pcm - 1, pcm)
+    seg = np.searchsorted(_SEG_AEND, pcm, side="left")
+    mant = np.where(seg < 2, (pcm >> 1) & 0x0F, (pcm >> np.minimum(seg, 7)) & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | mant)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _parse_wav_chunks(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Minimal RIFF walk → (format_tag, n_channels, sample_rate,
+    bits_per_sample, data bytes) — used for the non-PCM encodings the
+    stdlib ``wave`` module rejects (µ-law/A-law/IEEE float)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, nch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag in GUID
+                tag = struct.unpack_from("<H", body, 24)[0]
+            fmt = (tag, nch, sr, bits)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return (*fmt, data)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """PCM WAV → (sample_rate, n_channels, mono float64 samples in [−1, 1]);
-    multi-channel audio is downmixed by channel mean."""
-    with wave.open(io.BytesIO(payload)) as wf:
-        sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    if sw == 2:
-        x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
-    elif sw == 1:  # WAV 8-bit is unsigned
-        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
-    else:
-        raise NotImplementedError(f"WAV sample width {sw}")
+    """WAV → (sample_rate, n_channels, mono float64 samples in [−1, 1]);
+    multi-channel audio is downmixed by channel mean.
+
+    Encodings: integer PCM 8/16/32-bit (stdlib ``wave``), IEEE float
+    32/64-bit, and G.711 µ-law / A-law (r7 — the telephony-corpus
+    encodings; vectorized expansion tables, audioop-compatible math)."""
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if sw == 2:
+            x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        elif sw == 1:  # WAV 8-bit is unsigned
+            x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif sw == 4:
+            x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"WAV sample width {sw}")
+    except wave.Error:
+        # non-PCM encodings the stdlib rejects: walk the RIFF ourselves
+        tag, nch, sr, bits, data = _parse_wav_chunks(payload)
+        if tag == 3 and bits == 32:  # IEEE float
+            x = np.frombuffer(data, "<f4").astype(np.float64)
+        elif tag == 3 and bits == 64:
+            x = np.frombuffer(data, "<f8").astype(np.float64)
+        elif tag == 7:  # µ-law
+            x = _ulaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+        elif tag == 6:  # A-law
+            x = _alaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+        else:
+            raise NotImplementedError(f"WAV format tag {tag} bits {bits}")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return sr, nch, x
+
+
+def encode_wav_g711(x: np.ndarray, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Mono float64 samples in [−1, 1] → G.711 µ-law/A-law WAV bytes
+    (format tag 7/6) — the telephony-corpus fixture counterpart of
+    decode_wav's non-PCM path."""
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    if law == "ulaw":
+        tag, body = 7, _linear_to_ulaw(pcm).tobytes()
+    elif law == "alaw":
+        tag, body = 6, _linear_to_alaw(pcm).tobytes()
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_wav_float32(x: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float64 samples → IEEE-float32 WAV bytes (format tag 3)."""
+    body = x.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, sample_rate, sample_rate * 4, 4, 32)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def encode_wav_pcm16(x: np.ndarray, sample_rate: int) -> bytes:

@@ -28,6 +28,8 @@ from wukong_spark.operators.multimodal import (
     decode_images,
     encode_bmp,
     encode_png,
+    encode_wav_float32,
+    encode_wav_g711,
     encode_wav_pcm16,
 )
 from wukong_spark.queries import query
@@ -346,6 +348,70 @@ def multimodal_audio_wav(spark: SparkSession, sf_dir: str):
     rms_e6 = round(rms × 1e6) is stable because the whole pipeline is
     deterministic IEEE arithmetic on identical bytes."""
     dec = decode_audio(_gen_wav_media(spark))
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round(F.col("peak") * 32768).cast("bigint").alias("peak_pcm"),
+        F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_e6"),
+    ).orderBy("media_id")
+
+
+def _gen_g711_media(spark: SparkSession) -> DataFrame:
+    """Seeded audio clips cycling encoding by id % 3 — G.711 µ-law, G.711
+    A-law, IEEE-float32 WAV (the non-PCM encodings decode_wav grew in r7);
+    clip k is a (0.08 + 0.09·k)-amplitude sine at 200 + 90·k Hz, 8 kHz."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                t = np.arange(8000 // 8) / 8000
+                x = (0.08 + 0.09 * k) * np.sin(2 * np.pi * (200 + 90 * k) * t)
+                if k % 3 == 0:
+                    b = encode_wav_g711(x, 8000, "ulaw")
+                elif k % 3 == 1:
+                    b = encode_wav_g711(x, 8000, "alaw")
+                else:
+                    b = encode_wav_float32(x, 8000)
+                rows.append((k, bytearray(b)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 9, 1, 3).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="audio", mime="audio/wav", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_audio_g711",
+    # literal oracle: peaks (exact k/32768 integers for the G.711 clips)
+    # + 1e-6-scaled RMS of the seeded decode; worst rounding-boundary
+    # margin 0.074 vs ~1e-9 deterministic-IEEE drift
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8000, 1, 1000, 2620, 56894),
+      (1, 8000, 1, 1000, 5504, 120010),
+      (2, 8000, 1, 1000, 8520, 183848),
+      (3, 8000, 1, 1000, 11388, 247371),
+      (4, 8000, 1, 1000, 14592, 310599),
+      (5, 8000, 1, 1000, 17367, 374579),
+      (6, 8000, 1, 1000, 19836, 437053),
+      (7, 8000, 1, 1000, 23040, 501519),
+      (8, 8000, 1, 1000, 26214, 565685))
+      AS t(media_id, sample_rate, n_channels, n_samples, peak_pcm, rms_e6)
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_g711(spark: SparkSession, sf_dir: str):
+    """Seeded G.711 µ-law / A-law / IEEE-float32 WAV bytes → REAL decode
+    (manual RIFF walk + vectorized companding expansion, bit-identical to
+    the Sun g711.c reference — operators/multimodal.py, r7) → per-clip
+    features.  Covers the telephony-corpus encodings the stdlib ``wave``
+    module rejects; the literal oracle pins all three decode paths."""
+    dec = decode_audio(_gen_g711_media(spark))
     return dec.select(
         "media_id",
         "sample_rate",

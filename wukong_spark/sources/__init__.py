@@ -15,31 +15,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json", "orc")
+#: columnar (parquet/orc), delimited (csv), semi-structured (json — JSONL
+#: layout, xml — Spark 4 native), and raw line (text) formats.  Avro needs
+#: the external spark-avro module, absent in this environment — read_any
+#: raises a clear error rather than Spark's opaque ClassNotFound.
+FORMATS = ("parquet", "csv", "json", "orc", "xml", "text")
+
+
+def _apply_defaults(fmt: str, options: dict) -> dict:
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if fmt == "xml":
+        # rowTag is mandatory for XML reads and defines the record element
+        options.setdefault("rowTag", "row")
+        options.setdefault("rootTag", "rows")
+    return options
 
 
 def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None, **options) -> DataFrame:
-    """Format-dispatched scan.  CSV/JSON get explicit schemas in production
-    (inference is a full extra pass — fine in tests, wrong at scale)."""
+    """Format-dispatched scan.  CSV/JSON/XML get explicit schemas in
+    production (inference is a full extra pass — fine in tests, wrong at
+    scale)."""
+    if fmt == "avro":
+        raise ValueError(
+            "avro needs the external spark-avro module, which is not "
+            "deployed in this environment"
+        )
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     reader = spark.read.format(fmt)
     if schema:
         reader = reader.schema(schema)
-    if fmt == "csv":
-        options.setdefault("header", "true")
-    return reader.options(**options).load(path)
+    return reader.options(**_apply_defaults(fmt, options)).load(path)
 
 
 def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None, **options) -> None:
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     writer = df.write.format(fmt).mode(mode)
-    if fmt == "csv":
-        options.setdefault("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.options(**options).save(path)
+    writer.options(**_apply_defaults(fmt, options)).save(path)
 
 
 def read_binary_files(
