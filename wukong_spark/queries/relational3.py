@@ -902,3 +902,74 @@ def set_index_orders(spark: SparkSession, sf_dir: str):
             F.sum("cnt").alias("n_rows"),
         )
     )
+
+
+@query(
+    "describe_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS col,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             CAST(ROUND(l_discount * 100) AS BIGINT) FROM lineitem
+    )
+    SELECT col, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_c,
+           MIN(v) AS min_c, MAX(v) AS max_c,
+           CAST(ROUND(quantile_cont(v, 0.25) * 4) AS BIGINT) AS p25_c4,
+           CAST(ROUND(quantile_cont(v, 0.50) * 4) AS BIGINT) AS p50_c4,
+           CAST(ROUND(quantile_cont(v, 0.75) * 4) AS BIGINT) AS p75_c4,
+           ROUND(SQRT((CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE)
+                       - CAST(SUM(v) AS DOUBLE) * SUM(v) / COUNT(*))
+                      / (COUNT(*) - 1)), 4) AS std_4
+    FROM m GROUP BY col ORDER BY col
+    """,
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str):
+    """pandas/dask `df.describe()` parity over lineitem's measure columns
+    (count / sum / min / max / quartiles / sample std), engineered for
+    cross-engine exactness:
+
+    - values enter as integer cents, so COUNT/SUM/MIN/MAX are exact;
+    - exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+      `quantile_cont`, index p·(n−1)) land on QUARTER-integers for
+      integer inputs — scaled ×4 they are exact BIGINTs with a 0.5
+      rounding margin;
+    - std is NOT the builtin (incremental accumulation is
+      summation-order-dependent): both engines compute it from exact
+      decimal Σv and Σv² with the identical closed formula, so the
+      round-4 doubles match bit-for-bit.
+
+    Scale shape: stack (unpivot) is a map-only relabeling; one shuffle on
+    the 3-value column key; percentile state is one histogram per group."""
+    li = tbl(spark, sf_dir, "lineitem")
+    m = li.selectExpr(
+        "stack(3,"
+        " 'l_quantity', CAST(ROUND(l_quantity * 100) AS BIGINT),"
+        " 'l_extendedprice', CAST(ROUND(l_extendedprice * 100) AS BIGINT),"
+        " 'l_discount', CAST(ROUND(l_discount * 100) AS BIGINT)"
+        ") AS (col, v)"
+    )
+    agg = m.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_c"),
+        F.min("v").alias("min_c"),
+        F.max("v").alias("max_c"),
+        F.expr("percentile(v, array(0.25D, 0.5D, 0.75D))").alias("q"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    n, s1, s2 = (F.col("n").cast("double"), F.col("sum_c").cast("double"), F.col("s2").cast("double"))
+    return agg.select(
+        "col",
+        "n",
+        "sum_c",
+        "min_c",
+        "max_c",
+        F.round(F.col("q")[0] * 4).cast("bigint").alias("p25_c4"),
+        F.round(F.col("q")[1] * 4).cast("bigint").alias("p50_c4"),
+        F.round(F.col("q")[2] * 4).cast("bigint").alias("p75_c4"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), 4).alias("std_4"),
+    ).orderBy("col")
