@@ -542,3 +542,84 @@ def test_decode_audio_g711_end_to_end(spark):
     for mid in (1, 2):
         assert out[mid].sample_rate == sr
         assert abs(out[mid].rms - float(np.sqrt(np.mean(x**2)))) < 0.01
+
+
+# -- decoder robustness at corpus scale (r7) --------------------------------
+
+
+def test_decode_dims_guard_rejects_allocation_bombs():
+    """A few corrupt header bytes can declare multi-gigapixel dims; every
+    decoder must reject BEFORE allocating the pixel buffer."""
+    import struct as _s
+    import zlib as _z
+
+    from wukong_spark.operators.gif import decode_gif, encode_gif
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from wukong_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    # PNG claiming 50000x50000
+    ihdr = _s.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    bomb = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_png(bomb)
+
+    # BMP with patched 60000x60000 dims
+    b = bytearray(encode_bmp(np.zeros((4, 4, 3), np.uint8)))
+    _s.pack_into("<ii", b, 18, 60000, 60000)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_bmp(bytes(b))
+
+    # PPM header bomb
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_ppm(b"P6\n70000 70000\n255\n\x00")
+
+    # JPEG SOF with patched dims
+    j = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(j).find(b"\xff\xc0")
+    _s.pack_into(">HH", j, i + 5, 65000, 65000)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_jpeg(bytes(j))
+
+    # GIF image descriptor with patched dims (max u16 is 65535 -> 4.3 Gpx)
+    g = bytearray(encode_gif(np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8)))
+    i = bytes(g).find(b"\x2c")
+    _s.pack_into("<HH", g, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_gif(bytes(g))
+
+
+def test_decoders_fail_cleanly_on_fuzzed_payloads():
+    """Random bytes behind each magic must raise (ValueError /
+    NotImplementedError / parse errors) promptly — never hang, never
+    return garbage silently.  Catching `Exception` is deliberate: the
+    contract under fuzz is 'raises, fast', and _decode_pixels converts
+    any failure into the fake_decoder/raise path."""
+    from wukong_spark.operators.gif import decode_gif
+    from wukong_spark.operators.jpeg import decode_jpeg
+    from wukong_spark.operators.multimodal import PNG_MAGIC, decode_bmp, decode_png
+
+    rng = np.random.default_rng(77)
+    for trial in range(50):
+        junk = rng.integers(0, 256, size=rng.integers(0, 400), dtype=np.uint8).tobytes()
+        for magic, dec in (
+            (PNG_MAGIC, decode_png),
+            (b"\xff\xd8", decode_jpeg),
+            (b"GIF89a", decode_gif),
+            (b"BM", decode_bmp),
+        ):
+            try:
+                out = dec(magic + junk)
+                # a successful parse of junk must still be a sane image
+                assert out.ndim == 3 and out.shape[0] * out.shape[1] <= 64 * 1024 * 1024
+            except Exception:
+                pass  # expected: clean failure

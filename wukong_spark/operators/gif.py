@@ -188,6 +188,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        from wukong_spark.operators.multimodal import check_decode_dims
+
+        check_decode_dims(w, h, "GIF")
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

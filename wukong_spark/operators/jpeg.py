@@ -425,6 +425,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bpos += 17 + n
         elif marker == 0xFFC0 or marker == 0xFFC1:  # baseline / ext sequential
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            from wukong_spark.operators.multimodal import check_decode_dims
+
+            check_decode_dims(fw, fh, "JPEG")
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
             comps = []

@@ -78,6 +78,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     bottom_up = h > 0
     h = abs(h)
+    check_decode_dims(w, h, "BMP")
     npx = bpp // 8
     stride = ((w * npx + 3) // 4) * 4
     arr = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
@@ -120,6 +121,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         vals.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
+    check_decode_dims(w, h, "PPM")
     if maxval > 255:
         raise NotImplementedError("16-bit-per-sample PPM unsupported")
     if maxval <= 0:
@@ -136,6 +138,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         scaled = (arr.astype(np.uint32) * 255 + maxval // 2) // maxval
         arr = np.minimum(scaled, 255).astype(np.uint8)
     return arr
+
+
+#: decode-allocation guard for ALL image decoders (PNG/GIF/JPEG/BMP/PPM):
+#: a corrupt or adversarial header can declare multi-gigapixel dims in a
+#: few bytes; at corpus scale one such payload would OOM its executor task.
+#: 64 Mpx ≈ 8K×8K — far above training-corpus imagery, far below task RAM.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
+
+def check_decode_dims(w: int, h: int, what: str) -> None:
+    """Reject non-positive or allocation-bomb dimensions BEFORE any
+    pixel-buffer allocation (shared by every image decoder)."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"{what}: invalid dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what}: declared {w}x{h} exceeds MAX_DECODE_PIXELS "
+            f"({MAX_DECODE_PIXELS}) — corrupt or adversarial header"
+        )
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -178,6 +199,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
+    check_decode_dims(w, h, "PNG")
     if depth != 8 or comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
     if interlace != 0:
