@@ -623,3 +623,56 @@ def test_decoders_fail_cleanly_on_fuzzed_payloads():
                 assert out.ndim == 3 and out.shape[0] * out.shape[1] <= 64 * 1024 * 1024
             except Exception:
                 pass  # expected: clean failure
+
+
+# -- MJPEG AVI video (r7: real container walk + JPEG frame decode) ----------
+
+
+def test_mjpeg_avi_roundtrip_local():
+    from wukong_spark.operators.video import (
+        count_frames,
+        encode_mjpeg_avi,
+        extract_frames,
+        probe_avi,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = [
+        np.full((16, 20, 3), (10 * i, 200 - 10 * i, 50 + 5 * i), np.uint8)
+        for i in range(6)
+    ]
+    b = encode_mjpeg_avi(frames, fps=5, quality=95)
+    info = probe_avi(b)
+    assert (info["width"], info["height"], info["fourcc"]) == (20, 16, "MJPG")
+    assert info["n_frames"] == 6 and count_frames(b) == 6
+    got = extract_frames(b)
+    for i, (fn, px) in enumerate(got):
+        assert fn == i
+        assert np.abs(px.astype(int) - frames[i].astype(int)).max() <= 1
+    assert [fn for fn, _ in extract_frames(b, [0, 3, 5])] == [0, 3, 5]
+
+
+def test_mjpeg_avi_rejects_non_mjpg():
+    from wukong_spark.operators.video import encode_mjpeg_avi, extract_frames
+
+    b = bytearray(encode_mjpeg_avi([np.zeros((8, 8, 3), np.uint8)]))
+    # corrupt the frame payload so it no longer starts with the JPEG magic
+    i = bytes(b).find(b"00dc")
+    b[i + 8 : i + 10] = b"XX"
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        extract_frames(bytes(b))
+
+
+def test_frame_sample_real_mjpeg_end_to_end(spark):
+    from wukong_spark.operators.video import encode_mjpeg_avi
+
+    frames = [np.full((8, 8, 3), (i * 30, 100, 255 - i * 30), np.uint8) for i in range(5)]
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_mjpeg_avi(frames, quality=95)))],
+        "media_id long, payload binary",
+    )
+    out = frame_sample(df, n_frames=3).toPandas().sort_values("frame_idx")
+    assert list(out["frame_no"]) == [0, 2, 4]  # evenly spaced over 5 frames
+    for _, row in out.iterrows():
+        want = frames[int(row["frame_no"])]
+        assert abs(row["sum_r"] - int(want[..., 0].astype(np.int64).sum())) <= 64

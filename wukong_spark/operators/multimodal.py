@@ -625,22 +625,63 @@ def frame_sample(
     n_frames: int = 4,
     fake_decoder: bool = False,
 ) -> DataFrame:
-    """Video → n sampled frames (stubbed): one output row per frame,
-    exploded — the shape a real ffmpeg-based sampler produces."""
-    if not fake_decoder:
-        raise NotImplementedError(
-            "video codecs are not available; pass fake_decoder=True"
-        )
+    """Video → n evenly-spaced sampled frames, one output row per frame.
+
+    MJPEG AVI payloads decode for REAL (r7 — operators/video.py container
+    walk + the baseline JPEG decoder); each sampled frame emits its source
+    frame number plus exact integer channel sums (the oracle-able
+    contract the image decoders use).  Other containers/codecs require
+    ``fake_decoder=True`` (codec libs absent), which emits deterministic
+    content-seeded fakes through the identical schema."""
+    from wukong_spark.operators.video import count_frames, extract_frames, is_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "frame_no",
+            "frame_mean", "sum_r", "sum_g", "sum_b",
+        ]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                for k in range(n_frames):
-                    px = _fake_pixels(bytes(payload) + bytes([k]), 8, 8)
-                    rows.append((int(mid), k, float(px.mean())))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_mean"])
+                b = bytes(payload)
+                decoded = None
+                if is_avi(b):
+                    try:
+                        total = count_frames(b)
+                        k = min(n_frames, total)
+                        # evenly spaced over [0, total-1], exact arithmetic
+                        picks = sorted(
+                            {(i * (total - 1)) // max(k - 1, 1) for i in range(k)}
+                        )
+                        decoded = extract_frames(b, picks)
+                    except Exception:
+                        if not fake_decoder:
+                            raise
+                if decoded is not None:
+                    for idx, (fn, px) in enumerate(decoded):
+                        s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                        rows.append(
+                            (int(mid), idx, int(fn), float(px.mean()),
+                             int(s[0]), int(s[1]), int(s[2]))
+                        )
+                elif fake_decoder:
+                    for k in range(n_frames):
+                        px = _fake_pixels(b + bytes([k]), 8, 8)
+                        s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                        rows.append(
+                            (int(mid), k, k, float(px.mean()),
+                             int(s[0]), int(s[1]), int(s[2]))
+                        )
+                else:
+                    raise NotImplementedError(
+                        "payload is not an MJPEG AVI (the container decoded "
+                        "natively); other video codecs need real codec "
+                        "libraries — pass fake_decoder=True"
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select("media_id", payload_col).mapInPandas(
-        run, "media_id long, frame_idx int, frame_mean double"
+        run,
+        "media_id long, frame_idx int, frame_no int, frame_mean double,"
+        " sum_r long, sum_g long, sum_b long",
     )

@@ -420,3 +420,68 @@ def multimodal_audio_g711(spark: SparkSession, sf_dir: str):
         F.round(F.col("peak") * 32768).cast("bigint").alias("peak_pcm"),
         F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_e6"),
     ).orderBy("media_id")
+
+
+def _gen_mjpeg_media(spark: SparkSession) -> DataFrame:
+    """Seeded MJPEG-AVI payloads generated per-partition: video v holds 6
+    random 16×16 frames encoded at quality 90 — real RIFF/AVI bytes from
+    operators/video.py's own writer."""
+    from wukong_spark.operators.video import encode_mjpeg_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                v = int(i)
+                rng = np.random.default_rng(5000 + v)
+                frames = [
+                    rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                    for _ in range(6)
+                ]
+                rows.append(
+                    (v, bytearray(encode_mjpeg_avi(frames, fps=4, quality=90)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 6, 1, 3).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="video", mime="video/x-msvideo", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    # literal oracle: exact integer channel sums of each sampled frame —
+    # decoded pixels are uint8, so the sums are exact; the pipeline is
+    # deterministic IEEE arithmetic on identical bytes (the
+    # multimodal_decode_jpeg determinism class)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 0, 0, 32930, 33359, 30705), (0, 1, 2, 32908, 31415, 33248),
+      (0, 2, 5, 31525, 34064, 30935), (1, 0, 0, 33271, 34113, 32862),
+      (1, 1, 2, 32666, 33034, 31566), (1, 2, 5, 31260, 33889, 34079),
+      (2, 0, 0, 31664, 34629, 31506), (2, 1, 2, 33342, 33908, 32488),
+      (2, 2, 5, 33928, 31280, 33134), (3, 0, 0, 29918, 34479, 34467),
+      (3, 1, 2, 33547, 32445, 31151), (3, 2, 5, 32388, 32173, 31468),
+      (4, 0, 0, 31209, 33495, 30581), (4, 1, 2, 32614, 32492, 31063),
+      (4, 2, 5, 33619, 34213, 33141), (5, 0, 0, 33254, 33926, 32280),
+      (5, 1, 2, 32491, 32454, 32759), (5, 2, 5, 31880, 32752, 33741))
+      AS t(media_id, frame_idx, frame_no, sum_r, sum_g, sum_b)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    """Seeded MJPEG-AVI bytes → REAL video frame sampling (RIFF container
+    walk → 3 evenly-spaced frames per clip → baseline-JPEG decode —
+    operators/video.py + jpeg.py, r7) → exact integer channel sums per
+    sampled frame.
+
+    The video leg of the multimodal triad, no fake decoder: any
+    regression in the AVI chunk walk, the frame-selection arithmetic, or
+    the JPEG decode flips a sum."""
+    from wukong_spark.operators.multimodal import frame_sample
+
+    dec = frame_sample(_gen_mjpeg_media(spark), n_frames=3)
+    return dec.select(
+        "media_id", "frame_idx", "frame_no", "sum_r", "sum_g", "sum_b"
+    ).orderBy("media_id", "frame_idx")
