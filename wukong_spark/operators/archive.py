@@ -1,0 +1,151 @@
+"""Archive-shard ingestion operators (stdlib tarfile/zipfile/gzip + Arrow).
+
+Large multimodal training corpora ship as ARCHIVE SHARDS — WebDataset-style
+tar files holding (sample.jpg, sample.json, sample.txt) member groups, zip
+bundles, and gzip-compressed JSONL — none of which Spark reads natively.
+These operators explode archive payloads into per-member rows inside
+`mapInPandas`, so shard bytes arrive via any binary source (binaryFile,
+a parquet blob column) and fan out to the decode operators
+(multimodal.decode_images / textops) without ever leaving Arrow batches.
+
+Scale shape: one task per shard (shards are the parallelism unit, exactly
+how WebDataset trains); member extraction is streaming (tarfile reads
+sequentially, no random access needed), memory is bounded by one member
+at a time plus the Arrow batch.  Zstd-compressed shards need the external
+zstandard module (absent here) and raise NotImplementedError naming it.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: schema of every explode_* operator: one row per archive member
+MEMBER_SCHEMA = (
+    "media_id long, member string, n_bytes long, content binary"
+)
+
+#: per-member decompressed-size guard — one adversarial member must not
+#: OOM its task (the decode-dims guard's archive-layer sibling)
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
+def _check_member(name: str, size: int) -> None:
+    if size > MAX_MEMBER_BYTES:
+        raise ValueError(
+            f"archive member {name!r} declares {size} bytes > "
+            f"MAX_MEMBER_BYTES ({MAX_MEMBER_BYTES}) — decompression bomb?"
+        )
+
+
+def explode_tar(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, tar bytes) → one row per regular file member.
+
+    Accepts plain and gzip-compressed tar (mode "r:*" sniffs); member
+    order is preserved, which is what keeps WebDataset's
+    (x.jpg, x.json) sample grouping adjacent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(payload)), mode="r:*") as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        _check_member(m.name, m.size)
+                        f = tf.extractfile(m)
+                        data = f.read() if f else b""
+                        rows.append((int(mid), m.name, len(data), bytearray(data)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "member", "n_bytes", "content"]
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, MEMBER_SCHEMA)
+
+
+def explode_zip(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, zip bytes) → one row per stored/deflated member."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        _check_member(info.filename, info.file_size)
+                        data = zf.read(info)
+                        rows.append(
+                            (int(mid), info.filename, len(data), bytearray(data))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "member", "n_bytes", "content"]
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, MEMBER_SCHEMA)
+
+
+def decompress_column(
+    df: DataFrame, payload_col: str = "payload", codec: str = "gzip"
+) -> DataFrame:
+    """Decompress a binary column in place (gzip / zlib / raw-deflate) —
+    the gzipped-JSONL ingestion step.  zstd/lz4 need external modules
+    (absent in this environment) and raise NotImplementedError."""
+    if codec in ("zstd", "lz4", "snappy"):
+        raise NotImplementedError(
+            f"{codec} needs an external module not present in this "
+            "environment (python-zstandard / lz4 / python-snappy)"
+        )
+    if codec not in ("gzip", "zlib", "deflate"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                if codec == "gzip":
+                    d = gzip.decompress(b)
+                elif codec == "zlib":
+                    d = zlib.decompress(b)
+                else:
+                    d = zlib.decompress(b, wbits=-15)
+                _check_member("<payload>", len(d))
+                out.append(bytearray(d))
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def group_webdataset_samples(members: DataFrame) -> DataFrame:
+    """WebDataset grouping: members named `<key>.<ext>` collapse to one
+    row per (media_id, key) with a map ext → content.  Pure DataFrame ops
+    (JVM-side split + map_from_entries after a groupBy) — the shape a
+    training loader consumes."""
+    from pyspark.sql import functions as F
+
+    parts = members.select(
+        "media_id",
+        F.regexp_extract("member", r"^(.*?)\.([^.]+)$", 1).alias("key"),
+        F.regexp_extract("member", r"^(.*?)\.([^.]+)$", 2).alias("ext"),
+        "content",
+    ).filter(F.col("key") != "")
+    return (
+        parts.groupBy("media_id", "key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("ext", "content"))
+            ).alias("fields")
+        )
+    )
