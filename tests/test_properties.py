@@ -285,3 +285,81 @@ def test_vstack_slice_property(spark, n1, n2, m, br1, br2, seed):
     assert np.array_equal(v.to_numpy(), dense)
     assert np.array_equal(v.slice(0, n1, 0, m).to_numpy(), a)
     assert np.array_equal(v.slice(n1, n1 + n2, 0, m).to_numpy(), b)
+
+
+# -- codec properties (r7: local, no Spark — more examples affordable) ------
+
+LOCAL_SETTINGS = dict(max_examples=25, deadline=None, derandomize=True)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    mode=st.sampled_from(["mixed", "none"]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_png_roundtrip_property(h, w, ch, mode, seed):
+    from wukong_spark.operators.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filter_mode=mode)), px)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    npal=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_gif_roundtrip_property(h, w, npal, interlace, seed):
+    from wukong_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal, interlace=interlace)), pal[idx])
+
+
+@given(
+    mcs=st.integers(2, 8),
+    n=st.integers(0, 3000),
+    alphabet=st.integers(1, 256),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_gif_lzw_roundtrip_property(mcs, n, alphabet, seed):
+    from wukong_spark.operators.gif import lzw_compress, lzw_decompress
+
+    hi = min(alphabet, 1 << mcs)
+    idx = np.random.default_rng(seed).integers(0, hi, n).astype(np.uint8)
+    assert np.array_equal(lzw_decompress(lzw_compress(idx, mcs), mcs, n), idx)
+
+
+@given(h=st.integers(1, 32), w=st.integers(1, 32), seed=st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_jpeg_q100_bounded_error_property(h, w, seed):
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=100, subsampling="444"))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
+@given(
+    n=st.integers(1, 2000),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_g711_bounded_error_property(n, law, seed):
+    from wukong_spark.operators.multimodal import decode_wav, encode_wav_g711
+
+    x = np.random.default_rng(seed).uniform(-0.99, 0.99, n)
+    _, _, y = decode_wav(encode_wav_g711(x, 8000, law))
+    # G.711 worst-case segment step ≈ |x|/16 + smallest-step floor
+    assert np.all(np.abs(y - x) <= np.abs(x) / 8 + 0.01)
