@@ -805,3 +805,22 @@ def test_gen_parts_scales_with_cluster_parallelism(spark):
     # the real session's generation plan honors the helper
     m = BlockMatrix.random(spark, 64, 64, 8, 8, seed=3)  # 64 blocks
     assert m.df.rdd.getNumPartitions() == _gen_parts(spark, 64)
+
+
+def test_npy_stack_roundtrip(spark, rng, tmp_path):
+    """da.to_npy_stack / from_npy_stack parity: export to standard .npy
+    files (readable by plain numpy), re-ingest distributed, bit-exact."""
+    import os
+
+    a = rng.standard_normal((50, 23))
+    m = BlockMatrix.from_numpy(spark, a, 16, 8)
+    path = str(tmp_path / "stack")
+    m.to_npy_stack(path)
+    # files are plain numpy-readable
+    blk = np.load(os.path.join(path, "0_0.npy"))
+    assert np.array_equal(blk, a[:16, :8])
+    back = BlockMatrix.from_npy_stack(spark, path)
+    assert (back.n_rows, back.n_cols, back.block_rows) == (50, 23, 16)
+    assert np.array_equal(back.to_numpy(), a)
+    # the re-ingested matrix composes with the operator surface
+    assert np.allclose(back.transpose().to_numpy(), a.T)

@@ -247,6 +247,92 @@ class BlockMatrix:
             ] = np.frombuffer(row.data).reshape(r, c)
         return out
 
+    # -- npy-stack storage (da.from_npy_stack / da.to_npy_stack parity) ----
+    def to_npy_stack(self, path: str) -> None:
+        """Persist as a directory of standard ``.npy`` files — one
+        ``{bi}_{bj}.npy`` per block plus ``info.json`` with the dims —
+        dask's ``da.to_npy_stack`` layout generalized to 2-D grids.
+
+        Blocks stream through the driver one at a time (toLocalIterator,
+        O(one block) memory) because ``path`` is a plain local/posix
+        directory — the numpy-interop EXPORT path.  At cluster scale,
+        parquet block storage (``df.write``) is the native format; this
+        exists so plain numpy / dask code can read the result."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for row in self.df.toLocalIterator():
+            r, c = self.block_shape(row.bi, row.bj)
+            np.save(
+                os.path.join(path, f"{row.bi}_{row.bj}.npy"),
+                np.frombuffer(row.data).reshape(r, c),
+            )
+        with open(os.path.join(path, "info.json"), "w") as f:
+            json.dump(
+                {
+                    "n_rows": self.n_rows,
+                    "n_cols": self.n_cols,
+                    "block_rows": self.block_rows,
+                    "block_cols": self.block_cols,
+                },
+                f,
+            )
+
+    @staticmethod
+    def from_npy_stack(spark: SparkSession, path: str) -> "BlockMatrix":
+        """Load a :meth:`to_npy_stack` directory (or any ``{bi}_{bj}.npy``
+        grid + ``info.json``) as a BlockMatrix.
+
+        DISTRIBUTED read: Spark's ``binaryFile`` source lists and reads
+        the ``.npy`` payloads across executors; each file parses with
+        ``np.load`` inside ``mapInArrow`` — no driver materialization, so
+        the ingest side scales with the cluster even though the export
+        side above is a driver stream."""
+        import io as _io
+        import json
+        import os
+        import re
+
+        with open(os.path.join(path, "info.json")) as f:
+            info = json.load(f)
+
+        def parse(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = _pa_block_schema(pa)
+            pat = re.compile(r"(\d+)_(\d+)\.npy$")
+            for rb in batches:
+                p_c, d_c = rb.column("path"), rb.column("content")
+                out: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                for i in range(rb.num_rows):
+                    m = pat.search(p_c[i].as_py())
+                    if not m:
+                        continue
+                    arr = np.load(_io.BytesIO(d_c[i].as_py()))
+                    out["bi"].append(int(m.group(1)))
+                    out["bj"].append(int(m.group(2)))
+                    out["data"].append(
+                        np.ascontiguousarray(arr, dtype=np.float64).tobytes()
+                    )
+                if out["bi"]:
+                    yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.npy")
+            .load(path)
+            .select("path", "content")
+            .mapInArrow(parse, BLOCK_SCHEMA)
+        )
+        return BlockMatrix(
+            df,
+            info["n_rows"],
+            info["n_cols"],
+            info["block_rows"],
+            info["block_cols"],
+        )
+
     # -- elementwise ------------------------------------------------------
     def _map_blocks(
         self, fn: Callable[[np.ndarray], np.ndarray], out_cols: int | None = None
