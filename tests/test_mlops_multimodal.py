@@ -676,3 +676,35 @@ def test_frame_sample_real_mjpeg_end_to_end(spark):
     for _, row in out.iterrows():
         want = frames[int(row["frame_no"])]
         assert abs(row["sum_r"] - int(want[..., 0].astype(np.int64).sum())) <= 64
+
+
+def test_gif_lzw_deferred_clear_interop():
+    """Foreign GIF encoders may FREEZE the table at 4096 (deferred clear)
+    instead of emitting a clear code; the decoder must freeze in lockstep
+    or code assignment drifts.  Simulate such an encoder inline."""
+    from wukong_spark.operators.gif import _LSBWriter, _lzw_width, lzw_decompress
+
+    mcs = 4
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    rng = np.random.default_rng(41)
+    idx = rng.integers(0, 1 << mcs, 30000).astype(np.uint8)
+
+    bw = _LSBWriter()
+    table, next_code = {}, eoi + 2
+    bw.write(clear, mcs + 1)
+    it = iter(int(x) for x in idx)
+    cur = next(it)
+    next_code = eoi + 1
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        bw.write(cur, min(12, _lzw_width(next_code - 1, mcs)))
+        if next_code < 4096:  # freeze, never clear
+            table[(cur, k)] = next_code
+            next_code += 1
+        cur = k
+    bw.write(cur, min(12, _lzw_width(next_code - 1, mcs)))
+    bw.write(eoi, min(12, _lzw_width(next_code, mcs)))
+    got = lzw_decompress(bw.flush(), mcs, len(idx))
+    assert np.array_equal(got, idx)

@@ -142,9 +142,13 @@ def lzw_decompress(data: bytes, min_code_size: int, n_out: int) -> np.ndarray:
             entry = table[code]
         elif code < len(table) and code != eoi:
             entry = table[code]
-            table.append(prev + entry[:1])
-            next_code += 1
-        elif code == next_code:  # KwKwK
+            # deferred-clear interop: encoders stop assigning at 4096 and
+            # keep emitting from the frozen table; the decoder must freeze
+            # its table too or the code/width lockstep drifts
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+        elif code == next_code and next_code < 4096:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
             next_code += 1
