@@ -708,3 +708,85 @@ def test_gif_lzw_deferred_clear_interop():
     bw.write(eoi, min(12, _lzw_width(next_code, mcs)))
     got = lzw_decompress(bw.flush(), mcs, len(idx))
     assert np.array_equal(got, idx)
+
+
+# -- TIFF codec (r7: IFD walk, strips, PackBits) ----------------------------
+
+
+def test_tiff_roundtrip_channels_strips_compressions():
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(61)
+    for ch in (1, 3, 4):
+        for shape in ((24, 18), (7, 5), (40, 3), (1, 1)):
+            px = rng.integers(0, 256, size=shape + (ch,), dtype=np.uint8)
+            for comp in ("none", "packbits"):
+                out = decode_tiff(encode_tiff(px, compression=comp, rows_per_strip=10))
+                assert np.array_equal(out, px), (ch, shape, comp)
+
+
+def test_tiff_packbits_roundtrip_and_compression():
+    from wukong_spark.operators.tiff import packbits_decode, packbits_encode
+
+    rng = np.random.default_rng(62)
+    # genuinely runny data: 50 runs of 100 identical bytes each
+    runs = b"".join(bytes([v]) * 100 for v in rng.integers(0, 256, 50))
+    enc = packbits_encode(runs)
+    assert len(enc) < len(runs) // 10
+    assert packbits_decode(enc, len(runs)) == runs
+    noise = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))
+    assert packbits_decode(packbits_encode(noise), 5000) == noise
+
+
+def test_tiff_white_is_zero_inverts():
+    """Photometric 0 (white-is-zero) greyscale must invert on decode."""
+    import struct as _s
+
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b = bytearray(encode_tiff(px))
+    # patch the photometric tag (262) value from 1 to 0
+    i = bytes(b).find(_s.pack("<HHII", 262, 3, 1, 1))
+    assert i > 0
+    b[i : i + 12] = _s.pack("<HHII", 262, 3, 1, 0)
+    out = decode_tiff(bytes(b))
+    assert np.array_equal(out[:, :, 0], 255 - px)
+
+
+def test_tiff_rejects_unsupported_and_bombs():
+    import struct as _s
+
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    b = bytearray(encode_tiff(np.zeros((4, 4, 3), np.uint8)))
+    # patch compression tag to LZW (5)
+    i = bytes(b).find(_s.pack("<HHII", 259, 3, 1, 1))
+    b2 = bytearray(b)
+    b2[i : i + 12] = _s.pack("<HHII", 259, 3, 1, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(b2))
+    # dimension bomb
+    j = bytes(b).find(_s.pack("<HHII", 256, 4, 1, 4))
+    b3 = bytearray(b)
+    b3[j : j + 12] = _s.pack("<HHII", 256, 4, 1, 100_000)
+    k = bytes(b).find(_s.pack("<HHII", 257, 4, 1, 4))
+    b3[k : k + 12] = _s.pack("<HHII", 257, 4, 1, 100_000)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_tiff(bytes(b3))
+
+
+def test_decode_images_real_tiff_end_to_end(spark):
+    from wukong_spark.operators.tiff import encode_tiff
+
+    rng = np.random.default_rng(63)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(px, compression="packbits")))],
+        "media_id long, payload binary",
+    )
+    row = decode_images(df, height=8, width=8).collect()[0]
+    got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(got, px)

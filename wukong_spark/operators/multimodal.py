@@ -477,12 +477,14 @@ def _decode_pixels(
     magic bytes are a heuristic, not a guarantee."""
     from wukong_spark.operators.gif import GIF_MAGICS, decode_gif
     from wukong_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
+    from wukong_spark.operators.tiff import TIFF_MAGICS, decode_tiff, tiff_to_rgb
 
     if (
         payload[:2] in (b"BM", b"P6")
         or payload[:8] == PNG_MAGIC
         or payload[:2] == JPEG_MAGIC
         or payload[:6] in GIF_MAGICS
+        or payload[:4] in TIFF_MAGICS
     ):
         try:
             if payload[:8] == PNG_MAGIC:
@@ -491,6 +493,8 @@ def _decode_pixels(
                 px = decode_jpeg(payload)
             elif payload[:6] in GIF_MAGICS:
                 px = decode_gif(payload)
+            elif payload[:4] in TIFF_MAGICS:
+                px = tiff_to_rgb(decode_tiff(payload))
             elif payload[:2] == b"BM":
                 px = decode_bmp(payload)
             else:
@@ -503,10 +507,10 @@ def _decode_pixels(
         return _fake_pixels(payload, height, width)
     raise NotImplementedError(
         "payload is not a BMP / P6-PPM / 8-bit PNG / baseline JPEG / GIF "
-        "(the formats decoded natively); codec libraries for other "
-        "compressed formats are not available in this environment — pass "
-        "fake_decoder=True to exercise the pipeline with a deterministic "
-        "content-seeded decoder"
+        "/ baseline TIFF (the formats decoded natively); codec libraries "
+        "for other compressed formats are not available in this "
+        "environment — pass fake_decoder=True to exercise the pipeline "
+        "with a deterministic content-seeded decoder"
     )
 
 
@@ -519,7 +523,7 @@ def decode_images(
 ) -> DataFrame:
     """binary → fixed-size RGB tensor + channel statistics, Arrow-batched.
 
-    BMP / P6 PPM / 8-bit PNG / baseline JPEG payloads decode NATIVELY
+    BMP / P6 PPM / 8-bit PNG / baseline JPEG / GIF / baseline TIFF payloads decode NATIVELY
     (magic-byte dispatch, pure numpy + stdlib) and are nearest-neighbor-resized to
     (height, width); other formats require ``fake_decoder=True`` (codec
     libs absent — see module docstring).  Plumbing (batch shape, schema,

@@ -1,0 +1,224 @@
+"""Baseline TIFF codec — dependency-free (numpy + stdlib).
+
+Scanned-document and scientific corpora ship TIFF; this decoder covers
+the baseline profile expressible without codec libraries: both byte
+orders (II/MM), IFD walk with inline-vs-offset values, strip assembly,
+8-bit greyscale (photometric 0/1, white-is-zero inverted) and RGB(A),
+compression 1 (none) and 32773 (PackBits RLE) — plus a matching writer
+(strip-per-rows_per_strip, none/PackBits) for fixtures and roundtrips.
+
+Scope (disclosed): LZW/JPEG-in-TIFF/CCITT compressions, 16-bit samples,
+tiled layout, and planar configuration 2 raise NotImplementedError —
+`decode_images` then falls through to its fake_decoder handling.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+#: field type → byte width (the ones baseline files use)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8}
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits strip truncated")
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits writer: maximal repeat runs (≥3), literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run: until the next ≥3 repeat or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i
+            while j + 1 < n and data[j + 1] == data[i] and j - i < 126:
+                j += 1
+            if j - i + 1 >= 3:
+                break
+            i = j + 1
+        i = min(i, lit_start + 128)
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (h, w, channels) uint8 array (first IFD)."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (count,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(count):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, e)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            raw_off = e + 8
+        else:
+            (raw_off,) = struct.unpack_from(bo + "I", payload, e + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue  # rationals/ASCII — not needed for the pixel path
+        tags[tag] = list(
+            struct.unpack_from(bo + fmt * cnt, payload, raw_off)
+        )
+    try:
+        w, h = tags[256][0], tags[257][0]
+    except KeyError:
+        raise ValueError("TIFF missing dimensions")
+    from wukong_spark.operators.multimodal import check_decode_dims
+
+    check_decode_dims(w, h, "TIFF")
+    bits = tags.get(258, [8])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (only none/PackBits decode natively)"
+        )
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = tags.get(278, [h])[0]
+    row_bytes = w * spp
+    pieces = []
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        rows = min(rows_per_strip, remaining_rows)
+        raw = payload[off : off + cnt]
+        if comp == 32773:
+            raw = packbits_decode(raw, rows * row_bytes)
+        if len(raw) < rows * row_bytes:
+            raise ValueError("TIFF strip data truncated")
+        pieces.append(np.frombuffer(raw, np.uint8, rows * row_bytes))
+        remaining_rows -= rows
+    if remaining_rows > 0:
+        raise ValueError("TIFF strips cover fewer rows than declared")
+    img = np.concatenate(pieces).reshape(h, w, spp)
+    if photo == 0:  # white-is-zero greyscale: invert to the usual ramp
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def tiff_to_rgb(px: np.ndarray) -> np.ndarray:
+    """Native-channel decode → (h, w, 3) RGB (grey broadcast, alpha drop)."""
+    ch = px.shape[2]
+    if ch <= 2:  # grey or grey+alpha: broadcast the luma channel
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_tiff(
+    px: np.ndarray, compression: str = "none", rows_per_strip: int = 16
+) -> bytes:
+    """(h, w[, channels]) uint8 → little-endian baseline TIFF bytes."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    comp_tag = {"none": 1, "packbits": 32773}[compression]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = np.ascontiguousarray(px[y0 : y0 + rows_per_strip]).tobytes()
+        strips.append(packbits_encode(raw) if comp_tag == 32773 else raw)
+
+    n_tags = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4  # entries + next-IFD pointer
+    # out-of-line areas: bits-per-sample array (if ch>2), offsets, counts
+    extra = bytearray()
+
+    def alloc(values: list[int], fmt: str) -> int:
+        nonlocal extra
+        off = data_off + len(extra)
+        extra += struct.pack("<" + fmt * len(values), *values)
+        return off
+
+    bits_val = (
+        (8, 0) if ch == 1 else (alloc([8] * ch, "H"), None)
+    )
+    strip_data_off = None  # filled after extra is final
+
+    # lay out the strip data after the extra area; two passes because the
+    # offsets array itself lives in extra
+    counts = [len(s) for s in strips]
+    # reserve offsets/counts arrays (or inline when single-strip)
+    if len(strips) == 1:
+        off_entry = ("inline", 0)
+        cnt_entry = ("inline", counts[0])
+    else:
+        off_entry = ("offset", alloc([0] * len(strips), "I"))
+        cnt_entry = ("offset", alloc(counts, "I"))
+    strip_base = data_off + len(extra)
+    offs = []
+    acc = strip_base
+    for s in strips:
+        offs.append(acc)
+        acc += len(s)
+    if len(strips) == 1:
+        off_entry = ("inline", offs[0])
+    else:
+        struct.pack_into("<" + "I" * len(offs), extra, off_entry[1] - data_off, *offs)
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        entry(
+            258, 3, ch, bits_val[0] if ch != 1 else 8
+        ),
+        entry(259, 3, 1, comp_tag),
+        entry(262, 3, 1, 1 if ch == 1 else 2),
+        entry(273, 4, len(strips), off_entry[1]),
+        entry(277, 3, 1, ch),
+        entry(278, 4, 1, rows_per_strip),
+        entry(279, 4, len(strips), cnt_entry[1]),
+    ]
+    ifd = struct.pack("<H", n_tags) + b"".join(entries) + struct.pack("<I", 0)
+    head = b"II*\x00" + struct.pack("<I", ifd_off)
+    return head + ifd + bytes(extra) + b"".join(strips)

@@ -569,3 +569,64 @@ def archive_tar_decode(spark: SparkSession, sf_dir: str):
         _channel_sum(1).alias("sum_g"),
         _channel_sum(2).alias("sum_b"),
     ).orderBy("shard_id", "member")
+
+
+def _gen_tiff_media(spark: SparkSession) -> DataFrame:
+    """Seeded baseline-TIFF payloads: image i cycles channels
+    (RGB / grey / RGBA / grey) and alternates none / PackBits strip
+    compression — real little-endian TIFF bytes from operators/tiff.py."""
+    from wukong_spark.operators.tiff import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(7000 + k)
+                ch = (3, 1, 4, 1)[k % 4]
+                px = rng.integers(0, 256, size=(IMG_H, IMG_W, ch), dtype=np.uint8)
+                comp = "packbits" if k % 2 else "none"
+                rows.append(
+                    (k, bytearray(encode_tiff(px, compression=comp, rows_per_strip=10)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/tiff", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_tiff",
+    # literal oracle: exact integer channel sums — TIFF none/PackBits is
+    # lossless and the whole pipeline is integer (BMP/PNG/GIF class)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7830, 8417, 8204), (1, 8, 8, 8532, 8532, 8532),
+      (2, 8, 8, 8023, 8360, 9020), (3, 8, 8, 8749, 8749, 8749),
+      (4, 8, 8, 7133, 8196, 8045), (5, 8, 8, 8965, 8965, 8965),
+      (6, 8, 8, 8310, 7411, 8196), (7, 8, 8, 8855, 8855, 8855),
+      (8, 8, 8, 7911, 6466, 7582), (9, 8, 8, 9164, 9164, 9164),
+      (10, 8, 8, 8496, 7740, 8575), (11, 8, 8, 7778, 7778, 7778),
+      (12, 8, 8, 7502, 8215, 8743), (13, 8, 8, 7896, 7896, 7896),
+      (14, 8, 8, 7905, 8485, 6983), (15, 8, 8, 8464, 8464, 8464))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str):
+    """Seeded baseline-TIFF bytes (grey/RGB/RGBA, multi-strip, alternating
+    none/PackBits compression) → REAL decode (IFD walk, strip assembly,
+    PackBits RLE — operators/tiff.py, r7) → nearest-neighbor resize to
+    8×8 → exact integer channel sums.  Greyscale ids must show
+    sum_r == sum_g == sum_b."""
+    dec = decode_images(_gen_tiff_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
