@@ -824,3 +824,23 @@ def test_npy_stack_roundtrip(spark, rng, tmp_path):
     assert np.array_equal(back.to_numpy(), a)
     # the re-ingested matrix composes with the operator surface
     assert np.allclose(back.transpose().to_numpy(), a.T)
+
+
+def test_tsqr_check_matches_composition(spark, rng):
+    """tsqr_check (r7, fused verify): same R and same error metrics as
+    the tsqr + gramian + blockwise-residual composition, for both the
+    seeded fast path and the unseeded fallback."""
+    m = BlockMatrix.random(spark, 200, 8, 32, 8, seed=13)
+    r, orth, recon = m.tsqr_check()
+    q0, r0 = m.tsqr()
+    qn, a = q0.to_numpy(), m.to_numpy()
+    q0.release()
+    assert np.allclose(r, r0, atol=1e-12)
+    assert abs(orth - np.abs(qn.T @ qn - np.eye(8)).max()) < 1e-12
+    assert abs(recon - np.abs(qn @ r0 - a).max()) < 1e-12
+    assert orth < 1e-10 and recon < 1e-10
+    # unseeded fallback (composition path): same contract
+    mf = BlockMatrix.from_numpy(spark, rng.random((100, 5)), 32, 5)
+    r2, o2, c2 = mf.tsqr_check()
+    assert np.allclose(r2, np.triu(r2))
+    assert o2 < 1e-10 and c2 < 1e-10

@@ -214,15 +214,12 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     else:
         n, br, c = 16384, 1024, 32
     a = BlockMatrix.random(spark, n, c, br, c, seed=35)
-    # no a.df.persist(): tsqr fuses seeded generation into its first stage
-    # and the reconstruction subtract regenerates blocks in-task — a never
-    # materializes (r6)
-    q, r = a.tsqr()
-    q.df.persist()
-    orth_err = float(np.abs(q.gramian() - np.eye(c)).max())
-    recon_err = q._map_blocks(lambda blk, _r=r: blk @ _r).subtract(a).max_abs()
-    q.df.unpersist()
-    q.release()  # frees tsqr's internal stage-1 persist
+    # tsqr_check (r7): TWO distributed stages total — per-block R1s, then
+    # ONE fused verification pass (regen + local QR + Q1·Q2 + gram partial
+    # + residual max in-task); Q is never materialized and nothing is
+    # persisted.  Replaced the 4-job persist+gramian+subtract composition
+    # (its 256 MB cache-read recon pass alone cost 77 s executor time).
+    _, orth_err, recon_err = a.tsqr_check()
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, c)],
         "orthonormal boolean, reconstructs boolean, rank int",
@@ -327,15 +324,9 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     collect): ‖QᵀQ−I‖ via gramian(), ‖QR−A‖ via blockwise subtract +
     max_abs — the driver only ever sees c×c factors."""
     a = BlockMatrix.random(spark, 8192, 32, 1024, 32, seed=5)
-    # no a.df.persist(): generation fuses into tsqr's first stage and into
-    # the reconstruction subtract (r6)
-    q, r = a.tsqr()
-    q.df.persist()  # read by gramian and the reconstruction check
-    orth_err = float(np.abs(q.gramian() - np.eye(32)).max())
-    qr_prod = q._map_blocks(lambda blk, _r=r: blk @ _r, out_cols=32)
-    recon_err = qr_prod.subtract(a).max_abs()
-    q.df.unpersist()
-    q.release()  # frees tsqr's internal stage-1 persist
+    # tsqr_check (r7): fused two-stage factor + verify, Q never
+    # materialized (see la_tsqr_ref)
+    _, orth_err, recon_err = a.tsqr_check()
     return spark.createDataFrame(
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, 32)],
         "orthonormal boolean, reconstructs boolean, rank int",
