@@ -972,12 +972,22 @@ class BlockMatrix:
     def gramian(self) -> np.ndarray:
         """AᵀA for tall-skinny A (n_cols small): per-block AᵢᵀAᵢ → sum.
 
-        The reduction is Spark's partial+final agg over c×c buffers — the
-        tree-reduction pattern of the reference's SVD path (README.md:204).
+        The reduction is a depth-2 tree over c×c buffers (r7): task
+        partials group into ~√(n_partials) level-1 reducers before the
+        final single merge, so no reducer ever reads more than
+        ~√(n_partials)·c² doubles — at c=1000 on 32 tasks the old
+        single-reducer plan read a 244 MB shuffle in one task; on a
+        1,000-task cluster it would have read 8 GB.
         """
         c_total = self.n_cols
         br, n = self.block_rows, self.n_rows
         assert self.grid_cols == 1, "gramian: matrix must be one block wide"
+        seed = self.gen_seed
+        if seed is not None:
+            n_parts = _gen_parts(self.df.sparkSession, self.grid_rows)
+        else:
+            n_parts = max(1, self.df.rdd.getNumPartitions())
+        n_groups = max(1, int(n_parts**0.5))
 
         def part(batches) -> Iterator:
             import pyarrow as pa
@@ -985,21 +995,25 @@ class BlockMatrix:
             schema = pa.schema([("g", pa.int32()), ("gram", pa.binary())])
             for rb in batches:
                 bi_c, d_c = rb.column("bi"), rb.column("data")
-                # one partial per arrow batch: accumulate locally first
-                total = None
+                # one partial per (arrow batch, level-1 group)
+                totals: dict[int, np.ndarray] = {}
                 for i in range(rb.num_rows):
-                    r = min(br, n - bi_c[i].as_py() * br)
+                    bi = bi_c[i].as_py()
+                    r = min(br, n - bi * br)
                     blk = np.frombuffer(d_c[i].as_buffer(), dtype=np.float64).reshape(
                         r, c_total
                     )
                     g = blk.T @ blk
-                    total = g if total is None else total + g
-                if total is not None:
+                    key = bi % n_groups
+                    totals[key] = g if key not in totals else totals[key] + g
+                if totals:
                     yield pa.RecordBatch.from_pydict(
-                        {"g": [0], "gram": [total.tobytes()]}, schema=schema
+                        {
+                            "g": list(totals),
+                            "gram": [t.tobytes() for t in totals.values()],
+                        },
+                        schema=schema,
                     )
-
-        seed = self.gen_seed
 
         def part_gen(batches) -> Iterator:
             # fused generation (VERDICT r5 #3): blocks are a pure function
@@ -1014,33 +1028,42 @@ class BlockMatrix:
             schema = pa.schema([("g", pa.int32()), ("gram", pa.binary())])
             for rb in batches:
                 id_c = rb.column("id")
-                total = None
+                totals: dict[int, np.ndarray] = {}
                 for i in range(rb.num_rows):
                     bi = id_c[i].as_py()
                     r = min(br, n - bi * br)
                     blk = _gen_block(seed, bi, r, c_total)  # grid_cols == 1
                     g = blk.T @ blk
-                    total = g if total is None else total + g
-                if total is not None:
+                    key = bi % n_groups
+                    totals[key] = g if key not in totals else totals[key] + g
+                if totals:
                     yield pa.RecordBatch.from_pydict(
-                        {"g": [0], "gram": [total.tobytes()]}, schema=schema
+                        {
+                            "g": list(totals),
+                            "gram": [t.tobytes() for t in totals.values()],
+                        },
+                        schema=schema,
                     )
 
         def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
             total = np.sum([np.frombuffer(p) for p in pdf["gram"]], axis=0)
-            return pd.DataFrame({"g": [0], "gram": [total.tobytes()]})
+            return pd.DataFrame({"g": [int(key[0])], "gram": [total.tobytes()]})
 
         if seed is not None:
             gr = self.grid_rows
-            src = self.df.sparkSession.range(
-                0, gr, 1, _gen_parts(self.df.sparkSession, gr)
-            ).mapInArrow(
+            src = self.df.sparkSession.range(0, gr, 1, n_parts).mapInArrow(
                 part_gen, "g int, gram binary"
             )
         else:
             src = self.df.mapInArrow(part, "g int, gram binary")
-        rows = src.groupBy("g").applyInPandas(merge, "g int, gram binary").collect()
-        return np.frombuffer(rows[0].gram).reshape(c_total, c_total)
+        # level 1: ~√(n_partials) parallel reducers; level 2: driver sums
+        # the ≤ n_groups group totals (n_groups·c² doubles — bounded)
+        lvl1 = src.groupBy("g").applyInPandas(merge, "g int, gram binary")
+        rows = lvl1.collect()
+        total = np.sum(
+            [np.frombuffer(row.gram) for row in rows], axis=0
+        ).reshape(c_total, c_total)
+        return total
 
     def tsqr(self) -> tuple["BlockMatrix", np.ndarray]:
         """Direct TSQR (docs/examples/examples.rst:72-82; Benson et al.).
