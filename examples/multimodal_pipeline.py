@@ -71,7 +71,48 @@ def run(spark) -> bool:
     if len(feats) != 6 or any(r.sample_rate != sr or r.n_samples != sr // 8 for r in feats):
         return False
 
-    # 3. vector leg: cluster the embedding corpus (k=8, 5 Lloyd iterations)
+    # 3. WebDataset shard leg (r7): tar of (png, json) sample pairs →
+    #    explode members → group by sample key → decode the image field
+    import io
+    import tarfile
+
+    from wukong_spark.operators.archive import explode_tar, group_webdataset_samples
+    from wukong_spark.operators.multimodal import encode_png
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(4):
+            png = encode_png(
+                np.random.default_rng(50 + i).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            )
+            meta = b'{"caption": "sample %d"}' % i
+            for name, data in ((f"{i:03d}.png", png), (f"{i:03d}.json", meta)):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    shard = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    grouped = group_webdataset_samples(explode_tar(shard)).collect()
+    if len(grouped) != 4 or any(set(r.fields) != {"png", "json"} for r in grouped):
+        return False
+
+    # 4. video leg (r7): MJPEG AVI → evenly-spaced real frame sampling
+    from wukong_spark.operators.multimodal import frame_sample
+    from wukong_spark.operators.video import encode_mjpeg_avi
+
+    frames = [
+        np.full((8, 8, 3), (40 * i, 100, 255 - 40 * i), np.uint8) for i in range(5)
+    ]
+    vid = spark.createDataFrame(
+        [(0, bytearray(encode_mjpeg_avi(frames, quality=95)))],
+        "media_id long, payload binary",
+    )
+    sampled = frame_sample(vid, n_frames=3).collect()
+    if sorted(r.frame_no for r in sampled) != [0, 2, 4]:
+        return False
+
+    # 5. vector leg: cluster the embedding corpus (k=8, 5 Lloyd iterations)
     #    and require every cluster non-empty with a safe assignment margin
     km = load_all()["embed_kmeans_clusters"].fn(spark, SF_DIR).collect()
     if len(km) != 8:
