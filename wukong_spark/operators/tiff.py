@@ -177,9 +177,15 @@ def encode_tiff(
         extra += struct.pack("<" + fmt * len(values), *values)
         return off
 
-    bits_val = (
-        (8, 0) if ch == 1 else (alloc([8] * ch, "H"), None)
-    )
+    # TIFF inline rule: values whose total size ≤ 4 bytes live IN the
+    # value field, not behind an offset — 1 short inlines as 8, 2 shorts
+    # pack little-endian into the field; ≥3 go out-of-line
+    if ch == 1:
+        bits_val = (8, None)
+    elif ch == 2:
+        bits_val = (8 | (8 << 16), None)
+    else:
+        bits_val = (alloc([8] * ch, "H"), None)
     strip_data_off = None  # filled after extra is final
 
     # lay out the strip data after the extra area; two passes because the
@@ -209,11 +215,9 @@ def encode_tiff(
     entries = [
         entry(256, 4, 1, w),
         entry(257, 4, 1, h),
-        entry(
-            258, 3, ch, bits_val[0] if ch != 1 else 8
-        ),
+        entry(258, 3, ch, bits_val[0]),
         entry(259, 3, 1, comp_tag),
-        entry(262, 3, 1, 1 if ch == 1 else 2),
+        entry(262, 3, 1, 1 if ch <= 2 else 2),
         entry(273, 4, len(strips), off_entry[1]),
         entry(277, 3, 1, ch),
         entry(278, 4, 1, rows_per_strip),
