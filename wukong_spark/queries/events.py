@@ -782,3 +782,53 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "stream_sliding_1h_30m",
+    oracle="""
+    WITH cand AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 1800) AS BIGINT) - s.i) * 1800 * 1000000
+             ) AS window_start,
+             event_type, value
+      FROM events e, (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_4
+    FROM cand GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str):
+    """STREAMING sliding-window aggregation (1 h window, 30 min slide —
+    each event lands in 2 windows), hash-verified against the batch 2-way
+    replication — the sixth batch/stream-parity entry in the driver gate.
+
+    Same recipe as stream_tumbling_hourly: bounded availableNow run, a
+    2 h watermark finalizes every window once all data is read, so the
+    streaming result equals the batch aggregation exactly.  At 100 TB the
+    sliding-window state is 2× tumbling's (one open aggregate per
+    overlapping window), still bounded by the watermark horizon."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        agg = windowed_counts(ev, window="1 hour", slide="30 minutes")
+        rows = run_to_memory(agg, sink).collect()
+        schema = (
+            "window_start timestamp_ntz, event_type string,"
+            " n_events long, sum_value_4 long"
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
