@@ -790,3 +790,69 @@ def test_decode_images_real_tiff_end_to_end(spark):
     row = decode_images(df, height=8, width=8).collect()[0]
     got = np.array(row.pixels, np.uint8).reshape(8, 8, 3)
     assert np.array_equal(got, px)
+
+
+# -- Sun AU + AIFF audio (r7) -----------------------------------------------
+
+
+def test_au_roundtrip_and_signed_pcm8():
+    from wukong_spark.operators.multimodal import decode_au, encode_au
+
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    for enc, tol in (("ulaw", 0.01), ("pcm16", 1 / 32000)):
+        gsr, nch, y = decode_au(encode_au(x, sr, enc))
+        assert (gsr, nch) == (sr, 1)
+        assert np.abs(y - x).max() < tol, enc
+    # hand-built signed-PCM8 AU (encoding 2)
+    import struct as _s
+
+    pcm8 = np.clip(np.round(x * 128), -128, 127).astype(np.int8)
+    b = b".snd" + _s.pack(">IIIII", 24, len(pcm8), 2, sr, 1) + pcm8.tobytes()
+    _, _, y8 = decode_au(b)
+    assert np.abs(y8 - x).max() < 1 / 100
+    with pytest.raises(NotImplementedError):
+        decode_au(b".snd" + _s.pack(">IIIII", 24, 4, 27, sr, 1) + b"\x00" * 4)
+
+
+def test_aiff_roundtrip_and_f80():
+    from wukong_spark.operators.multimodal import (
+        _f80_to_float,
+        _float_to_f80,
+        decode_aiff,
+        encode_aiff_pcm16,
+    )
+
+    for v in (8000.0, 16000.0, 22050.0, 44100.0, 48000.0, 96000.0):
+        assert abs(_f80_to_float(_float_to_f80(v)) - v) < 1e-9 * v
+    sr = 44100
+    t = np.arange(sr // 10) / sr
+    x = 0.3 * np.sin(2 * np.pi * 1000 * t)
+    gsr, nch, y = decode_aiff(encode_aiff_pcm16(x, sr))
+    assert (gsr, nch) == (sr, 1)
+    assert np.abs(y - x).max() < 1 / 32000
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORMxxxxNOPE")
+
+
+def test_decode_audio_au_aiff_end_to_end(spark):
+    from wukong_spark.operators.multimodal import (
+        decode_audio,
+        encode_aiff_pcm16,
+        encode_au,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 8) / sr
+    x = 0.3 * np.sin(2 * np.pi * 300 * t)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_au(x, sr, "ulaw"))),
+         (2, bytearray(encode_au(x, sr, "pcm16"))),
+         (3, bytearray(encode_aiff_pcm16(x, sr)))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    for mid in (1, 2, 3):
+        assert out[mid].sample_rate == sr
+        assert abs(out[mid].rms - float(np.sqrt(np.mean(x**2)))) < 0.01

@@ -411,6 +411,122 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return sr, nch, x
 
 
+AU_MAGIC = b".snd"
+
+
+def decode_au(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Sun AU (.snd) → (sample_rate, n_channels, mono float64 in [−1, 1]).
+
+    The classic speech-corpus container: header is six u32be fields;
+    encodings 1 (G.711 µ-law), 2 (signed PCM8), 3 (PCM16 BE),
+    6 (float32 BE) decode; others raise."""
+    if payload[:4] != AU_MAGIC:
+        raise ValueError("not a Sun AU payload")
+    off, size, enc, sr, nch = struct.unpack_from(">IIIII", payload, 4)
+    data = payload[off : off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == 1:
+        x = _ulaw_to_linear(np.frombuffer(data, np.uint8)) / 32768.0
+    elif enc == 2:  # AU PCM8 is SIGNED (unlike WAV)
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+    elif enc == 6:
+        x = np.frombuffer(data, ">f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return sr, nch, x
+
+
+def encode_au(x: np.ndarray, sample_rate: int, encoding: str = "ulaw") -> bytes:
+    """Mono float64 samples → Sun AU bytes (µ-law or PCM16-BE)."""
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    if encoding == "ulaw":
+        enc, body = 1, _linear_to_ulaw(pcm).tobytes()
+    elif encoding == "pcm16":
+        enc, body = 3, pcm.astype(">i2").tobytes()
+    else:
+        raise ValueError(f"unknown AU encoding {encoding!r}")
+    head = AU_MAGIC + struct.pack(">IIIII", 24, len(body), enc, sample_rate, 1)
+    return head + body
+
+
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE extended (AIFF sampleRate field) → float."""
+    (se,) = struct.unpack(">H", b[:2])
+    mant = int.from_bytes(b[2:10], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_f80(v: float) -> bytes:
+    """float → 80-bit IEEE extended bytes (normalized; v > 0)."""
+    import math
+
+    if v == 0:
+        return b"\x00" * 10
+    exp = math.floor(math.log2(v))
+    mant = int(v / 2.0**exp * (1 << 63))
+    if mant >= 1 << 64:  # rounding pushed the mantissa over
+        mant >>= 1
+        exp += 1
+    return struct.pack(">H", exp + 16383) + mant.to_bytes(8, "big")
+
+
+def decode_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """AIFF (FORM/AIFF, big-endian PCM) → (sample_rate, n_channels,
+    mono float64 in [−1, 1]).  8/16/32-bit PCM; AIFC compression raises."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    if payload[8:12] == b"AIFC":
+        raise NotImplementedError("AIFC (compressed AIFF) unsupported")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"COMM":
+            nch, _nframes, bits = struct.unpack_from(">HIH", body, 0)
+            sr = int(round(_f80_to_float(body[8:18])))
+            comm = (nch, bits, sr)
+        elif cid == b"SSND":
+            (off2, _blk) = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + off2 :]
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, bits, sr = comm
+    if bits == 16:
+        x = np.frombuffer(ssnd, ">i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # AIFF 8-bit is signed
+        x = np.frombuffer(ssnd, np.int8).astype(np.float64) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(ssnd, ">i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"AIFF {bits}-bit samples")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return sr, nch, x
+
+
+def encode_aiff_pcm16(x: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float64 samples → 16-bit AIFF bytes."""
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(">i2")
+    body = pcm.tobytes()
+    comm = struct.pack(">HIH", 1, len(pcm), 16) + _float_to_f80(float(sample_rate))
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = (
+        b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
 def encode_wav_g711(x: np.ndarray, sample_rate: int, law: str = "ulaw") -> bytes:
     """Mono float64 samples in [−1, 1] → G.711 µ-law/A-law WAV bytes
     (format tag 7/6) — the telephony-corpus fixture counterpart of
@@ -569,8 +685,10 @@ def decode_audio(
 ) -> DataFrame:
     """binary → per-clip audio features, Arrow-batched.
 
-    PCM WAV payloads decode NATIVELY (stdlib ``wave`` + numpy, downmixed
-    to mono); other formats require ``fake_decoder=True``."""
+    WAV (PCM / G.711 / IEEE float), Sun AU (µ-law / signed PCM / float —
+    the classic speech-corpus container), and AIFF (big-endian PCM)
+    payloads decode NATIVELY (stdlib + numpy, downmixed to mono); other
+    formats require ``fake_decoder=True``."""
     out_schema = (
         "media_id long, sample_rate int, n_channels int, n_samples long, "
         "duration_s double, rms double, peak double"
@@ -582,9 +700,18 @@ def decode_audio(
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 b = bytes(payload)
                 decoded = None
-                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                if (
+                    (b[:4] == b"RIFF" and b[8:12] == b"WAVE")
+                    or b[:4] == AU_MAGIC
+                    or (b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"))
+                ):
                     try:
-                        decoded = decode_wav(b)
+                        if b[:4] == AU_MAGIC:
+                            decoded = decode_au(b)
+                        elif b[:4] == b"FORM":
+                            decoded = decode_aiff(b)
+                        else:
+                            decoded = decode_wav(b)
                     except Exception:
                         if not fake_decoder:
                             raise
@@ -596,8 +723,8 @@ def decode_audio(
                     x = np.random.default_rng(seed).uniform(-1, 1, 1600)
                 else:
                     raise NotImplementedError(
-                        "payload is not PCM WAV (the format decoded "
-                        "natively); audio codec libraries are not "
+                        "payload is not WAV / Sun AU / AIFF (the formats "
+                        "decoded natively); audio codec libraries are not "
                         "available — pass fake_decoder=True"
                     )
                 n = len(x)

@@ -630,3 +630,68 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str):
         _channel_sum(1).alias("sum_g"),
         _channel_sum(2).alias("sum_b"),
     ).orderBy("media_id")
+
+
+def _gen_au_aiff_media(spark: SparkSession) -> DataFrame:
+    """Seeded audio clips cycling container by id % 3 — Sun AU µ-law,
+    Sun AU PCM16-BE, AIFF PCM16 (the big-endian/speech-corpus containers
+    decode_audio grew late in r7); clip k is a (0.08 + 0.09·k)-amplitude
+    sine at 260 + 85·k Hz, 8 kHz.  (Amplitude/frequency grid chosen so
+    every oracle value sits ≥0.068 from a rounding boundary.)"""
+    from wukong_spark.operators.multimodal import encode_aiff_pcm16, encode_au
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                t = np.arange(8000 // 8) / 8000
+                x = (0.08 + 0.09 * k) * np.sin(2 * np.pi * (260 + 85 * k) * t)
+                if k % 3 == 0:
+                    b = encode_au(x, 8000, "ulaw")
+                elif k % 3 == 1:
+                    b = encode_au(x, 8000, "pcm16")
+                else:
+                    b = encode_aiff_pcm16(x, 8000)
+                rows.append((k, bytearray(b)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 9, 1, 3).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="audio", mime="audio/basic", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_audio_au_aiff",
+    # literal oracle: PCM peaks + 1e-6-scaled RMS of the seeded decode;
+    # worst rounding-boundary margin 0.068 vs ~1e-9 deterministic drift
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8000, 1, 1000, 2620, 56689),
+      (1, 8000, 1, 1000, 5571, 120070),
+      (2, 8000, 1, 1000, 8520, 183755),
+      (3, 8000, 1, 1000, 11388, 247720),
+      (4, 8000, 1, 1000, 14418, 311122),
+      (5, 8000, 1, 1000, 17367, 374516),
+      (6, 8000, 1, 1000, 19836, 436819),
+      (7, 8000, 1, 1000, 23265, 502078),
+      (8, 8000, 1, 1000, 26214, 565685))
+      AS t(media_id, sample_rate, n_channels, n_samples, peak_pcm, rms_e6)
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_au_aiff(spark: SparkSession, sf_dir: str):
+    """Seeded Sun AU (µ-law + PCM16-BE) and AIFF (PCM16, 80-bit-extended
+    sample rate) bytes → REAL decode (operators/multimodal.py, r7) →
+    per-clip features.  Covers the classic speech-corpus and big-endian
+    containers; the literal oracle pins all three decode paths."""
+    dec = decode_audio(_gen_au_aiff_media(spark))
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round(F.col("peak") * 32768).cast("bigint").alias("peak_pcm"),
+        F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_e6"),
+    ).orderBy("media_id")
