@@ -363,3 +363,63 @@ def test_g711_bounded_error_property(n, law, seed):
     _, _, y = decode_wav(encode_wav_g711(x, 8000, law))
     # G.711 worst-case segment step ≈ |x|/16 + smallest-step floor
     assert np.all(np.abs(y - x) <= np.abs(x) / 8 + 0.01)
+
+
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    comp=st.sampled_from(["none", "packbits"]),
+    rps=st.integers(1, 20),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_tiff_roundtrip_property(h, w, ch, comp, rps, seed):
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(px, compression=comp, rows_per_strip=rps))
+    assert np.array_equal(out, px)
+
+
+@given(n=st.integers(1, 3000), seed=st.integers(0, 10_000))
+@settings(**LOCAL_SETTINGS)
+def test_packbits_roundtrip_property(n, seed):
+    from wukong_spark.operators.tiff import packbits_decode, packbits_encode
+
+    rng = np.random.default_rng(seed)
+    # mix of runs and noise: interleave run segments with random bytes
+    parts = []
+    while sum(map(len, parts)) < n:
+        if rng.random() < 0.5:
+            parts.append(bytes([rng.integers(0, 256)]) * int(rng.integers(1, 200)))
+        else:
+            parts.append(bytes(rng.integers(0, 256, int(rng.integers(1, 50)), dtype=np.uint8)))
+    data = b"".join(parts)[:n]
+    assert packbits_decode(packbits_encode(data), n) == data
+
+
+@given(
+    n=st.integers(1, 2000),
+    container=st.sampled_from(["au_ulaw", "au_pcm16", "aiff"]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_au_aiff_bounded_error_property(n, container, seed):
+    from wukong_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        encode_aiff_pcm16,
+        encode_au,
+    )
+
+    x = np.random.default_rng(seed).uniform(-0.99, 0.99, n)
+    if container == "au_ulaw":
+        _, _, y = decode_au(encode_au(x, 8000, "ulaw"))
+        assert np.all(np.abs(y - x) <= np.abs(x) / 8 + 0.01)
+    elif container == "au_pcm16":
+        _, _, y = decode_au(encode_au(x, 8000, "pcm16"))
+        assert np.abs(y - x).max() <= 1 / 32000
+    else:
+        _, _, y = decode_aiff(encode_aiff_pcm16(x, 8000))
+        assert np.abs(y - x).max() <= 1 / 32000
