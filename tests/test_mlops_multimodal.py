@@ -856,3 +856,40 @@ def test_decode_audio_au_aiff_end_to_end(spark):
     for mid in (1, 2, 3):
         assert out[mid].sample_rate == sr
         assert abs(out[mid].rms - float(np.sqrt(np.mean(x**2)))) < 0.01
+
+
+# -- ICO codec (r7: directory walk over PNG/BMP entries) --------------------
+
+
+def test_ico_roundtrip_png_and_bmp_entries():
+    from wukong_spark.operators.ico import decode_ico, encode_ico, is_ico
+
+    rng = np.random.default_rng(71)
+    imgs = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        rng.integers(0, 256, (32, 24, 3), dtype=np.uint8),
+    ]
+    for as_png in (True, False):
+        b = encode_ico(imgs, as_png=as_png)
+        assert is_ico(b)
+        out = decode_ico(b)  # largest entry wins
+        assert np.array_equal(out, imgs[1]), as_png
+    assert not is_ico(b"\x01\x02\x03\x04\x05\x06")
+    with pytest.raises(ValueError):
+        decode_ico(b"nope")
+
+
+def test_decode_images_real_ico_end_to_end(spark):
+    from wukong_spark.operators.ico import encode_ico
+
+    rng = np.random.default_rng(72)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ico([px], as_png=True))),
+         (2, bytearray(encode_ico([px], as_png=False)))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in decode_images(df, height=16, width=16).collect()}
+    for mid in (1, 2):
+        got = np.array(out[mid].pixels, np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, px), mid

@@ -1,0 +1,108 @@
+"""ICO (Windows icon) decoder — dependency-free, composes bmp/png.
+
+Web crawls carry favicons; an ICO file is a tiny directory over images
+that are either PNG payloads (modern) or BMPs stored WITHOUT the 14-byte
+file header and with DOUBLED height (the XOR color plane stacked over an
+AND transparency mask).  This decoder walks the directory, picks the
+largest entry, and routes it through the existing PNG / BMP machinery —
+no new pixel code, just the container logic (the AND mask is ignored;
+pixels keep their colors, matching the alpha-drop convention elsewhere).
+
+Scope (disclosed): palette-indexed (≤8-bit) BMP entries raise — the PNG
+path and 24/32-bit BMP entries cover modern favicons; CUR files (cursor
+hotspots) share the layout and decode the same way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from wukong_spark.operators.multimodal import (
+    PNG_MAGIC,
+    check_decode_dims,
+    decode_bmp,
+    decode_png,
+    png_to_rgb,
+)
+
+
+def is_ico(payload: bytes) -> bool:
+    """ICO/CUR magic: reserved=0, type 1 (icon) or 2 (cursor), count ≥ 1."""
+    if len(payload) < 6:
+        return False
+    res, typ, cnt = struct.unpack_from("<HHH", payload, 0)
+    return res == 0 and typ in (1, 2) and 1 <= cnt <= 1024
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """ICO/CUR bytes → (h, w, 3) uint8 RGB of the LARGEST directory entry."""
+    if not is_ico(payload):
+        raise ValueError("not an ICO/CUR payload")
+    (_, _, count) = struct.unpack_from("<HHH", payload, 0)
+    best = None  # (area, offset, size)
+    for k in range(count):
+        e = 6 + 16 * k
+        w, h = payload[e], payload[e + 1]
+        w, h = w or 256, h or 256  # 0 encodes 256
+        size, off = struct.unpack_from("<II", payload, e + 8)
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    body = payload[off : off + size]
+    if body[:8] == PNG_MAGIC:
+        return png_to_rgb(decode_png(body))
+    # BMP entry: BITMAPINFOHEADER with doubled height, no file header.
+    # Rebuild a standalone BMP: prepend the 14-byte header and halve the
+    # height field (drop the AND mask rows, which sit ABOVE the color
+    # rows in the bottom-up layout — truncating the data is enough).
+    if len(body) < 40:
+        raise ValueError("ICO entry truncated")
+    hdr_size, w, h2 = struct.unpack_from("<Iii", body, 0)
+    if hdr_size < 40:
+        raise NotImplementedError("ICO BITMAPCOREHEADER entry")
+    bpp = struct.unpack_from("<H", body, 14)[0]
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"ICO palette-indexed BMP entry (bpp={bpp})")
+    h = abs(h2) // 2
+    check_decode_dims(w, h, "ICO")
+    fixed = bytearray(body)
+    struct.pack_into("<i", fixed, 8, h if h2 > 0 else -h)
+    data_off = 14 + hdr_size
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(fixed), 0, 0, data_off)
+    # keep only the color-plane bytes: h rows of the (padded) stride
+    stride = ((w * (bpp // 8) + 3) // 4) * 4
+    color_bytes = stride * h
+    return decode_bmp(bytes(head) + bytes(fixed[:hdr_size]) + bytes(fixed[hdr_size : hdr_size + color_bytes]))
+
+
+def encode_ico(images: list[np.ndarray], as_png: bool = True) -> bytes:
+    """List of (h, w, 3) uint8 RGB images → ICO bytes (PNG or BMP-entry
+    encoding) for fixtures and roundtrip tests."""
+    from wukong_spark.operators.multimodal import encode_bmp, encode_png
+
+    bodies = []
+    for px in images:
+        if as_png:
+            bodies.append(encode_png(px, filter_mode="none"))
+        else:
+            # BMP entry: strip the 14-byte file header, double the height
+            b = bytearray(encode_bmp(px)[14:])
+            h = px.shape[0]
+            struct.pack_into("<i", b, 8, 2 * h)
+            bodies.append(bytes(b))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for px, body in zip(images, bodies):
+        h, w = px.shape[:2]
+        out += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0,
+            h if h < 256 else 0,
+            0, 0, 1, 32 if not as_png else 0, len(body), off,
+        )
+        off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)

@@ -596,6 +596,7 @@ def _decode_pixels(
     bytes beginning "BM") falls through to the fake instead of failing —
     magic bytes are a heuristic, not a guarantee."""
     from wukong_spark.operators.gif import GIF_MAGICS, decode_gif
+    from wukong_spark.operators.ico import decode_ico, is_ico
     from wukong_spark.operators.jpeg import JPEG_MAGIC, decode_jpeg
     from wukong_spark.operators.tiff import TIFF_MAGICS, decode_tiff, tiff_to_rgb
 
@@ -605,6 +606,7 @@ def _decode_pixels(
         or payload[:2] == JPEG_MAGIC
         or payload[:6] in GIF_MAGICS
         or payload[:4] in TIFF_MAGICS
+        or is_ico(payload)
     ):
         try:
             if payload[:8] == PNG_MAGIC:
@@ -617,8 +619,10 @@ def _decode_pixels(
                 px = tiff_to_rgb(decode_tiff(payload))
             elif payload[:2] == b"BM":
                 px = decode_bmp(payload)
-            else:
+            elif payload[:2] == b"P6":
                 px = decode_ppm(payload)
+            else:
+                px = decode_ico(payload)
             return resize_nearest(px, height, width)
         except Exception:
             if not fake_decoder:
@@ -643,7 +647,7 @@ def decode_images(
 ) -> DataFrame:
     """binary → fixed-size RGB tensor + channel statistics, Arrow-batched.
 
-    BMP / P6 PPM / 8-bit PNG / baseline JPEG / GIF / baseline TIFF payloads decode NATIVELY
+    BMP / P6 PPM / 8-bit PNG / baseline JPEG / GIF / baseline TIFF / ICO payloads decode NATIVELY
     (magic-byte dispatch, pure numpy + stdlib) and are nearest-neighbor-resized to
     (height, width); other formats require ``fake_decoder=True`` (codec
     libs absent — see module docstring).  Plumbing (batch shape, schema,

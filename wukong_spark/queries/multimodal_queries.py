@@ -695,3 +695,62 @@ def multimodal_audio_au_aiff(spark: SparkSession, sf_dir: str):
         F.round(F.col("peak") * 32768).cast("bigint").alias("peak_pcm"),
         F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_e6"),
     ).orderBy("media_id")
+
+
+def _gen_ico_media(spark: SparkSession) -> DataFrame:
+    """Seeded ICO payloads: each icon holds a small (8×8) and a large
+    (24×18) image; entry encoding alternates PNG / headerless-BMP by id
+    parity — the decoder must pick the LARGEST entry through either
+    path (operators/ico.py)."""
+    from wukong_spark.operators.ico import encode_ico
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(8000 + k)
+                small = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                large = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+                rows.append(
+                    (k, bytearray(encode_ico([small, large], as_png=bool(k % 2))))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 12, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/x-icon", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_ico",
+    # literal oracle: exact integer channel sums of the LARGEST entry of
+    # each seeded icon — lossless container over PNG/BMP, fully integer
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7820, 7393, 7478), (1, 8, 8, 7704, 8025, 7789),
+      (2, 8, 8, 7539, 6955, 8712), (3, 8, 8, 8114, 8272, 8799),
+      (4, 8, 8, 7485, 8408, 8936), (5, 8, 8, 8201, 8651, 7768),
+      (6, 8, 8, 7932, 8098, 7651), (7, 8, 8, 7748, 7960, 7934),
+      (8, 8, 8, 7565, 7624, 8344), (9, 8, 8, 7312, 8431, 8330),
+      (10, 8, 8, 9252, 7997, 7891), (11, 8, 8, 8227, 8195, 9062))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_ico(spark: SparkSession, sf_dir: str):
+    """Seeded ICO bytes (two entries per icon, alternating PNG /
+    headerless-BMP encoding) → REAL decode (directory walk, largest-entry
+    selection, doubled-height BMP fixup — operators/ico.py, r7) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums.  The
+    favicon format of web crawls; both entry encodings are pinned."""
+    dec = decode_images(_gen_ico_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
