@@ -9,10 +9,20 @@ YCbCr→RGB — plus a matching encoder (standard Annex K quantization and
 Huffman tables, libjpeg-style quality scaling) used for fixture
 generation and roundtrip tests.
 
-Scope (disclosed): baseline DCT process only — SOF0, 8-bit samples,
-Huffman coding.  Progressive (SOF2), arithmetic coding, 12-bit, and
-lossless modes raise NotImplementedError; `decode_images` then falls
-through to its fake_decoder handling like any other unsupported payload.
+Progressive (SOF2) decode is supported as of round 8 (ITU-T T.81 §G):
+scans accumulate per-component coefficient arrays — DC first/refinement
+(interleaved or single-component), AC spectral-selection bands with
+EOB-run coding, and AC successive-approximation refinement (figure G.7's
+correction-bit protocol) — then one vectorized dequantize + IDCT renders
+the frame.  `encode_jpeg_progressive` emits a libjpeg-style 10-scan
+script for fixtures; because progressive transmission is lossless over
+the quantized coefficients, its decode is asserted BIT-IDENTICAL to the
+baseline decode of the same image at the same quality.
+
+Scope (disclosed): Huffman coding, 8-bit samples, SOF0/SOF1/SOF2.
+Arithmetic coding, 12-bit, hierarchical, and lossless modes raise
+NotImplementedError; `decode_images` then falls through to its
+fake_decoder handling like any other unsupported payload.
 
 Decode quality contract: this decoder inverts exactly what the encoder
 wrote — dequantization recovers the encoder's integer coefficients
@@ -266,12 +276,15 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
+def _forward_coefficients(
+    px: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, int]:
+    """(h, w, 3) uint8 RGB → per-component quantized DCT coefficient
+    blocks (shape (rows, cols, 8, 8) each) + zigzag quant tables + sub.
 
-    Standard Annex K quantization (quality-scaled) + Huffman tables,
-    4:4:4 or 4:2:0 chroma; deterministic (pure numpy fixed-point-free
-    float DCT with one round at quantization)."""
+    Shared by the baseline and progressive encoders so both transmit the
+    SAME integer coefficients — which is what makes the cross-encoding
+    bit-identical-decode test meaningful."""
     assert px.ndim == 3 and px.shape[2] == 3, "encode_jpeg expects RGB"
     if subsampling not in ("444", "420"):
         raise NotImplementedError(f"subsampling {subsampling}")
@@ -305,6 +318,42 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> 
         f = np.einsum("ux,rcxy,vy->rcuv", _DCT_M, blocks, _DCT_M)
         q = qmat[0 if ci == 0 else 1]
         coef.append(np.round(f / q).astype(np.int64))
+    return coef, qly, qlc, sub
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jfif_headers(
+    h: int, w: int, sub: int, qly: np.ndarray, qlc: np.ndarray, sof_marker: int
+) -> bytes:
+    """SOI + APP0 + DQT×2 + SOFn + DHT×4 (standard tables), shared by the
+    baseline (SOF0) and progressive (SOF2) encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(qly.astype(np.uint8)))
+    out += _seg(0xFFDB, bytes([1]) + bytes(qlc.astype(np.uint8)))
+    samp = 0x22 if sub == 2 else 0x11
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(sof_marker, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _STD_DC_LUMA), (0, 1, _STD_DC_CHROMA),
+        (1, 0, _STD_AC_LUMA), (1, 1, _STD_AC_CHROMA),
+    ):
+        out += _seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+    return bytes(out)
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    Standard Annex K quantization (quality-scaled) + Huffman tables,
+    4:4:4 or 4:2:0 chroma; deterministic (pure numpy fixed-point-free
+    float DCT with one round at quantization)."""
+    h, w = px.shape[:2]
+    coef, qly, qlc, sub = _forward_coefficients(px, quality, subsampling)
 
     dc_tabs = [_canonical_codes(*_STD_DC_LUMA), _canonical_codes(*_STD_DC_CHROMA)]
     ac_tabs = [_canonical_codes(*_STD_AC_LUMA), _canonical_codes(*_STD_AC_CHROMA)]
