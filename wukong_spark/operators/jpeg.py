@@ -391,7 +391,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> 
             bw.write(bits, cat)
             run = 0
 
-    gh, gw = ph // mcu, pw // mcu
+    # chroma has exactly one block per MCU (for both 444 and 420), so the
+    # chroma block grid IS the MCU grid
+    gh, gw = coef[1].shape[:2]
     for my in range(gh):
         for mx in range(gw):
             for sy in range(sub):  # luma blocks of the MCU, raster order
@@ -401,24 +403,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> 
             put_block(2, coef[2][my, mx])
     scan = bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(qly.astype(np.uint8)))
-    out += seg(0xFFDB, bytes([1]) + bytes(qlc.astype(np.uint8)))
-    samp = 0x22 if sub == 2 else 0x11
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1])
-    out += seg(0xFFC0, sof)
-    for cls, tid, (bits, vals) in (
-        (0, 0, _STD_DC_LUMA), (0, 1, _STD_DC_CHROMA),
-        (1, 0, _STD_AC_LUMA), (1, 1, _STD_AC_CHROMA),
-    ):
-        out += seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+    out = bytearray(_jfif_headers(h, w, sub, qly, qlc, 0xFFC0))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
