@@ -367,16 +367,21 @@ def test_jpeg_420_subsampling_smaller_and_close():
     assert np.abs(out.astype(int) - px.astype(int)).mean() < 12.0
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_rejects_unsupported_modes():
     from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 to SOF2 (progressive) in a valid stream → NotImplementedError
+    # flip SOF0 to SOF3 (lossless) in a valid stream → NotImplementedError
     b = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="baseline sequential and progressive"):
+        decode_jpeg(bytes(b))
+    # flip to SOF2: now parsed as progressive, but the baseline SOS header
+    # (Ss=0, Se=63) is not a legal progressive scan → ValueError
     b[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(b))
 
 
@@ -385,6 +390,159 @@ def test_decode_images_real_jpeg_end_to_end(spark):
 
     px = np.full((16, 16, 3), (10, 200, 90), np.uint8)
     payload = encode_jpeg(px, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = decode_images(df, height=16, width=16).collect()[0]
+    got = np.array(row.pixels, np.uint8).reshape(16, 16, 3)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+# -- progressive JPEG (r9: SOF2 multi-scan decode + 10-scan encoder) --------
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive transmission is lossless over the quantized
+    coefficients, so decoding the progressive bytes must match the
+    baseline decode of the same image BIT-FOR-BIT — across odd dims
+    (MCU padding), both chroma modes, and the quality range."""
+    from wukong_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in ((8, 8), (24, 18), (17, 23), (33, 7)):
+        for sub in ("444", "420"):
+            for q in (25, 90, 100):
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                base = decode_jpeg(encode_jpeg(px, quality=q, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(px, quality=q, subsampling=sub)
+                )
+                assert np.array_equal(base, prog), (h, w, sub, q)
+
+
+def test_jpeg_progressive_eob_runs_and_smooth_content():
+    """Constant / smooth content drives multi-block EOB runs (EOBn with
+    n ≥ 1) through both the encoder accumulation and the decoder's
+    run-skip + refinement-tail paths."""
+    from wukong_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:120, 0:90]
+    smooth = np.clip(
+        yy[..., None] + xx[..., None] + rng.normal(0, 8, (120, 90, 3)), 0, 255
+    ).astype(np.uint8)
+    for px in (np.full((48, 48, 3), 77, np.uint8), smooth):
+        for sub in ("444", "420"):
+            b = encode_jpeg_progressive(px, quality=75, subsampling=sub)
+            assert b"\xff\xc2" in b  # really SOF2
+            assert np.array_equal(
+                decode_jpeg(b),
+                decode_jpeg(encode_jpeg(px, quality=75, subsampling=sub)),
+            )
+
+
+def test_jpeg_progressive_grayscale_single_component_scans():
+    """Handcrafted single-component (grayscale) progressive stream: a
+    non-interleaved DC scan + an AC band scan whose EOB1 symbol covers
+    all three blocks.  Pins the exact EOBn run-length arithmetic
+    (run = 2^n + extra) and the grayscale broadcast."""
+    import struct
+
+    from wukong_spark.operators.jpeg import (
+        _STD_DC_LUMA,
+        _BitWriter,
+        _canonical_codes,
+        _magnitude_bits,
+        _seg,
+        decode_jpeg,
+    )
+
+    # 24×8 constant gray 100 → level shift −28 → DC = −224 (unit quant)
+    qt = bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00] + _STD_DC_LUMA[0] + _STD_DC_LUMA[1])
+    ac_bits, ac_vals = [0, 2] + [0] * 14, [0x00, 0x10]
+    dht_ac = bytes([0x10] + ac_bits + ac_vals)
+
+    bw = _BitWriter()
+    dc_codes = _canonical_codes(*_STD_DC_LUMA)
+    cat, bits = _magnitude_bits(-224)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    bw.write(bits, cat)
+    for _ in range(2):  # two zero diffs
+        code, ln = dc_codes[0]
+        bw.write(code, ln)
+    dc_scan = bw.flush()
+
+    bw = _BitWriter()
+    code, ln = _canonical_codes(ac_bits, ac_vals)[0x10]
+    bw.write(code, ln)  # EOB1: run = 2 + extra
+    bw.write(1, 1)  # extra bit 1 → run covers all 3 blocks
+    ac_scan = bw.flush()
+
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xFFDB, qt)
+        + _seg(0xFFC2, sof)
+        + _seg(0xFFC4, dht_dc)
+        + _seg(0xFFC4, dht_ac)
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + dc_scan
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + ac_scan
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 24, 3)
+    assert (out == 100).all()
+
+
+def test_jpeg_optimal_huffman_tables_valid():
+    """Per-scan optimal tables must be canonical-valid: lengths ≤ 16,
+    prefix-free, and the all-ones code left unassigned (strict Kraft
+    inequality) so 1-padding can't alias a symbol.  Fibonacci
+    frequencies force depths > 16 through the T.81 K.3 fold."""
+    from wukong_spark.operators.jpeg import (
+        _canonical_codes,
+        _decode_map,
+        _optimal_table,
+    )
+
+    rng = np.random.default_rng(5)
+    fib = [1, 1]
+    while len(fib) < 25:
+        fib.append(fib[-1] + fib[-2])
+    cases = [{i: f for i, f in enumerate(fib)}, {7: 3}]
+    for _ in range(100):
+        syms = rng.choice(256, size=int(rng.integers(1, 60)), replace=False)
+        cases.append({int(s): int(rng.integers(1, 10000)) for s in syms})
+    for freq in cases:
+        bits, vals = _optimal_table(freq)
+        assert sum(bits) == len(freq)
+        assert sorted(vals) == sorted(freq)
+        codes = _canonical_codes(bits, vals)
+        kraft = 0
+        for _, (c, ln) in codes.items():
+            assert 1 <= ln <= 16 and c < (1 << ln)
+            kraft += 1 << (16 - ln)
+        assert kraft < (1 << 16)  # strict: all-ones code reserved
+        assert len(_decode_map(bits, vals)) == len(freq)
+
+
+def test_decode_images_real_progressive_jpeg_end_to_end(spark):
+    from wukong_spark.operators.jpeg import encode_jpeg_progressive
+
+    px = np.full((16, 16, 3), (10, 200, 90), np.uint8)
+    payload = encode_jpeg_progressive(px, quality=95)
     df = spark.createDataFrame(
         [(1, bytearray(payload))], "media_id long, payload binary"
     )

@@ -351,6 +351,29 @@ def test_jpeg_q100_bounded_error_property(h, w, seed):
 
 
 @given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    sub=st.sampled_from(["444", "420"]),
+    q=st.sampled_from([30, 85, 100]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_jpeg_progressive_matches_baseline_property(h, w, sub, q, seed):
+    """Progressive coding is lossless over the quantized coefficients:
+    decode(progressive bytes) ≡ decode(baseline bytes) bit-for-bit."""
+    from wukong_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=q, subsampling=sub))
+    assert np.array_equal(base, prog)
+
+
+@given(
     n=st.integers(1, 2000),
     law=st.sampled_from(["ulaw", "alaw"]),
     seed=st.integers(0, 10_000),

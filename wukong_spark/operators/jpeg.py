@@ -9,15 +9,17 @@ YCbCr→RGB — plus a matching encoder (standard Annex K quantization and
 Huffman tables, libjpeg-style quality scaling) used for fixture
 generation and roundtrip tests.
 
-Progressive (SOF2) decode is supported as of round 8 (ITU-T T.81 §G):
+Progressive (SOF2) decode is supported as of round 9 (ITU-T T.81 §G):
 scans accumulate per-component coefficient arrays — DC first/refinement
 (interleaved or single-component), AC spectral-selection bands with
 EOB-run coding, and AC successive-approximation refinement (figure G.7's
-correction-bit protocol) — then one vectorized dequantize + IDCT renders
-the frame.  `encode_jpeg_progressive` emits a libjpeg-style 10-scan
-script for fixtures; because progressive transmission is lossless over
-the quantized coefficients, its decode is asserted BIT-IDENTICAL to the
-baseline decode of the same image at the same quality.
+correction-bit protocol) — then one final dequantize + IDCT pass renders
+the frame through the SAME per-block ops as the baseline path.
+`encode_jpeg_progressive` emits libjpeg's default 10-scan script with
+per-scan optimal Huffman tables; because progressive transmission is
+lossless over the quantized coefficients, its decode is asserted
+BIT-IDENTICAL to the baseline decode of the same image at the same
+quality.
 
 Scope (disclosed): Huffman coding, 8-bit samples, SOF0/SOF1/SOF2.
 Arithmetic coding, 12-bit, hierarchical, and lossless modes raise
@@ -412,18 +414,25 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> 
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (greyscale broadcast).
+    """JFIF bytes → (h, w, 3) uint8 RGB (greyscale broadcast).
 
-    Handles SOF0 8-bit with 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
-    sampling, multiple DQT/DHT segments, and DRI restart intervals.
-    Progressive/arithmetic/12-bit variants raise NotImplementedError."""
+    Handles SOF0/SOF1 baseline-sequential and SOF2 progressive frames:
+    8-bit with 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
+    multiple DQT/DHT segments (progressive streams redefine tables
+    between scans), DRI restart intervals, DC/AC spectral-selection and
+    successive-approximation scans with EOB-run coding.
+    Arithmetic/12-bit/hierarchical/lossless variants raise
+    NotImplementedError."""
     if payload[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     restart = 0
+    nscans = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -459,7 +468,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17 : bpos + 17 + n])
                 huff[(cls, tid)] = _decode_map(bits, vals)
                 bpos += 17 + n
-        elif marker == 0xFFC0 or marker == 0xFFC1:  # baseline / ext sequential
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # baseline / ext seq / prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             from wukong_spark.operators.multimodal import check_decode_dims
 
@@ -471,10 +480,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
             frame = (fh, fw, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9,
+            progressive = marker == 0xFFC2
+            if progressive:
+                # per-component zigzag coefficient accumulators, padded to
+                # the full MCU grid (scans add bits until EOI renders)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                gw, gh = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+                coefs = [
+                    np.zeros((gh * c["v"], gw * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9,
                         0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG (SOF0/SOF1) is decoded"
+                "only baseline sequential and progressive Huffman JPEG "
+                "(SOF0/SOF1/SOF2) are decoded"
             )
         elif marker == 0xFFDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
@@ -486,9 +507,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scomp.append((cid, tabs >> 4, tabs & 0xF))
-            return _decode_scan(payload, pos + ln, frame, scomp, qt, huff, restart)
+            if not progressive:
+                return _decode_scan(payload, pos + ln, frame, scomp, qt, huff, restart)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos + ln, frame, scomp, ss, se,
+                ahal >> 4, ahal & 0xF, huff, coefs, restart,
+            )
+            nscans += 1
+            continue
         pos += ln
+    if progressive and coefs is not None and nscans:
+        return _render_progressive(frame, coefs, qt)
     raise ValueError("JPEG missing SOS scan")
+
+
+def _read_symbol(rd: _BitReader, tab) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | rd.read_bit()
+        length += 1
+        if (length, code) in tab:
+            return tab[(length, code)]
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman stream")
+
+
+def _idct_dequant(blk: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """(8, 8) int64 quantized coefficients + dezigzagged quant matrix →
+    float spatial block (+128 level shift).  Shared by the baseline and
+    progressive render paths so both produce bit-identical floats."""
+    f = blk * qmat
+    return _DCT_M.T @ f @ _DCT_M + 128.0
+
+
+def _planes_to_rgb(planes, comps, fh, fw, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop, convert."""
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+    if len(comps) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 def _decode_scan(data, pos, frame, scomp, qt, huff, restart):
@@ -498,7 +564,6 @@ def _decode_scan(data, pos, frame, scomp, qt, huff, restart):
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     gw, gh = -(-fw // mcu_w), -(-fh // mcu_h)
     by_id = {c["id"]: c for c in comps}
-    order = []  # (component index, plane) in MCU interleave order
     planes = []
     for ci, c in enumerate(comps):
         pw_, ph_ = gw * c["h"] * 8, gh * c["v"] * 8
@@ -510,27 +575,17 @@ def _decode_scan(data, pos, frame, scomp, qt, huff, restart):
     rd = _BitReader(data, pos)
     pred = [0] * len(comps)
 
-    def read_symbol(tab) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | rd.read_bit()
-            length += 1
-            if (length, code) in tab:
-                return tab[(length, code)]
-            if length > 16:
-                raise ValueError("invalid JPEG Huffman stream")
-
     def decode_block(ci: int) -> np.ndarray:
         c = comps[ci]
         dt, at = huff[(0, c["dc_t"])], huff[(1, c["ac_t"])]
         zz = np.zeros(64, np.int64)
-        cat = read_symbol(dt)
+        cat = _read_symbol(rd, dt)
         diff = _extend(rd.read_bits(cat), cat) if cat else 0
         pred[ci] += diff
         zz[0] = pred[ci]
         k = 1
         while k < 64:
-            rs = read_symbol(at)
+            rs = _read_symbol(rd, at)
             run, size = rs >> 4, rs & 0xF
             if size == 0:
                 if run == 15:
@@ -544,8 +599,7 @@ def _decode_scan(data, pos, frame, scomp, qt, huff, restart):
             k += 1
         blk = np.zeros((8, 8), np.int64)
         blk[_ZZ_ROWS, _ZZ_COLS] = zz
-        f = blk * qt[c["q"]]
-        return _DCT_M.T @ f @ _DCT_M + 128.0
+        return _idct_dequant(blk, qt[c["q"]])
 
     nmcu = 0
     for my in range(gh):
@@ -567,15 +621,457 @@ def _decode_scan(data, pos, frame, scomp, qt, huff, restart):
                 raise ValueError(f"JPEG marker 0x{mh.marker:04x} inside scan")
             nmcu += 1
 
-    # upsample each component to full MCU-grid resolution, crop, convert
-    full = []
+    return _planes_to_rgb(planes, comps, fh, fw, hmax, vmax)
+
+
+# -- progressive (SOF2) — ITU-T T.81 Annex G ---------------------------------
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scomp, ss, se, ah, al, huff, coefs, restart
+):
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient accumulators; returns the byte offset of the next marker.
+
+    Implements all four scan kinds of T.81 §G.2: DC first (Huffman diff of
+    the point-transformed value), DC successive-approximation refinement
+    (one raw bit per block), AC first (spectral band with EOB-run coding),
+    and AC refinement (figure G.7's correction-bit protocol)."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    sel = [(by_id[cid], dct, act) for cid, dct, act in scomp]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(sel) > 1:
+        raise ValueError("progressive AC scan must be single-component")
+    rd = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correction(zz, k) -> None:
+        # refinement bit for an already-nonzero coefficient: append the
+        # next magnitude bit (sign-magnitude; invariant: bit al is clear
+        # until this scan's correction arrives)
+        if rd.read_bit() and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def dc_block(ci, zz, dct) -> None:
+        if ah == 0:
+            cat = _read_symbol(rd, huff[(0, dct)])
+            diff = _extend(rd.read_bits(cat), cat) if cat else 0
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+        elif rd.read_bit():
+            zz[0] = int(zz[0]) | p1
+
+    def ac_first_block(zz, act) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        at = huff[(1, act)]
+        k = ss
+        while k <= se:
+            rs = _read_symbol(rd, at)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1  # current block consumes one
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            zz[k] = _extend(rd.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(zz, act) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            at = huff[(1, act)]
+            while k <= se:
+                rs = _read_symbol(rd, at)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break  # rest of band handled by the EOB tail below
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size must be 1")
+                    val = p1 if rd.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        correction(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB-run tail: correction bits for the remaining nonzero
+            # coefficients of the band (this block consumes one run unit)
+            while k <= se:
+                if zz[k] != 0:
+                    correction(zz, k)
+                k += 1
+            eobrun -= 1
+
+    interleaved = len(sel) > 1
+    nunit = 0
+
+    def maybe_restart() -> None:
+        nonlocal nunit, eobrun
+        if restart and nunit and nunit % restart == 0:
+            m = rd.align_to_marker()
+            if not (0xFFD0 <= m <= 0xFFD7):
+                raise ValueError("expected JPEG restart marker")
+            pred[:] = [0] * len(comps)
+            eobrun = 0
+
+    try:
+        if interleaved:  # DC scan over the full padded MCU grid
+            gw, gh = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+            for my in range(gh):
+                for mx in range(gw):
+                    maybe_restart()
+                    for ci, dct, _ in sel:
+                        c = comps[ci]
+                        for sy in range(c["v"]):
+                            for sx in range(c["h"]):
+                                zz = coefs[ci][my * c["v"] + sy, mx * c["h"] + sx]
+                                dc_block(ci, zz, dct)
+                    nunit += 1
+        else:  # single-component scan: the component's own block grid
+            ci, dct, act = sel[0]
+            c = comps[ci]
+            # T.81 A.2.2: ceil of the component's sample dims, NOT the
+            # MCU-padded grid
+            sx = -(-fw * c["h"] // hmax)
+            sy = -(-fh * c["v"] // vmax)
+            bx, by = -(-sx // 8), -(-sy // 8)
+            for yy in range(by):
+                for xx in range(bx):
+                    maybe_restart()
+                    zz = coefs[ci][yy, xx]
+                    if ss == 0:
+                        dc_block(ci, zz, dct)
+                    elif ah == 0:
+                        ac_first_block(zz, act)
+                    else:
+                        ac_refine_block(zz, act)
+                    nunit += 1
+    except _MarkerHit as mh:
+        raise ValueError(f"JPEG marker 0x{mh.marker:04x} inside scan")
+
+    # advance to the next marker (skipping stuffed FF00s)
+    p = rd.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xFFD0 <= (0xFF00 | data[p + 1]) <= 0xFFD7:
+                p += 2  # stray restart at scan end
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _render_progressive(frame, coefs, qt) -> np.ndarray:
+    """Accumulated zigzag coefficients → RGB via the SAME per-block
+    dequantize + IDCT ops as the baseline path (bit-identical floats)."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:fh, :fw])
-    if len(comps) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(full[0], full[1], full[2])
+        arr = coefs[ci]
+        by, bx = arr.shape[:2]
+        plane = np.empty((by * 8, bx * 8))
+        q = qt[c["q"]]
+        blk = np.zeros((8, 8), np.int64)
+        for y in range(by):
+            for x in range(bx):
+                blk[_ZZ_ROWS, _ZZ_COLS] = arr[y, x]
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = _idct_dequant(blk, q)
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, fh, fw, hmax, vmax)
+
+
+def _optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies → (bits[1..16], values): length-limited canonical
+    Huffman table (T.81 Annex K.2).  A zero-frequency pseudo-symbol 256 is
+    forced deepest then dropped, reserving the all-ones code the spec
+    forbids assigning (padding bits must not form a valid code)."""
+    import heapq
+
+    f = dict(freq)
+    f[256] = 0  # strictly smallest → always merged first → deepest
+    depth = {s: 0 for s in f}
+    heap = [(n, [s]) for s, n in f.items()]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, sa = heapq.heappop(heap)
+        fb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, sa + sb))
+    if len(f) == 1:  # cannot happen (pseudo always present), defensive
+        depth[256] = 1
+    dmax = max(depth.values())
+    assert depth[256] == dmax and dmax <= 32
+    bits = [0] * 33
+    for d in depth.values():
+        bits[d] += 1
+    i = 32  # T.81 figure K.3: fold overlong lengths down to ≤16
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # reassign lengths by original depth order (pseudo 256 sorts last)
+    order = sorted(f, key=lambda s: (depth[s], s))
+    lengths = [l for l in range(1, 17) for _ in range(bits[l])]
+    assert len(order) == len(lengths) and order[-1] == 256
+    bits16 = bits[1:17]
+    bits16[lengths[-1] - 1] -= 1  # drop the pseudo-symbol's (longest) code
+    return bits16, order[:-1]
+
+
+#: libjpeg's default 10-scan progressive script (components, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first, successive approximation bit 1
+    ((0,), 1, 5, 0, 2),       # Y low AC band, coarse
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),      # Y high AC band, coarse
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refinement
+    ((0,), 1, 63, 2, 1),      # AC refinements
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids):
+    """Emit one progressive scan twice: a counting pass gathers Huffman
+    symbol frequencies, then per-scan optimal tables encode for real.
+    Returns ([(class, tid, (bits, values)), ...], entropy_bytes)."""
+    interleaved = len(comps_sel) > 1
+
+    def run(emit_sym, emit_bits) -> None:
+        pred = [0, 0, 0]
+        eobrun = 0
+        be_buf: list[int] = []  # correction bits owned by the pending EOB run
+        br_buf: list[int] = []  # correction bits of the current block's run
+        tk = None  # single AC table key per scan (AC scans have one comp)
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                emit_sym(tk, n << 4)
+                if n:
+                    emit_bits(eobrun - (1 << n), n)
+                for b in be_buf:
+                    emit_bits(b, 1)
+                be_buf.clear()
+                eobrun = 0
+
+        def flush_br() -> None:
+            for b in br_buf:
+                emit_bits(b, 1)
+            br_buf.clear()
+
+        def dc_block(ci, v) -> None:
+            v = int(v) >> al  # arithmetic shift: the DC point transform
+            if ah == 0:
+                cat, b = _magnitude_bits(v - pred[ci])
+                pred[ci] = v
+                emit_sym(("dc", 0 if ci == 0 else 1), cat)
+                if cat:
+                    emit_bits(b, cat)
+            else:
+                emit_bits(v & 1, 1)  # raw successive-approximation bit
+
+        def ac_first_block(zz) -> None:
+            nonlocal eobrun
+            tv = []
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                # sign-magnitude point transform (T.81 G.1.2.2)
+                tv.append(-((-t) >> al) if t < 0 else t >> al)
+            last = -1
+            for i in range(len(tv) - 1, -1, -1):
+                if tv[i]:
+                    last = i
+                    break
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                return
+            flush_eob()
+            run_ = 0
+            for i in range(last + 1):
+                t = tv[i]
+                if t == 0:
+                    run_ += 1
+                    continue
+                while run_ > 15:
+                    emit_sym(tk, 0xF0)
+                    run_ -= 16
+                cat, b = _magnitude_bits(t)
+                emit_sym(tk, (run_ << 4) | cat)
+                emit_bits(b, cat)
+                run_ = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        def ac_refine_block(zz) -> None:
+            nonlocal eobrun
+            absv, sgn = [], []
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                absv.append((t if t >= 0 else -t) >> al)
+                sgn.append(t >= 0)
+            eob = -1  # index of the last newly-significant coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            run_ = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run_ += 1
+                    continue
+                while run_ > 15 and i <= eob:
+                    flush_eob()
+                    emit_sym(tk, 0xF0)
+                    flush_br()
+                    run_ -= 16
+                if t > 1:  # already significant: one correction bit
+                    br_buf.append(t & 1)
+                    continue
+                flush_eob()
+                emit_sym(tk, (run_ << 4) | 1)
+                emit_bits(1 if sgn[i] else 0, 1)
+                flush_br()
+                run_ = 0
+            if run_ > 0 or br_buf:
+                eobrun += 1
+                be_buf.extend(br_buf)
+                br_buf.clear()
+                if eobrun == 0x7FFF:
+                    flush_eob()
+
+        if interleaved:  # DC scan over the full padded MCU grid
+            gh, gw = mcu_grid
+            for my in range(gh):
+                for mx in range(gw):
+                    for ci in comps_sel:
+                        if ci == 0:
+                            for sy in range(sub):
+                                for sx in range(sub):
+                                    dc_block(ci, czz[0][my * sub + sy, mx * sub + sx, 0])
+                        else:
+                            dc_block(ci, czz[ci][my, mx, 0])
+        else:
+            ci = comps_sel[0]
+            tk = ("ac", 0 if ci == 0 else 1)
+            by, bx = grids[ci]
+            for yy in range(by):
+                for xx in range(bx):
+                    zz = czz[ci][yy, xx]
+                    if ss == 0:
+                        dc_block(ci, zz[0])
+                    elif ah == 0:
+                        ac_first_block(zz)
+                    else:
+                        ac_refine_block(zz)
+            flush_eob()
+
+    # pass 1: count symbols per table key
+    freqs: dict[tuple[str, int], dict[int, int]] = {}
+
+    def count_sym(tk, s) -> None:
+        freqs.setdefault(tk, {})[s] = freqs.setdefault(tk, {}).get(s, 0) + 1
+
+    run(count_sym, lambda v, n: None)
+
+    tables, codes = [], {}
+    for (cls_name, tid), fr in sorted(freqs.items()):
+        bits, vals = _optimal_table(fr)
+        tables.append((0 if cls_name == "dc" else 1, tid, (bits, vals)))
+        codes[(cls_name, tid)] = _canonical_codes(bits, vals)
+
+    # pass 2: emit for real
+    bw = _BitWriter()
+
+    def write_sym(tk, s) -> None:
+        code, length = codes[tk][s]
+        bw.write(code, length)
+
+    run(write_sym, bw.write)
+    return tables, bw.flush()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Transmits the SAME quantized coefficients as `encode_jpeg` (shared
+    `_forward_coefficients`) through libjpeg's default 10-scan script —
+    DC first + refinement, AC spectral-selection bands with EOB-run
+    coding, AC successive-approximation refinement — with per-scan
+    optimal Huffman tables (progressive needs EOBn symbols the Annex K
+    baseline tables lack).  Progressive transmission is lossless over the
+    coefficients, so decoding these bytes is bit-identical to decoding
+    the matching `encode_jpeg` output (asserted in tests)."""
+    h, w = px.shape[:2]
+    coef, qly, qlc, sub = _forward_coefficients(px, quality, subsampling)
+    czz = [c[:, :, _ZZ_ROWS, _ZZ_COLS] for c in coef]  # zigzag per block
+    mcu_grid = czz[1].shape[:2]  # chroma has one block per MCU
+    grids = []  # per-component non-interleaved block grids (T.81 A.2.2)
+    for ci in range(3):
+        ch_ = sub if ci == 0 else 1
+        sx = -(-w * ch_ // sub)  # component sample dims (hmax = vmax = sub)
+        sy = -(-h * ch_ // sub)
+        grids.append((-(-sy // 8), -(-sx // 8)))
+
+    out = bytearray(_jfif_headers(h, w, sub, qly, qlc, 0xFFC2))
+    for comps_sel, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        tables, scan = _encode_progressive_scan(
+            czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids
+        )
+        for cls, tid, (bits, vals) in tables:
+            out += _seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+        body = bytearray([len(comps_sel)])
+        for ci in comps_sel:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, bytes(body))
+        out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

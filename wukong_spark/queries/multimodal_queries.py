@@ -257,6 +257,73 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_jpeg_prog_media(spark: SparkSession) -> DataFrame:
+    """Same seeded pixels as `_gen_jpeg_media`, but transmitted as
+    PROGRESSIVE (SOF2) JPEG — libjpeg's 10-scan script with per-scan
+    optimal Huffman tables (operators/jpeg.py, r9)."""
+    from wukong_spark.operators.jpeg import encode_jpeg_progressive
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                px = np.random.default_rng(3000 + k).integers(
+                    0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8
+                )
+                sub = "420" if k % 2 else "444"
+                rows.append(
+                    (k, bytearray(encode_jpeg_progressive(px, quality=90, subsampling=sub)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/jpeg", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_jpeg_prog",
+    # literal oracle: IDENTICAL values to multimodal_decode_jpeg's — the
+    # progressive bytes carry the same quantized coefficients, so the
+    # SOF2 multi-scan decode (DC first/refine, AC bands with EOB runs,
+    # successive approximation) must reproduce the baseline decode
+    # bit-for-bit.  A hash-green row here IS the cross-encoding contract.
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7708, 7611, 8328), (1, 8, 8, 7734, 8208, 8003),
+      (2, 8, 8, 7781, 7259, 8144), (3, 8, 8, 8557, 8437, 9260),
+      (4, 8, 8, 8572, 8815, 8083), (5, 8, 8, 8505, 7976, 8063),
+      (6, 8, 8, 8168, 8359, 7787), (7, 8, 8, 8401, 8332, 7670),
+      (8, 8, 8, 8011, 8440, 7774), (9, 8, 8, 8217, 8551, 8694),
+      (10, 8, 8, 8262, 8084, 7278), (11, 8, 8, 8037, 8186, 7945),
+      (12, 8, 8, 8697, 7661, 7961), (13, 8, 8, 8163, 7508, 8588),
+      (14, 8, 8, 8663, 8289, 7600), (15, 8, 8, 8356, 8086, 8534))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_jpeg_prog(spark: SparkSession, sf_dir: str):
+    """Seeded PROGRESSIVE-JPEG bytes (same pixels/quality/subsampling as
+    multimodal_decode_jpeg, SOF2 10-scan transmission) → REAL multi-scan
+    decode → nearest-neighbor resize to 8×8 → exact integer channel sums.
+
+    The oracle literals are copied verbatim from the baseline entry:
+    progressive transmission is lossless over the quantized coefficients,
+    so any divergence in the scan accumulation (EOB-run arithmetic,
+    refinement bits, band boundaries) flips a sum."""
+    dec = decode_images(_gen_jpeg_prog_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 def _gen_gif_media(spark: SparkSession) -> DataFrame:
     """Seeded GIF payloads generated per-partition: image i cycles palette
     size 256/16/64/4 and alternates interlaced rows — real GIF89a bytes
