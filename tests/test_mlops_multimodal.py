@@ -282,6 +282,108 @@ def test_decode_images_real_png_end_to_end(spark):
     assert row.mean_r == pytest.approx(px[:, :, 0].mean())
 
 
+# -- palette-indexed PNG / BMP / ICO (r9: PLTE + color tables) ---------------
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Color type 3 at depths 1/2/4/8, mixed per-row filters, odd widths
+    (sub-byte row padding): decode must return exactly palette[indices];
+    a tRNS chunk adds an alpha lane (255 where unlisted)."""
+    from wukong_spark.operators.multimodal import decode_png, encode_png_palette
+
+    rng = np.random.default_rng(11)
+    for depth in (1, 2, 4, 8):
+        for h, w in ((7, 5), (16, 16), (13, 17), (1, 1)):
+            n = min(1 << depth, 29)
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            out = decode_png(encode_png_palette(idx, pal, depth=depth))
+            assert np.array_equal(out, pal[idx]), (depth, h, w)
+            trns = bytes(rng.integers(0, 256, min(n, 5), dtype=np.uint8))
+            out4 = decode_png(encode_png_palette(idx, pal, trns=trns, depth=depth))
+            alpha = np.full(n, 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            assert np.array_equal(out4, np.dstack([pal[idx], alpha[idx]]))
+
+
+def test_png_palette_rejects_bad_indices():
+    from wukong_spark.operators.multimodal import decode_png, encode_png_palette
+
+    # indices pointing past the palette must raise, not wrap or crash
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.zeros((4, 4), np.uint8)
+    b = bytearray(encode_png_palette(idx, pal, depth=8, filter_mode="none"))
+    # patch a raw index byte inside IDAT is fiddly; instead shrink PLTE:
+    # re-encode with a 16-entry palette and indices up to 15, then replace
+    # the PLTE chunk with a 2-entry one
+    pal16 = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx16 = np.full((4, 4), 15, np.uint8)
+    good = encode_png_palette(idx16, pal16, depth=8, filter_mode="none")
+    import struct as _s
+    import zlib as _z
+
+    i = good.find(b"PLTE") - 4
+    (plen,) = _s.unpack_from(">I", good, i)
+    small = pal16[:2].tobytes()
+    repl = (
+        _s.pack(">I", len(small))
+        + b"PLTE"
+        + small
+        + _s.pack(">I", _z.crc32(b"PLTE" + small) & 0xFFFFFFFF)
+    )
+    bad = good[:i] + repl + good[i + 12 + plen :]
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    assert isinstance(bytes(b), bytes)
+
+
+def test_bmp_palette_roundtrip_all_bpp():
+    from wukong_spark.operators.multimodal import decode_bmp, encode_bmp_palette
+
+    rng = np.random.default_rng(12)
+    for bpp in (1, 4, 8):
+        for h, w in ((7, 5), (8, 8), (13, 17), (3, 9)):
+            n = 2 if bpp == 1 else min(1 << bpp, 23)
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            out = decode_bmp(encode_bmp_palette(idx, pal, bpp))
+            assert np.array_equal(out, pal[idx]), (bpp, h, w)
+
+
+def test_ico_palette_bmp_entries_decode():
+    """Palette BMP entries inside ICO: the color table must ride along
+    into the rebuilt standalone BMP, and the largest entry wins."""
+    from wukong_spark.operators.ico import decode_ico, encode_ico_palette
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    small = rng.integers(0, 16, (8, 8), dtype=np.uint8)
+    large = rng.integers(0, 16, (24, 18), dtype=np.uint8)
+    for bpp in (4, 8):
+        out = decode_ico(encode_ico_palette([(small, pal, bpp), (large, pal, bpp)]))
+        assert np.array_equal(out, pal[large]), bpp
+    mono = decode_ico(encode_ico_palette([(small % 2, pal[:2], 1)]))
+    assert np.array_equal(mono, pal[:2][small % 2])
+
+
+def test_ico_palette_png_entry_decodes():
+    """A palette PNG stored as an ICO entry routes through decode_png
+    and drops tRNS alpha like every other path."""
+    import struct as _s
+
+    from wukong_spark.operators.ico import decode_ico
+    from wukong_spark.operators.multimodal import encode_png_palette
+
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (24, 18), dtype=np.uint8)
+    png = encode_png_palette(idx, pal, trns=b"\x00\x80", depth=4)
+    out = bytearray(_s.pack("<HHH", 0, 1, 1))
+    out += _s.pack("<BBBBHHII", 18, 24, 0, 0, 1, 0, len(png), 22)
+    out += png
+    assert np.array_equal(decode_ico(bytes(out)), pal[idx])
+
+
 # -- logistic regression (r7: Newton-IRLS, distributed gradient/Hessian) ----
 
 

@@ -8,8 +8,9 @@ largest entry, and routes it through the existing PNG / BMP machinery —
 no new pixel code, just the container logic (the AND mask is ignored;
 pixels keep their colors, matching the alpha-drop convention elsewhere).
 
-Scope (disclosed): palette-indexed (≤8-bit) BMP entries raise — the PNG
-path and 24/32-bit BMP entries cover modern favicons; CUR files (cursor
+Entries decode through either path: PNG payloads (incl. palette PNGs),
+24/32-bit truecolor BMPs, and 1/4/8-bit palette-indexed BMPs (the color
+table rides along into the rebuilt standalone BMP).  CUR files (cursor
 hotspots) share the layout and decode the same way.
 """
 
@@ -63,18 +64,26 @@ def decode_ico(payload: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise NotImplementedError("ICO BITMAPCOREHEADER entry")
     bpp = struct.unpack_from("<H", body, 14)[0]
-    if bpp not in (24, 32):
-        raise NotImplementedError(f"ICO palette-indexed BMP entry (bpp={bpp})")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"ICO BMP entry bpp={bpp}")
     h = abs(h2) // 2
     check_decode_dims(w, h, "ICO")
     fixed = bytearray(body)
     struct.pack_into("<i", fixed, 8, h if h2 > 0 else -h)
-    data_off = 14 + hdr_size
+    ncol = 0
+    if bpp <= 8:  # palette-indexed entry: color table follows the header
+        clr_used = struct.unpack_from("<I", body, 32)[0]
+        ncol = clr_used or (1 << bpp)
+    table_bytes = 4 * ncol
+    data_off = 14 + hdr_size + table_bytes
     head = struct.pack("<2sIHHI", b"BM", data_off + len(fixed), 0, 0, data_off)
     # keep only the color-plane bytes: h rows of the (padded) stride
-    stride = ((w * (bpp // 8) + 3) // 4) * 4
-    color_bytes = stride * h
-    return decode_bmp(bytes(head) + bytes(fixed[:hdr_size]) + bytes(fixed[hdr_size : hdr_size + color_bytes]))
+    stride = ((w * bpp + 31) // 32) * 4
+    color_end = hdr_size + table_bytes + stride * h
+    return decode_bmp(
+        bytes(head) + bytes(fixed[: hdr_size + table_bytes])
+        + bytes(fixed[hdr_size + table_bytes : color_end])
+    )
 
 
 def encode_ico(images: list[np.ndarray], as_png: bool = True) -> bytes:
@@ -101,6 +110,32 @@ def encode_ico(images: list[np.ndarray], as_png: bool = True) -> bytes:
             w if w < 256 else 0,
             h if h < 256 else 0,
             0, 0, 1, 32 if not as_png else 0, len(body), off,
+        )
+        off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def encode_ico_palette(entries: list[tuple[np.ndarray, np.ndarray, int]]) -> bytes:
+    """[(indices (h, w) uint8, palette (n, 3) uint8, bpp), ...] → ICO
+    bytes with palette-indexed BMP entries (fixture/test helper)."""
+    from wukong_spark.operators.multimodal import encode_bmp_palette
+
+    bodies, dims = [], []
+    for idx, pal, bpp in entries:
+        b = bytearray(encode_bmp_palette(idx, pal, bpp)[14:])
+        struct.pack_into("<i", b, 8, 2 * idx.shape[0])  # doubled height
+        bodies.append(bytes(b))
+        dims.append(idx.shape)
+    out = bytearray(struct.pack("<HHH", 0, 1, len(bodies)))
+    off = 6 + 16 * len(bodies)
+    for (h, w), body in zip(dims, bodies):
+        out += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0,
+            h if h < 256 else 0,
+            0, 0, 1, 0, len(body), off,
         )
         off += len(body)
     for body in bodies:

@@ -67,8 +67,38 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
 # -- real uncompressed-format codecs (pure numpy / stdlib) -----------------
 
 
+def _unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) packed palette indices (MSB-first, depth 1/2/4/8
+    bits — the PNG and BMP bit-packing convention) → (h, w) indices."""
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)
+    npx = bits.shape[1] // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (bits[:, : npx * depth].reshape(len(rows), npx, depth) * weights).sum(
+        axis=2
+    )[:, :w]
+
+
+def _pack_indices(idx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) palette indices → (h, rowbytes) MSB-first packed bytes."""
+    if depth == 8:
+        return idx.astype(np.uint8)
+    h, w = idx.shape
+    per = 8 // depth
+    padw = -(-w // per) * per
+    ids = np.zeros((h, padw), np.uint8)
+    ids[:, :w] = idx
+    bits = ((ids[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
+    return np.packbits(bits.astype(bool), axis=1)
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed (BI_RGB) 24/32-bit BMP → (h, w, 3) uint8 RGB array."""
+    """Uncompressed (BI_RGB) BMP → (h, w, 3) uint8 RGB array.
+
+    24/32-bit truecolor plus 1/4/8-bit palette-indexed (color table after
+    the info header, BGRA entries) — the palette forms dominate legacy
+    web graphics and ICO-embedded bitmaps."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -78,19 +108,57 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     bottom_up = h > 0
     h = abs(h)
     check_decode_dims(w, h, "BMP")
-    npx = bpp // 8
-    stride = ((w * npx + 3) // 4) * 4
-    arr = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
-    arr = arr.reshape(h, stride)[:, : w * npx].reshape(h, w, npx)
-    rgb = arr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+    if bpp <= 8:  # palette-indexed
+        clr_used = struct.unpack_from("<I", payload, 46)[0]
+        ncol = clr_used or (1 << bpp)
+        tbl = np.frombuffer(
+            payload, np.uint8, count=4 * ncol, offset=14 + hdr_size
+        ).reshape(ncol, 4)
+        table = np.ascontiguousarray(tbl[:, 2::-1])  # BGRA → RGB
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+        idx = _unpack_indices(rows.reshape(h, stride), w, bpp)
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("BMP palette index out of range")
+        rgb = table[idx]
+    else:
+        npx = bpp // 8
+        stride = ((w * npx + 3) // 4) * 4
+        arr = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+        arr = arr.reshape(h, stride)[:, : w * npx].reshape(h, w, npx)
+        rgb = arr[..., 2::-1]  # BGR(A) → RGB, alpha dropped
     if bottom_up:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)
+
+
+def encode_bmp_palette(
+    indices: np.ndarray, palette: np.ndarray, bpp: int = 8
+) -> bytes:
+    """(h, w) uint8 indices + (n ≤ 2^bpp, 3) uint8 RGB palette →
+    palette-indexed BI_RGB BMP bytes (bpp 1/4/8), for fixtures/tests."""
+    h, w = indices.shape
+    assert bpp in (1, 4, 8) and len(palette) <= (1 << bpp)
+    assert int(indices.max(initial=0)) < len(palette)
+    ncol = 1 << bpp
+    tbl = np.zeros((ncol, 4), np.uint8)
+    tbl[: len(palette), :3] = np.asarray(palette, np.uint8)[:, ::-1]  # RGB→BGR
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    packed = _pack_indices(indices, bpp)
+    rows[:, : packed.shape[1]] = packed
+    body = rows[::-1].tobytes()  # bottom-up
+    data_off = 14 + 40 + 4 * ncol
+    head = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, ncol, 0
+    )
+    return head + info + tbl.tobytes() + body
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -164,8 +232,8 @@ def check_decode_dims(w: int, h: int, what: str) -> None:
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-#: PNG color type → sample channels (8-bit depth only; type 3 = palette
-#: is rejected, it needs a PLTE lookup we deliberately don't carry)
+#: PNG color type → sample channels (8-bit depth; type 3 = palette is
+#: handled separately via the PLTE lookup at depths 1/2/4/8)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -178,17 +246,22 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (h, w, channels) uint8 array.
+    """Non-interlaced PNG → (h, w, channels) uint8 array.
 
     Stdlib-only: chunk walk + zlib inflate, then numpy per-row
     unfiltering.  Filters 0 (None) and 2 (Up) are whole-row vectorized;
     1 (Sub) is a per-lane cumulative sum mod 256; 3 (Average) and
     4 (Paeth) scan pixels within the row with vectorized channel lanes
     (the only serial dependency PNG's spec imposes).
-    """
+
+    Color types 0/2/4/6 at depth 8 return their native channels; type 3
+    (palette, depths 1/2/4/8 — the favicon/legacy-web workhorse) is
+    unfiltered at the byte level (the spec's filter unit for sub-byte
+    depths), bit-unpacked, and looked up through PLTE; a tRNS chunk
+    yields an RGBA result (alpha 255 where unlisted)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -196,6 +269,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + clen  # len + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -204,23 +281,32 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
     check_decode_dims(w, h, "PNG")
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError(f"PNG depth={depth} comp={comp} filter={filt}")
+    if comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG comp={comp} filter={filt}")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG unsupported")
-    if ctype_ not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {ctype_} (palette?) unsupported")
-    ch = _PNG_CHANNELS[ctype_]
+    if ctype_ == 3:
+        if depth not in (1, 2, 4, 8):
+            raise NotImplementedError(f"PNG palette depth {depth}")
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        units, lanes = -(-w * depth // 8), 1  # filter unit = 1 byte
+    elif ctype_ in _PNG_CHANNELS:
+        if depth != 8:
+            raise NotImplementedError(f"PNG depth={depth} for color type {ctype_}")
+        units, lanes = w, _PNG_CHANNELS[ctype_]
+    else:
+        raise NotImplementedError(f"PNG color type {ctype_} unsupported")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    rowlen = 1 + w * ch
+    rowlen = 1 + units * lanes
     if len(raw) < rowlen * h:
         raise ValueError("PNG pixel data truncated")
     raw = raw[: rowlen * h].reshape(h, rowlen)
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
-    out = np.zeros((h, w, ch), np.int32)
-    zero_row = np.zeros((w, ch), np.int32)
+    out = np.zeros((h, units, lanes), np.int32)
+    zero_row = np.zeros((units, lanes), np.int32)
     for y in range(h):
-        f, cur = int(filters[y]), rows[y].reshape(w, ch)
+        f, cur = int(filters[y]), rows[y].reshape(units, lanes)
         prior = out[y - 1] if y else zero_row
         if f == 0:
             rec = cur
@@ -229,9 +315,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f == 2:  # Up
             rec = (cur + prior) % 256
         elif f in (3, 4):  # Average / Paeth: serial in x, lanes vectorized
-            rec = np.empty((w, ch), np.int32)
+            rec = np.empty((units, lanes), np.int32)
             left = upleft = zero_row[0]
-            for x in range(w):
+            for x in range(units):
                 up = prior[x]
                 if f == 3:
                     pred = (left + up) >> 1
@@ -242,22 +328,29 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f}")
         out[y] = rec
-    return out.astype(np.uint8)
+    if ctype_ != 3:
+        return out.astype(np.uint8)
+    idx = _unpack_indices(out[:, :, 0].astype(np.uint8), w, depth)
+    pal = np.frombuffer(plte, np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    if len(pal) == 0 or int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    rgb = pal[idx]
+    if trns is None:
+        return np.ascontiguousarray(rgb)
+    alpha = np.full(len(pal), 255, np.uint8)
+    nt = min(len(trns), len(pal))
+    alpha[:nt] = np.frombuffer(trns[:nt], np.uint8)
+    return np.ascontiguousarray(np.dstack([rgb, alpha[idx]]))
 
 
-def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
-    """(h, w[, channels]) uint8 → 8-bit non-interlaced PNG bytes.
-
-    ``filter_mode="mixed"`` assigns row y filter type y % 5, exercising
-    every unfilter path in a single roundtrip; ``"none"`` writes filter 0
-    throughout.  Channels 1/2/3/4 map to PNG color types 0/4/2/6."""
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    a = px.astype(np.int32)
+def _filter_rows(a: np.ndarray, filter_mode: str) -> list[bytes]:
+    """(h, units, lanes) int32 samples → filtered PNG scanlines.
+    ``"mixed"`` assigns row y filter type y % 5 (exercises every
+    unfilter path in one roundtrip); ``"none"`` writes filter 0."""
+    h, units, lanes = a.shape
     lines = []
-    zero_row = np.zeros((w, ch), np.int32)
+    zero_row = np.zeros((units, lanes), np.int32)
     for y in range(h):
         f = (y % 5) if filter_mode == "mixed" else 0
         cur, prior = a[y], a[y - 1] if y else zero_row
@@ -274,18 +367,62 @@ def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
         else:
             filt = cur - _paeth(left, prior, upleft)
         lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    return lines
 
-    def chunk(ctag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctag
-            + data
-            + struct.pack(">I", zlib.crc32(ctag + data) & 0xFFFFFFFF)
-        )
 
+def _png_chunk(ctag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctag
+        + data
+        + struct.pack(">I", zlib.crc32(ctag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
+    """(h, w[, channels]) uint8 → 8-bit non-interlaced PNG bytes.
+
+    ``filter_mode="mixed"`` assigns row y filter type y % 5, exercising
+    every unfilter path in a single roundtrip; ``"none"`` writes filter 0
+    throughout.  Channels 1/2/3/4 map to PNG color types 0/4/2/6."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    lines = _filter_rows(px.astype(np.int32), filter_mode)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     idat = zlib.compress(b"".join(lines), 6)
-    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+    depth: int = 8,
+    filter_mode: str = "mixed",
+) -> bytes:
+    """(h, w) uint8 indices + (n ≤ 2^depth, 3) uint8 RGB palette →
+    color-type-3 PNG (depth 1/2/4/8, optional tRNS alpha bytes), for
+    fixtures/tests.  Sub-byte depths pack MSB-first and filter at the
+    byte level, matching the spec's filter unit."""
+    h, w = indices.shape
+    assert depth in (1, 2, 4, 8) and len(palette) <= (1 << depth)
+    assert int(indices.max(initial=0)) < len(palette)
+    rows = _pack_indices(indices, depth)
+    lines = _filter_rows(rows.astype(np.int32)[:, :, None], filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+    return out + _png_chunk(b"IEND", b"")
 
 
 def png_to_rgb(px: np.ndarray) -> np.ndarray:

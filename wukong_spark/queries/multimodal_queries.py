@@ -190,6 +190,77 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_png_palette_media(spark: SparkSession) -> DataFrame:
+    """Seeded palette-indexed (color type 3) PNG payloads: image i cycles
+    bit depth 8/4/2/1 with a matching palette size, mixed per-row
+    filters, and a tRNS alpha chunk on every third id (alpha must be
+    dropped, not blended — operators/multimodal.py, r9)."""
+    from wukong_spark.operators.multimodal import encode_png_palette
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(9000 + k)
+                depth = (8, 4, 2, 1)[k % 4]
+                n = (199, 13, 4, 2)[k % 4]
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                idx = rng.integers(0, n, (IMG_H, IMG_W), dtype=np.uint8)
+                trns = (
+                    bytes(rng.integers(0, 256, min(n, 7), dtype=np.uint8))
+                    if k % 3 == 0
+                    else None
+                )
+                rows.append(
+                    (k, bytearray(encode_png_palette(
+                        idx, pal, trns=trns, depth=depth, filter_mode="mixed"
+                    )))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/png", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_png_palette",
+    # literal oracle: exact integer channel sums — the palette pipeline is
+    # lossless integer end-to-end (unfilter, bit-unpack, PLTE lookup,
+    # nearest-neighbor gather), zero float risk
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 8606, 8568, 8611), (1, 8, 8, 6723, 8874, 8493),
+      (2, 8, 8, 9808, 12965, 12656), (3, 8, 8, 9735, 4449, 12157),
+      (4, 8, 8, 10012, 7796, 7587), (5, 8, 8, 7394, 7937, 11493),
+      (6, 8, 8, 6561, 11812, 7861), (7, 8, 8, 9014, 7272, 12300),
+      (8, 8, 8, 8475, 8906, 8183), (9, 8, 8, 8545, 7468, 5705),
+      (10, 8, 8, 9449, 9524, 8716), (11, 8, 8, 6053, 5957, 6080),
+      (12, 8, 8, 8063, 7777, 7464), (13, 8, 8, 9208, 10451, 9647),
+      (14, 8, 8, 9822, 9846, 11667), (15, 8, 8, 9036, 6964, 6506))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str):
+    """Seeded palette PNG bytes (color type 3; depths 8/4/2/1; tRNS on
+    every third id) → REAL decode (byte-level unfiltering, MSB-first bit
+    unpack, PLTE lookup, alpha drop) → nearest-neighbor resize to 8×8 →
+    exact integer channel sums.  Palette indexing dominates favicons and
+    legacy web graphics; all four bit depths are pinned."""
+    dec = decode_images(_gen_png_palette_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 def _gen_jpeg_media(spark: SparkSession) -> DataFrame:
     """Seeded baseline-JPEG payloads generated per-partition: image i
     alternates 4:4:4 / 4:2:0 chroma subsampling, quality 90 — real JFIF
@@ -813,6 +884,70 @@ def multimodal_decode_ico(spark: SparkSession, sf_dir: str):
     nearest-neighbor resize to 8×8 → exact integer channel sums.  The
     favicon format of web crawls; both entry encodings are pinned."""
     dec = decode_images(_gen_ico_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
+def _gen_ico_palette_media(spark: SparkSession) -> DataFrame:
+    """Seeded ICO payloads whose entries are palette-indexed BMPs (bpp
+    cycling 8/4/1, color table inside the headerless entry) — the legacy
+    favicon encoding (operators/ico.py, r9)."""
+    from wukong_spark.operators.ico import encode_ico_palette
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(9500 + k)
+                bpp = (8, 4, 1)[k % 3]
+                n = (61, 16, 2)[k % 3]
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                small = rng.integers(0, n, (8, 8), dtype=np.uint8)
+                large = rng.integers(0, n, (IMG_H, IMG_W), dtype=np.uint8)
+                rows.append(
+                    (k, bytearray(encode_ico_palette(
+                        [(small, pal, bpp), (large, pal, bpp)]
+                    )))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 12, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/x-icon", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_ico_palette",
+    # literal oracle: exact integer channel sums — palette BMP entries are
+    # lossless integer end-to-end (color table, bit unpack, largest-entry
+    # pick, nearest-neighbor gather)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7799, 7803, 6910), (1, 8, 8, 9436, 7489, 10821),
+      (2, 8, 8, 5152, 14740, 13126), (3, 8, 8, 7840, 8475, 8147),
+      (4, 8, 8, 9547, 8265, 7568), (5, 8, 8, 8813, 7577, 4943),
+      (6, 8, 8, 8234, 8269, 8080), (7, 8, 8, 6955, 7935, 10385),
+      (8, 8, 8, 10856, 10894, 10755), (9, 8, 8, 8266, 8286, 6824),
+      (10, 8, 8, 8409, 9577, 6990), (11, 8, 8, 11578, 8833, 3368))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_ico_palette(spark: SparkSession, sf_dir: str):
+    """Seeded ICO bytes with palette-indexed BMP entries (bpp 8/4/1,
+    doubled-height entries, embedded color tables) → REAL decode
+    (directory walk, largest-entry pick, color-table carry-over into the
+    rebuilt BMP, MSB-first bit unpack — operators/ico.py, r9) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums."""
+    dec = decode_images(_gen_ico_palette_media(spark), height=8, width=8)
     return dec.select(
         "media_id",
         "height",
