@@ -416,6 +416,55 @@ def test_logreg_fit_newton_matches_local_newton(spark):
     assert np.abs(grad).max() / len(y) < 1e-9
 
 
+def test_softmax_fit_newton_first_order_optimal(spark):
+    """K-class softmax Newton: the distributed fit must satisfy the
+    regularized multinomial first-order condition to near machine
+    precision, and its K=2 special case must agree with the binary
+    sigmoid parameterization's decision function."""
+    from wukong_spark.mlops import softmax_fit_newton
+
+    rng = np.random.default_rng(21)
+    n, d, k = 500, 6, 4
+    wtrue = rng.standard_normal((d, k))
+    x = rng.standard_normal((n, d))
+    y = (x @ wtrue + rng.normal(0, 0.5, (n, k))).argmax(axis=1)
+    df = spark.createDataFrame(
+        [(list(map(float, xi)), int(yi)) for xi, yi in zip(x, y)],
+        "features array<double>, label int",
+    ).repartition(5)
+    w, b = softmax_fit_newton(df, n_classes=k, l2=1e-3)
+    assert w.shape == (d, k) and b.shape == (k,)
+
+    xi = np.hstack([x, np.ones((n, 1))])
+    z = xi @ np.vstack([w, b])
+    z -= z.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    onehot = np.zeros((n, k))
+    onehot[np.arange(n), y] = 1.0
+    g = xi.T @ (onehot - p)
+    g[:-1] -= 1e-3 * w
+    assert np.abs(g).max() / n < 1e-9
+    # the fit separates better than chance on its own training data
+    assert (p.argmax(axis=1) == y).mean() > 0.5
+
+    # K=2 vs binary logreg: identical decision boundary direction
+    from wukong_spark.mlops import logreg_fit_newton
+
+    y2 = (y % 2).astype(int)
+    df2 = spark.createDataFrame(
+        [(list(map(float, xi_)), int(yi)) for xi_, yi in zip(x, y2)],
+        "features array<double>, label int",
+    ).repartition(4)
+    w2, b2 = softmax_fit_newton(df2, n_classes=2, l2=1e-3)
+    wb, bb = logreg_fit_newton(df2.selectExpr("features", "CAST(label AS double) AS label"), l2=1e-3)
+    # softmax class-1-minus-class-0 ≈ sigmoid weights (λ splits the
+    # weight across the two columns, so compare predictions not params)
+    zs = x @ (w2[:, 1] - w2[:, 0]) + (b2[1] - b2[0])
+    zb = x @ wb + bb
+    assert ((zs >= 0) == (zb >= 0)).mean() > 0.99
+
+
 # -- JPEG codec (r7: baseline DCT, pure numpy + stdlib) ---------------------
 
 

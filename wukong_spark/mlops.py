@@ -211,6 +211,101 @@ def logreg_fit_newton(
     return w[:-1], float(w[-1])
 
 
+def softmax_fit_newton(
+    df: DataFrame,
+    n_classes: int,
+    features_col: str = "features",
+    label_col: str = "label",
+    l2: float = 1e-3,
+    iters: int = 25,
+    tol: float = 1e-10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """L2-regularized MULTICLASS (softmax) logistic regression via
+    distributed Newton — the K-class extension of `logreg_fit_newton`
+    (same broadcast-coefficients / one-pass-partials shape; breadth
+    beyond the reference's binary ParallelPostFit surface,
+    `/root/reference/README.md:273-305`).
+
+    Per iteration, ONE distributed pass accumulates the flattened
+    gradient Xᵀ(Y − P) − λW (Y one-hot, P row-softmax, intercept column
+    appended) and the FULL Newton Hessian: K×K blocks
+    H[a,b] = Xᵀ diag(pₐ(δ_ab − p_b)) X + λδ_ab·I.  Per-partition
+    partials are ((d+1)K)² + (d+1)K doubles — independent of row count,
+    ~0.9 MB at d=64, K=5 — so driver traffic stays O((dK)²·partitions)
+    per step while the solve runs once on the driver.  λ > 0 also pins
+    the softmax's sum-shift degeneracy (the unregularized problem is
+    invariant to adding a constant column), so the optimum is unique;
+    intercept rows are not penalized.  Stops once max |gradient| per row
+    drops below `tol`.
+
+    Returns (weights (d, K), intercepts (K,)).
+    """
+    spark = df.sparkSession
+    src = df.select(features_col, label_col)
+    k = int(n_classes)
+    w = None  # (d+1, K) once d is known
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(w)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wv = bc.value
+            acc = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.vstack(pdf[features_col].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                x = np.hstack([x, np.ones((len(x), 1))])
+                d1 = x.shape[1]
+                y = pdf[label_col].to_numpy(dtype=np.int64)
+                wb = np.zeros((d1, k)) if wv is None else wv
+                z = x @ wb
+                z -= z.max(axis=1, keepdims=True)
+                p = np.exp(z)
+                p /= p.sum(axis=1, keepdims=True)
+                onehot = np.zeros((len(y), k))
+                onehot[np.arange(len(y)), y] = 1.0
+                g = x.T @ (onehot - p)  # (d1, K)
+                h = np.zeros((d1 * k, d1 * k))
+                for a in range(k):
+                    for b in range(a, k):
+                        s = p[:, a] * ((1.0 if a == b else 0.0) - p[:, b])
+                        blk = x.T @ (x * s[:, None])
+                        h[a * d1 : (a + 1) * d1, b * d1 : (b + 1) * d1] += blk
+                        if b != a:  # Hessian is block-symmetric
+                            h[b * d1 : (b + 1) * d1, a * d1 : (a + 1) * d1] += blk
+                m = np.concatenate([h.ravel(), g.ravel(order="F"), [float(len(y))]])
+                acc = m if acc is None else acc + m
+            if acc is not None:
+                yield pd.DataFrame({"d": [d1], "p": [acc.tobytes()]})
+
+        rows = src.mapInPandas(partials, "d int, p binary").collect()
+        if not rows:
+            raise ValueError("softmax_fit_newton: empty input")
+        d1 = rows[0].d
+        dk = d1 * k
+        total = np.zeros(dk * dk + dk + 1)
+        for row in rows:
+            total += np.frombuffer(row.p)
+        h = total[: dk * dk].reshape(dk, dk)
+        grad = total[dk * dk : dk * dk + dk]
+        n = total[-1]
+        if w is None:
+            w = np.zeros((d1, k))
+        # λ on every weight, never on the K intercept rows
+        reg = np.full(dk, l2)
+        reg[d1 - 1 :: d1] = 0.0
+        grad = grad - reg * w.ravel(order="F")
+        if np.abs(grad).max() / max(1.0, n) < tol:
+            break
+        # Hessian is only PSD (softmax shift degeneracy) — λ-regularized
+        # diagonal plus a damping floor keeps the solve well-posed
+        step = np.linalg.solve(h + np.diag(reg) + np.eye(dk) * 1e-10, grad)
+        w = w + step.reshape(d1, k, order="F")
+    return w[:-1], np.asarray(w[-1])
+
+
 def make_classification_blocks(
     spark,
     n_samples: int,

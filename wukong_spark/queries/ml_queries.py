@@ -327,3 +327,85 @@ def ml_logreg_check(spark: SparkSession, sf_dir: str):
         [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), d)],
         "gradient_zero boolean, beats_null_logloss boolean, n_features int",
     )
+
+
+@query(
+    "ml_softmax_check",
+    oracle=(
+        "SELECT TRUE AS gradient_zero, TRUE AS beats_null_logloss,"
+        " 64 AS n_features, 5 AS n_classes"
+    ),
+)
+def ml_softmax_check(spark: SparkSession, sf_dir: str):
+    """Distributed Newton MULTICLASS (softmax) logistic regression
+    contract on the embeddings table (P(label mod 5) ~ embedding,
+    λ=1e-3): fit via `softmax_fit_newton` (one gradient + full-Hessian
+    pass per step, (d+1)K coefficients re-broadcast), then verify with
+    an INDEPENDENT second pass:
+
+    - gradient_zero: ‖Xᵀ(Y−P) − λW‖∞ / max(1, n) < 1e-8 — first-order
+      optimality of the regularized multinomial log-likelihood,
+      recomputed from per-row softmax probabilities, not the solver's
+      own accumulators;
+    - beats_null_logloss: Σ −log p_model(yᵢ) < Σ −log(n_{yᵢ}/n) — a
+      fitted intercept-bearing softmax can never lose to the class-
+      frequency model at λ this small.
+
+    Only the verdicts leave the cluster (ml_logreg_check pattern)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import softmax_fit_newton
+
+    k = 5
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(embedding AS array<double>) AS features",
+        "CAST(label % 5 AS int) AS label",
+    )
+    e = e.persist()  # read by every Newton pass and the verification pass
+    w, b = softmax_fit_newton(e, n_classes=k, l2=1e-3)
+    bc = spark.sparkContext.broadcast((w, b))
+
+    def verify(batches):
+        wv, bv = bc.value
+        g = None  # [Xᵀ(Y−P) ((d+1)·K) | Σ −log p(yᵢ) | per-class counts (K)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["features"].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            y = pdf["label"].to_numpy(dtype=np.int64)
+            xi = np.hstack([x, np.ones((len(x), 1))])
+            z = xi @ np.vstack([wv, bv])
+            z -= z.max(axis=1, keepdims=True)
+            p = np.exp(z)
+            p /= p.sum(axis=1, keepdims=True)
+            onehot = np.zeros((len(y), len(bv)))
+            onehot[np.arange(len(y)), y] = 1.0
+            ll = -np.log(np.maximum(p[np.arange(len(y)), y], 1e-300))
+            counts = np.bincount(y, minlength=len(bv)).astype(np.float64)
+            m = np.concatenate(
+                [(xi.T @ (onehot - p)).ravel(order="F"), [float(ll.sum())], counts]
+            )
+            g = m if g is None else g + m
+        if g is not None:
+            yield pd.DataFrame({"p": [g.tobytes()]})
+
+    parts = e.select("features", "label").mapInPandas(verify, "p binary").collect()
+    e.unpersist()
+    total = np.sum([np.frombuffer(row.p) for row in parts], axis=0)
+    d1 = w.shape[0] + 1
+    grad = total[: d1 * k].reshape(d1, k, order="F")
+    grad[:-1] -= 1e-3 * w
+    ll_model = total[d1 * k]
+    counts = total[d1 * k + 1 :]
+    n = counts.sum()
+    grad_rel = float(np.abs(grad).max()) / max(1.0, float(n))
+    present = counts > 0
+    ll_null = float(-(counts[present] * np.log(counts[present] / n)).sum())
+    return spark.createDataFrame(
+        [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), w.shape[0], k)],
+        "gradient_zero boolean, beats_null_logloss boolean,"
+        " n_features int, n_classes int",
+    )
