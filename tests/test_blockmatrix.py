@@ -839,8 +839,14 @@ def test_tsqr_check_matches_composition(spark, rng):
     assert abs(orth - np.abs(qn.T @ qn - np.eye(8)).max()) < 1e-12
     assert abs(recon - np.abs(qn @ r0 - a).max()) < 1e-12
     assert orth < 1e-10 and recon < 1e-10
-    # unseeded fallback (composition path): same contract
+    # unseeded fallback (fused single-pass verify, r9): same contract
     mf = BlockMatrix.from_numpy(spark, rng.random((100, 5)), 32, 5)
     r2, o2, c2 = mf.tsqr_check()
     assert np.allclose(r2, np.triu(r2))
     assert o2 < 1e-10 and c2 < 1e-10
+    # and on the SAME data as a seeded matrix the fallback must agree
+    # with the seeded fast path (few-ulp: alignment-dependent BLAS)
+    m2 = BlockMatrix.from_numpy(spark, m.to_numpy(), 32, 8)
+    r3, o3, c3 = m2.tsqr_check()
+    assert np.allclose(r3, r, atol=1e-12)
+    assert abs(o3 - orth) < 1e-12 and abs(c3 - recon) < 1e-12

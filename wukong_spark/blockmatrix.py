@@ -1232,24 +1232,72 @@ class BlockMatrix:
         together — no 256 MB Q store, no second read (r7: this replaced
         a 4-job persist+gramian+subtract composition whose cache-read
         pass alone cost 77 s of executor time at the 262144×128 bench
-        shape).  Unseeded or tree-sized inputs fall back to the
-        composition (tsqr → gramian → blockwise residual), same
+        shape).  Unseeded or tree-sized inputs use a fused fallback (r9):
+        tsqr(), then ONE verification job that reads Q exactly once and
+        accumulates gram partial + residual together (seeded inputs
+        regenerate A in-task; unseeded equi-join A on bi), same
         contract."""
         c = self.n_cols
         br, n = self.block_rows, self.n_rows
         assert self.grid_cols == 1, "tsqr_check: matrix must be one block wide"
         gseed = self.gen_seed
         if gseed is None or self.grid_rows > TSQR_TREE_FANOUT:
+            # fused fallback (r9): after tsqr(), ONE verification job reads
+            # Q exactly once and accumulates the QᵀQ gram partial AND the
+            # reconstruction residual together per block — A regenerates
+            # in-task for seeded tree-sized inputs (zero shuffle) or
+            # equi-joins on bi otherwise.  Replaces the 4-job persist +
+            # gramian + subtract + max composition that read Q twice.
             q, r = self.tsqr()
-            q.df.persist()
-            orth = float(np.abs(q.gramian() - np.eye(c)).max())
-            recon = (
-                q._map_blocks(lambda blk, _r=r: blk @ _r, out_cols=c)
-                .subtract(self)
-                .max_abs()
-            )
-            q.df.unpersist()
+            if gseed is not None:
+                src = q.df.select("bi", F.col("data").alias("qd"))
+            else:
+                src = q.df.alias("q").join(
+                    self.df.alias("a"), F.col("q.bi") == F.col("a.bi")
+                ).select(
+                    F.col("q.bi").alias("bi"),
+                    F.col("q.data").alias("qd"),
+                    F.col("a.data").alias("ad"),
+                )
+
+            def fused_verify(batches) -> Iterator:
+                import pyarrow as pa
+
+                schema = pa.schema([("g", pa.binary()), ("m", pa.float64())])
+                for rb in batches:
+                    bi_c, qd_c = rb.column("bi"), rb.column("qd")
+                    ad_c = rb.column("ad") if "ad" in rb.schema.names else None
+                    gram = np.zeros((c, c))
+                    mx = 0.0
+                    got = False
+                    for i in range(rb.num_rows):
+                        bi = bi_c[i].as_py()
+                        rr = min(br, n - bi * br)
+                        qblk = np.frombuffer(
+                            qd_c[i].as_buffer(), dtype=np.float64
+                        ).reshape(rr, c)
+                        if ad_c is None:
+                            ablk = _gen_block(gseed, bi, rr, c)
+                        else:
+                            ablk = np.frombuffer(
+                                ad_c[i].as_buffer(), dtype=np.float64
+                            ).reshape(rr, c)
+                        gram += qblk.T @ qblk
+                        mx = max(mx, float(np.abs(qblk @ r - ablk).max()))
+                        got = True
+                    if got:
+                        yield pa.RecordBatch.from_pydict(
+                            {"g": [gram.tobytes()], "m": [mx]}, schema=schema
+                        )
+
+            parts = src.mapInArrow(fused_verify, "g binary, m double").collect()
             q.release()
+            gram = np.zeros((c, c))
+            recon = 0.0
+            for row in parts:
+                gram += np.frombuffer(row.g).reshape(c, c)
+                recon = max(recon, row.m)
+            orth = float(np.abs(gram - np.eye(c)).max())
             return r, orth, recon
 
         gr = self.grid_rows
