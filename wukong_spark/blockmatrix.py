@@ -86,6 +86,11 @@ def _pa_block_schema(pa):
 #: with the data, so it needs no defaultParallelism scaling.
 TSQR_TREE_FANOUT = 32
 
+#: at or below this many gramian task partials the driver collects them
+#: directly (1-stage plan, ≤ 64·c² doubles of driver traffic); above it
+#: the depth-2 tree merge bounds every reducer at ~√(n_partials)·c²
+GRAMIAN_DIRECT_PARTS = 64
+
 #: floor for the generation-stage partition cap (see _gen_parts) — the
 #: local[32] value; kept as a floor so small-host behavior is unchanged
 GEN_PART_CAP_FLOOR = 256
@@ -1056,10 +1061,23 @@ class BlockMatrix:
             )
         else:
             src = self.df.mapInArrow(part, "g int, gram binary")
-        # level 1: ~√(n_partials) parallel reducers; level 2: driver sums
-        # the ≤ n_groups group totals (n_groups·c² doubles — bounded)
-        lvl1 = src.groupBy("g").applyInPandas(merge, "g int, gram binary")
-        rows = lvl1.collect()
+        if (
+            n_parts <= GRAMIAN_DIRECT_PARTS
+            and n_parts * c_total * c_total * 8 <= 64 << 20
+        ):
+            # small-input fast path (r9): few task partials AND bounded
+            # driver traffic (≤ 64 MB of c² buffers) — collecting them
+            # directly keeps a 1-stage plan (no level-1 exchange), the
+            # latency floor for the sub-second sigma/check queries.  Sort
+            # by group key so the float accumulation order is
+            # deterministic.
+            rows = sorted(src.collect(), key=lambda row: row.g)
+        else:
+            # level 1: ~√(n_partials) parallel reducers; level 2: driver
+            # sums the ≤ n_groups group totals (n_groups·c² doubles) — no
+            # reducer ever reads more than ~√(n_partials)·c² doubles
+            lvl1 = src.groupBy("g").applyInPandas(merge, "g int, gram binary")
+            rows = lvl1.collect()
         total = np.sum(
             [np.frombuffer(row.gram) for row in rows], axis=0
         ).reshape(c_total, c_total)
