@@ -306,6 +306,30 @@ def test_png_palette_roundtrip_all_depths():
             assert np.array_equal(out4, np.dstack([pal[idx], alpha[idx]]))
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 (r9): every channel count and palette depth roundtrips
+    through the 7-pass scatter, including dims where whole passes are
+    empty (w or h < 5) and sub-byte per-pass row packing."""
+    from wukong_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(15)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((1, 1), (3, 7), (5, 5), (24, 18), (9, 1)):
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            out = decode_png(encode_png(px, interlace=True))
+            assert np.array_equal(out, px), (ch, h, w)
+    for depth in (1, 2, 4, 8):
+        n = min(1 << depth, 19)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (13, 17), dtype=np.uint8)
+        out = decode_png(encode_png_palette(idx, pal, depth=depth, interlace=True))
+        assert np.array_equal(out, pal[idx]), depth
+
+
 def test_png_palette_rejects_bad_indices():
     from wukong_spark.operators.multimodal import decode_png, encode_png_palette
 

@@ -310,6 +310,32 @@ def test_png_roundtrip_property(h, w, ch, mode, seed):
 @given(
     h=st.integers(1, 40),
     w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3, 4]),
+    interlace=st.booleans(),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**LOCAL_SETTINGS)
+def test_png_palette_and_adam7_roundtrip_property(h, w, ch, interlace, depth, seed):
+    from wukong_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, interlace=interlace)), px)
+    n = min(1 << depth, 256)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    got = decode_png(encode_png_palette(idx, pal, depth=depth, interlace=interlace))
+    assert np.array_equal(got, pal[idx])
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
     npal=st.integers(1, 256),
     interlace=st.booleans(),
     seed=st.integers(0, 10_000),

@@ -245,8 +245,57 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) — pass k covers the pixel
+#: lattice out[y0::dy, x0::dx]; each pass filters its scanlines as an
+#: independent sub-image
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_scanlines(
+    raw: np.ndarray, nrows: int, units: int, lanes: int, offset: int
+) -> tuple[np.ndarray, int]:
+    """Consume `nrows` filtered scanlines of (1 + units·lanes) bytes from
+    `raw` starting at `offset`; returns ((nrows, units, lanes) int32
+    reconstructed samples, new offset)."""
+    rowlen = 1 + units * lanes
+    end = offset + rowlen * nrows
+    if len(raw) < end:
+        raise ValueError("PNG pixel data truncated")
+    block = raw[offset:end].reshape(nrows, rowlen)
+    filters, rows = block[:, 0], block[:, 1:].astype(np.int32)
+    out = np.zeros((nrows, units, lanes), np.int32)
+    zero_row = np.zeros((units, lanes), np.int32)
+    for y in range(nrows):
+        f, cur = int(filters[y]), rows[y].reshape(units, lanes)
+        prior = out[y - 1] if y else zero_row
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = np.cumsum(cur, axis=0) % 256
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f in (3, 4):  # Average / Paeth: serial in x, lanes vectorized
+            rec = np.empty((units, lanes), np.int32)
+            left = upleft = zero_row[0]
+            for x in range(units):
+                up = prior[x]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, upleft)
+                rec[x] = (cur[x] + pred) % 256
+                left, upleft = rec[x], up
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = rec
+    return out, end
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced PNG → (h, w, channels) uint8 array.
+    """PNG → (h, w, channels) uint8 array.
 
     Stdlib-only: chunk walk + zlib inflate, then numpy per-row
     unfiltering.  Filters 0 (None) and 2 (Up) are whole-row vectorized;
@@ -258,7 +307,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     (palette, depths 1/2/4/8 — the favicon/legacy-web workhorse) is
     unfiltered at the byte level (the spec's filter unit for sub-byte
     depths), bit-unpacked, and looked up through PLTE; a tRNS chunk
-    yields an RGBA result (alpha 255 where unlisted)."""
+    yields an RGBA result (alpha 255 where unlisted).  Adam7-interlaced
+    streams decode pass-by-pass (each pass an independently filtered
+    sub-image scattered onto its pixel lattice; empty passes contribute
+    no scanlines)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, plte, trns = 8, None, [], None, None
@@ -283,65 +335,53 @@ def decode_png(payload: bytes) -> np.ndarray:
     check_decode_dims(w, h, "PNG")
     if comp != 0 or filt != 0:
         raise NotImplementedError(f"PNG comp={comp} filter={filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
     if ctype_ == 3:
         if depth not in (1, 2, 4, 8):
             raise NotImplementedError(f"PNG palette depth {depth}")
         if plte is None:
             raise ValueError("PNG palette image missing PLTE")
-        units, lanes = -(-w * depth // 8), 1  # filter unit = 1 byte
+        lanes = 1
     elif ctype_ in _PNG_CHANNELS:
         if depth != 8:
             raise NotImplementedError(f"PNG depth={depth} for color type {ctype_}")
-        units, lanes = w, _PNG_CHANNELS[ctype_]
+        lanes = _PNG_CHANNELS[ctype_]
     else:
         raise NotImplementedError(f"PNG color type {ctype_} unsupported")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    rowlen = 1 + units * lanes
-    if len(raw) < rowlen * h:
-        raise ValueError("PNG pixel data truncated")
-    raw = raw[: rowlen * h].reshape(h, rowlen)
-    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
-    out = np.zeros((h, units, lanes), np.int32)
-    zero_row = np.zeros((units, lanes), np.int32)
-    for y in range(h):
-        f, cur = int(filters[y]), rows[y].reshape(units, lanes)
-        prior = out[y - 1] if y else zero_row
-        if f == 0:
-            rec = cur
-        elif f == 1:  # Sub: per-lane prefix sum mod 256
-            rec = np.cumsum(cur, axis=0) % 256
-        elif f == 2:  # Up
-            rec = (cur + prior) % 256
-        elif f in (3, 4):  # Average / Paeth: serial in x, lanes vectorized
-            rec = np.empty((units, lanes), np.int32)
-            left = upleft = zero_row[0]
-            for x in range(units):
-                up = prior[x]
-                if f == 3:
-                    pred = (left + up) >> 1
-                else:
-                    pred = _paeth(left, up, upleft)
-                rec[x] = (cur[x] + pred) % 256
-                left, upleft = rec[x], up
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    if ctype_ == 3:
+        canvas = np.zeros((h, w), np.uint8)
+    else:
+        canvas = np.zeros((h, w, lanes), np.uint8)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        units = -(-wp * depth // 8) if ctype_ == 3 else wp
+        block, off = _unfilter_scanlines(raw, hp, units, lanes, off)
+        if ctype_ == 3:
+            canvas[y0::dy, x0::dx] = _unpack_indices(
+                block[:, :, 0].astype(np.uint8), wp, depth
+            )
         else:
-            raise ValueError(f"PNG filter type {f}")
-        out[y] = rec
+            canvas[y0::dy, x0::dx] = block.astype(np.uint8)
     if ctype_ != 3:
-        return out.astype(np.uint8)
-    idx = _unpack_indices(out[:, :, 0].astype(np.uint8), w, depth)
+        return canvas
     pal = np.frombuffer(plte, np.uint8)
     pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
-    if len(pal) == 0 or int(idx.max(initial=0)) >= len(pal):
+    if len(pal) == 0 or int(canvas.max(initial=0)) >= len(pal):
         raise ValueError("PNG palette index out of range")
-    rgb = pal[idx]
+    rgb = pal[canvas]
     if trns is None:
         return np.ascontiguousarray(rgb)
     alpha = np.full(len(pal), 255, np.uint8)
     nt = min(len(trns), len(pal))
     alpha[:nt] = np.frombuffer(trns[:nt], np.uint8)
-    return np.ascontiguousarray(np.dstack([rgb, alpha[idx]]))
+    return np.ascontiguousarray(np.dstack([rgb, alpha[canvas]]))
 
 
 def _filter_rows(a: np.ndarray, filter_mode: str) -> list[bytes]:
@@ -379,18 +419,27 @@ def _png_chunk(ctag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
-    """(h, w[, channels]) uint8 → 8-bit non-interlaced PNG bytes.
+def encode_png(
+    px: np.ndarray, filter_mode: str = "mixed", interlace: bool = False
+) -> bytes:
+    """(h, w[, channels]) uint8 → 8-bit PNG bytes.
 
     ``filter_mode="mixed"`` assigns row y filter type y % 5, exercising
     every unfilter path in a single roundtrip; ``"none"`` writes filter 0
-    throughout.  Channels 1/2/3/4 map to PNG color types 0/4/2/6."""
+    throughout.  Channels 1/2/3/4 map to PNG color types 0/4/2/6.
+    ``interlace=True`` emits Adam7: each pass's sub-image filtered
+    independently, concatenated in pass order."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    lines = _filter_rows(px.astype(np.int32), filter_mode)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    a = px.astype(np.int32)
+    lines: list[bytes] = []
+    for x0, y0, dx, dy in _ADAM7 if interlace else [(0, 0, 1, 1)]:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            lines += _filter_rows(np.ascontiguousarray(sub), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     idat = zlib.compress(b"".join(lines), 6)
     return (
         PNG_MAGIC
@@ -406,17 +455,23 @@ def encode_png_palette(
     trns: bytes | None = None,
     depth: int = 8,
     filter_mode: str = "mixed",
+    interlace: bool = False,
 ) -> bytes:
     """(h, w) uint8 indices + (n ≤ 2^depth, 3) uint8 RGB palette →
-    color-type-3 PNG (depth 1/2/4/8, optional tRNS alpha bytes), for
-    fixtures/tests.  Sub-byte depths pack MSB-first and filter at the
-    byte level, matching the spec's filter unit."""
+    color-type-3 PNG (depth 1/2/4/8, optional tRNS alpha bytes, optional
+    Adam7), for fixtures/tests.  Sub-byte depths pack MSB-first per
+    scanline and filter at the byte level, matching the spec's filter
+    unit (each Adam7 pass packs its own rows)."""
     h, w = indices.shape
     assert depth in (1, 2, 4, 8) and len(palette) <= (1 << depth)
     assert int(indices.max(initial=0)) < len(palette)
-    rows = _pack_indices(indices, depth)
-    lines = _filter_rows(rows.astype(np.int32)[:, :, None], filter_mode)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    lines: list[bytes] = []
+    for x0, y0, dx, dy in _ADAM7 if interlace else [(0, 0, 1, 1)]:
+        sub = indices[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            rows = _pack_indices(np.ascontiguousarray(sub), depth)
+            lines += _filter_rows(rows.astype(np.int32)[:, :, None], filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
     out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
     if trns is not None:

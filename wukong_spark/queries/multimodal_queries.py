@@ -261,6 +261,75 @@ def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_png_adam7_media(spark: SparkSession) -> DataFrame:
+    """Seeded Adam7-INTERLACED PNG payloads: even ids are truecolor
+    (channel count cycling RGB/RGBA/grey), odd ids palette-indexed
+    (depth cycling 8/4/2/1) — every pass independently filtered
+    (operators/multimodal.py, r9)."""
+    from wukong_spark.operators.multimodal import encode_png, encode_png_palette
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(9800 + k)
+                if k % 2 == 0:
+                    ch = (3, 4, 1)[(k // 2) % 3]
+                    px = rng.integers(0, 256, (IMG_H, IMG_W, ch), dtype=np.uint8)
+                    blob = encode_png(px, filter_mode="mixed", interlace=True)
+                else:
+                    depth = (8, 4, 2, 1)[(k // 2) % 4]
+                    n = (199, 13, 4, 2)[(k // 2) % 4]
+                    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                    idx = rng.integers(0, n, (IMG_H, IMG_W), dtype=np.uint8)
+                    blob = encode_png_palette(idx, pal, depth=depth, interlace=True)
+                rows.append((k, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/png", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_png_adam7",
+    # literal oracle: exact integer channel sums — the interlace scatter,
+    # unfiltering, and palette lookup are all lossless integer
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 9039, 7958, 8339), (1, 8, 8, 7504, 8822, 8882),
+      (2, 8, 8, 8973, 8403, 6805), (3, 8, 8, 7839, 8377, 8352),
+      (4, 8, 8, 8510, 8510, 8510), (5, 8, 8, 6269, 3462, 12058),
+      (6, 8, 8, 8458, 8497, 7884), (7, 8, 8, 5444, 3504, 6886),
+      (8, 8, 8, 8822, 8925, 8821), (9, 8, 8, 8820, 7100, 8056),
+      (10, 8, 8, 7792, 7792, 7792), (11, 8, 8, 8504, 6837, 7222),
+      (12, 8, 8, 8401, 7987, 8047), (13, 8, 8, 5709, 11225, 7256),
+      (14, 8, 8, 8905, 7332, 8697), (15, 8, 8, 14553, 3608, 3561))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str):
+    """Seeded Adam7-interlaced PNG bytes (truecolor RGB/RGBA/grey on even
+    ids, palette depths 8/4/2/1 on odd) → REAL 7-pass decode (per-pass
+    unfiltering + lattice scatter, sub-byte per-pass packing) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums.
+    Interlaced PNGs are common in older web corpora; every pass shape
+    (including empty-pass small dims via the 8×8 entries' resize) and
+    both pixel models are pinned."""
+    dec = decode_images(_gen_png_adam7_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 def _gen_jpeg_media(spark: SparkSession) -> DataFrame:
     """Seeded baseline-JPEG payloads generated per-partition: image i
     alternates 4:4:4 / 4:2:0 chroma subsampling, quality 90 — real JFIF
