@@ -52,6 +52,20 @@ class LinearModel:
         return LinearModel(w, b)
 
 
+@dataclass
+class SoftmaxModel:
+    """Minimal fitted multiclass linear classifier: argmax of K linear
+    scores.  Pairs with `softmax_fit_newton` (weights (d, K), bias (K,))
+    and drops into `predict_broadcast` like any `.predict`-bearing
+    object."""
+
+    weights: np.ndarray
+    bias: np.ndarray
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (x @ self.weights + self.bias).argmax(axis=1).astype(np.int32)
+
+
 def predict_broadcast(
     df: DataFrame,
     model,

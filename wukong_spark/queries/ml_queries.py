@@ -409,3 +409,52 @@ def ml_softmax_check(spark: SparkSession, sf_dir: str):
         "gradient_zero boolean, beats_null_logloss boolean,"
         " n_features int, n_classes int",
     )
+
+
+#: deterministic 64×5 softmax weights, reproducible in SQL:
+#: w[i][c] = ((7i + 11c + 3) mod 13 − 6)/10, b[c] = (c − 2)/20
+_SOFT_W = [[(((7 * i + 11 * c + 3) % 13) - 6) / 10.0 for i in range(64)] for c in range(5)]
+_SOFT_B = [(c - 2) / 20.0 for c in range(5)]
+
+_SOFT_SCORES_SQL = ",\n           ".join(
+    "list_dot_product(embedding::DOUBLE[], ["
+    + ", ".join(str(w) for w in _SOFT_W[c])
+    + f"]::DOUBLE[]) + {_SOFT_B[c]} AS s{c}"
+    for c in range(5)
+)
+
+
+@query(
+    "ml_softmax_predict",
+    oracle=f"""
+    SELECT vec_id, label,
+           CASE greatest(s0, s1, s2, s3, s4)
+             WHEN s0 THEN 0 WHEN s1 THEN 1 WHEN s2 THEN 2
+             WHEN s3 THEN 3 ELSE 4 END AS prediction
+    FROM (
+      SELECT vec_id, label,
+           {_SOFT_SCORES_SQL}
+      FROM embeddings)
+    ORDER BY vec_id
+    """,
+)
+def ml_softmax_predict(spark: SparkSession, sf_dir: str):
+    """MULTICLASS broadcast-model batch inference over the embeddings
+    table: argmax of 5 fixed linear scores, computed on the REAL
+    distributed path (model broadcast once, Arrow-batched vectorized
+    predict per batch) and cross-checked by DuckDB computing the same
+    five dot products and a greatest-CASE argmax.
+
+    Class-score GAPS are O(1) while cross-engine float drift is ~1e-15,
+    so the argmax is stable (the same accepted-hazard class as the
+    binary entry's sign threshold; CASE WHEN matches `greatest` against
+    the identical float value, so the SQL tie-break is exact)."""
+    from wukong_spark.mlops import SoftmaxModel
+
+    e = tbl(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS array<double>) AS features"
+    )
+    model = SoftmaxModel(np.array(_SOFT_W).T, np.array(_SOFT_B))
+    return predict_broadcast(e, model, id_cols=("vec_id", "label")).orderBy(
+        "vec_id"
+    )
