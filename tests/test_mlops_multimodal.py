@@ -573,6 +573,25 @@ def test_decode_images_real_jpeg_end_to_end(spark):
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
 
 
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI + RSTn markers (r9 encoder support): restart intervals change
+    the bitstream (byte-aligned markers, DC predictor resets) but NOT
+    the coefficients, so decode must be bit-identical to the marker-free
+    encoding — pinning the decoder's align-to-marker and predictor-reset
+    paths with real streams."""
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(19)
+    for h, w in ((24, 18), (33, 47)):
+        for sub in ("444", "420"):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(px, quality=85, subsampling=sub))
+            for ri in (1, 3, 7):
+                b = encode_jpeg(px, quality=85, subsampling=sub, restart_interval=ri)
+                assert b"\xff\xdd" in b  # DRI present
+                assert np.array_equal(decode_jpeg(b), base), (h, w, sub, ri)
+
+
 # -- progressive JPEG (r9: SOF2 multi-scan decode + 10-scan encoder) --------
 
 

@@ -177,10 +177,15 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """Pad to a byte boundary with 1-bits (per spec) — used before
+        restart markers and at scan end."""
         if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            n = 8 - self.nbits
+            self.write((1 << n) - 1, n)
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -348,12 +353,20 @@ def _jfif_headers(
     return bytes(out)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
     Standard Annex K quantization (quality-scaled) + Huffman tables,
     4:4:4 or 4:2:0 chroma; deterministic (pure numpy fixed-point-free
-    float DCT with one round at quantization)."""
+    float DCT with one round at quantization).  ``restart_interval > 0``
+    emits a DRI segment and RSTn markers every that many MCUs (byte-
+    aligned, DC predictors reset) — the error-resilience feature real
+    camera/web JPEGs carry."""
     h, w = px.shape[:2]
     coef, qly, qlc, sub = _forward_coefficients(px, quality, subsampling)
 
@@ -396,16 +409,25 @@ def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> 
     # chroma has exactly one block per MCU (for both 444 and 420), so the
     # chroma block grid IS the MCU grid
     gh, gw = coef[1].shape[:2]
+    nmcu, rst = 0, 0
     for my in range(gh):
         for mx in range(gw):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                bw.pad()
+                bw.out += bytes([0xFF, 0xD0 + rst])  # RSTn, never stuffed
+                rst = (rst + 1) & 7
+                pred[:] = [0, 0, 0]
             for sy in range(sub):  # luma blocks of the MCU, raster order
                 for sx in range(sub):
                     put_block(0, coef[0][my * sub + sy, mx * sub + sx])
             put_block(1, coef[1][my, mx])
             put_block(2, coef[2][my, mx])
+            nmcu += 1
     scan = bw.flush()
 
     out = bytearray(_jfif_headers(h, w, sub, qly, qlc, 0xFFC0))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += _seg(0xFFDA, sos)
     out += scan
