@@ -330,6 +330,85 @@ def test_png_adam7_interlace_roundtrip():
         assert np.array_equal(out, pal[idx]), depth
 
 
+def test_png_16bit_roundtrip_high_byte():
+    """Depth-16 PNG (r9): byte-lane unfiltering reconstructs the
+    big-endian sample stream; decode strips to the high byte (libpng
+    convention), both sequential and Adam7."""
+    from wukong_spark.operators.multimodal import decode_png, encode_png16
+
+    rng = np.random.default_rng(16)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((1, 1), (5, 7), (13, 17)):
+            for inter in (False, True):
+                px16 = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+                out = decode_png(encode_png16(px16, interlace=inter))
+                assert np.array_equal(out, (px16 >> 8).astype(np.uint8)), (
+                    ch, h, w, inter,
+                )
+
+
+def test_pnm_family_p4_p5_and_wide_samples():
+    """PNM (r9): P5 greymap at 1- and 2-byte sample widths, P4 packed
+    bitmap (1 = black), and the P6 16-bit path — all broadcast/rescale
+    to RGB uint8 with round-half-up."""
+    from wukong_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.default_rng(17)
+
+    def pnm(magic, w, h, maxval, body):
+        head = magic + b"\n%d %d\n" % (w, h)
+        if maxval is not None:
+            head += b"%d\n" % maxval
+        return head + body
+
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    out = decode_ppm(pnm(b"P5", 11, 9, 255, g.tobytes()))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    g16 = rng.integers(0, 65536, (5, 6), dtype=np.uint16)
+    out = decode_ppm(pnm(b"P5", 6, 5, 65535, g16.astype(">u2").tobytes()))
+    exp = np.minimum(
+        (g16.astype(np.uint32) * 255 + 32767) // 65535, 255
+    ).astype(np.uint8)
+    assert np.array_equal(out[:, :, 0], exp)
+
+    bits = rng.integers(0, 2, (7, 13), dtype=np.uint8)
+    packed = np.packbits(np.pad(bits, ((0, 0), (0, 3))).astype(bool), axis=1)
+    out = decode_ppm(pnm(b"P4", 13, 7, None, packed.tobytes()))
+    assert np.array_equal(out[:, :, 0], np.where(bits != 0, 0, 255).astype(np.uint8))
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+    c16 = rng.integers(0, 1001, (4, 5, 3), dtype=np.uint16)
+    out = decode_ppm(pnm(b"P6", 5, 4, 1000, c16.astype(">u2").tobytes()))
+    exp = np.minimum((c16.astype(np.uint32) * 255 + 500) // 1000, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_wav_24bit_pcm_decode():
+    """24-bit PCM WAV (r9): little-endian 3-byte signed samples,
+    sign-extended exactly; stereo downmixes by channel mean."""
+    import io as _io
+    import wave as _wave
+
+    from wukong_spark.operators.multimodal import decode_wav
+
+    v = np.clip(
+        (np.sin(np.arange(1000) / 7) * 0.6 * 8388608).round(), -8388608, 8388607
+    ).astype(np.int64)
+    u = np.where(v < 0, v + (1 << 24), v)
+    b = np.zeros((1000, 3), np.uint8)
+    b[:, 0], b[:, 1], b[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(16000)
+        wf.writeframes(b.tobytes())
+    sr, nch, x = decode_wav(buf.getvalue())
+    assert (sr, nch) == (16000, 1)
+    assert np.abs(x - v / 8388608.0).max() == 0.0
+
+
 def test_png_palette_rejects_bad_indices():
     from wukong_spark.operators.multimodal import decode_png, encode_png_palette
 

@@ -330,6 +330,98 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id")
 
 
+def _gen_png16_pnm_media(spark: SparkSession) -> DataFrame:
+    """Seeded deep-sample-format payloads (r9): id mod 4 cycles 16-bit
+    PNG (RGB/grey, one interlaced), P5 greymap (1- and 2-byte samples),
+    P4 bitmap (packed bits, 1 = black), and P6 pixmap with non-255
+    maxval (the round-half-up rescale path)."""
+    from wukong_spark.operators.multimodal import encode_png16
+
+    def pnm(magic: bytes, w: int, h: int, maxval, body: bytes) -> bytes:
+        head = magic + b"\n%d %d\n" % (w, h)
+        if maxval is not None:
+            head += b"%d\n" % maxval
+        return head + body
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(9900 + k)
+                m = k % 4
+                if m == 0:
+                    ch = (3, 1)[(k // 4) % 2]
+                    px16 = rng.integers(0, 65536, (IMG_H, IMG_W, ch), dtype=np.uint16)
+                    blob = encode_png16(px16, interlace=bool(k % 8 == 4))
+                elif m == 1:
+                    mv = 255 if k % 8 == 1 else 65535
+                    if mv == 255:
+                        g = rng.integers(0, 256, (IMG_H, IMG_W), dtype=np.uint8)
+                        blob = pnm(b"P5", IMG_W, IMG_H, mv, g.tobytes())
+                    else:
+                        g = rng.integers(0, 65536, (IMG_H, IMG_W), dtype=np.uint16)
+                        blob = pnm(b"P5", IMG_W, IMG_H, mv, g.astype(">u2").tobytes())
+                elif m == 2:
+                    bits = rng.integers(0, 2, (IMG_H, IMG_W), dtype=np.uint8)
+                    packed = np.packbits(
+                        np.pad(bits, ((0, 0), (0, (-IMG_W) % 8))).astype(bool), axis=1
+                    )
+                    blob = pnm(b"P4", IMG_W, IMG_H, None, packed.tobytes())
+                else:
+                    mv = (100, 1000)[(k // 4) % 2]
+                    if mv <= 255:
+                        c = rng.integers(0, mv + 1, (IMG_H, IMG_W, 3), dtype=np.uint8)
+                        blob = pnm(b"P6", IMG_W, IMG_H, mv, c.tobytes())
+                    else:
+                        c = rng.integers(0, mv + 1, (IMG_H, IMG_W, 3), dtype=np.uint16)
+                        blob = pnm(b"P6", IMG_W, IMG_H, mv, c.astype(">u2").tobytes())
+                rows.append((k, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, N_IMG, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/png", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_png16_pnm",
+    # literal oracle: exact integer channel sums — 16-bit PNG strips to
+    # the high byte, PNM rescale is integer round-half-up; all lossless
+    # integer end-to-end
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 8388, 7153, 7054), (1, 8, 8, 7873, 7873, 7873),
+      (2, 8, 8, 7905, 7905, 7905), (3, 8, 8, 7490, 8004, 8611),
+      (4, 8, 8, 7982, 7982, 7982), (5, 8, 8, 9260, 9260, 9260),
+      (6, 8, 8, 7140, 7140, 7140), (7, 8, 8, 8152, 7115, 7810),
+      (8, 8, 8, 8339, 8456, 7638), (9, 8, 8, 8083, 8083, 8083),
+      (10, 8, 8, 9180, 9180, 9180), (11, 8, 8, 8426, 7579, 7989),
+      (12, 8, 8, 8487, 8487, 8487), (13, 8, 8, 8479, 8479, 8479),
+      (14, 8, 8, 8160, 8160, 8160), (15, 8, 8, 8093, 7490, 7654))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_png16_pnm(spark: SparkSession, sf_dir: str):
+    """Seeded deep-sample-format bytes — 16-bit PNG (big-endian samples,
+    high-byte strip, incl. one Adam7), P5 greymap at both sample widths,
+    P4 bitmap, and P6 pixmap with non-255 maxval (round-half-up
+    rescale) — → REAL decode → nearest-neighbor resize to 8×8 → exact
+    integer channel sums.  P4/P5 and grey-PNG rows must show
+    sum_r == sum_g == sum_b (grey broadcast)."""
+    dec = decode_images(_gen_png16_pnm_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 def _gen_jpeg_media(spark: SparkSession) -> DataFrame:
     """Seeded baseline-JPEG payloads generated per-partition: image i
     alternates 4:4:4 / 4:2:0 chroma subsampling, quality 90 — real JFIF
