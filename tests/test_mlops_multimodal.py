@@ -1169,6 +1169,29 @@ def test_tiff_packbits_roundtrip_and_compression():
     assert packbits_decode(packbits_encode(noise), 5000) == noise
 
 
+def test_tiff_deflate_and_predictor_roundtrip():
+    """Deflate TIFF (r9): per-strip zlib inflate, with and without
+    predictor 2 (horizontal differencing) — decode must equal the
+    uncompressed encoding of the same pixels exactly."""
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(23)
+    for ch in (1, 3, 4):
+        for h, w in ((7, 5), (16, 16), (33, 9)):
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            base = decode_tiff(encode_tiff(px, compression="none"))
+            for pred in (False, True):
+                b = encode_tiff(
+                    px, compression="deflate", rows_per_strip=6, predictor=pred
+                )
+                assert np.array_equal(decode_tiff(b), base), (ch, h, w, pred)
+    # a smooth gradient must actually compress under deflate+predictor
+    g = np.tile(np.arange(200, dtype=np.uint8)[None, :, None], (100, 1, 3))
+    plain = encode_tiff(g, compression="none")
+    packed = encode_tiff(g, compression="deflate", predictor=True)
+    assert len(packed) < len(plain) // 4
+
+
 def test_tiff_white_is_zero_inverts():
     """Photometric 0 (white-is-zero) greyscale must invert on decode."""
     import struct as _s

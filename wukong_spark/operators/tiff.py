@@ -4,17 +4,22 @@ Scanned-document and scientific corpora ship TIFF; this decoder covers
 the baseline profile expressible without codec libraries: both byte
 orders (II/MM), IFD walk with inline-vs-offset values, strip assembly,
 8-bit greyscale (photometric 0/1, white-is-zero inverted) and RGB(A),
-compression 1 (none) and 32773 (PackBits RLE) — plus a matching writer
-(strip-per-rows_per_strip, none/PackBits) for fixtures and roundtrips.
+compression 1 (none), 32773 (PackBits RLE), and 8/32946 (Deflate, r9 —
+stdlib zlib, with predictor 2 horizontal differencing) — plus a matching
+writer (strip-per-rows_per_strip, none/PackBits/deflate±predictor) for
+fixtures and roundtrips.
 
-Scope (disclosed): LZW/JPEG-in-TIFF/CCITT compressions, 16-bit samples,
-tiled layout, and planar configuration 2 raise NotImplementedError —
-`decode_images` then falls through to its fake_decoder handling.
+Scope (disclosed): LZW (no in-container ground truth to pin the
+EarlyChange convention), JPEG-in-TIFF/CCITT compressions, 16-bit
+samples, tiled layout, and planar configuration 2 raise
+NotImplementedError — `decode_images` then falls through to its
+fake_decoder handling.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -111,10 +116,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     if planar != 1:
         raise NotImplementedError("TIFF planar configuration 2")
-    if comp not in (1, 32773):
+    if comp not in (1, 32773, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (only none/PackBits decode natively)"
+            f"TIFF compression {comp} (only none/PackBits/Deflate decode natively)"
         )
+    pred = tags.get(317, [1])[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo}")
     if 322 in tags or 323 in tags:
@@ -132,9 +140,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raw = payload[off : off + cnt]
         if comp == 32773:
             raw = packbits_decode(raw, rows * row_bytes)
+        elif comp in (8, 32946):  # Deflate ("Adobe" and legacy tags)
+            raw = zlib.decompress(raw)
         if len(raw) < rows * row_bytes:
             raise ValueError("TIFF strip data truncated")
-        pieces.append(np.frombuffer(raw, np.uint8, rows * row_bytes))
+        strip = np.frombuffer(raw, np.uint8, rows * row_bytes)
+        if pred == 2:  # horizontal differencing: per-sample row cumsum
+            strip = (
+                strip.reshape(rows, w, spp).astype(np.uint32).cumsum(axis=1) % 256
+            ).astype(np.uint8).reshape(-1)
+        pieces.append(strip)
         remaining_rows -= rows
     if remaining_rows > 0:
         raise ValueError("TIFF strips cover fewer rows than declared")
@@ -153,19 +168,35 @@ def tiff_to_rgb(px: np.ndarray) -> np.ndarray:
 
 
 def encode_tiff(
-    px: np.ndarray, compression: str = "none", rows_per_strip: int = 16
+    px: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int = 16,
+    predictor: bool = False,
 ) -> bytes:
-    """(h, w[, channels]) uint8 → little-endian baseline TIFF bytes."""
+    """(h, w[, channels]) uint8 → little-endian baseline TIFF bytes.
+    ``predictor=True`` writes tag 317=2 (horizontal differencing before
+    compression — the combination real Deflate/LZW TIFFs use)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    comp_tag = {"none": 1, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "packbits": 32773, "deflate": 8}[compression]
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = np.ascontiguousarray(px[y0 : y0 + rows_per_strip]).tobytes()
-        strips.append(packbits_encode(raw) if comp_tag == 32773 else raw)
+        block = np.ascontiguousarray(px[y0 : y0 + rows_per_strip])
+        if predictor:
+            d = block.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - block[:, :-1].astype(np.int16)
+            raw = (d % 256).astype(np.uint8).tobytes()
+        else:
+            raw = block.tobytes()
+        if comp_tag == 32773:
+            strips.append(packbits_encode(raw))
+        elif comp_tag == 8:
+            strips.append(zlib.compress(raw, 6))
+        else:
+            strips.append(raw)
 
-    n_tags = 9
+    n_tags = 10 if predictor else 9
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_tags + 4  # entries + next-IFD pointer
     # out-of-line areas: bits-per-sample array (if ch>2), offsets, counts
@@ -223,6 +254,8 @@ def encode_tiff(
         entry(278, 4, 1, rows_per_strip),
         entry(279, 4, len(strips), cnt_entry[1]),
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
     ifd = struct.pack("<H", n_tags) + b"".join(entries) + struct.pack("<I", 0)
     head = b"II*\x00" + struct.pack("<I", ifd_off)
     return head + ifd + bytes(extra) + b"".join(strips)

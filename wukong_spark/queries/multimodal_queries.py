@@ -870,6 +870,69 @@ def archive_tar_decode(spark: SparkSession, sf_dir: str):
     ).orderBy("shard_id", "member")
 
 
+def _gen_tiff_deflate_media(spark: SparkSession) -> DataFrame:
+    """Seeded Deflate-compressed TIFF payloads (r9): channels cycle
+    RGB/grey/RGBA, odd ids add predictor 2 (horizontal differencing
+    before compression — the combination real Deflate TIFFs use)."""
+    from wukong_spark.operators.tiff import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(10000 + k)
+                ch = (3, 1, 4)[k % 3]
+                px = rng.integers(0, 256, size=(IMG_H, IMG_W, ch), dtype=np.uint8)
+                rows.append(
+                    (k, bytearray(encode_tiff(
+                        px, compression="deflate", rows_per_strip=10,
+                        predictor=bool(k % 2),
+                    )))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 12, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/tiff", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_tiff_deflate",
+    # literal oracle: exact integer channel sums — zlib inflate +
+    # predictor cumsum + strip assembly are lossless integer end-to-end
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 8065, 7315, 8695), (1, 8, 8, 9006, 9006, 9006),
+      (2, 8, 8, 8175, 8275, 7912), (3, 8, 8, 8343, 9567, 7593),
+      (4, 8, 8, 7426, 7426, 7426), (5, 8, 8, 8183, 8807, 8069),
+      (6, 8, 8, 8143, 7398, 8697), (7, 8, 8, 8456, 8456, 8456),
+      (8, 8, 8, 9203, 7981, 8847), (9, 8, 8, 8031, 9131, 7529),
+      (10, 8, 8, 7693, 7693, 7693), (11, 8, 8, 8763, 7799, 7674))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_tiff_deflate(spark: SparkSession, sf_dir: str):
+    """Seeded Deflate-TIFF bytes (compression 8, half with predictor 2)
+    → REAL decode (IFD walk, per-strip zlib inflate, horizontal-
+    differencing cumsum, strip assembly — operators/tiff.py, r9) →
+    nearest-neighbor resize to 8×8 → exact integer channel sums.  Unlike
+    TIFF-LZW (parked: no in-container ground truth for the EarlyChange
+    convention), Deflate's reference codec IS stdlib zlib, so this path
+    is honestly pinnable."""
+    dec = decode_images(_gen_tiff_deflate_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
 def _gen_tiff_media(spark: SparkSession) -> DataFrame:
     """Seeded baseline-TIFF payloads: image i cycles channels
     (RGB / grey / RGBA / grey) and alternates none / PackBits strip
