@@ -722,6 +722,35 @@ def test_jpeg_progressive_eob_runs_and_smooth_content():
             )
 
 
+def test_jpeg_progressive_restart_intervals():
+    """Progressive + DRI (r9): restart boundaries flush EOB runs and
+    reset DC predictors per scan; decode must stay bit-identical to the
+    marker-free progressive AND baseline encodings — including smooth
+    content where boundaries land mid-EOB-run."""
+    from wukong_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(27)
+    for sub in ("444", "420"):
+        px = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=85, subsampling=sub))
+        for ri in (1, 2, 5):
+            b = encode_jpeg_progressive(
+                px, quality=85, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in b
+            assert np.array_equal(decode_jpeg(b), base), (sub, ri)
+    g = np.tile(np.arange(48, dtype=np.uint8)[None, :, None], (40, 1, 3))
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(g, restart_interval=ri)),
+            decode_jpeg(encode_jpeg(g)),
+        ), ri
+
+
 def test_jpeg_progressive_grayscale_single_component_scans():
     """Handcrafted single-component (grayscale) progressive stream: a
     non-interleaved DC scan + an AC band scan whose EOB1 symbol covers

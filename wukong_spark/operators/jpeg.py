@@ -893,15 +893,19 @@ _PROGRESSIVE_SCRIPT = [
 ]
 
 
-def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids):
+def _encode_progressive_scan(
+    czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids, restart_interval=0
+):
     """Emit one progressive scan twice: a counting pass gathers Huffman
     symbol frequencies, then per-scan optimal tables encode for real.
     Returns ([(class, tid, (bits, values)), ...], entropy_bytes)."""
     interleaved = len(comps_sel) > 1
 
-    def run(emit_sym, emit_bits) -> None:
+    def run(emit_sym, emit_bits, emit_restart) -> None:
         pred = [0, 0, 0]
         eobrun = 0
+        nunit = 0
+        nrst = 0
         be_buf: list[int] = []  # correction bits owned by the pending EOB run
         br_buf: list[int] = []  # correction bits of the current block's run
         tk = None  # single AC table key per scan (AC scans have one comp)
@@ -1006,10 +1010,22 @@ def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grid
                 if eobrun == 0x7FFF:
                     flush_eob()
 
+        def boundary() -> None:
+            # restart-interval boundary: close the entropy segment (flush
+            # any pending EOB run + buffered bits), emit RSTn, reset the
+            # DC predictors — mirrors the decoder's maybe_restart()
+            nonlocal nunit, nrst
+            if restart_interval and nunit and nunit % restart_interval == 0:
+                flush_eob()
+                emit_restart(nrst & 7)
+                nrst += 1
+                pred[:] = [0, 0, 0]
+
         if interleaved:  # DC scan over the full padded MCU grid
             gh, gw = mcu_grid
             for my in range(gh):
                 for mx in range(gw):
+                    boundary()
                     for ci in comps_sel:
                         if ci == 0:
                             for sy in range(sub):
@@ -1017,12 +1033,14 @@ def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grid
                                     dc_block(ci, czz[0][my * sub + sy, mx * sub + sx, 0])
                         else:
                             dc_block(ci, czz[ci][my, mx, 0])
+                    nunit += 1
         else:
             ci = comps_sel[0]
             tk = ("ac", 0 if ci == 0 else 1)
             by, bx = grids[ci]
             for yy in range(by):
                 for xx in range(bx):
+                    boundary()
                     zz = czz[ci][yy, xx]
                     if ss == 0:
                         dc_block(ci, zz[0])
@@ -1030,6 +1048,7 @@ def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grid
                         ac_first_block(zz)
                     else:
                         ac_refine_block(zz)
+                    nunit += 1
             flush_eob()
 
     # pass 1: count symbols per table key
@@ -1038,7 +1057,7 @@ def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grid
     def count_sym(tk, s) -> None:
         freqs.setdefault(tk, {})[s] = freqs.setdefault(tk, {}).get(s, 0) + 1
 
-    run(count_sym, lambda v, n: None)
+    run(count_sym, lambda v, n: None, lambda n: None)
 
     tables, codes = [], {}
     for (cls_name, tid), fr in sorted(freqs.items()):
@@ -1053,12 +1072,19 @@ def _encode_progressive_scan(czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grid
         code, length = codes[tk][s]
         bw.write(code, length)
 
-    run(write_sym, bw.write)
+    def write_restart(n: int) -> None:
+        bw.pad()
+        bw.out += bytes([0xFF, 0xD0 + n])  # RSTn, never stuffed
+
+    run(write_sym, bw.write, write_restart)
     return tables, bw.flush()
 
 
 def encode_jpeg_progressive(
-    px: np.ndarray, quality: int = 90, subsampling: str = "444"
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
 
@@ -1082,9 +1108,12 @@ def encode_jpeg_progressive(
         grids.append((-(-sy // 8), -(-sx // 8)))
 
     out = bytearray(_jfif_headers(h, w, sub, qly, qlc, 0xFFC2))
+    if restart_interval:  # one DRI applies to every following scan
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     for comps_sel, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
         tables, scan = _encode_progressive_scan(
-            czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids
+            czz, comps_sel, ss, se, ah, al, sub, mcu_grid, grids,
+            restart_interval,
         )
         for cls, tid, (bits, vals) in tables:
             out += _seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
