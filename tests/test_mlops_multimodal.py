@@ -1085,6 +1085,74 @@ def test_decoders_fail_cleanly_on_fuzzed_payloads():
                 pass  # expected: clean failure
 
 
+def test_gif_animation_compositing_semantics():
+    """extract_gif_frames (r9): partial rectangles, transparency holes,
+    and all disposal methods — each frame is the fully composited canvas
+    with exact palette colors."""
+    from wukong_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        encode_gif_animation,
+        extract_gif_frames,
+    )
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 16, (10, 12), dtype=np.uint8)
+    f2 = rng.integers(0, 16, (4, 5), dtype=np.uint8)
+    f3 = rng.integers(0, 16, (3, 3), dtype=np.uint8)
+    f4 = rng.integers(0, 16, (2, 2), dtype=np.uint8)
+    b = encode_gif_animation(
+        [
+            (f1, 0, 0, None, 1),  # full draw, keep
+            (f2, 3, 2, 7, 2),  # partial + transparency, then restore-bg
+            (f3, 1, 1, None, 3),  # draw, then restore-previous
+            (f4, 8, 7, None, 0),
+        ],
+        pal,
+    )
+    frames = extract_gif_frames(b)
+    assert len(frames) == 4
+    c = np.empty((10, 12, 3), np.uint8)
+    c[:] = pal[f1]
+    assert np.array_equal(frames[0], c)
+    c2 = c.copy()
+    reg, px, m = c2[2:6, 3:8], pal[f2], f2 != 7
+    reg[m] = px[m]  # transparency leaves prior pixels
+    assert np.array_equal(frames[1], c2)
+    c3 = c2.copy()
+    c3[2:6, 3:8] = pal[0]  # disposal 2 restored to background
+    pre3 = c3.copy()
+    c3[1:4, 1:4] = pal[f3]
+    assert np.array_equal(frames[2], c3)
+    c4 = pre3.copy()  # disposal 3 restored the pre-f3 canvas
+    c4[7:9, 8:10] = pal[f4]
+    assert np.array_equal(frames[3], c4)
+    # first-frame API unchanged; single-frame stills extract as 1 frame
+    assert np.array_equal(decode_gif(b), pal[f1])
+    assert len(extract_gif_frames(encode_gif(f1, pal))) == 1
+
+
+def test_frame_sample_animated_gif_end_to_end(spark):
+    from wukong_spark.operators.gif import encode_gif_animation
+    from wukong_spark.operators.multimodal import frame_sample
+
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    entries = [(rng.integers(0, 8, (12, 10), dtype=np.uint8), 0, 0, None, 1)]
+    for f in range(1, 5):
+        entries.append(
+            (rng.integers(0, 8, (4, 4), dtype=np.uint8), f, f, None, 1)
+        )
+    b = encode_gif_animation(entries, pal, screen=(10, 12))
+    df = spark.createDataFrame(
+        [(9, bytearray(b))], "media_id long, payload binary"
+    )
+    rows = frame_sample(df, n_frames=3).orderBy("frame_idx").collect()
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    assert all(r.sum_r > 0 for r in rows)
+
+
 # -- MJPEG AVI video (r7: real container walk + JPEG frame decode) ----------
 
 

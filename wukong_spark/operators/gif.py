@@ -9,11 +9,13 @@ compression with clear-on-full-table) for fixture generation and
 roundtrip tests.  GIF is lossless over its palette, so roundtrips are
 exact, unlike JPEG.
 
-Scope (disclosed): the FIRST image frame is decoded (the still-image
-semantics a training-data pipeline wants); extension blocks (GCE,
-comments, application/NETSCAPE loops) are skipped structurally, so
-animated files decode to their first frame.  Transparency indexes are
-ignored (the pixel keeps its palette color).
+`decode_gif` returns the FIRST image frame (still-image semantics;
+transparency indexes keep their palette color).  `extract_gif_frames`
+(r9) implements full GIF89a animation semantics — per-frame rectangles
+composited at (left, top), Graphic Control transparency, disposal
+none/keep/restore-background/restore-previous — returning fully
+composited canvases; `encode_gif_animation` writes multi-frame fixtures
+(GCE + NETSCAPE loop block) for roundtrip tests.
 """
 
 from __future__ import annotations
@@ -166,17 +168,61 @@ def lzw_decompress(data: bytes, min_code_size: int, n_out: int) -> np.ndarray:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → (h, w, 3) uint8 RGB of the first image frame."""
+def _parse_screen(payload: bytes):
+    """Header + logical screen → (sw, sh, gct, bg_index, pos)."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload")
-    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    return sw, sh, gct, bg, pos
+
+
+def _parse_image_block(payload: bytes, pos: int, gct):
+    """pos AT the byte after 0x2C → (left, top, index rows, color table,
+    new pos).  Shared by the first-frame and animation walks."""
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    from wukong_spark.operators.multimodal import check_decode_dims
+
+    check_decode_dims(w, h, "GIF")
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if ct is None:
+        raise ValueError("GIF image has no color table")
+    mcs = payload[pos]
+    pos += 1
+    chunks = []
+    while payload[pos]:
+        ln = payload[pos]
+        chunks.append(payload[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+    pos += 1
+    idx = lzw_decompress(b"".join(chunks), mcs, w * h)
+    if idx.max(initial=0) >= len(ct):
+        raise ValueError("GIF palette index out of range")
+    rows = idx.reshape(h, w)
+    if ipacked & 0x40:  # 4-pass interlace: reorder rows
+        de = np.empty_like(rows)
+        src = 0
+        for start, step in _INTERLACE_PASSES:
+            for y in range(start, h, step):
+                de[y] = rows[src]
+                src += 1
+        rows = de
+    return left, top, rows, ct, pos
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB of the first image frame."""
+    _sw, _sh, gct, _bg, pos = _parse_screen(payload)
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -190,40 +236,79 @@ def decode_gif(payload: bytes) -> np.ndarray:
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
-        pos += 9
-        from wukong_spark.operators.multimodal import check_decode_dims
-
-        check_decode_dims(w, h, "GIF")
-        ct = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
-            pos += n * 3
-        if ct is None:
-            raise ValueError("GIF image has no color table")
-        mcs = payload[pos]
-        pos += 1
-        chunks = []
-        while payload[pos]:
-            ln = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + ln])
-            pos += 1 + ln
-        pos += 1
-        idx = lzw_decompress(b"".join(chunks), mcs, w * h)
-        if idx.max(initial=0) >= len(ct):
-            raise ValueError("GIF palette index out of range")
-        rows = idx.reshape(h, w)
-        if ipacked & 0x40:  # 4-pass interlace: reorder rows
-            de = np.empty_like(rows)
-            src = 0
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, h, step):
-                    de[y] = rows[src]
-                    src += 1
-            rows = de
+        _left, _top, rows, ct, pos = _parse_image_block(payload, pos, gct)
         return np.ascontiguousarray(ct[rows])
     raise ValueError("GIF missing image descriptor")
+
+
+def extract_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Animated GIF → list of fully-composited (sh, sw, 3) RGB canvases,
+    one per image block, with GIF89a animation semantics: per-frame
+    rectangles composite at (left, top); a Graphic Control Extension's
+    transparency index leaves underlying canvas pixels visible; disposal
+    0/1 leaves the canvas, 2 restores the frame rectangle to the
+    background color, 3 restores the pre-frame canvas.  A total-pixel
+    guard (frames × screen area) bounds memory against animation
+    bombs."""
+    from wukong_spark.operators.multimodal import MAX_DECODE_PIXELS, check_decode_dims
+
+    sw, sh, gct, bg, pos = _parse_screen(payload)
+    check_decode_dims(sw, sh, "GIF")
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    gce = None  # (disposal, transparent_idx or None)
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control
+                packed = payload[pos + 1]
+                tidx = payload[pos + 4] if packed & 1 else None
+                gce = ((packed >> 2) & 7, tidx)
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, rows, ct, pos = _parse_image_block(payload, pos, gct)
+        h, w = rows.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rectangle outside logical screen")
+        if (len(frames) + 2) * sw * sh > MAX_DECODE_PIXELS:
+            raise ValueError(
+                "GIF animation exceeds MAX_DECODE_PIXELS across frames"
+            )
+        disposal, tidx = gce if gce is not None else (0, None)
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        px = ct[rows]
+        if tidx is not None:
+            mask = rows != tidx
+            region[mask] = px[mask]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas = prev
+        gce = None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF missing image descriptor")
+    return frames
 
 
 def encode_gif(
@@ -256,4 +341,53 @@ def encode_gif(
         out += chunk
     out.append(0)  # block terminator
     out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def encode_gif_animation(
+    entries: list[tuple],
+    palette: np.ndarray,
+    screen: tuple[int, int] | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """Animation writer for fixtures/tests.
+
+    ``entries``: list of (indices (h, w) uint8, left, top,
+    transparent_idx or None, disposal 0-3).  One global color table; a
+    Graphic Control Extension precedes every frame carrying its
+    transparency + disposal.  ``screen`` defaults to the tightest
+    (sw, sh) covering all frame rectangles."""
+    n = len(palette)
+    assert n <= 256
+    bits = max(1, int(n - 1).bit_length())
+    ct = np.zeros((2**bits, 3), np.uint8)
+    ct[:n] = palette
+    mcs = max(2, bits)
+    if screen is None:
+        sw = max(left + idx.shape[1] for idx, left, _t, _x, _d in entries)
+        sh = max(top + idx.shape[0] for idx, _l, top, _x, _d in entries)
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", sw, sh, 0x80 | ((bits - 1) << 4) | (bits - 1), bg_index, 0
+    )
+    out += ct.tobytes()
+    # NETSCAPE looping extension (structurally skipped by the walks, but
+    # real animations carry it — keeps fixtures realistic)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx, left, top, tidx, disposal in entries:
+        h, w = idx.shape
+        assert int(idx.max(initial=0)) < n and left + w <= sw and top + h <= sh
+        packed = (disposal & 7) << 2 | (1 if tidx is not None else 0)
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed, 4, tidx or 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0x00)
+        out.append(mcs)
+        data = lzw_compress(idx.reshape(-1), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
     return bytes(out)

@@ -1018,14 +1018,18 @@ def frame_sample(
     n_frames: int = 4,
     fake_decoder: bool = False,
 ) -> DataFrame:
-    """Video → n evenly-spaced sampled frames, one output row per frame.
+    """Video/animation → n evenly-spaced sampled frames, one row each.
 
     MJPEG AVI payloads decode for REAL (r7 — operators/video.py container
-    walk + the baseline JPEG decoder); each sampled frame emits its source
-    frame number plus exact integer channel sums (the oracle-able
-    contract the image decoders use).  Other containers/codecs require
-    ``fake_decoder=True`` (codec libs absent), which emits deterministic
-    content-seeded fakes through the identical schema."""
+    walk + the baseline JPEG decoder), and animated GIFs (r9 —
+    operators/gif.py full compositing: partial rectangles, transparency,
+    disposal) flow through the SAME operator; each sampled frame emits
+    its source frame number plus exact integer channel sums (the
+    oracle-able contract the image decoders use).  Other containers/
+    codecs require ``fake_decoder=True`` (codec libs absent), which
+    emits deterministic content-seeded fakes through the identical
+    schema."""
+    from wukong_spark.operators.gif import GIF_MAGICS, extract_gif_frames
     from wukong_spark.operators.video import count_frames, extract_frames, is_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1050,6 +1054,18 @@ def frame_sample(
                     except Exception:
                         if not fake_decoder:
                             raise
+                elif b[:6] in GIF_MAGICS:
+                    try:
+                        all_frames = extract_gif_frames(b)
+                        total = len(all_frames)
+                        k = min(n_frames, total)
+                        picks = sorted(
+                            {(i * (total - 1)) // max(k - 1, 1) for i in range(k)}
+                        )
+                        decoded = [(fn, all_frames[fn]) for fn in picks]
+                    except Exception:
+                        if not fake_decoder:
+                            raise
                 if decoded is not None:
                     for idx, (fn, px) in enumerate(decoded):
                         s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
@@ -1067,9 +1083,9 @@ def frame_sample(
                         )
                 else:
                     raise NotImplementedError(
-                        "payload is not an MJPEG AVI (the container decoded "
-                        "natively); other video codecs need real codec "
-                        "libraries — pass fake_decoder=True"
+                        "payload is not an MJPEG AVI or animated GIF (the "
+                        "containers decoded natively); other video codecs "
+                        "need real codec libraries — pass fake_decoder=True"
                     )
             yield pd.DataFrame(rows, columns=cols)
 

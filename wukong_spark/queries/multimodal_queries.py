@@ -786,6 +786,81 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
     ).orderBy("media_id", "frame_idx")
 
 
+def _gen_gif_anim_media(spark: SparkSession) -> DataFrame:
+    """Seeded animated-GIF payloads (r9): 6 frames per clip — a full
+    first frame then partial rectangles cycling transparency on/off and
+    all four disposal methods (none/keep/restore-bg/restore-prev)."""
+    from wukong_spark.operators.gif import encode_gif_animation
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(10500 + k)
+                n = (16, 64, 4)[k % 3]
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                entries = [
+                    (rng.integers(0, n, (24, 18), dtype=np.uint8), 0, 0, None, 1)
+                ]
+                for f in range(1, 6):
+                    h = int(rng.integers(3, 12))
+                    w = int(rng.integers(3, 10))
+                    top = int(rng.integers(0, 24 - h))
+                    left = int(rng.integers(0, 18 - w))
+                    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+                    tidx = int(rng.integers(0, n)) if f % 2 else None
+                    entries.append((idx, left, top, tidx, (0, 1, 2, 3)[f % 4]))
+                blob = encode_gif_animation(entries, pal, screen=(18, 24))
+                rows.append((k, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 8, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="video", mime="image/gif", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_gif_frame_sample",
+    # literal oracle: exact integer channel sums of 3 evenly-spaced
+    # composited frames per clip — palette lookup, rectangle compositing,
+    # transparency masking, and disposal restoration are all lossless
+    # integer
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 0, 0, 55005, 60079, 47554), (0, 1, 2, 54557, 59459, 44060),
+      (0, 2, 5, 44493, 57817, 44360), (1, 0, 0, 58119, 63522, 54466),
+      (1, 1, 2, 58593, 62576, 54384), (1, 2, 5, 56614, 61839, 56097),
+      (2, 0, 0, 37232, 47791, 60023), (2, 1, 2, 39856, 49627, 58379),
+      (2, 2, 5, 41476, 49212, 59058), (3, 0, 0, 47815, 59346, 59733),
+      (3, 1, 2, 48106, 59651, 59624), (3, 2, 5, 46731, 59730, 60968),
+      (4, 0, 0, 55496, 58091, 62632), (4, 1, 2, 55357, 59068, 60684),
+      (4, 2, 5, 52216, 60039, 61342), (5, 0, 0, 22704, 67211, 80529),
+      (5, 1, 2, 22916, 66969, 80670), (5, 2, 5, 22648, 65997, 79587),
+      (6, 0, 0, 56826, 53492, 50866), (6, 1, 2, 56257, 52335, 51379),
+      (6, 2, 5, 56707, 49029, 48102), (7, 0, 0, 54082, 51537, 60890),
+      (7, 1, 2, 53574, 52093, 60223), (7, 2, 5, 51987, 55090, 64280))
+      AS t(media_id, frame_idx, frame_no, sum_r, sum_g, sum_b)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str):
+    """Seeded animated-GIF bytes → REAL frame sampling through the same
+    `frame_sample` operator the AVI path uses (full GIF89a compositing:
+    partial rectangles, Graphic Control transparency, all four disposal
+    methods — operators/gif.py, r9) → exact integer channel sums of 3
+    evenly-spaced composited frames per clip.  Any regression in the
+    compositing state machine flips a sum of a LATER frame even when
+    frame 0 still decodes."""
+    from wukong_spark.operators.multimodal import frame_sample
+
+    dec = frame_sample(_gen_gif_anim_media(spark), n_frames=3)
+    return dec.select(
+        "media_id", "frame_idx", "frame_no", "sum_r", "sum_g", "sum_b"
+    ).orderBy("media_id", "frame_idx")
+
+
 @query(
     "archive_tar_decode",
     # literal oracle: exact integer channel sums of BMPs decoded OUT OF
