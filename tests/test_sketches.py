@@ -40,3 +40,62 @@ def test_approx_stats_within_bounds(spark):
         g = got[flag]
         assert abs(g["approx_orders"] - e["n"]) / e["n"] < 0.05, flag
         assert abs(g["approx_p50"] - e["p50"]) / e["p50"] < 0.01, flag
+
+
+def test_bloom_build_probe_contracts(spark):
+    """Bloom filter (r9): zero false negatives structurally; FP rate near
+    the 12-bits/key design point; string and integer key dtypes both
+    work (different hash lanes, same contracts)."""
+    import numpy as np
+
+    from wukong_spark.operators.membership import bloom_build, bloom_probe
+
+    members = spark.range(0, 2000).selectExpr("id AS key")
+    bits = bloom_build(members, "key", ((12 * 2000 + 7) // 8) * 8, k=7)
+    probe = spark.range(0, 6000).selectExpr("id AS key")
+    rows = bloom_probe(probe, "key", bits, k=7).collect()
+    hits = {r.key: r.maybe for r in rows}
+    assert all(hits[i] for i in range(2000))  # no false negatives
+    fp = sum(hits[i] for i in range(2000, 6000))
+    assert fp / 4000 < 0.05  # ~0.8 % expected at this sizing
+
+    smem = members.selectExpr("CAST(key AS STRING) AS key")
+    sbits = bloom_build(smem, "key", ((12 * 2000 + 7) // 8) * 8, k=7)
+    srows = bloom_probe(
+        probe.selectExpr("CAST(key AS STRING) AS key"), "key", sbits, k=7
+    ).collect()
+    shits = {int(r.key): r.maybe for r in srows}
+    assert all(shits[i] for i in range(2000))
+    assert sum(shits[i] for i in range(2000, 6000)) / 4000 < 0.05
+    assert isinstance(bits, np.ndarray)
+
+
+def test_countmin_estimates_bounded(spark):
+    """Count-Min (r9): estimates never under-count, and every key's
+    overestimate stays within 3eN/width (prob < 1e-6 per key)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from wukong_spark.operators.membership import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    # skewed stream: key = id % 200, with key 7 heavy (every 3rd row)
+    df = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN CAST(7 AS BIGINT) ELSE id % 200 END AS key"
+    )
+    cms = countmin_build(df, "key", 4096, 7)
+    truth = df.groupBy("key").count().toPandas()
+    ests = countmin_estimate(cms, truth["key"])
+    t = truth["count"].to_numpy()
+    assert (ests >= t).all()
+    assert ((ests - t) <= 3 * math.e * 20000 / 4096).all()
+    assert int(cms.sum()) == 7 * 20000  # every row counted in every row-hash
+    # heavy hitter is recovered exactly-ish
+    heavy = truth.loc[truth["key"] == 7, "count"].iloc[0]
+    est7 = countmin_estimate(cms, pd.Series([7], dtype="int64"))[0]
+    assert heavy <= est7 <= heavy + 3 * math.e * 20000 / 4096
+    assert isinstance(cms, np.ndarray)

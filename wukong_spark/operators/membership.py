@@ -1,0 +1,170 @@
+"""Distributed membership & frequency sketches (SURVEY.md §2.3 —
+training-data pipeline staples beyond the reference's surface).
+
+Bloom filters are THE dedup/membership primitive at corpus scale:
+build once over the seen-key set, broadcast the bit array, and probe a
+candidate stream map-side — no join, no shuffle of the big side.
+Count-Min sketches answer frequency/heavy-hitter queries in O(w·d)
+memory regardless of key cardinality.  Both build via per-partition
+partials whose size is independent of row count (an m-bit array / a
+w·d counter block per task) and merge by elementwise OR / sum — the
+same bounded-driver-traffic shape as the gramian partials.
+
+100 TB path: the arrays here are driver-merged (fine to ~100 MB); past
+that, key-range-partitioned blooms (one per bucket, probed after a
+bucket-id map) keep every array bounded while the probe stays map-side.
+
+Hashing: integer key columns take a fully-vectorized splitmix64 lane
+pair (numpy, no per-row Python); other types hash per value through
+stdlib blake2b.  Both are deterministic across engines, partitions,
+and re-runs; build and probe agree by construction (same dtype branch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    z = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    z ^= z >> np.uint64(30)
+    z = (z * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    z ^= z >> np.uint64(27)
+    z = (z * np.uint64(0x94D049BB133111EB)) & _M64
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash2_series(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Series of keys → two independent uint64 hash lanes (vectorized
+    splitmix64 for integer dtypes, blake2b per value otherwise).  The
+    second lane is forced odd so double hashing never degenerates."""
+    if s.dtype.kind in ("i", "u"):
+        x = s.to_numpy().astype(np.uint64)
+        h1 = _splitmix(x)
+        h2 = _splitmix(x ^ np.uint64(0xA076_1D64_78BD_642F))
+    else:
+        pairs = [
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=16).digest()
+            for v in s
+        ]
+        h1 = np.array(
+            [int.from_bytes(p[:8], "little") for p in pairs], np.uint64
+        )
+        h2 = np.array(
+            [int.from_bytes(p[8:], "little") for p in pairs], np.uint64
+        )
+    return h1, h2 | np.uint64(1)
+
+
+def _positions(
+    h1: np.ndarray, h2: np.ndarray, n_bits: int, k: int
+) -> np.ndarray:
+    """(n, k) Kirsch–Mitzenmacher double-hashed probe positions."""
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_build(df: DataFrame, col: str, n_bits: int, k: int = 7) -> np.ndarray:
+    """Distributed Bloom-filter build → packed bit array (n_bits/8 bytes).
+
+    One pass: every partition sets bits in its local copy and ships it
+    once; the driver ORs the partials.  Guaranteed no false negatives;
+    n_bits ≈ 10 bits/key gives ~1 % false positives at k=7."""
+    assert n_bits % 8 == 0
+    nb = n_bits
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(nb // 8, np.uint8)
+        got = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1, h2 = _hash2_series(pdf[col])
+            pos = _positions(h1, h2, nb, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            got = True
+        if got:
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    rows = df.select(col).mapInPandas(partials, "b binary").collect()
+    out = np.zeros(nb // 8, np.uint8)
+    for row in rows:
+        out |= np.frombuffer(row.b, np.uint8)
+    return out
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bits: np.ndarray, k: int = 7, out_col: str = "maybe"
+) -> DataFrame:
+    """Map-side membership probe: broadcast the bit array, emit a boolean
+    `maybe` per row (true = possibly member, false = definitely not).
+    No join, no shuffle — the big side streams."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+    nb = len(bits) * 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arr = np.frombuffer(bc.value, np.uint8)
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                h1, h2 = _hash2_series(pdf[col])
+                pos = _positions(h1, h2, nb, k)
+                hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                pdf[out_col] = hit.all(axis=1)
+            else:
+                pdf[out_col] = np.zeros(0, bool)
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(run, f"{schema}, {out_col} boolean")
+
+
+def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarray:
+    """Distributed Count-Min sketch build → (depth, width) int64 counters.
+
+    Per-partition partials sum elementwise; a point estimate is the min
+    over rows of the double-hashed cells — always ≥ the true count, and
+    within εN (ε = e/width) with probability 1 − e^(−depth)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cms = np.zeros((depth, width), np.int64)
+        got = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1, h2 = _hash2_series(pdf[col])
+            pos = _positions(h1, h2, width, depth)  # (n, depth)
+            for r in range(depth):
+                np.add.at(cms[r], pos[:, r], 1)
+            got = True
+        if got:
+            yield pd.DataFrame({"b": [cms.tobytes()]})
+
+    rows = df.select(col).mapInPandas(partials, "b binary").collect()
+    out = np.zeros((depth, width), np.int64)
+    for row in rows:
+        out += np.frombuffer(row.b, np.int64).reshape(depth, width)
+    return out
+
+
+def countmin_estimate(cms: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point-frequency estimates for a series of keys: min over the
+    sketch's d hashed cells (vectorized; must share the build's dtype
+    branch so the hash lanes agree)."""
+    depth, width = cms.shape
+    h1, h2 = _hash2_series(values)
+    pos = _positions(h1, h2, width, depth)  # (n, depth)
+    ests = np.stack([cms[r][pos[:, r]] for r in range(depth)], axis=1)
+    return ests.min(axis=1)

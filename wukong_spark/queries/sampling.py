@@ -132,3 +132,109 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str):
             F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
     )
+
+
+@query(
+    "dedup_bloom_check",
+    # verdict booleans are deterministic by construction: a Bloom filter
+    # can NEVER false-negative, and the FP gate (< 5 %) sits ~6σ above
+    # the ~0.8 % expectation at 12 bits/key, k=7
+    oracle="""
+    SELECT TRUE AS no_false_negatives, TRUE AS fp_under_bound,
+           (SELECT COUNT(*) FROM customer) AS n_probed
+    """,
+)
+def dedup_bloom_check(spark: SparkSession, sf_dir: str):
+    """Distributed Bloom-filter membership contract: build the filter
+    over the distinct order-placing customer keys (one pass, per-task
+    bit-array partials OR-merged on the driver), broadcast it, probe
+    EVERY customer map-side (no join on the probe path), then verify
+    against exact membership:
+
+    - no_false_negatives: every customer with orders must probe true —
+      the Bloom guarantee, violated only by a build/probe hash mismatch;
+    - fp_under_bound: false-positive rate among order-less customers
+      < 5 % (sized 12 bits/key at k=7 → ~0.8 % expected).
+
+    The 100 TB dedup pattern: seen-keys filter broadcast once, candidate
+    stream filtered map-side, exact verification only on survivors."""
+    from wukong_spark.operators.membership import bloom_build, bloom_probe
+
+    members = (
+        tbl(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    n = members.count()
+    n_bits = max(1024, ((12 * n + 7) // 8) * 8)
+    bits = bloom_build(members, "key", n_bits, k=7)
+    cust = tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    probed = bloom_probe(cust, "key", bits, k=7)
+    truth = members.withColumn("is_member", F.lit(True))
+    agg = probed.join(truth, "key", "left").agg(
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("maybe"), 1).otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when(F.col("is_member").isNull() & F.col("maybe"), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(F.when(F.col("is_member").isNull(), 1).otherwise(0)).alias("nonmem"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        (F.col("fn") == 0).alias("no_false_negatives"),
+        ((F.col("fp") * 20 <= F.col("nonmem")) | (F.col("nonmem") == 0)).alias(
+            "fp_under_bound"
+        ),
+        F.col("n").alias("n_probed"),
+    )
+
+
+@query(
+    "sketch_countmin_check",
+    # never_underestimates is structural (min of sums ≥ true count);
+    # the overestimate gate 3eN/width fails with prob < 1e-6 per key
+    # (Markov per row, min over depth=7 rows)
+    oracle="""
+    SELECT TRUE AS never_underestimates, TRUE AS overestimate_bounded,
+           (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS n_keys
+    """,
+)
+def sketch_countmin_check(spark: SparkSession, sf_dir: str):
+    """Count-Min sketch frequency contract over lineitem supplier keys:
+    build the (7 × 8192) sketch in one distributed pass (per-task
+    counter-block partials summed on the driver — size independent of
+    row count), then check EVERY distinct key's estimate against its
+    exact groupBy count:
+
+    - never_underestimates: CMS estimates are min-of-sums ≥ truth,
+      structurally;
+    - overestimate_bounded: error ≤ 3eN/width for every key.
+
+    Only the distinct-key truth table (bounded by supplier count) and
+    the sketch itself leave the cluster."""
+    import math
+
+    from wukong_spark.operators.membership import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    width, depth = 8192, 7
+    cms = countmin_build(li, "key", width, depth)
+    truth = li.groupBy("key").count().toPandas()  # O(n_suppliers) rows
+    ests = countmin_estimate(cms, truth["key"])
+    true_np = truth["count"].to_numpy()
+    bound = 3.0 * math.e * float(true_np.sum()) / width
+    return spark.createDataFrame(
+        [
+            (
+                bool((ests >= true_np).all()),
+                bool(((ests - true_np) <= bound).all()),
+                len(truth),
+            )
+        ],
+        "never_underestimates boolean, overestimate_bounded boolean,"
+        " n_keys bigint",
+    )
