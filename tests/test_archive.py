@@ -58,6 +58,40 @@ def test_explode_tar_plain_and_gzip(spark):
             assert r["n_bytes"] == len(_SAMPLES[r["member"]])
 
 
+def test_explode_tar_bz2_and_xz(spark):
+    """Wiki/crawl dumps ship .tar.bz2 and .tar.xz; tarfile's r:* sniff
+    plus stdlib bz2/lzma cover both (r9)."""
+    import tarfile as _tf
+
+    for mode in ("w:bz2", "w:xz"):
+        buf = io.BytesIO()
+        with _tf.open(fileobj=buf, mode=mode) as tf:
+            for name, data in _SAMPLES.items():
+                info = _tf.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+        )
+        out = explode_tar(df).toPandas().sort_values("member", ignore_index=True)
+        assert list(out["member"]) == sorted(_SAMPLES), mode
+        for _, r in out.iterrows():
+            assert bytes(r["content"]) == _SAMPLES[r["member"]]
+
+
+def test_decompress_column_bz2_and_xz(spark):
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    doc = b'{"text": "compressed jsonl line"}\n' * 50
+    for codec, comp in (("bz2", _bz2.compress), ("xz", _lzma.compress)):
+        df = spark.createDataFrame(
+            [(1, bytearray(comp(doc)))], "media_id long, payload binary"
+        )
+        out = decompress_column(df, codec=codec).collect()[0]
+        assert bytes(out.payload) == doc, codec
+
+
 def test_explode_zip(spark):
     df = spark.createDataFrame(
         [(2, bytearray(_zip_bytes(_SAMPLES)))], "media_id long, payload binary"

@@ -2,7 +2,8 @@
 
 Large multimodal training corpora ship as ARCHIVE SHARDS — WebDataset-style
 tar files holding (sample.jpg, sample.json, sample.txt) member groups, zip
-bundles, and gzip-compressed JSONL — none of which Spark reads natively.
+bundles, and gzip/bz2/xz-compressed JSONL — none of which Spark reads
+natively.
 These operators explode archive payloads into per-member rows inside
 `mapInPandas`, so shard bytes arrive via any binary source (binaryFile,
 a parquet blob column) and fan out to the decode operators
@@ -17,8 +18,10 @@ zstandard module (absent here) and raise NotImplementedError naming it.
 
 from __future__ import annotations
 
+import bz2
 import gzip
 import io
+import lzma
 import tarfile
 import zipfile
 import zlib
@@ -48,9 +51,9 @@ def _check_member(name: str, size: int) -> None:
 def explode_tar(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(media_id, tar bytes) → one row per regular file member.
 
-    Accepts plain and gzip-compressed tar (mode "r:*" sniffs); member
-    order is preserved, which is what keeps WebDataset's
-    (x.jpg, x.json) sample grouping adjacent."""
+    Accepts plain, gzip-, bz2-, and xz-compressed tar (mode "r:*"
+    sniffs all stdlib codecs); member order is preserved, which is what
+    keeps WebDataset's (x.jpg, x.json) sample grouping adjacent."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,15 +100,18 @@ def explode_zip(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def decompress_column(
     df: DataFrame, payload_col: str = "payload", codec: str = "gzip"
 ) -> DataFrame:
-    """Decompress a binary column in place (gzip / zlib / raw-deflate) —
-    the gzipped-JSONL ingestion step.  zstd/lz4 need external modules
-    (absent in this environment) and raise NotImplementedError."""
+    """Decompress a binary column in place (gzip / zlib / raw-deflate /
+    bz2 / xz, all stdlib) — the compressed-JSONL ingestion step (crawl
+    and wiki dumps ship .gz, .bz2, and .xz).  zstd/lz4 need external
+    modules (absent in this environment) and raise NotImplementedError —
+    a self-consistent reimplementation could not be pinned against a
+    ground truth, the TIFF-LZW rule."""
     if codec in ("zstd", "lz4", "snappy"):
         raise NotImplementedError(
             f"{codec} needs an external module not present in this "
             "environment (python-zstandard / lz4 / python-snappy)"
         )
-    if codec not in ("gzip", "zlib", "deflate"):
+    if codec not in ("gzip", "zlib", "deflate", "bz2", "xz"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,6 +123,10 @@ def decompress_column(
                     d = gzip.decompress(b)
                 elif codec == "zlib":
                     d = zlib.decompress(b)
+                elif codec == "bz2":
+                    d = bz2.decompress(b)
+                elif codec == "xz":
+                    d = lzma.decompress(b)
                 else:
                     d = zlib.decompress(b, wbits=-15)
                 _check_member("<payload>", len(d))

@@ -862,6 +862,87 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "archive_bz2_xz_decode",
+    # literal oracle: IDENTICAL values to archive_tar_decode's — the
+    # shards hold the same seeded BMPs, only the tar compression differs
+    # (bz2 on even shards, xz on odd); a hash-green row proves the
+    # stdlib-codec sniffing path decodes byte-identically
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, '000.bmp', 7854, 9348, 7659), (0, '001.bmp', 7729, 7959, 8981),
+      (0, '002.bmp', 7907, 8369, 8309), (0, '003.bmp', 8723, 7445, 7680),
+      (1, '000.bmp', 7984, 8552, 8252), (1, '001.bmp', 8487, 7844, 8065),
+      (1, '002.bmp', 8858, 8068, 6739), (1, '003.bmp', 8117, 9464, 7269),
+      (2, '000.bmp', 7902, 8221, 8646), (2, '001.bmp', 7687, 9172, 8631),
+      (2, '002.bmp', 8835, 8113, 9149), (2, '003.bmp', 8578, 9641, 8514),
+      (3, '000.bmp', 8714, 8574, 7691), (3, '001.bmp', 7428, 8251, 8676),
+      (3, '002.bmp', 7035, 8136, 7470), (3, '003.bmp', 7804, 8873, 9134))
+      AS t(shard_id, member, sum_r, sum_g, sum_b)
+    ORDER BY shard_id, member
+    """,
+)
+def archive_bz2_xz_decode(spark: SparkSession, sf_dir: str):
+    """Compressed-shard ingestion (r9): the same seeded BMP shards as
+    archive_tar_decode, but written as .tar.bz2 (even shards) and
+    .tar.xz (odd shards) — the wiki/crawl dump codecs, both stdlib-
+    pinned.  explode_tar's r:* sniff must route each through the right
+    decompressor; the oracle literals are copied verbatim from the
+    plain-tar entry, so any decode divergence flips a sum."""
+    import io
+    import tarfile
+
+    from wukong_spark.operators.archive import explode_tar
+    from wukong_spark.operators.multimodal import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                shard = int(i)
+                buf = io.BytesIO()
+                mode = "w:bz2" if shard % 2 == 0 else "w:xz"
+                with tarfile.open(fileobj=buf, mode=mode) as tf:
+                    for j in range(4):
+                        rng = np.random.default_rng(6000 + shard * 10 + j)
+                        px = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+                        data = encode_bmp(px)
+                        info = tarfile.TarInfo(f"{j:03d}.bmp")
+                        info.size = len(data)
+                        info.mtime = 0  # determinism: no wall-clock in bytes
+                        tf.addfile(info, io.BytesIO(data))
+                rows.append((shard, bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    shards = spark.range(0, 4, 1, 2).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+    members = explode_tar(shards).select(
+        F.col("media_id").alias("shard_id"),
+        "member",
+        F.col("content").alias("payload"),
+        (
+            F.col("media_id") * 10 + F.substring("member", 1, 3).cast("int")
+        ).alias("mkey"),
+    )
+    dec = decode_images(
+        members.select(F.col("mkey").alias("media_id"), "payload"),
+        height=8,
+        width=8,
+    )
+    joined = dec.join(
+        F.broadcast(members.select("mkey", "shard_id", "member")),
+        dec.media_id == F.col("mkey"),
+    )
+    return joined.select(
+        "shard_id",
+        "member",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("shard_id", "member")
+
+
+@query(
     "archive_tar_decode",
     # literal oracle: exact integer channel sums of BMPs decoded OUT OF
     # seeded in-plan tar shards — the whole path (tar member walk →
