@@ -180,3 +180,39 @@ def test_zip_with_generated_side_has_no_join(spark):
     plan = plans.formatted_plan(x.subtract(a).df)
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """bucketed_join_check (r9): joining two tables bucketed by the join
+    key must produce a sort-merge join with NO Exchange on either join
+    input — the bucket layout IS the shuffle, paid once at write."""
+    from wukong_spark.queries.helpers import tbl
+
+    o = tbl(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderpriority")
+    l = tbl(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_extendedprice")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders_pin")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem_pin")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("bkt_orders_pin")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("bkt_lineitem_pin")
+    # tiny test tables auto-broadcast (which disables bucketed scans) —
+    # force the merge-join shape a fact-fact join takes at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("bkt_orders_pin"), spark.table("bkt_lineitem_pin")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        plan = plans.formatted_plan(j)
+        # the join inputs read bucketed scans directly: no Exchange node
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_pin")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem_pin")

@@ -541,3 +541,60 @@ def sketch_check(spark: SparkSession, sf_dir: str):
             "p50_within_5pct"
         ),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "bucketed_join_check",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_u
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def bucketed_join_check(spark: SparkSession, sf_dir: str):
+    """Bucketed co-located join (r9): both fact tables are written
+    bucketed by the join key (`bucketBy(8, orderkey)` + sortBy), then
+    joined as tables — Spark aligns the bucket layouts so the join runs
+    with NO shuffle exchange on either side (pinned in
+    test_plan_shape.py).  This is the 100 TB pattern for repeated
+    fact-fact joins: pay the partitioned write once, join shuffle-free
+    forever after.  Result: revenue per order priority in exact integer
+    cents, hash-checked against DuckDB running the same join on the
+    original parquet."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_orders_tmp")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem_tmp")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bkt_orders_tmp")
+    )
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem_tmp")
+    )
+    ob = spark.table("bkt_orders_tmp")
+    lb = spark.table("bkt_lineitem_tmp")
+    pc, dc = cents("l_extendedprice"), pct_units("l_discount")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(pc * (100 - dc)).alias("revenue_u"),
+        )
+        .orderBy("o_orderpriority")
+    )
