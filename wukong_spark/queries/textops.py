@@ -13,6 +13,7 @@ signatures exactly reproducible in the SQL oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
@@ -1199,3 +1200,55 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str):
             .alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "text_normalize_nfc",
+    # REAL cross-engine oracle: DuckDB's utf8proc nfc_normalize vs
+    # CPython's unicodedata — both implement UAX #15; the appended
+    # combining sequences (U+0300 block) have been normalization-stable
+    # since Unicode 1.1, so no UCD-version skew can split the engines
+    oracle="""
+    SELECT doc_id,
+           md5(nfc_normalize(text || 'e' || chr(769) || 'A' || chr(776)
+                             || chr(97) || chr(778))) AS nfc_md5,
+           length(nfc_normalize(text || 'e' || chr(769) || 'A' || chr(776)
+                                || chr(97) || chr(778))) AS nfc_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str):
+    """Unicode NFC normalization — the corpus-cleaning step that folds
+    combining sequences (e + U+0301 → é) so dedup/hashing see ONE byte
+    form per canonical string.  Each document gets decomposed combining
+    sequences appended in-plan (é, Ä, å as base+combining — chr() on
+    both engines), then normalizes through an Arrow-batched pandas UDF
+    (`unicodedata.normalize`; Spark has no built-in NFC — this is the
+    documented vectorized-Python slow path, map-only, no shuffle) and
+    emits md5 + codepoint length of the result.  DuckDB normalizes with
+    its own independent implementation (utf8proc) — a genuine
+    cross-engine differential test of UAX #15."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    # NOTE: Spark's char(n) is ASCII-mod-256, NOT a Unicode codepoint —
+    # the combining marks must be string literals here (DuckDB's chr()
+    # IS codepoint-based, so the oracle builds the same suffix with chr)
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("e\u0301A\u0308a\u030a"),  # decomposed e-acute, A-umlaut, a-ring
+        ).alias("raw"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(nfc("raw"), "UTF-8")).alias("nfc_md5"),
+        F.length(nfc("raw")).alias("nfc_chars"),
+    ).orderBy("doc_id")
