@@ -188,10 +188,15 @@ def test_bucketed_join_has_no_shuffle(spark):
     input — the bucket layout IS the shuffle, paid once at write."""
     from wukong_spark.queries.helpers import tbl
 
+    import shutil
+    from urllib.parse import urlparse
+
     o = tbl(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderpriority")
     l = tbl(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_extendedprice")
-    spark.sql("DROP TABLE IF EXISTS bkt_orders_pin")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem_pin")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_orders_pin", "bkt_lineitem_pin"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
         "o_orderkey"
     ).saveAsTable("bkt_orders_pin")

@@ -566,14 +566,24 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
     forever after.  Result: revenue per order priority in exact integer
     cents, hash-checked against DuckDB running the same join on the
     original parquet."""
+    import shutil
+    from urllib.parse import urlparse
+
     o = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    spark.sql("DROP TABLE IF EXISTS bkt_orders_tmp")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem_tmp")
+    # DROP TABLE only clears THIS session's in-memory catalog; a previous
+    # session's managed-table directory survives in the warehouse and
+    # fails the next saveAsTable with LOCATION_ALREADY_EXISTS.  Local
+    # mode: clear the leftover locations too.  (A real cluster has a
+    # persistent metastore, where DROP TABLE removes the location.)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_orders_tmp", "bkt_lineitem_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
