@@ -221,3 +221,29 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders_pin")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem_pin")
+
+
+def test_partitioned_scan_prunes_at_planning_time(spark):
+    """partitioned_scan_prune_check (r9): the event_type filter must be a
+    PartitionFilter on the scan (directory pruning), NOT a post-scan
+    PushedFilter over the data files."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+    from wukong_spark.queries.helpers import tbl
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/evt_by_type_pin"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl(spark, SF_CORRECT, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    try:
+        e = spark.read.parquet(path).filter(F.col("event_type") == "click")
+        plan = plans.formatted_plan(e.groupBy("user_id").count())
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1].split("\n")[0], plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

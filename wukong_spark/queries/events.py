@@ -832,3 +832,46 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "partitioned_scan_prune_check",
+    oracle="""
+    SELECT user_id % 16 AS user_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_4
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+)
+def partitioned_scan_prune_check(spark: SparkSession, sf_dir: str):
+    """Partition-pruned layout (r9): rewrite events PARTITIONED BY
+    event_type (hive-style directories), then read back filtered to one
+    type — the filter resolves at PLANNING time to a directory listing
+    (`PartitionFilters` in the scan, pinned in test_plan_shape.py), so
+    only ~1/5 of the data is ever opened.  This is the complement of the
+    bucketing entry: bucketing kills the join shuffle, partitioning
+    kills the scan.  Results hash-check against DuckDB filtering the
+    original un-partitioned parquet."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/evt_by_type_tmp"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    e = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (
+        e.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_value_4"),
+        )
+        .orderBy("user_bucket")
+    )
