@@ -722,6 +722,32 @@ def test_jpeg_progressive_eob_runs_and_smooth_content():
             )
 
 
+def test_jpeg_exif_orientation_applied():
+    """EXIF orientation (r9): the decoder must upright all 8 orientations
+    (web/camera JPEGs carry rotation as metadata, not pixels), swap dims
+    for the transposing ones, and fall back to orientation 1 on
+    malformed EXIF rather than failing the decode."""
+    from wukong_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    t = base.transpose(1, 0, 2)
+    expected = {
+        1: base, 2: base[:, ::-1], 3: base[::-1, ::-1], 4: base[::-1],
+        5: t, 6: t[:, ::-1], 7: t[::-1, ::-1], 8: t[::-1],
+    }
+    for o in range(1, 9):
+        got = decode_jpeg(encode_jpeg(px, quality=90, exif_orientation=o))
+        assert np.array_equal(got, expected[o]), o
+        if o >= 5:
+            assert got.shape == (18, 24, 3), o
+    # malformed EXIF (bad byte-order mark) must not fail the decode
+    b = bytearray(encode_jpeg(px, quality=90, exif_orientation=6))
+    b[bytes(b).find(b"Exif") + 6] = 0x58
+    assert np.array_equal(decode_jpeg(bytes(b)), base)
+
+
 def test_jpeg_progressive_restart_intervals():
     """Progressive + DRI (r9): restart boundaries flush EOB runs and
     reset DC predictors per scan; decode must stay bit-identical to the

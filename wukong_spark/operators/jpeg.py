@@ -358,6 +358,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    exif_orientation: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
@@ -426,6 +427,8 @@ def encode_jpeg(
     scan = bw.flush()
 
     out = bytearray(_jfif_headers(h, w, sub, qly, qlc, 0xFFC0))
+    if exif_orientation:
+        out += _seg(0xFFE1, exif_app1(exif_orientation))
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
@@ -433,6 +436,62 @@ def encode_jpeg(
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _exif_orientation(app1: bytes) -> int:
+    """APP1 body → EXIF orientation tag (274) value, or 1 (normal).
+
+    The body after "Exif\\0\\0" is a little TIFF file: byte-order mark,
+    IFD0 walk, SHORT tag 0x0112.  Malformed metadata returns 1 — EXIF
+    must never fail an otherwise-good decode."""
+    try:
+        if app1[:6] != b"Exif\x00\x00":
+            return 1
+        t = app1[6:]
+        bo = {b"II": "<", b"MM": ">"}.get(t[:2])
+        if bo is None:
+            return 1
+        (ifd_off,) = struct.unpack_from(bo + "I", t, 4)
+        (count,) = struct.unpack_from(bo + "H", t, ifd_off)
+        for k in range(count):
+            e = ifd_off + 2 + 12 * k
+            tag, typ = struct.unpack_from(bo + "HH", t, e)
+            if tag == 0x0112 and typ == 3:  # orientation, SHORT
+                (v,) = struct.unpack_from(bo + "H", t, e + 8)
+                return v if 1 <= v <= 8 else 1
+        return 1
+    except (struct.error, IndexError):
+        return 1
+
+
+def _apply_orientation(px: np.ndarray, orient: int) -> np.ndarray:
+    """EXIF orientation 1-8 → upright pixels (the libjpeg-turbo/browser
+    convention: 6 = rotate 90° clockwise to display)."""
+    if orient == 2:
+        px = px[:, ::-1]
+    elif orient == 3:
+        px = px[::-1, ::-1]
+    elif orient == 4:
+        px = px[::-1]
+    elif orient == 5:
+        px = px.transpose(1, 0, 2)
+    elif orient == 6:
+        px = px.transpose(1, 0, 2)[:, ::-1]
+    elif orient == 7:
+        px = px.transpose(1, 0, 2)[::-1, ::-1]
+    elif orient == 8:
+        px = px.transpose(1, 0, 2)[::-1]
+    return np.ascontiguousarray(px)
+
+
+def exif_app1(orientation: int) -> bytes:
+    """Minimal APP1 Exif payload carrying just the orientation tag —
+    fixture writer for the decoder's orientation handling."""
+    tiff = b"II" + struct.pack("<HI", 42, 8)
+    tiff += struct.pack("<H", 1)  # one IFD entry
+    tiff += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+    tiff += struct.pack("<I", 0)  # next-IFD pointer
+    return b"Exif\x00\x00" + tiff
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -455,6 +514,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     coefs: list[np.ndarray] | None = None
     restart = 0
     nscans = 0
+    orient = 1
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -521,6 +581,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xFFDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xFFE1:  # APP1 — EXIF orientation if present
+            orient = _exif_orientation(bytes(body))
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -530,7 +592,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scomp.append((cid, tabs >> 4, tabs & 0xF))
             if not progressive:
-                return _decode_scan(payload, pos + ln, frame, scomp, qt, huff, restart)
+                return _apply_orientation(
+                    _decode_scan(payload, pos + ln, frame, scomp, qt, huff, restart),
+                    orient,
+                )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             pos = _decode_progressive_scan(
@@ -541,7 +606,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         pos += ln
     if progressive and coefs is not None and nscans:
-        return _render_progressive(frame, coefs, qt)
+        return _apply_orientation(_render_progressive(frame, coefs, qt), orient)
     raise ValueError("JPEG missing SOS scan")
 
 
