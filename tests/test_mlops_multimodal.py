@@ -1159,6 +1159,34 @@ def test_gif_animation_compositing_semantics():
     assert len(extract_gif_frames(encode_gif(f1, pal))) == 1
 
 
+def test_gif_sampling_is_memory_bounded_and_consistent():
+    """sample_gif_frames must agree with the retain-everything API on
+    the picked frames while holding only O(n_frames) canvases; the
+    structural counter sees every frame without LZW-decoding any."""
+    from wukong_spark.operators.gif import (
+        count_gif_frames,
+        encode_gif_animation,
+        extract_gif_frames,
+        sample_gif_frames,
+    )
+
+    rng = np.random.default_rng(35)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    entries = [(rng.integers(0, 8, (10, 10), dtype=np.uint8), 0, 0, None, 1)]
+    for f in range(1, 20):
+        entries.append(
+            (rng.integers(0, 8, (3, 3), dtype=np.uint8),
+             f % 7, (f * 2) % 7, 3 if f % 3 == 0 else None, f % 4)
+        )
+    b = encode_gif_animation(entries, pal, screen=(10, 10))
+    assert count_gif_frames(b) == 20
+    allf = extract_gif_frames(b)
+    sampled = sample_gif_frames(b, 3)
+    assert [fn for fn, _ in sampled] == [0, 9, 19]
+    for fn, px in sampled:
+        assert np.array_equal(px, allf[fn]), fn
+
+
 def test_frame_sample_animated_gif_end_to_end(spark):
     from wukong_spark.operators.gif import encode_gif_animation
     from wukong_spark.operators.multimodal import frame_sample

@@ -14,8 +14,11 @@ transparency indexes keep their palette color).  `extract_gif_frames`
 (r9) implements full GIF89a animation semantics — per-frame rectangles
 composited at (left, top), Graphic Control transparency, disposal
 none/keep/restore-background/restore-previous — returning fully
-composited canvases; `encode_gif_animation` writes multi-frame fixtures
-(GCE + NETSCAPE loop block) for roundtrip tests.
+composited canvases; `sample_gif_frames` takes n evenly-spaced frames
+with memory bounded by the SAMPLE size (structural frame count, one
+compositing pass, early exit after the last pick); `encode_gif_animation`
+writes multi-frame fixtures (GCE + NETSCAPE loop block) for roundtrip
+tests.
 """
 
 from __future__ import annotations
@@ -241,18 +244,47 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF missing image descriptor")
 
 
-def extract_gif_frames(
-    payload: bytes, max_frames: int | None = None
-) -> list[np.ndarray]:
-    """Animated GIF → list of fully-composited (sh, sw, 3) RGB canvases,
-    one per image block, with GIF89a animation semantics: per-frame
-    rectangles composite at (left, top); a Graphic Control Extension's
-    transparency index leaves underlying canvas pixels visible; disposal
-    0/1 leaves the canvas, 2 restores the frame rectangle to the
-    background color, 3 restores the pre-frame canvas.  A total-pixel
-    guard (frames × screen area) bounds memory against animation
-    bombs."""
-    from wukong_spark.operators.multimodal import MAX_DECODE_PIXELS, check_decode_dims
+def count_gif_frames(payload: bytes) -> int:
+    """Number of image blocks — a STRUCTURAL walk (descriptors + data
+    sub-block lengths only, no LZW decode), cheap enough to run before
+    deciding which frames to decode."""
+    _sw, _sh, gct, _bg, pos = _parse_screen(payload)
+    n = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += (2 << (ipacked & 0x07)) * 3
+        pos += 1  # min code size
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+        n += 1
+    return n
+
+
+def _walk_composited_frames(payload: bytes):
+    """Generator of (frame_idx, canvas) with GIF89a animation semantics:
+    per-frame rectangles composite at (left, top); a Graphic Control
+    Extension's transparency index leaves underlying canvas pixels
+    visible; disposal 0/1 leaves the canvas, 2 restores the frame
+    rectangle to the background color, 3 restores the pre-frame canvas.
+
+    The yielded canvas is the walker's own mutable buffer — callers that
+    retain a frame must copy it."""
+    from wukong_spark.operators.multimodal import check_decode_dims
 
     sw, sh, gct, bg, pos = _parse_screen(payload)
     check_decode_dims(sw, sh, "GIF")
@@ -261,7 +293,7 @@ def extract_gif_frames(
     )
     canvas = np.empty((sh, sw, 3), np.uint8)
     canvas[:] = bg_rgb
-    frames: list[np.ndarray] = []
+    fidx = 0
     gce = None  # (disposal, transparent_idx or None)
     while pos < len(payload):
         b = payload[pos]
@@ -285,10 +317,6 @@ def extract_gif_frames(
         h, w = rows.shape
         if left + w > sw or top + h > sh:
             raise ValueError("GIF frame rectangle outside logical screen")
-        if (len(frames) + 2) * sw * sh > MAX_DECODE_PIXELS:
-            raise ValueError(
-                "GIF animation exceeds MAX_DECODE_PIXELS across frames"
-            )
         disposal, tidx = gce if gce is not None else (0, None)
         prev = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
@@ -298,17 +326,75 @@ def extract_gif_frames(
             region[mask] = px[mask]
         else:
             region[:] = px
-        frames.append(canvas.copy())
+        yield fidx, canvas
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3:
             canvas = prev
         gce = None
+        fidx += 1
+
+
+#: structural bound on animation length — far above real animations, far
+#: below a decode-time bomb (each frame costs an LZW pass)
+MAX_GIF_FRAMES = 10_000
+
+
+def extract_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Animated GIF → list of fully-composited (sh, sw, 3) RGB canvases,
+    one per image block.  RETAINS every frame — a total-pixel guard
+    (frames × screen area) bounds memory against animation bombs; for
+    bounded-memory sampling use `sample_gif_frames`."""
+    from wukong_spark.operators.multimodal import MAX_DECODE_PIXELS
+
+    frames: list[np.ndarray] = []
+    for fidx, canvas in _walk_composited_frames(payload):
+        if (len(frames) + 2) * canvas.shape[0] * canvas.shape[1] > MAX_DECODE_PIXELS:
+            raise ValueError(
+                "GIF animation exceeds MAX_DECODE_PIXELS across frames"
+            )
+        frames.append(canvas.copy())
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:
         raise ValueError("GIF missing image descriptor")
     return frames
+
+
+def sample_gif_frames(
+    payload: bytes, n_frames: int
+) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → n evenly-spaced fully-composited frames as
+    (frame_no, canvas), memory-bounded: a structural pre-walk counts the
+    frames (no LZW), then ONE compositing pass copies only the picked
+    canvases and stops after the last pick — memory is O(n_frames ·
+    screen) regardless of animation length, the frame_sample contract
+    the AVI path already honors."""
+    from wukong_spark.operators.multimodal import MAX_DECODE_PIXELS
+
+    total = count_gif_frames(payload)
+    if total == 0:
+        raise ValueError("GIF missing image descriptor")
+    if total > MAX_GIF_FRAMES:
+        raise ValueError(f"GIF animation declares {total} frames — bomb?")
+    k = min(n_frames, total)
+    picks = sorted({(i * (total - 1)) // max(k - 1, 1) for i in range(k)})
+    pickset = set(picks)
+    last = picks[-1]
+    out: list[tuple[int, np.ndarray]] = []
+    for fidx, canvas in _walk_composited_frames(payload):
+        if fidx in pickset:
+            if (len(out) + 2) * canvas.shape[0] * canvas.shape[1] > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    "GIF sampled frames exceed MAX_DECODE_PIXELS"
+                )
+            out.append((fidx, canvas.copy()))
+        if fidx >= last:
+            break
+    return out
+
 
 
 def encode_gif(

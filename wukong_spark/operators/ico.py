@@ -77,13 +77,11 @@ def decode_ico(payload: bytes) -> np.ndarray:
     table_bytes = 4 * ncol
     data_off = 14 + hdr_size + table_bytes
     head = struct.pack("<2sIHHI", b"BM", data_off + len(fixed), 0, 0, data_off)
-    # keep only the color-plane bytes: h rows of the (padded) stride
+    # keep only header + color table + the color-plane rows (truncating
+    # drops the AND-mask rows that sit above them in the bottom-up layout)
     stride = ((w * bpp + 31) // 32) * 4
     color_end = hdr_size + table_bytes + stride * h
-    return decode_bmp(
-        bytes(head) + bytes(fixed[: hdr_size + table_bytes])
-        + bytes(fixed[hdr_size + table_bytes : color_end])
-    )
+    return decode_bmp(bytes(head) + bytes(fixed[:color_end]))
 
 
 def encode_ico(images: list[np.ndarray], as_png: bool = True) -> bytes:

@@ -581,7 +581,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xFFDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xFFE1:  # APP1 — EXIF orientation if present
+        elif marker == 0xFFE1 and body[:6] == b"Exif\x00\x00":
+            # APP1 — EXIF orientation.  Only the Exif APP1 counts: camera
+            # files routinely carry a second APP1 (XMP) after it, which
+            # must not clobber a parsed orientation back to 1.
             orient = _exif_orientation(bytes(body))
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if frame is None:

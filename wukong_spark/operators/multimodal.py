@@ -1029,7 +1029,7 @@ def frame_sample(
     codecs require ``fake_decoder=True`` (codec libs absent), which
     emits deterministic content-seeded fakes through the identical
     schema."""
-    from wukong_spark.operators.gif import GIF_MAGICS, extract_gif_frames
+    from wukong_spark.operators.gif import GIF_MAGICS, sample_gif_frames
     from wukong_spark.operators.video import count_frames, extract_frames, is_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1056,13 +1056,11 @@ def frame_sample(
                             raise
                 elif b[:6] in GIF_MAGICS:
                     try:
-                        all_frames = extract_gif_frames(b)
-                        total = len(all_frames)
-                        k = min(n_frames, total)
-                        picks = sorted(
-                            {(i * (total - 1)) // max(k - 1, 1) for i in range(k)}
-                        )
-                        decoded = [(fn, all_frames[fn]) for fn in picks]
+                        # memory-bounded: structural frame count, then one
+                        # compositing pass retaining ONLY the picked
+                        # canvases (stops after the last pick) — long
+                        # animations never materialize in full
+                        decoded = sample_gif_frames(b, n_frames)
                     except Exception:
                         if not fake_decoder:
                             raise

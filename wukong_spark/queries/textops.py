@@ -1247,8 +1247,12 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str):
             F.lit("e\u0301A\u0308a\u030a"),  # decomposed e-acute, A-umlaut, a-ring
         ).alias("raw"),
     )
-    return d.select(
+    # project the UDF ONCE — Catalyst does not reliably deduplicate
+    # identical Python UDF calls, and normalizing twice doubles the
+    # corpus-wide Python cost
+    norm = d.select("doc_id", nfc("raw").alias("norm"))
+    return norm.select(
         "doc_id",
-        F.md5(F.encode(nfc("raw"), "UTF-8")).alias("nfc_md5"),
-        F.length(nfc("raw")).alias("nfc_chars"),
+        F.md5(F.encode("norm", "UTF-8")).alias("nfc_md5"),
+        F.length("norm").alias("nfc_chars"),
     ).orderBy("doc_id")
