@@ -384,6 +384,44 @@ def test_pnm_family_p4_p5_and_wide_samples():
     assert np.array_equal(out, exp)
 
 
+def test_aifc_compression_types_decode():
+    """AIFF-C (r9): 'sowt' (Mac little-endian PCM16), 'NONE', and
+    big-endian float32/64 all decode exactly; codec compressions raise."""
+    import struct as _s
+
+    from wukong_spark.operators.multimodal import _float_to_f80, decode_aiff
+
+    def aifc(comp, body, bits=16):
+        comm = (
+            _s.pack(">HIH", 1, 0, bits)
+            + _float_to_f80(8000.0)
+            + comp
+            + b"\x04nam "
+        )
+        ssnd = _s.pack(">II", 0, 0) + body
+        chunks = (
+            b"FVER" + _s.pack(">I", 4) + _s.pack(">I", 0xA2805140)
+            + b"COMM" + _s.pack(">I", len(comm)) + comm
+            + (b"\x00" if len(comm) & 1 else b"")
+            + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+            + (b"\x00" if len(ssnd) & 1 else b"")
+        )
+        return b"FORM" + _s.pack(">I", 4 + len(chunks)) + b"AIFC" + chunks
+
+    x = np.clip(np.sin(np.arange(500) / 5) * 0.7, -1, 1)
+    pcm = np.clip(np.round(x * 32768), -32768, 32767)
+    sr, _, got = decode_aiff(aifc(b"sowt", pcm.astype("<i2").tobytes()))
+    assert sr == 8000 and np.abs(got - pcm / 32768).max() == 0
+    _, _, got = decode_aiff(aifc(b"NONE", pcm.astype(">i2").tobytes()))
+    assert np.abs(got - pcm / 32768).max() == 0
+    _, _, got = decode_aiff(aifc(b"fl32", x.astype(">f4").tobytes(), bits=32))
+    assert np.abs(got - x).max() < 1e-7
+    _, _, got = decode_aiff(aifc(b"fl64", x.astype(">f8").tobytes(), bits=64))
+    assert np.abs(got - x).max() == 0
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(aifc(b"ima4", b"\x00" * 64))
+
+
 def test_wav_24bit_pcm_decode():
     """24-bit PCM WAV (r9): little-endian 3-byte signed samples,
     sign-extended exactly; stereo downmixes by channel mean."""

@@ -736,14 +736,20 @@ def _float_to_f80(v: float) -> bytes:
 
 
 def decode_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """AIFF (FORM/AIFF, big-endian PCM) → (sample_rate, n_channels,
-    mono float64 in [−1, 1]).  8/16/32-bit PCM; AIFC compression raises."""
+    """AIFF / AIFF-C (FORM container) → (sample_rate, n_channels, mono
+    float64 in [−1, 1]).
+
+    AIFF: 8/16/32-bit big-endian PCM.  AIFF-C (r9) compression types:
+    'NONE' (big-endian PCM — verbatim AIFF semantics), 'sowt' (the Mac
+    byte-swapped little-endian 16-bit PCM), 'fl32'/'FL32' and
+    'fl64'/'FL64' (big-endian IEEE float).  Codec compressions (ima4,
+    µ-law tags etc.) raise NotImplementedError."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
-    if payload[8:12] == b"AIFC":
-        raise NotImplementedError("AIFC (compressed AIFF) unsupported")
+    is_aifc = payload[8:12] == b"AIFC"
     pos = 12
     comm = ssnd = None
+    comp = b"NONE"
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack_from(">I", payload, pos + 4)
@@ -752,6 +758,8 @@ def decode_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
         if cid == b"COMM":
             nch, _nframes, bits = struct.unpack_from(">HIH", body, 0)
             sr = int(round(_f80_to_float(body[8:18])))
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
             comm = (nch, bits, sr)
         elif cid == b"SSND":
             (off2, _blk) = struct.unpack_from(">II", body, 0)
@@ -759,7 +767,19 @@ def decode_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     if comm is None or ssnd is None:
         raise ValueError("AIFF missing COMM/SSND chunk")
     nch, bits, sr = comm
-    if bits == 16:
+    if comp == b"sowt":  # little-endian 16-bit PCM
+        if bits != 16:
+            raise NotImplementedError(f"AIFC sowt with {bits}-bit samples")
+        x = np.frombuffer(ssnd, "<i2").astype(np.float64) / 32768.0
+    elif comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(ssnd, ">f4").astype(np.float64)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(ssnd, ">f8").astype(np.float64)
+    elif comp != b"NONE":
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} (NONE/sowt/fl32/fl64 decode natively)"
+        )
+    elif bits == 16:
         x = np.frombuffer(ssnd, ">i2").astype(np.float64) / 32768.0
     elif bits == 8:  # AIFF 8-bit is signed
         x = np.frombuffer(ssnd, np.int8).astype(np.float64) / 128.0
