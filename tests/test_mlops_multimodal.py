@@ -384,6 +384,38 @@ def test_pnm_family_p4_p5_and_wide_samples():
     assert np.array_equal(out, exp)
 
 
+def test_image_dhash_properties(spark):
+    """dHash (r9): integer-exact, stable under tiny perturbations,
+    far apart for unrelated content; the Spark operator emits the same
+    hash plus its four 16-bit LSH bands."""
+    from wukong_spark.operators.multimodal import (
+        dhash_images,
+        encode_bmp,
+        image_dhash,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(37)
+    px = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    h1 = image_dhash(resize_nearest(px, 64, 64))
+    near = px.copy()
+    near[3, 3] = (near[3, 3].astype(int) + 4) % 256
+    d_near = bin(h1 ^ image_dhash(resize_nearest(near, 64, 64))).count("1")
+    other = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    d_far = bin(h1 ^ image_dhash(resize_nearest(other, 64, 64))).count("1")
+    assert d_near <= 2 < 15 <= d_far
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px)))], "media_id long, payload binary"
+    )
+    row = dhash_images(df).collect()[0]
+    signed = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+    assert row.dhash == signed
+    assert (row.b0, row.b1, row.b2, row.b3) == (
+        (h1 >> 48) & 0xFFFF, (h1 >> 32) & 0xFFFF,
+        (h1 >> 16) & 0xFFFF, h1 & 0xFFFF,
+    )
+
+
 def test_aifc_compression_types_decode():
     """AIFF-C (r9): 'sowt' (Mac little-endian PCM16), 'NONE', and
     big-endian float32/64 all decode exactly; codec compressions raise."""

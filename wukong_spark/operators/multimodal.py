@@ -1112,3 +1112,59 @@ def frame_sample(
         "media_id long, frame_idx int, frame_no int, frame_mean double,"
         " sum_r long, sum_g long, sum_b long",
     )
+
+
+def image_dhash(px: np.ndarray) -> int:
+    """(h, w, 3) uint8 RGB → 64-bit difference hash (dHash).
+
+    Integer-exact pipeline: BT.601 luma in fixed point
+    ((299·R + 587·G + 114·B) // 1000), nearest-neighbor resize to 9×8,
+    then one bit per horizontal gradient sign (row-major).  Small
+    content changes flip few bits, so near-duplicate images sit at low
+    Hamming distance — the perceptual complement of text SimHash."""
+    lum = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    g = resize_nearest(lum[:, :, None].astype(np.uint8), 8, 9)[:, :, 0]
+    bits = (g[:, 1:].astype(np.int64) > g[:, :-1]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def dhash_images(
+    df: DataFrame, payload_col: str = "payload", fake_decoder: bool = False
+) -> DataFrame:
+    """binary image column → (media_id, dhash, 4×16-bit bands).
+
+    Arrow-batched map-only decode+hash; the band columns are the LSH
+    handles — near-duplicates (Hamming ≤ k on 64 bits) must agree on at
+    least one of 4 bands whenever k < 4·... (pigeonhole: k ≤ 3 guarantees
+    a shared band; in practice low-distance pairs almost always share
+    one), so candidate generation is 4 equi-joins, never all-pairs —
+    the image-side twin of the SimHash banding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "dhash", "b0", "b1", "b2", "b3"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                px = _decode_pixels(bytes(payload), 64, 64, fake_decoder)
+                h = image_dhash(px)
+                signed = h - (1 << 64) if h >= (1 << 63) else h
+                rows.append(
+                    (
+                        int(mid), signed,
+                        (h >> 48) & 0xFFFF, (h >> 32) & 0xFFFF,
+                        (h >> 16) & 0xFFFF, h & 0xFFFF,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run,
+        "media_id long, dhash long, b0 int, b1 int, b2 int, b3 int",
+    )

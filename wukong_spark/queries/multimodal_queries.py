@@ -1336,3 +1336,98 @@ def multimodal_decode_ico_palette(spark: SparkSession, sf_dir: str):
         _channel_sum(1).alias("sum_g"),
         _channel_sum(2).alias("sum_b"),
     ).orderBy("media_id")
+
+
+def _gen_dhash_media(spark: SparkSession) -> DataFrame:
+    """Seeded BMP images for perceptual dedup: ids 0-11 are bases, ids
+    12-23 are NEAR-DUPLICATES of id−12 (one brightened 10×10 region —
+    strong enough to flip 1-5 dHash bits, weak enough to stay under the
+    Hamming gate)."""
+    from wukong_spark.operators.multimodal import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(11000 + (k % 12))
+                px = rng.integers(0, 256, (IMG_H, IMG_W, 3), dtype=np.uint8)
+                if k >= 12:
+                    prng = np.random.default_rng(12000 + k)
+                    y = int(prng.integers(0, 14))
+                    x = int(prng.integers(0, 8))
+                    region = px[y : y + 10, x : x + 10].astype(int)
+                    px[y : y + 10, x : x + 10] = np.clip(
+                        region + int(prng.integers(80, 110)), 0, 255
+                    )
+                rows.append((k, bytearray(encode_bmp(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 24, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/bmp", id_col="doc_id"
+    )
+
+
+@query(
+    "dedup_image_dhash",
+    # literal oracle: the dHash pipeline is integer-exact end-to-end
+    # (fixed-point luma, nearest-neighbor gather, gradient signs), so the
+    # 12 true pairs and their exact Hamming distances are pinned; the
+    # worst pair sits at distance 5 vs the ≤6 gate, and no unrelated pair
+    # shares a band within distance 6 (verified at capture)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 12, 5), (1, 13, 1), (2, 14, 4),
+      (3, 15, 4), (4, 16, 1), (5, 17, 2),
+      (6, 18, 4), (7, 19, 1), (8, 20, 3),
+      (9, 21, 5), (10, 22, 2), (11, 23, 2))
+      AS t(doc_a, doc_b, hamming)
+    ORDER BY doc_a
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str):
+    """IMAGE near-duplicate detection — the perceptual complement of the
+    text SimHash entry, wiring the codec layer into the dedup layer:
+    seeded BMPs (12 bases + 12 perturbed near-dups) → REAL decode →
+    64-bit dHash (fixed-point luma, 9×8 gradient signs) → candidate
+    pairs via FOUR 16-bit-band equi-joins (never all-pairs; a Hamming-≤3
+    pair shares a band by pigeonhole, low-distance pairs in practice) →
+    exact Hamming filter (bit_count(a ^ b) ≤ 6, JVM-side).
+
+    100 TB path: hashing is map-only over the image bytes; the shuffle
+    carries (band, id, hash) triples, never pixels."""
+    from wukong_spark.operators.multimodal import dhash_images
+
+    # eager localCheckpoint: decode+hash run ONCE and both sides of the
+    # self-join read the materialized (media_id, dhash, bands) rows — no
+    # persist handle left dangling after the query returns
+    hashed = dhash_images(_gen_dhash_media(spark)).localCheckpoint(eager=True)
+    banded = hashed.select(
+        "media_id",
+        "dhash",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_no", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a")
+    )
+    return out
