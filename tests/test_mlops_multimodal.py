@@ -416,6 +416,38 @@ def test_image_dhash_properties(spark):
     )
 
 
+def test_audio_fingerprint_bin_exact(spark):
+    """Spectral fingerprint (r9): bin-centered tones resolve to their
+    exact bins frame-by-frame, surviving the PCM16 codec roundtrip and
+    the Spark operator path; short inputs yield zero frames."""
+    from wukong_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+        fingerprint_audio,
+    )
+
+    sr, n_fft = 16000, 1024
+    x = np.concatenate([
+        0.6 * np.sin(2 * np.pi * (b * sr / n_fft) * np.arange(sr // 2) / sr)
+        for b in (40, 333)
+    ])
+    fp = audio_fingerprint(x)
+    seg = sr // 2
+    for i, b in enumerate((40, 333)):
+        inner = [
+            f for f in range(len(fp))
+            if f * 512 >= i * seg and f * 512 + n_fft <= (i + 1) * seg
+        ]
+        assert {int(fp[f]) for f in inner} == {b}
+    assert len(audio_fingerprint(np.zeros(100))) == 0
+    df = spark.createDataFrame(
+        [(3, bytearray(encode_wav_pcm16(x, sr)))], "media_id long, payload binary"
+    )
+    rows = fingerprint_audio(df).orderBy("frame_no").collect()
+    assert [r.peak_bin for r in rows] == [int(v) for v in fp]
+    assert all(r.sample_rate == sr for r in rows)
+
+
 def test_aifc_compression_types_decode():
     """AIFF-C (r9): 'sowt' (Mac little-endian PCM16), 'NONE', and
     big-endian float32/64 all decode exactly; codec compressions raise."""

@@ -1168,3 +1168,54 @@ def dhash_images(
         run,
         "media_id long, dhash long, b0 int, b1 int, b2 int, b3 int",
     )
+
+
+def audio_fingerprint(
+    x: np.ndarray, n_fft: int = 1024, hop: int = 512
+) -> np.ndarray:
+    """Mono float samples → per-frame dominant-frequency bins (int32).
+
+    Hann-windowed STFT magnitude, argmax over bins 1..n_fft/2 (DC
+    excluded) — the shape of a spectral-peak audio fingerprint
+    (Shazam-style constellations reduce to sequences of peak bins).
+    Deterministic: numpy's rfft is fixed IEEE arithmetic, and fixtures
+    use BIN-CENTERED tones so the argmax margin is orders of magnitude
+    above any platform drift."""
+    n = (len(x) - n_fft) // hop + 1 if len(x) >= n_fft else 0
+    if n <= 0:
+        return np.zeros(0, np.int32)
+    win = np.hanning(n_fft)
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop][:n]
+    mag = np.abs(np.fft.rfft(frames * win, axis=1))
+    return (mag[:, 1:].argmax(axis=1) + 1).astype(np.int32)
+
+
+def fingerprint_audio(
+    df: DataFrame, payload_col: str = "payload", n_fft: int = 1024, hop: int = 512
+) -> DataFrame:
+    """binary audio column → one row per STFT frame with its dominant
+    bin — Arrow-batched map-only (the audio-side feature-extract twin of
+    dhash_images; at corpus scale fingerprint rows shuffle for matching,
+    never the waveforms)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_no", "peak_bin", "sample_rate"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] == b"RIFF":
+                    sr, _nch, x = decode_wav(b)
+                elif b[:4] == b".snd":
+                    sr, _nch, x = decode_au(b)
+                elif b[:4] == b"FORM":
+                    sr, _nch, x = decode_aiff(b)
+                else:
+                    raise ValueError("unsupported audio container")
+                for fn, bin_ in enumerate(audio_fingerprint(x, n_fft, hop)):
+                    rows.append((int(mid), fn, int(bin_), sr))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, "media_id long, frame_no int, peak_bin int, sample_rate int"
+    )

@@ -1431,3 +1431,75 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str):
         .orderBy("doc_a")
     )
     return out
+
+
+def _gen_tone_media(spark: SparkSession) -> DataFrame:
+    """Seeded WAV clips: three 0.25 s BIN-CENTERED tones per clip
+    (f = bin·sr/1024), so every STFT frame's dominant bin is exact."""
+    from wukong_spark.operators.multimodal import encode_wav_pcm16
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(13000 + k)
+                sr, n_fft = 8000, 1024
+                bins = sorted(
+                    int(b) for b in rng.choice(np.arange(20, 400), 3, replace=False)
+                )
+                x = np.concatenate([
+                    0.6 * np.sin(
+                        2 * np.pi * (b * sr / n_fft) * np.arange(sr // 4) / sr
+                    )
+                    for b in bins
+                ])
+                rows.append((k, bytearray(encode_wav_pcm16(x, sr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 6, 1, 3).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="audio", mime="audio/wav", id_col="doc_id"
+    )
+
+
+@query(
+    "audio_fingerprint_peaks",
+    # literal oracle: dominant STFT bins of bin-centered tones — the
+    # argmax margin is ≥23 % in magnitude at capture (IEEE drift is
+    # ~1e-15), so every frame's winner is platform-stable; boundary
+    # frames spanning two tones resolve by window coverage,
+    # deterministically
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 0, 144, 8000), (0, 1, 144, 8000), (0, 2, 144, 8000), (0, 3, 354, 8000),
+      (0, 4, 354, 8000), (0, 5, 354, 8000), (0, 6, 354, 8000), (0, 7, 359, 8000),
+      (0, 8, 359, 8000), (0, 9, 359, 8000), (1, 0, 60, 8000), (1, 1, 60, 8000),
+      (1, 2, 60, 8000), (1, 3, 131, 8000), (1, 4, 131, 8000), (1, 5, 131, 8000),
+      (1, 6, 131, 8000), (1, 7, 254, 8000), (1, 8, 254, 8000), (1, 9, 254, 8000),
+      (2, 0, 189, 8000), (2, 1, 189, 8000), (2, 2, 189, 8000), (2, 3, 303, 8000),
+      (2, 4, 303, 8000), (2, 5, 303, 8000), (2, 6, 303, 8000), (2, 7, 392, 8000),
+      (2, 8, 392, 8000), (2, 9, 392, 8000), (3, 0, 245, 8000), (3, 1, 245, 8000),
+      (3, 2, 245, 8000), (3, 3, 298, 8000), (3, 4, 298, 8000), (3, 5, 298, 8000),
+      (3, 6, 298, 8000), (3, 7, 308, 8000), (3, 8, 308, 8000), (3, 9, 308, 8000),
+      (4, 0, 78, 8000), (4, 1, 78, 8000), (4, 2, 78, 8000), (4, 3, 222, 8000),
+      (4, 4, 222, 8000), (4, 5, 222, 8000), (4, 6, 222, 8000), (4, 7, 361, 8000),
+      (4, 8, 361, 8000), (4, 9, 361, 8000), (5, 0, 142, 8000), (5, 1, 142, 8000),
+      (5, 2, 142, 8000), (5, 3, 170, 8000), (5, 4, 170, 8000), (5, 5, 170, 8000),
+      (5, 6, 170, 8000), (5, 7, 385, 8000), (5, 8, 385, 8000), (5, 9, 385, 8000))
+      AS t(media_id, frame_no, peak_bin, sample_rate)
+    ORDER BY media_id, frame_no
+    """,
+)
+def audio_fingerprint_peaks(spark: SparkSession, sf_dir: str):
+    """Audio feature extraction — per-frame dominant-frequency
+    fingerprints (the Shazam-constellation shape): seeded tone-schedule
+    WAVs → REAL decode → Hann STFT → argmax bin per frame, Arrow-batched
+    map-only (operators/multimodal.py fingerprint_audio, r9).  The
+    audio-side twin of dedup_image_dhash; at corpus scale the
+    fingerprint rows shuffle for matching, never the waveforms."""
+    from wukong_spark.operators.multimodal import fingerprint_audio
+
+    return fingerprint_audio(_gen_tone_media(spark)).orderBy(
+        "media_id", "frame_no"
+    )
