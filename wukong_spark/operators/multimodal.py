@@ -1032,6 +1032,23 @@ def decode_audio(
     return df.select("media_id", payload_col).mapInPandas(run, out_schema)
 
 
+def _sample_video_frames(b: bytes, n_frames: int):
+    """AVI or animated-GIF bytes → [(frame_no, (h, w, 3) pixels)] for n
+    evenly-spaced frames, or None when the container is unrecognized.
+    Shared by frame_sample and fingerprint_video_frames."""
+    from wukong_spark.operators.gif import GIF_MAGICS, sample_gif_frames
+    from wukong_spark.operators.video import count_frames, extract_frames, is_avi
+
+    if is_avi(b):
+        total = count_frames(b)
+        k = min(n_frames, total)
+        picks = sorted({(i * (total - 1)) // max(k - 1, 1) for i in range(k)})
+        return extract_frames(b, picks)
+    if b[:6] in GIF_MAGICS:
+        return sample_gif_frames(b, n_frames)
+    return None
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1049,9 +1066,6 @@ def frame_sample(
     codecs require ``fake_decoder=True`` (codec libs absent), which
     emits deterministic content-seeded fakes through the identical
     schema."""
-    from wukong_spark.operators.gif import GIF_MAGICS, sample_gif_frames
-    from wukong_spark.operators.video import count_frames, extract_frames, is_avi
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "media_id", "frame_idx", "frame_no",
@@ -1061,29 +1075,12 @@ def frame_sample(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 b = bytes(payload)
-                decoded = None
-                if is_avi(b):
-                    try:
-                        total = count_frames(b)
-                        k = min(n_frames, total)
-                        # evenly spaced over [0, total-1], exact arithmetic
-                        picks = sorted(
-                            {(i * (total - 1)) // max(k - 1, 1) for i in range(k)}
-                        )
-                        decoded = extract_frames(b, picks)
-                    except Exception:
-                        if not fake_decoder:
-                            raise
-                elif b[:6] in GIF_MAGICS:
-                    try:
-                        # memory-bounded: structural frame count, then one
-                        # compositing pass retaining ONLY the picked
-                        # canvases (stops after the last pick) — long
-                        # animations never materialize in full
-                        decoded = sample_gif_frames(b, n_frames)
-                    except Exception:
-                        if not fake_decoder:
-                            raise
+                try:
+                    decoded = _sample_video_frames(b, n_frames)
+                except Exception:
+                    if not fake_decoder:
+                        raise
+                    decoded = None
                 if decoded is not None:
                     for idx, (fn, px) in enumerate(decoded):
                         s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
@@ -1218,4 +1215,33 @@ def fingerprint_audio(
 
     return df.select("media_id", payload_col).mapInPandas(
         run, "media_id long, frame_no int, peak_bin int, sample_rate int"
+    )
+
+
+def fingerprint_video_frames(
+    df: DataFrame, payload_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """binary video/animation column → one row per sampled frame with
+    its 64-bit dHash — video near-duplicate detection reduces to
+    matching shared frame hashes, so clips shuffle 8-byte fingerprints,
+    never pixels (the video leg of the perceptual-fingerprint triad)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "frame_no", "dhash"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                decoded = _sample_video_frames(bytes(payload), n_frames)
+                if decoded is None:
+                    raise NotImplementedError(
+                        "payload is not an MJPEG AVI or animated GIF"
+                    )
+                for idx, (fn, px) in enumerate(decoded):
+                    h = image_dhash(resize_nearest(px, 64, 64))
+                    signed = h - (1 << 64) if h >= (1 << 63) else h
+                    rows.append((int(mid), idx, int(fn), signed))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, "media_id long, frame_idx int, frame_no int, dhash long"
     )

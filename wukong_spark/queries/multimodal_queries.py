@@ -1503,3 +1503,38 @@ def audio_fingerprint_peaks(spark: SparkSession, sf_dir: str):
     return fingerprint_audio(_gen_tone_media(spark)).orderBy(
         "media_id", "frame_no"
     )
+
+
+@query(
+    "video_fingerprint_dhash",
+    # literal oracle: dHash is exact integer arithmetic over the decoded
+    # frames, and the MJPEG decode is deterministic IEEE on identical
+    # bytes (the multimodal_decode_jpeg determinism class)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 0, 0, -5092115777657254300), (0, 1, 2, 7661528640201217463),
+      (0, 2, 5, -5600318995038581466), (1, 0, 0, 7302404936201767706),
+      (1, 1, 2, 727991415524222325), (1, 2, 5, -2696159962251809303),
+      (2, 0, 0, 7087995320411963724), (2, 1, 2, 2716621870467536556),
+      (2, 2, 5, 5954941413797763782), (3, 0, 0, 1984441060447922345),
+      (3, 1, 2, 6551127126050481554), (3, 2, 5, -3149605081177221725),
+      (4, 0, 0, 5226916187624598994), (4, 1, 2, 6282058092324460105),
+      (4, 2, 5, 5383958357030313042), (5, 0, 0, 5389898692651427029),
+      (5, 1, 2, -3948734783242446059), (5, 2, 5, -5609558693791601239))
+      AS t(media_id, frame_idx, frame_no, dhash)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def video_fingerprint_dhash(spark: SparkSession, sf_dir: str):
+    """VIDEO fingerprinting — the third leg of the perceptual triad
+    (image dHash, audio spectral peaks, video = dHash per sampled
+    frame): seeded MJPEG-AVI clips → container walk → 3 evenly-spaced
+    frames → JPEG decode → 64-bit dHash each, Arrow-batched map-only
+    (operators/multimodal.py fingerprint_video_frames, r9).  Clip
+    near-duplicate detection reduces to matching shared frame hashes —
+    clips shuffle 8-byte fingerprints, never pixels."""
+    from wukong_spark.operators.multimodal import fingerprint_video_frames
+
+    return fingerprint_video_frames(_gen_mjpeg_media(spark), n_frames=3).orderBy(
+        "media_id", "frame_idx"
+    )
