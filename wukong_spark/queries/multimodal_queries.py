@@ -1538,3 +1538,121 @@ def video_fingerprint_dhash(spark: SparkSession, sf_dir: str):
     return fingerprint_video_frames(_gen_mjpeg_media(spark), n_frames=3).orderBy(
         "media_id", "frame_idx"
     )
+
+
+def _gen_webdataset_shards(spark: SparkSession) -> DataFrame:
+    """Seeded WebDataset shards: each tar holds 3 samples of
+    (NNN.jpg, NNN.wav, NNN.json) — the canonical multimodal
+    training-corpus layout (image + audio + caption per key)."""
+    import io
+    import json as _json
+    import tarfile
+
+    from wukong_spark.operators.jpeg import encode_jpeg
+    from wukong_spark.operators.multimodal import encode_wav_pcm16
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                shard = int(i)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for j in range(3):
+                        rng = np.random.default_rng(14000 + shard * 10 + j)
+                        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                        sr = 8000
+                        tone = 0.5 * np.sin(
+                            2 * np.pi * (50 + 10 * j) * np.arange(sr // 4) / sr
+                        )
+                        caption = " ".join(
+                            f"w{int(t)}" for t in rng.integers(0, 99, 5 + j)
+                        )
+                        for name, data in (
+                            (f"{j:03d}.jpg", encode_jpeg(px, quality=90)),
+                            (f"{j:03d}.wav", encode_wav_pcm16(tone, sr)),
+                            (f"{j:03d}.json",
+                             _json.dumps({"caption": caption}).encode()),
+                        ):
+                            info = tarfile.TarInfo(name)
+                            info.size = len(data)
+                            info.mtime = 0  # no wall-clock in shard bytes
+                            tf.addfile(info, io.BytesIO(data))
+                rows.append((shard, bytearray(buf.getvalue())))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(0, 4, 1, 2).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+@query(
+    "webdataset_multimodal_pipeline",
+    # literal oracle: integer channel sums (JPEG determinism class),
+    # integer-scaled audio rms, and exact caption token counts — one
+    # contract across all three modalities of every sample
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, '000', 33291, 32618, 33264, 353551, 5),
+      (0, '001', 33203, 32235, 32625, 353553, 6),
+      (0, '002', 33752, 33553, 31195, 353552, 7),
+      (1, '000', 35748, 33437, 30261, 353551, 5),
+      (1, '001', 31817, 32873, 33691, 353553, 6),
+      (1, '002', 33172, 32185, 32025, 353552, 7),
+      (2, '000', 32564, 31096, 32398, 353551, 5),
+      (2, '001', 33628, 32116, 33723, 353553, 6),
+      (2, '002', 32827, 32947, 32155, 353552, 7),
+      (3, '000', 31752, 33061, 32239, 353551, 5),
+      (3, '001', 31638, 32155, 32020, 353553, 6),
+      (3, '002', 34959, 30853, 30979, 353552, 7))
+      AS t(shard_id, sample_key, sum_r, sum_g, sum_b, rms_e6, n_caption_tokens)
+    ORDER BY shard_id, sample_key
+    """,
+)
+def webdataset_multimodal_pipeline(spark: SparkSession, sf_dir: str):
+    """The END-TO-END WebDataset story: seeded tar shards of
+    (jpg, wav, json) sample triplets → explode_tar (one task per shard)
+    → group_webdataset_samples (ext → bytes map per key) → decode ALL
+    THREE modalities of each sample — real JPEG decode to channel sums,
+    real WAV decode to integer-scaled rms, JSON caption to token count —
+    in ONE Arrow-batched pass.  This is the multimodal training-loader
+    shape at 100 TB: shards are the parallelism unit, sample bytes never
+    leave the task that decodes them."""
+    from wukong_spark.operators.archive import (
+        explode_tar,
+        group_webdataset_samples,
+    )
+    from wukong_spark.operators.jpeg import decode_jpeg
+    from wukong_spark.operators.multimodal import decode_wav
+
+    members = explode_tar(_gen_webdataset_shards(spark))
+    samples = group_webdataset_samples(members)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        cols = [
+            "shard_id", "sample_key",
+            "sum_r", "sum_g", "sum_b", "rms_e6", "n_caption_tokens",
+        ]
+        for pdf in batches:
+            rows = []
+            for sid, key, fields in zip(
+                pdf["media_id"], pdf["key"], pdf["fields"]
+            ):
+                px = decode_jpeg(bytes(fields["jpg"]))
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                _sr, _nch, x = decode_wav(bytes(fields["wav"]))
+                rms = int(round(float(np.sqrt(np.mean(x**2))) * 1e6))
+                cap = _json.loads(bytes(fields["json"]))["caption"]
+                rows.append(
+                    (int(sid), str(key),
+                     int(s[0]), int(s[1]), int(s[2]), rms, len(cap.split()))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return samples.mapInPandas(
+        feats,
+        "shard_id long, sample_key string, sum_r long, sum_g long,"
+        " sum_b long, rms_e6 long, n_caption_tokens int",
+    ).orderBy("shard_id", "sample_key")
