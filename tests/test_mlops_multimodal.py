@@ -571,6 +571,30 @@ def test_ico_palette_bmp_entries_decode():
     assert np.array_equal(mono, pal[:2][small % 2])
 
 
+def test_ico_truecolor_entry_with_optimization_color_table():
+    """ADVICE r9: a 24-bit BMP entry may carry an optimization color
+    table (biClrUsed > 0, legal in BITMAPINFOHEADER); the rebuilt BMP's
+    data offset must skip it or pixel rows decode shifted."""
+    import struct as _s
+
+    from wukong_spark.operators.ico import decode_ico
+    from wukong_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(15)
+    px = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    body = bytearray(encode_bmp(px)[14:])  # info header + pixel rows
+    _s.pack_into("<i", body, 8, 2 * px.shape[0])  # doubled ICO height
+    clr_used = 5
+    _s.pack_into("<I", body, 32, clr_used)
+    hdr_size = _s.unpack_from("<I", body, 0)[0]
+    table = bytes(range(4 * clr_used))  # arbitrary BGRA entries
+    body = bytes(body[:hdr_size]) + table + bytes(body[hdr_size:])
+    out = bytearray(_s.pack("<HHH", 0, 1, 1))
+    out += _s.pack("<BBBBHHII", 7, 10, 0, 0, 1, 24, len(body), 22)
+    out += body
+    assert np.array_equal(decode_ico(bytes(out)), px)
+
+
 def test_ico_palette_png_entry_decodes():
     """A palette PNG stored as an ICO entry routes through decode_png
     and drops tRNS alpha like every other path."""
@@ -952,6 +976,11 @@ def test_jpeg_optimal_huffman_tables_valid():
     while len(fib) < 25:
         fib.append(fib[-1] + fib[-2])
     cases = [{i: f for i, f in enumerate(fib)}, {7: 3}]
+    # ADVICE r9: depths > 32 (Fibonacci ladder past ~3.5M coded symbols)
+    # must trigger libjpeg-style frequency halving, not an AssertionError
+    while len(fib) < 48:
+        fib.append(fib[-1] + fib[-2])
+    cases.append({i: f for i, f in enumerate(fib)})
     for _ in range(100):
         syms = rng.choice(256, size=int(rng.integers(1, 60)), replace=False)
         cases.append({int(s): int(rng.integers(1, 10000)) for s in syms})

@@ -70,6 +70,31 @@ def test_bloom_build_probe_contracts(spark):
     assert isinstance(bits, np.ndarray)
 
 
+def test_bloom_null_carrying_int_column(spark):
+    """ADVICE r9 (medium): an integral key column with NULLs arrives as
+    float64/object only in the batches that hold a null.  The hash branch
+    is now schema-decided, so build and probe must agree even when nulls
+    land in some partitions and not others — no false negatives, and the
+    null key itself round-trips."""
+    members = spark.range(0, 4000, 1, 8).selectExpr(
+        "CASE WHEN id % 1000 = 999 THEN NULL ELSE id END AS key"
+    )
+    from wukong_spark.operators.membership import bloom_build, bloom_probe
+
+    bits = bloom_build(members, "key", ((12 * 4000 + 7) // 8) * 8, k=7)
+    probe = spark.range(0, 12000, 1, 8).selectExpr(
+        "CASE WHEN id = 0 THEN NULL ELSE id END AS key"
+    )
+    rows = bloom_probe(probe, "key", bits, k=7).collect()
+    hits = {r.key: r.maybe for r in rows}
+    # every non-null member present (999/1999/2999/3999 were nulled out)
+    members_set = {i for i in range(1, 4000) if i % 1000 != 999}
+    assert all(hits[i] for i in members_set)
+    assert hits[None]  # NULL was inserted → NULL probe must hit
+    fp = sum(hits[i] for i in range(4000, 12000))
+    assert fp / 8000 < 0.05
+
+
 def test_countmin_estimates_bounded(spark):
     """Count-Min (r9): estimates never under-count, and every key's
     overestimate stays within 3eN/width (prob < 1e-6 per key)."""

@@ -70,10 +70,11 @@ def decode_ico(payload: bytes) -> np.ndarray:
     check_decode_dims(w, h, "ICO")
     fixed = bytearray(body)
     struct.pack_into("<i", fixed, 8, h if h2 > 0 else -h)
-    ncol = 0
-    if bpp <= 8:  # palette-indexed entry: color table follows the header
-        clr_used = struct.unpack_from("<I", body, 32)[0]
-        ncol = clr_used or (1 << bpp)
+    # color table follows the header at EVERY depth: mandatory for
+    # palette entries, optional (biClrUsed > 0) for 24/32-bit ones
+    # (ADVICE r9 — skipping it shifted the data offset onto the table)
+    clr_used = struct.unpack_from("<I", body, 32)[0]
+    ncol = (clr_used or (1 << bpp)) if bpp <= 8 else clr_used
     table_bytes = 4 * ncol
     data_off = 14 + hdr_size + table_bytes
     head = struct.pack("<2sIHHI", b"BM", data_off + len(fixed), 0, 0, data_off)

@@ -910,19 +910,26 @@ def _optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
 
     f = dict(freq)
     f[256] = 0  # strictly smallest → always merged first → deepest
-    depth = {s: 0 for s in f}
-    heap = [(n, [s]) for s, n in f.items()]
-    heapq.heapify(heap)
-    while len(heap) > 1:
-        fa, sa = heapq.heappop(heap)
-        fb, sb = heapq.heappop(heap)
-        for s in sa + sb:
-            depth[s] += 1
-        heapq.heappush(heap, (fa + fb, sa + sb))
-    if len(f) == 1:  # cannot happen (pseudo always present), defensive
-        depth[256] = 1
-    dmax = max(depth.values())
-    assert depth[256] == dmax and dmax <= 32
+    while True:
+        depth = {s: 0 for s in f}
+        heap = [(n, [s]) for s, n in f.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            fa, sa = heapq.heappop(heap)
+            fb, sb = heapq.heappop(heap)
+            for s in sa + sb:
+                depth[s] += 1
+            heapq.heappush(heap, (fa + fb, sa + sb))
+        if len(f) == 1:  # cannot happen (pseudo always present), defensive
+            depth[256] = 1
+        dmax = max(depth.values())
+        if dmax <= 32:
+            break
+        # Fibonacci-like skew (> ~3.5M coded symbols) can push the depth
+        # past the 32 the K.3 fold handles: halve frequencies preserving
+        # nonzero counts (libjpeg's strategy) and re-merge (ADVICE r9).
+        f = {s: (n + 1) >> 1 if n else 0 for s, n in f.items()}
+    assert depth[256] == dmax
     bits = [0] * 33
     for d in depth.values():
         bits[d] += 1

@@ -16,8 +16,13 @@ bucket-id map) keep every array bounded while the probe stays map-side.
 
 Hashing: integer key columns take a fully-vectorized splitmix64 lane
 pair (numpy, no per-row Python); other types hash per value through
-stdlib blake2b.  Both are deterministic across engines, partitions,
-and re-runs; build and probe agree by construction (same dtype branch).
+stdlib blake2b.  The branch is decided ONCE from the Spark column type
+(never from a batch's pandas dtype — an integral column carrying NULLs
+arrives as float64/object only in the batches that hold a null, which
+would silently switch branches partition-dependently and break the
+no-false-negative / never-underestimate contracts).  NULL keys hash to
+a fixed sentinel lane pair in every branch, so build and probe agree
+regardless of how nulls distribute across partitions.
 """
 
 from __future__ import annotations
@@ -41,18 +46,44 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _hash2_series(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+_INTEGRAL_SPARK_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+# Fixed sentinel lanes for NULL keys — same value in every branch and
+# every partition, so a null hashes identically at build and probe time.
+_NULL_DIGEST = hashlib.blake2b(b"\x00wukong:null-key", digest_size=16).digest()
+_NULL_H1 = np.uint64(int.from_bytes(_NULL_DIGEST[:8], "little"))
+_NULL_H2 = np.uint64(int.from_bytes(_NULL_DIGEST[8:], "little"))
+
+
+def _is_integral(df: DataFrame, col: str) -> bool:
+    """Decide the hash branch from the Spark schema (ADVICE r9: per-batch
+    pandas dtypes lie when an integral column carries NULLs)."""
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
+    return t in _INTEGRAL_SPARK_TYPES
+
+
+def _hash2_series(
+    s: pd.Series, integral: bool
+) -> tuple[np.ndarray, np.ndarray]:
     """Series of keys → two independent uint64 hash lanes (vectorized
-    splitmix64 for integer dtypes, blake2b per value otherwise).  The
-    second lane is forced odd so double hashing never degenerates."""
-    if s.dtype.kind in ("i", "u"):
-        x = s.to_numpy().astype(np.uint64)
+    splitmix64 when the SPARK column type is integral, blake2b per value
+    otherwise).  `integral` comes from the DataFrame schema, never from
+    the batch dtype.  NULLs map to a fixed sentinel pair.  The second
+    lane is forced odd so double hashing never degenerates."""
+    na = s.isna().to_numpy()
+    if integral:
+        # fillna(0) keeps the vectorized cast valid when nulls promoted
+        # the batch to float64/object; null rows are overwritten below.
+        vals = s.fillna(0) if na.any() else s
+        x = vals.to_numpy(dtype=np.int64).astype(np.uint64)
         h1 = _splitmix(x)
         h2 = _splitmix(x ^ np.uint64(0xA076_1D64_78BD_642F))
     else:
         pairs = [
-            hashlib.blake2b(str(v).encode("utf-8"), digest_size=16).digest()
-            for v in s
+            _NULL_DIGEST
+            if null
+            else hashlib.blake2b(str(v).encode("utf-8"), digest_size=16).digest()
+            for v, null in zip(s, na)
         ]
         h1 = np.array(
             [int.from_bytes(p[:8], "little") for p in pairs], np.uint64
@@ -60,6 +91,9 @@ def _hash2_series(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         h2 = np.array(
             [int.from_bytes(p[8:], "little") for p in pairs], np.uint64
         )
+    if na.any():
+        h1[na] = _NULL_H1
+        h2[na] = _NULL_H2
     return h1, h2 | np.uint64(1)
 
 
@@ -81,6 +115,7 @@ def bloom_build(df: DataFrame, col: str, n_bits: int, k: int = 7) -> np.ndarray:
     n_bits ≈ 10 bits/key gives ~1 % false positives at k=7."""
     assert n_bits % 8 == 0
     nb = n_bits
+    integral = _is_integral(df, col)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(nb // 8, np.uint8)
@@ -88,7 +123,7 @@ def bloom_build(df: DataFrame, col: str, n_bits: int, k: int = 7) -> np.ndarray:
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1, h2 = _hash2_series(pdf[col])
+            h1, h2 = _hash2_series(pdf[col], integral)
             pos = _positions(h1, h2, nb, k).ravel()
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             got = True
@@ -111,13 +146,14 @@ def bloom_probe(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bits.tobytes())
     nb = len(bits) * 8
+    integral = _is_integral(df, col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arr = np.frombuffer(bc.value, np.uint8)
         for pdf in batches:
             pdf = pdf.copy()
             if len(pdf):
-                h1, h2 = _hash2_series(pdf[col])
+                h1, h2 = _hash2_series(pdf[col], integral)
                 pos = _positions(h1, h2, nb, k)
                 hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                 pdf[out_col] = hit.all(axis=1)
@@ -137,6 +173,7 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
     Per-partition partials sum elementwise; a point estimate is the min
     over rows of the double-hashed cells — always ≥ the true count, and
     within εN (ε = e/width) with probability 1 − e^(−depth)."""
+    integral = _is_integral(df, col)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cms = np.zeros((depth, width), np.int64)
@@ -144,7 +181,7 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1, h2 = _hash2_series(pdf[col])
+            h1, h2 = _hash2_series(pdf[col], integral)
             pos = _positions(h1, h2, width, depth)  # (n, depth)
             for r in range(depth):
                 np.add.at(cms[r], pos[:, r], 1)
@@ -159,12 +196,17 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
     return out
 
 
-def countmin_estimate(cms: np.ndarray, values: pd.Series) -> np.ndarray:
+def countmin_estimate(
+    cms: np.ndarray, values: pd.Series, integral: bool | None = None
+) -> np.ndarray:
     """Point-frequency estimates for a series of keys: min over the
-    sketch's d hashed cells (vectorized; must share the build's dtype
-    branch so the hash lanes agree)."""
+    sketch's d hashed cells (vectorized).  `integral` must match the
+    build's Spark-schema branch; when None it is inferred from the
+    series dtype (only safe for null-free driver-side key lists)."""
     depth, width = cms.shape
-    h1, h2 = _hash2_series(values)
+    if integral is None:
+        integral = values.dtype.kind in ("i", "u")
+    h1, h2 = _hash2_series(values, integral)
     pos = _positions(h1, h2, width, depth)  # (n, depth)
     ests = np.stack([cms[r][pos[:, r]] for r in range(depth)], axis=1)
     return ests.min(axis=1)

@@ -1139,10 +1139,14 @@ def dhash_images(
 
     Arrow-batched map-only decode+hash; the band columns are the LSH
     handles — near-duplicates (Hamming ≤ k on 64 bits) must agree on at
-    least one of 4 bands whenever k < 4·... (pigeonhole: k ≤ 3 guarantees
-    a shared band; in practice low-distance pairs almost always share
-    one), so candidate generation is 4 equi-joins, never all-pairs —
-    the image-side twin of the SimHash banding."""
+    least one of the 4 bands whenever k ≤ 3 (pigeonhole: 4 bands, k
+    flips damage at most k of them).  Recall above distance 3 through
+    these 4 bands alone is probabilistic; for a structural gate at
+    higher distances derive composite keys from `dhash` instead — e.g.
+    the 28 block-pair keys dedup_image_dhash builds (any 2 of 8 byte
+    blocks clean → guaranteed recall at Hamming ≤ 6, Manku et al.
+    WWW'07).  Either way candidates come from equi-joins, never
+    all-pairs — the image-side twin of the SimHash banding."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "dhash", "b0", "b1", "b2", "b3"]

@@ -141,7 +141,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if comp == 32773:
             raw = packbits_decode(raw, rows * row_bytes)
         elif comp in (8, 32946):  # Deflate ("Adobe" and legacy tags)
-            raw = zlib.decompress(raw)
+            # bounded inflate (ADVICE r9): cap output at the strip's
+            # declared pixel bytes so a crafted stream can't allocate
+            # past the MAX_DECODE_PIXELS guard before the size check
+            d = zlib.decompressobj()
+            raw = d.decompress(raw, rows * row_bytes)
+            if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+                raise ValueError("TIFF Deflate strip larger than declared")
         if len(raw) < rows * row_bytes:
             raise ValueError("TIFF strip data truncated")
         strip = np.frombuffer(raw, np.uint8, rows * row_bytes)

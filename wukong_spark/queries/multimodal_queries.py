@@ -1374,8 +1374,9 @@ def _gen_dhash_media(spark: SparkSession) -> DataFrame:
     # literal oracle: the dHash pipeline is integer-exact end-to-end
     # (fixed-point luma, nearest-neighbor gather, gradient signs), so the
     # 12 true pairs and their exact Hamming distances are pinned; the
-    # worst pair sits at distance 5 vs the ≤6 gate, and no unrelated pair
-    # shares a band within distance 6 (verified at capture)
+    # worst pair sits at distance 5 vs the ≤6 gate, where block-pair
+    # banding makes recall structural (pigeonhole), and no unrelated
+    # pair passes the exact bit_count filter (verified at capture)
     oracle="""
     SELECT * FROM (VALUES
       (0, 12, 5), (1, 13, 1), (2, 14, 4),
@@ -1391,23 +1392,40 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str):
     text SimHash entry, wiring the codec layer into the dedup layer:
     seeded BMPs (12 bases + 12 perturbed near-dups) → REAL decode →
     64-bit dHash (fixed-point luma, 9×8 gradient signs) → candidate
-    pairs via FOUR 16-bit-band equi-joins (never all-pairs; a Hamming-≤3
-    pair shares a band by pigeonhole, low-distance pairs in practice) →
-    exact Hamming filter (bit_count(a ^ b) ≤ 6, JVM-side).
+    pairs via 28 BLOCK-PAIR equi-joins (Manku et al. WWW'07: split the
+    hash into 8 byte blocks and key on every C(8,2) pair of blocks —
+    ≤ 6 bit flips damage ≤ 6 blocks, so ≥ 2 blocks stay clean and that
+    pair is a shared key: recall at the Hamming-≤6 gate is STRUCTURAL,
+    never all-pairs) → exact Hamming filter (bit_count(a ^ b) ≤ 6,
+    JVM-side).
 
     100 TB path: hashing is map-only over the image bytes; the shuffle
-    carries (band, id, hash) triples, never pixels."""
+    carries 28 (band, id, hash) triples per image — 16-bit composite
+    keys per band, never pixels."""
     from wukong_spark.operators.multimodal import dhash_images
 
     # eager localCheckpoint: decode+hash run ONCE and both sides of the
     # self-join read the materialized (media_id, dhash, bands) rows — no
     # persist handle left dangling after the query returns
     hashed = dhash_images(_gen_dhash_media(spark)).localCheckpoint(eager=True)
-    banded = hashed.select(
-        "media_id",
-        "dhash",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_no", "band_val"),
+
+    def blk(i: int):  # byte block i of the 64-bit hash (JVM-side exprs)
+        return F.expr(f"CAST((dhash >> {8 * i}) & 255 AS INT)")
+
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("band_no"),
+                (blk(i) * 256 + blk(j)).alias("band_val"),
+            )
+            for n, (i, j) in enumerate(
+                (i, j) for i in range(8) for j in range(i + 1, 8)
+            )
+        ]
     )
+    banded = hashed.select(
+        "media_id", "dhash", F.explode(pair_keys).alias("bv")
+    ).select("media_id", "dhash", "bv.band_no", "bv.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
