@@ -247,3 +247,60 @@ def test_partitioned_scan_prunes_at_planning_time(spark):
         )[1].split("\n")[0], plan
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_salted_join_salts_the_hot_exchange(spark):
+    """skew_salted_join_check (r10): the hot-key branch must shuffle on
+    (key, __salt) — the salt column appears in the hot join's exchange
+    hashpartitioning, so the hot key spreads over `buckets` reducers
+    instead of one straggler partition.  The cold branch joins on the
+    bare key as usual."""
+    from pyspark.sql import functions as F
+    from wukong_spark.operators.skew import salted_join
+
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 3 < 2, F.lit(0)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(big, dim, on=["k"], hot_keys=[(0,)], buckets=16)
+        plan = plans.formatted_plan(j)
+        # hot branch partitions on the salt (spread), cold on the bare key
+        assert "__salt" in plan, plan
+        salted_exchanges = [
+            ln for ln in plan.splitlines()
+            if "hashpartitioning" in ln and "__salt" in ln
+        ]
+        assert len(salted_exchanges) >= 2, plan  # both hot join inputs
+        assert not plans.has_cartesian(plan)
+        # exactness: salted result == plain join, row for row
+        plain = big.join(dim, ["k"], "inner")
+        assert (
+            j.groupBy("k").count().exceptAll(plain.groupBy("k").count()).count()
+            == 0
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_auto_detects_hot_head(spark):
+    """detect_hot_keys: a 2/3-mass head key must surface from the sampled
+    histogram; a uniform key column must yield no hot keys (salting the
+    tail would only add overhead)."""
+    from pyspark.sql import functions as F
+    from wukong_spark.operators.skew import detect_hot_keys
+
+    skewed = spark.range(0, 30000).select(
+        F.when(F.col("id") % 3 < 2, F.lit(0)).otherwise(F.col("id") % 50)
+        .alias("k")
+    )
+    hot = detect_hot_keys(skewed, ["k"], fraction=0.2)
+    assert (0,) in hot
+    uniform = spark.range(0, 30000).select((F.col("id") % 50).alias("k"))
+    assert detect_hot_keys(uniform, ["k"], fraction=0.2) == []

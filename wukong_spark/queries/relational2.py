@@ -608,3 +608,62 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "skew_salted_join_check",
+    oracle="""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 3 < 2 THEN 0
+                  ELSE l_partkey % 500 END AS k,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), dim AS (
+      SELECT r AS k, (r * 7) % 97 + 1 AS w FROM range(0, 500) t(r)
+    )
+    SELECT b.k AS k,
+           COUNT(*) AS n_rows,
+           CAST(SUM(b.qty * d.w) AS BIGINT) AS weighted_qty
+    FROM big b JOIN dim d ON b.k = d.k
+    GROUP BY b.k
+    ORDER BY k
+    """,
+)
+def skew_salted_join_check(spark: SparkSession, sf_dir: str):
+    """Skew-salted JOIN (r10, VERDICT r9 #2): lineitem is given a
+    pathological zipfian join key — two thirds of ALL rows land on key 0
+    — and joined to a 500-row dim via `operators/skew.py:salted_join`:
+    the sampled key histogram detects the hot head, hot rows of the big
+    side take a uniform salt in [0, 16), the dim's hot rows replicate
+    once per salt value, and the hot join key becomes (k, __salt) — the
+    hot key's rows spread over 16 reducers instead of one straggler
+    (plan pinned in test_plan_shape.py).  Cold keys join untouched; the
+    union is provably the plain join, hash-checked against DuckDB
+    running the unsalted join.
+
+    This complements AQE skew handling (tests/test_skew_join.py): AQE
+    splits oversized sort-merge partitions AFTER materialization; the
+    salt prevents the concentration at shuffle time, the Spark analogue
+    of the reference's "never move big data" locality heuristic (`AWS
+    Lambda Task Executor/TaskExecutor/function.py:2793-3168`)."""
+    from wukong_spark.operators.skew import salted_join
+
+    l = tbl(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.when(F.col("l_orderkey") % 3 < 2, F.lit(0).cast("long"))
+        .otherwise(F.col("l_partkey") % 500)
+        .alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 97 + 1).alias("w")
+    )
+    joined = salted_join(big, dim, on=["k"], buckets=16)
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("qty") * F.col("w")).alias("weighted_qty"),
+        )
+        .orderBy("k")
+    )
