@@ -16,6 +16,7 @@ query here is full value-hash checked.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
@@ -237,4 +238,77 @@ def sketch_countmin_check(spark: SparkSession, sf_dir: str):
         ],
         "never_underestimates boolean, overestimate_bounded boolean,"
         " n_keys bigint",
+    )
+
+
+@query(
+    "sketch_heavy_hitters_check",
+    # the rows are the φ-heavy hitters by EXACT count (both engines
+    # compute the same GROUP BY); the booleans are the CMS contracts:
+    # `surfaced` is structural (estimates never under-count, so a key
+    # with exact_n·625 > N estimates over the same threshold), and
+    # `est_within_bound` (≤ 3eN/width per key) fails with prob < 1e-6
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS exact_n,
+           TRUE AS surfaced, TRUE AS est_within_bound
+    FROM c, (SELECT COUNT(*) AS total FROM events) t
+    WHERE n * 625 > total
+    ORDER BY user_id, event_type
+    """,
+)
+def sketch_heavy_hitters_check(spark: SparkSession, sf_dir: str):
+    """Count-Min HEAVY HITTERS (r10, VERDICT r9 #3) — the operation a
+    CMS actually exists for: surface every (user_id × event_type) pair
+    holding more than φ = 1/625 of the event stream, from sketch
+    estimates, with the exact referee in-plan.
+
+    Pipeline: one distributed CMS pass over the composite key (counter
+    blocks merged driver-side, O(w·d) state), then the candidate keys
+    (the bounded users×types grid) are estimated against the sketch:
+    `surfaced` = estimate over the φN threshold — NO FALSE DISMISSALS
+    structurally, because estimates never under-count — and
+    `est_within_bound` pins each surfaced estimate to exact + 3eN/w.
+
+    100 TB path: the sketch replaces a full-cardinality groupBy when
+    keys are unbounded (user×URL, n-grams); candidates then come from
+    per-partition local top-m heaps, and the composite key becomes an
+    integral pack (user_id·K + type_code) to stay on the vectorized
+    splitmix64 lane instead of the per-value blake2b one used here."""
+    import math
+
+    from wukong_spark.operators.membership import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias("key"),
+    )
+    width, depth = 8192, 7
+    cms = countmin_build(e, "key", width, depth)
+    truth = e.groupBy("user_id", "event_type", "key").count().toPandas()
+    ests = countmin_estimate(cms, truth["key"], integral=False)
+    total = int(truth["count"].sum())
+    bound = 3.0 * math.e * total / width
+    hh = truth[truth["count"] * 625 > total].copy()
+    hh_est = ests[(truth["count"] * 625 > total).to_numpy()]
+    out = pd.DataFrame(
+        {
+            "user_id": hh["user_id"].astype("int64"),
+            "event_type": hh["event_type"],
+            "exact_n": hh["count"].astype("int64"),
+            "surfaced": (hh_est * 625 > total),
+            "est_within_bound": (hh_est - hh["count"].to_numpy()) <= bound,
+        }
+    ).sort_values(["user_id", "event_type"], ignore_index=True)
+    return spark.createDataFrame(
+        out,
+        "user_id bigint, event_type string, exact_n bigint,"
+        " surfaced boolean, est_within_bound boolean",
     )
