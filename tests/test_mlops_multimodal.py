@@ -1474,6 +1474,124 @@ def test_tiff_deflate_and_predictor_roundtrip():
     assert len(packed) < len(plain) // 4
 
 
+def test_tiff_lzw_literal_spec_vectors():
+    """TIFF LZW width-convention pin (r10): hand-derived byte vectors
+    from the TIFF 6.0 algorithm (MSB-first, Clear=256, EOI=257, 9-bit
+    start).  Input [7,7,7,8] → codes [256, 7, 258, 8, 257] all at 9
+    bits → bits 100000000 000000111 100000010 000001000 100000001 →
+    bytes 80 01 E0 40 88 08 (zero-padded).  This stream never crosses
+    the 510-entry boundary, so BOTH conventions must produce and accept
+    it identically; the boundary test below pins where they diverge."""
+    from wukong_spark.operators.tiff import (
+        tiff_lzw_compress,
+        tiff_lzw_decompress,
+    )
+
+    vec = bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+    for ec in (True, False):
+        assert tiff_lzw_compress(bytes([7, 7, 7, 8]), early_change=ec) == vec
+        assert tiff_lzw_decompress(vec, 4, early_change=ec) == bytes([7, 7, 7, 8])
+    # empty stream: Clear then EOI, both 9-bit -> 100000000 100000001
+    assert tiff_lzw_compress(b"") == bytes([0x80, 0x40, 0x40])
+
+
+def test_tiff_lzw_early_change_boundary():
+    """The conventions differ EXACTLY at the 9→10-bit switch: with
+    EarlyChange (TIFF 6.0/libtiff) the decoder reads 10-bit codes once
+    its next free slot is 511; late-change (old encoders) switches at
+    512.  A stream of 260 distinct non-repeating bytes pushes the table
+    past the boundary: the two encoders must diverge, each must
+    roundtrip with its own decoder, and cross-convention decode must
+    NOT reproduce the input."""
+    from wukong_spark.operators.tiff import (
+        tiff_lzw_compress,
+        tiff_lzw_decompress,
+    )
+
+    rng = np.random.default_rng(63)
+    data = bytes(rng.integers(0, 256, 2000, dtype=np.uint8))
+    early = tiff_lzw_compress(data, early_change=True)
+    late = tiff_lzw_compress(data, early_change=False)
+    assert early != late
+    assert len(early) == len(late) + 1  # one extra bit region, padded
+    assert tiff_lzw_decompress(early, len(data), early_change=True) == data
+    assert tiff_lzw_decompress(late, len(data), early_change=False) == data
+    for enc, dec_ec in ((early, False), (late, True)):
+        try:
+            got = tiff_lzw_decompress(enc, len(data), early_change=dec_ec)
+            assert got != data
+        except ValueError:
+            pass  # desync may also surface as an invalid code / truncation
+
+
+def test_tiff_lzw_roundtrip_sweep():
+    """Roundtrip torture: run lengths (KwKwK), tiny alphabets, full-byte
+    noise, table-reset crossings (>4093 entries), both conventions."""
+    from wukong_spark.operators.tiff import (
+        tiff_lzw_compress,
+        tiff_lzw_decompress,
+    )
+
+    rng = np.random.default_rng(64)
+    cases = [
+        b"",
+        b"\x00",
+        b"\x07" * 1000,  # KwKwK ladder
+        bytes([7, 7, 7, 8]),
+        bytes(rng.integers(0, 2, 3000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),  # table resets
+        np.tile(np.arange(256, dtype=np.uint8), 40).tobytes(),
+    ]
+    for d in cases:
+        for ec in (True, False):
+            c = tiff_lzw_compress(d, early_change=ec)
+            assert tiff_lzw_decompress(c, len(d), early_change=ec) == d
+    # compressible input must actually compress
+    runs = b"".join(bytes([v]) * 200 for v in range(30))
+    assert len(tiff_lzw_compress(runs)) < len(runs) // 4
+
+
+def test_tiff_lzw_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wukong_spark.operators.tiff import (
+        tiff_lzw_compress,
+        tiff_lzw_decompress,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4096), st.booleans())
+    def roundtrip(d, ec):
+        assert tiff_lzw_decompress(
+            tiff_lzw_compress(d, early_change=ec), len(d), early_change=ec
+        ) == d
+
+    roundtrip()
+
+
+def test_tiff_lzw_end_to_end_with_predictor():
+    """encode_tiff(compression='lzw') → decode_tiff must be lossless for
+    every channel count, with and without predictor 2."""
+    from wukong_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(65)
+    for ch in (1, 3, 4):
+        for h, w in ((7, 5), (24, 18), (33, 9)):
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            base = decode_tiff(encode_tiff(px, compression="none"))
+            for pred in (False, True):
+                b = encode_tiff(
+                    px, compression="lzw", rows_per_strip=6, predictor=pred
+                )
+                assert np.array_equal(decode_tiff(b), base), (ch, h, w, pred)
+    # gradient must compress under lzw+predictor
+    g = np.tile(np.arange(200, dtype=np.uint8)[None, :, None], (100, 1, 3))
+    assert len(encode_tiff(g, compression="lzw", predictor=True)) < len(
+        encode_tiff(g, compression="none")
+    ) // 4
+
+
 def test_tiff_white_is_zero_inverts():
     """Photometric 0 (white-is-zero) greyscale must invert on decode."""
     import struct as _s
@@ -1498,11 +1616,11 @@ def test_tiff_rejects_unsupported_and_bombs():
     with pytest.raises(ValueError):
         decode_tiff(b"not a tiff")
     b = bytearray(encode_tiff(np.zeros((4, 4, 3), np.uint8)))
-    # patch compression tag to LZW (5)
+    # patch compression tag to JPEG-in-TIFF (7) — LZW (5) decodes since r10
     i = bytes(b).find(_s.pack("<HHII", 259, 3, 1, 1))
     b2 = bytearray(b)
-    b2[i : i + 12] = _s.pack("<HHII", 259, 3, 1, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    b2[i : i + 12] = _s.pack("<HHII", 259, 3, 1, 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(b2))
     # dimension bomb
     j = bytes(b).find(_s.pack("<HHII", 256, 4, 1, 4))

@@ -9,11 +9,22 @@ stdlib zlib, with predictor 2 horizontal differencing) — plus a matching
 writer (strip-per-rows_per_strip, none/PackBits/deflate±predictor) for
 fixtures and roundtrips.
 
-Scope (disclosed): LZW (no in-container ground truth to pin the
-EarlyChange convention), JPEG-in-TIFF/CCITT compressions, 16-bit
-samples, tiled layout, and planar configuration 2 raise
-NotImplementedError — `decode_images` then falls through to its
-fake_decoder handling.
+LZW (compression 5, r10): MSB-first 12-bit-max codes over the byte
+alphabet (Clear=256, EOI=257), implemented with the same
+encoder/decoder lockstep structure as the roundtrip-proven GIF core
+(`gif.py`): the decoder sizes each read for its next assignable index,
+the encoder mirrors it one step behind.  The code-width timing follows
+the TIFF 6.0 / libtiff "EarlyChange" convention (width bumps one code
+EARLY: 9→10 bits once the next free slot is 511, vs 512 for the
+late-change variant some old encoders used).  Both conventions are
+implemented and differential-tested; `decode_tiff` reads the spec
+convention.  Conventions are pinned by hand-derived literal byte
+vectors in tests (test_tiff_lzw_*), not by an in-container third-party
+decoder — disclosed, since no libtiff/PIL ground truth ships here.
+
+Scope (disclosed): JPEG-in-TIFF/CCITT compressions, 16-bit samples,
+tiled layout, and planar configuration 2 raise NotImplementedError —
+`decode_images` then falls through to its fake_decoder handling.
 """
 
 from __future__ import annotations
@@ -78,6 +89,137 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+class _MSBWriter:
+    """MSB-first bit packer (TIFF LZW's bit order — opposite of GIF)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+class _MSBReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("TIFF LZW stream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= width
+        v = (self.acc >> self.nbits) & ((1 << width) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _tiff_lzw_width(next_code: int, early_change: bool) -> int:
+    """Width the decoder reads its NEXT code at, given its next
+    assignable table index.  EarlyChange (TIFF 6.0/libtiff) bumps one
+    code early: 9→10 bits once the next free slot is 511 (late: 512)."""
+    n = next_code + 1 if early_change else next_code
+    return min(12, max(9, n.bit_length()))
+
+
+def tiff_lzw_compress(data: bytes, early_change: bool = True) -> bytes:
+    """TIFF-variant LZW over raw bytes (MSB-first, Clear=256, EOI=257).
+
+    Same lockstep structure as gif.lzw_compress (emit at the width of
+    the DECODER's next assignable = our next_code − 1), with the
+    byte alphabet fixed at 256 entries and the early-change width
+    schedule.  Resets at next_code 4093 so every emitted code fits 12
+    bits under either convention."""
+    bw = _MSBWriter()
+    table: dict[tuple[int, int], int] = {}
+    next_code = _LZW_EOI + 1
+    bw.write(_LZW_CLEAR, _tiff_lzw_width(next_code, early_change))
+    it = iter(data)
+    try:
+        cur = next(it)
+    except StopIteration:
+        bw.write(_LZW_EOI, _tiff_lzw_width(next_code, early_change))
+        return bw.flush()
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        bw.write(cur, _tiff_lzw_width(next_code - 1, early_change))
+        table[(cur, k)] = next_code
+        next_code += 1
+        cur = k
+        if next_code == 4093:
+            bw.write(_LZW_CLEAR, _tiff_lzw_width(next_code - 1, early_change))
+            table, next_code = {}, _LZW_EOI + 1
+    bw.write(cur, _tiff_lzw_width(next_code - 1, early_change))
+    bw.write(_LZW_EOI, _tiff_lzw_width(next_code, early_change))
+    return bw.flush()
+
+
+def tiff_lzw_decompress(
+    data: bytes, expected: int, early_change: bool = True
+) -> bytes:
+    """Inverse of tiff_lzw_compress; stops after `expected` bytes.
+    Output is size-bounded up front (no decompression bomb)."""
+    rd = _MSBReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    prev: bytes | None = None
+    next_code = _LZW_EOI + 1
+
+    while len(out) < expected:
+        code = rd.read(_tiff_lzw_width(next_code, early_change))
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_code = _LZW_EOI + 1
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if not table:
+            raise ValueError("TIFF LZW data before first clear code")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+        elif code == next_code and next_code < 4096:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError(f"invalid TIFF LZW code {code}")
+        take = min(len(entry), expected - len(out))
+        out += entry[:take]
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip truncated")
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF bytes → (h, w, channels) uint8 array (first IFD)."""
     if payload[:4] not in TIFF_MAGICS:
@@ -116,9 +258,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF bits-per-sample {bits}")
     if planar != 1:
         raise NotImplementedError("TIFF planar configuration 2")
-    if comp not in (1, 32773, 8, 32946):
+    if comp not in (1, 32773, 8, 32946, 5):
         raise NotImplementedError(
-            f"TIFF compression {comp} (only none/PackBits/Deflate decode natively)"
+            f"TIFF compression {comp} (none/PackBits/LZW/Deflate decode natively)"
         )
     pred = tags.get(317, [1])[0]
     if pred not in (1, 2):
@@ -140,6 +282,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raw = payload[off : off + cnt]
         if comp == 32773:
             raw = packbits_decode(raw, rows * row_bytes)
+        elif comp == 5:  # LZW (EarlyChange, the TIFF 6.0/libtiff timing)
+            raw = tiff_lzw_decompress(raw, rows * row_bytes)
         elif comp in (8, 32946):  # Deflate ("Adobe" and legacy tags)
             # bounded inflate (ADVICE r9): cap output at the strip's
             # declared pixel bytes so a crafted stream can't allocate
@@ -185,7 +329,7 @@ def encode_tiff(
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    comp_tag = {"none": 1, "packbits": 32773, "deflate": 8}[compression]
+    comp_tag = {"none": 1, "packbits": 32773, "deflate": 8, "lzw": 5}[compression]
     strips = []
     for y0 in range(0, h, rows_per_strip):
         block = np.ascontiguousarray(px[y0 : y0 + rows_per_strip])
@@ -197,6 +341,8 @@ def encode_tiff(
             raw = block.tobytes()
         if comp_tag == 32773:
             strips.append(packbits_encode(raw))
+        elif comp_tag == 5:
+            strips.append(tiff_lzw_compress(raw))
         elif comp_tag == 8:
             strips.append(zlib.compress(raw, 6))
         else:

@@ -1074,11 +1074,78 @@ def multimodal_decode_tiff_deflate(spark: SparkSession, sf_dir: str):
     """Seeded Deflate-TIFF bytes (compression 8, half with predictor 2)
     → REAL decode (IFD walk, per-strip zlib inflate, horizontal-
     differencing cumsum, strip assembly — operators/tiff.py, r9) →
-    nearest-neighbor resize to 8×8 → exact integer channel sums.  Unlike
-    TIFF-LZW (parked: no in-container ground truth for the EarlyChange
-    convention), Deflate's reference codec IS stdlib zlib, so this path
-    is honestly pinnable."""
+    nearest-neighbor resize to 8×8 → exact integer channel sums.
+    Deflate's reference codec IS stdlib zlib, so this path pins against
+    in-container ground truth (TIFF-LZW, covered in r10, pins against
+    hand-derived spec vectors instead — see its entry)."""
     dec = decode_images(_gen_tiff_deflate_media(spark), height=8, width=8)
+    return dec.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")
+
+
+def _gen_tiff_lzw_media(spark: SparkSession) -> DataFrame:
+    """Seeded LZW-compressed TIFF payloads (r10): channels cycle
+    RGB/grey/RGBA, odd ids add predictor 2 — the scanned-document
+    combination (LZW + horizontal differencing) libtiff writes."""
+    from wukong_spark.operators.tiff import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(15000 + k)
+                ch = (3, 1, 4)[k % 3]
+                px = rng.integers(0, 256, size=(IMG_H, IMG_W, ch), dtype=np.uint8)
+                rows.append(
+                    (k, bytearray(encode_tiff(
+                        px, compression="lzw", rows_per_strip=10,
+                        predictor=bool(k % 2),
+                    )))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    raw = spark.range(0, 12, 1, 4).mapInPandas(gen, "doc_id long, blob binary")
+    return attach_media_metadata(
+        raw, "blob", kind="image", mime="image/tiff", id_col="doc_id"
+    )
+
+
+@query(
+    "multimodal_decode_tiff_lzw",
+    # literal oracle: exact integer channel sums — LZW is lossless and
+    # the pipeline is integer end-to-end; the encoder/decoder pair is
+    # roundtrip-proven and the EarlyChange width timing is pinned by
+    # hand-derived byte vectors (tests/test_mlops_multimodal.py)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 8, 8, 7691, 7700, 7641), (1, 8, 8, 7389, 7389, 7389),
+      (2, 8, 8, 8120, 8984, 8336), (3, 8, 8, 8092, 8415, 9158),
+      (4, 8, 8, 8051, 8051, 8051), (5, 8, 8, 8365, 8711, 9422),
+      (6, 8, 8, 8066, 7960, 8665), (7, 8, 8, 7132, 7132, 7132),
+      (8, 8, 8, 8424, 7990, 8244), (9, 8, 8, 8196, 7747, 8204),
+      (10, 8, 8, 7879, 7879, 7879), (11, 8, 8, 8885, 8208, 8112))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_decode_tiff_lzw(spark: SparkSession, sf_dir: str):
+    """Seeded LZW-TIFF bytes (compression 5, half with predictor 2) →
+    REAL decode (IFD walk, per-strip MSB-first LZW with the TIFF 6.0
+    EarlyChange width timing, horizontal-differencing cumsum, strip
+    assembly — operators/tiff.py, r10) → nearest-neighbor resize to 8×8
+    → exact integer channel sums.  Closes the r7-r9 disclosed LZW gap:
+    the width convention is pinned by hand-derived literal byte vectors
+    and both-convention differential tests rather than a third-party
+    decoder (none ships in-container — disclosed in the module
+    docstring)."""
+    dec = decode_images(_gen_tiff_lzw_media(spark), height=8, width=8)
     return dec.select(
         "media_id",
         "height",
