@@ -304,3 +304,74 @@ def test_salted_join_auto_detects_hot_head(spark):
     assert (0,) in hot
     uniform = spark.range(0, 30000).select((F.col("id") % 50).alias("k"))
     assert detect_hot_keys(uniform, ["k"], fraction=0.2) == []
+
+
+def test_rowgroup_bloom_pruning_metrics(spark):
+    """parquet_rowgroup_prune_check (r10): the scan's numOutputRows
+    metric must prove both pruning levers — a point predicate on an
+    unsorted key reads EVERY row without a bloom filter and under half
+    with one; a range predicate on the sorted column prunes via
+    row-group min/max stats either way."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+    from wukong_spark.queries.helpers import tbl
+
+    def scanned(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    l = tbl(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_date")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # a MID-RANGE existing key: an extremum (min/max orderkey) would be
+    # prunable by row-group min/max stats alone, hiding the bloom's work
+    key = l.filter(
+        F.col("l_orderkey") <= l.agg(F.max("l_orderkey")).collect()[0][0] // 2
+    ).agg(F.max("l_orderkey")).collect()[0][0]
+    reads = {}
+    for variant, bloom in (("with_bloom", True), ("no_bloom", False)):
+        path = f"{wh}/li_rg_pin_{variant}"
+        shutil.rmtree(path, ignore_errors=True)
+        # dictionary encoding off for the key column: small row groups
+        # would otherwise be fully dictionary-encoded and parquet-mr's
+        # dictionary filtering prunes them even without a bloom — the
+        # bloom filter is the lever for high-cardinality PLAIN columns,
+        # so pin exactly that case
+        w = (
+            l.repartition(1)
+            .sortWithinPartitions("ship_date")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+        )
+        if bloom:
+            w = w.option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        w.parquet(path)
+        try:
+            r = spark.read.parquet(path)
+            total = r.count()
+            reads[variant] = (
+                scanned(r.filter(F.col("l_orderkey") == key)),
+                total,
+            )
+            if bloom:
+                rng = r.filter(
+                    (F.col("ship_date") >= F.lit("1995-03-01").cast("date"))
+                    & (F.col("ship_date") < F.lit("1995-04-01").cast("date"))
+                )
+                assert scanned(rng) * 2 < total  # min/max stats prune
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    pt_bloom, total = reads["with_bloom"]
+    pt_plain, _ = reads["no_bloom"]
+    assert pt_plain == total  # min/max useless for the unsorted key
+    assert pt_bloom * 2 < total  # the bloom filter skips row groups
