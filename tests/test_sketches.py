@@ -124,3 +124,26 @@ def test_countmin_estimates_bounded(spark):
     est7 = countmin_estimate(cms, pd.Series([7], dtype="int64"))[0]
     assert heavy <= est7 <= heavy + 3 * math.e * 20000 / 4096
     assert isinstance(cms, np.ndarray)
+
+
+def test_local_heavy_candidates_superset(spark):
+    """local_heavy_candidates (r10): the per-batch top-m union must
+    contain EVERY φ-heavy key (pigeonhole superset), across a skewed
+    multi-partition stream."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.membership import local_heavy_candidates
+
+    # key 3 holds 1/3 of the stream; keys 0..599 share the rest, so only
+    # key 3 exceeds phi = 1/100 of N = 30000
+    df = spark.range(0, 30000, 1, 8).select(
+        F.when(F.col("id") % 3 == 0, F.lit(3).cast("long"))
+        .otherwise(F.col("id") % 600 + 1000)
+        .alias("k")
+    )
+    cand = {r[0] for r in local_heavy_candidates(df, "k", 0.01).collect()}
+    truth = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    heavy = {k for k, n in truth.items() if n > 0.01 * 30000}
+    assert heavy <= cand
+    # and the candidate set is bounded, not the full key space
+    assert len(cand) <= 8 * 2 * 100 + 1

@@ -196,6 +196,37 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
     return out
 
 
+def local_heavy_candidates(
+    df: DataFrame, col: str, phi: float, margin: int = 2
+) -> DataFrame:
+    """Candidate keys for φ-heavy-hitter surfacing WITHOUT a
+    full-cardinality groupBy: the exact local top-m keys of every Arrow
+    batch, unioned and deduped.
+
+    Superset guarantee (pigeonhole): batches partition the stream, so a
+    key with global count > φN has local share > φ in at least one
+    batch; within a batch, fewer than 1/φ keys can each hold a > φ
+    share — the batch's top-⌈1/φ⌉ by count therefore contains every
+    global φ-heavy key.  m = margin·⌈1/φ⌉ adds slack for ties.
+
+    100 TB path: driver/shuffle traffic is n_batches · m keys, never
+    the key cardinality — this is the candidate stream a Count-Min
+    sketch is probed with when keys are unbounded (user×URL, n-grams).
+    """
+    import math
+
+    m = margin * int(math.ceil(1.0 / phi))
+
+    def tops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                top = pdf[col].value_counts().head(m)
+                yield pd.DataFrame({col: top.index.to_numpy()})
+
+    schema_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
+    return df.select(col).mapInPandas(tops, f"{col} {schema_t}").distinct()
+
+
 def countmin_estimate(
     cms: np.ndarray, values: pd.Series, integral: bool | None = None
 ) -> np.ndarray:

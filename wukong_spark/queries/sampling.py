@@ -264,46 +264,64 @@ def sketch_heavy_hitters_check(spark: SparkSession, sf_dir: str):
     """Count-Min HEAVY HITTERS (r10, VERDICT r9 #3) — the operation a
     CMS actually exists for: surface every (user_id × event_type) pair
     holding more than φ = 1/625 of the event stream, from sketch
-    estimates, with the exact referee in-plan.
+    estimates over a DISTRIBUTED candidate set, with the exact referee
+    in-plan.
 
-    Pipeline: one distributed CMS pass over the composite key (counter
-    blocks merged driver-side, O(w·d) state), then the candidate keys
-    (the bounded users×types grid) are estimated against the sketch:
-    `surfaced` = estimate over the φN threshold — NO FALSE DISMISSALS
-    structurally, because estimates never under-count — and
-    `est_within_bound` pins each surfaced estimate to exact + 3eN/w.
-
-    100 TB path: the sketch replaces a full-cardinality groupBy when
-    keys are unbounded (user×URL, n-grams); candidates then come from
-    per-partition local top-m heaps, and the composite key becomes an
-    integral pack (user_id·K + type_code) to stay on the vectorized
-    splitmix64 lane instead of the per-value blake2b one used here."""
+    Pipeline (the 100 TB shape end-to-end): the composite key is an
+    INTEGRAL pack (user_id·n_types + type_code from a bounded broadcast
+    dictionary) so hashing stays on the vectorized splitmix64 lane; one
+    distributed CMS pass (counter blocks merged driver-side, O(w·d)
+    state); candidates come from `local_heavy_candidates` — per-batch
+    exact top-m heaps whose union is a pigeonhole-guaranteed SUPERSET
+    of every φ-heavy key — NOT from a full-cardinality groupBy.
+    `surfaced` = candidate ∧ estimate over φN: no false dismissals
+    structurally (superset + estimates never under-count);
+    `est_within_bound` pins each estimate to exact + 3eN/w.  The exact
+    groupBy here is only the referee the driver hashes."""
     import math
 
     from wukong_spark.operators.membership import (
         countmin_build,
         countmin_estimate,
+        local_heavy_candidates,
     )
 
-    e = tbl(spark, sf_dir, "events").select(
+    e = tbl(spark, sf_dir, "events").select("user_id", "event_type")
+    types = sorted(
+        r[0] for r in e.select("event_type").distinct().collect()
+    )
+    code = F.element_at(
+        F.create_map(
+            *[F.lit(x) for t, i in zip(types, range(len(types))) for x in (t, i)]
+        ),
+        F.col("event_type"),
+    )
+    keyed = e.select(
         "user_id",
         "event_type",
-        F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias("key"),
+        (F.col("user_id") * len(types) + code).alias("key"),
     )
     width, depth = 8192, 7
-    cms = countmin_build(e, "key", width, depth)
-    truth = e.groupBy("user_id", "event_type", "key").count().toPandas()
-    ests = countmin_estimate(cms, truth["key"], integral=False)
+    phi = 1.0 / 625.0
+    cms = countmin_build(keyed, "key", width, depth)
+    cand = set(
+        r[0]
+        for r in local_heavy_candidates(keyed, "key", phi).collect()
+    )
+    truth = keyed.groupBy("user_id", "event_type", "key").count().toPandas()
+    ests = countmin_estimate(cms, truth["key"], integral=True)
     total = int(truth["count"].sum())
     bound = 3.0 * math.e * total / width
-    hh = truth[truth["count"] * 625 > total].copy()
-    hh_est = ests[(truth["count"] * 625 > total).to_numpy()]
+    is_hh = (truth["count"] * 625 > total).to_numpy()
+    hh = truth[is_hh].copy()
+    hh_est = ests[is_hh]
+    in_cand = hh["key"].isin(cand).to_numpy()
     out = pd.DataFrame(
         {
             "user_id": hh["user_id"].astype("int64"),
             "event_type": hh["event_type"],
             "exact_n": hh["count"].astype("int64"),
-            "surfaced": (hh_est * 625 > total),
+            "surfaced": in_cand & (hh_est * 625 > total),
             "est_within_bound": (hh_est - hh["count"].to_numpy()) <= bound,
         }
     ).sort_values(["user_id", "event_type"], ignore_index=True)
