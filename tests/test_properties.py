@@ -472,3 +472,37 @@ def test_au_aiff_bounded_error_property(n, container, seed):
     else:
         _, _, y = decode_aiff(encode_aiff_pcm16(x, 8000))
         assert np.abs(y - x).max() <= 1 / 32000
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=12),
+    l=st.sampled_from("ab"),
+    r=st.sampled_from("ab"),
+)
+def test_bpe_merge_fold_is_greedy_left_to_right(spark, word, l, r):
+    """The JVM aggregate fold in text_bpe_train_merges must apply a
+    merge exactly like reference BPE: greedy, left-to-right,
+    non-overlapping ('aaa' + (a,a) -> [aa, a])."""
+    merged = l + r
+
+    def ref(syms):
+        out = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = merged
+            else:
+                out.append(x)
+        return out
+
+    df = spark.createDataFrame([(list(word),)], "syms array<string>")
+    got = df.select(
+        F.expr(
+            f"aggregate(slice(syms, 2, size(syms)-1), array(syms[0]), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{l}'"
+            f" AND x = '{r}' "
+            f"THEN concat(slice(acc, 1, size(acc)-1), array('{merged}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert got == ref(list(word)), (word, l, r)

@@ -1256,3 +1256,115 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str):
         F.md5(F.encode("norm", "UTF-8")).alias("nfc_md5"),
         F.length("norm").alias("nfc_chars"),
     ).orderBy("doc_id")
+
+
+def _gen_bpe_words(spark: SparkSession):
+    """Seeded (word, freq) vocabulary for BPE training: 64 words built
+    from a small syllable pool (so pair statistics are non-trivial and
+    multi-character merges emerge by step 8) with seeded frequencies."""
+    from typing import Iterator
+
+    import numpy as np
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                rng = np.random.default_rng(19000 + k)
+                syll = ["ab", "ba", "ca", "ad", "db", "bc", "cd", "da"]
+                w = "".join(rng.choice(syll, int(rng.integers(2, 5))))
+                rows.append((k, w, int(rng.integers(1, 50))))
+            yield pd.DataFrame(rows, columns=["word_id", "word", "freq"])
+
+    return spark.range(0, 64, 1, 4).mapInPandas(
+        gen, "word_id long, word string, freq long"
+    )
+
+
+@query(
+    "text_bpe_train_merges",
+    # literal oracle: the corpus is seeded-generated (never read from the
+    # driver-regenerated tables) and every step is integer arithmetic +
+    # a lexicographic tie-break, so the 10 learned merges and their exact
+    # weighted pair counts are deterministic end-to-end
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'b', 'c', 'bc', 1060), (1, 'a', 'd', 'ad', 934),
+      (2, 'd', 'a', 'da', 546),  (3, 'c', 'd', 'cd', 484),
+      (4, 'b', 'a', 'ba', 457),  (5, 'c', 'a', 'ca', 434),
+      (6, 'd', 'b', 'db', 316),  (7, 'a', 'b', 'ab', 202),
+      (8, 'd', 'bc', 'dbc', 180), (9, 'c', 'ad', 'cad', 133))
+      AS t(step, left_sym, right_sym, merged, pair_n)
+    ORDER BY step
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
+    """DISTRIBUTED BPE merge training (r10) — the iterative half of the
+    tokenizer story (`text_bpe_token_count` is the pre-tokenizer half):
+    learn 10 merge rules from a seeded (word, freq) vocabulary exactly
+    as Sennrich-style BPE does, with every step a DataFrame job:
+
+    - pair counting: explode each word's adjacent symbol pairs weighted
+      by word frequency (overlapping occurrences count, matching the
+      reference algorithm) → groupBy(pair) sum — map-side combined;
+    - argmax with a deterministic (count DESC, left, right) tie-break —
+      TakeOrdered(1), no full sort;
+    - merge application: a JVM-side `aggregate` fold over each symbol
+      array, greedy LEFT-TO-RIGHT non-overlapping ('aaa' + (a,a) →
+      [aa, a]) — the fold's accumulator-tail check gives exactly BPE's
+      application order, zero Python in the loop;
+    - `localCheckpoint` per iteration (the connected-components lesson:
+      10 chained withColumns would nest 10 aggregate lambdas in one
+      plan).
+
+    100 TB path: the vocabulary table is arbitrarily large — each
+    iteration is one exploded-pair shuffle (combiner-reduced to the
+    distinct-pair count) plus a map-only rewrite; only the single
+    winning pair ever reaches the driver."""
+    words = _gen_bpe_words(spark)
+    words = words.select(
+        "word_id",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    out = []
+    for step in range(10):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1),"
+                    " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.l", "p.r")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        l, r, n = top["l"], top["r"], int(top["n"])
+        merged = l + r
+        out.append((step, l, r, merged, n))
+        # symbols are [a-d]+ by construction — safe to inline in SQL text
+        words = words.withColumn(
+            "syms",
+            F.expr(
+                f"aggregate(slice(syms, 2, size(syms)-1), array(syms[0]), "
+                f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{l}'"
+                f" AND x = '{r}' "
+                f"THEN concat(slice(acc, 1, size(acc)-1), array('{merged}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out,
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_n bigint",
+    ).orderBy("step")
