@@ -375,3 +375,72 @@ def test_rowgroup_bloom_pruning_metrics(spark):
     pt_plain, _ = reads["no_bloom"]
     assert pt_plain == total  # min/max useless for the unsorted key
     assert pt_bloom * 2 < total  # the bloom filter skips row groups
+
+
+def test_zorder_prunes_both_dims_linear_only_one(spark):
+    """zorder_layout_prune_check (r10): a linear partkey sort must leave
+    the suppkey range reading ~100 % of rows while the z-ordered layout
+    reads < 1/2 on BOTH predicates."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+    from wukong_spark.queries.helpers import tbl
+
+    def scanned(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    # same 3-column layout as the query — row-group row count (and so
+    # pruning granularity) depends on bytes/row at a fixed block size
+    l = tbl(spark, SF_CORRECT, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    mx = l.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    rp = f"CAST(l_partkey * 256 / {int(mx['mp']) + 1} AS BIGINT)"
+    rs = f"CAST(l_suppkey * 256 / {int(mx['ms']) + 1} AS BIGINT)"
+    zexpr = F.expr(
+        " + ".join(
+            f"((({rp} >> {i}) & 1) << {2 * i})"
+            f" + ((({rs} >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        )
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    results = {}
+    for tag, key in (("z", zexpr), ("linear", F.col("l_partkey"))):
+        path = f"{wh}/li_zo_pin_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            l.withColumn("zv", key).repartition(1)
+            .sortWithinPartitions("zv").drop("zv")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536).parquet(path)
+        )
+        try:
+            r = spark.read.parquet(path)
+            total = r.count()
+            results[tag] = (
+                scanned(r.filter(
+                    (F.col("l_partkey") >= 1000) & (F.col("l_partkey") < 1040)
+                )),
+                scanned(r.filter(
+                    (F.col("l_suppkey") >= 50) & (F.col("l_suppkey") < 53)
+                )),
+                total,
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    zp, zs, total = results["z"]
+    lp, ls, _ = results["linear"]
+    assert zp * 2 < total and zs * 2 < total  # z-order prunes BOTH dims
+    assert lp * 2 < total  # linear prunes its own sort column...
+    assert ls == total  # ...and nothing else

@@ -723,6 +723,101 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "zorder_layout_prune_check",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey >= 1000 AND l_partkey < 1040) AS n_p_range,
+      (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+        WHERE l_partkey >= 1000 AND l_partkey < 1040) AS sum_qty_p,
+      (SELECT COUNT(*) FROM lineitem
+        WHERE l_suppkey >= 50 AND l_suppkey < 53) AS n_s_range,
+      (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+        WHERE l_suppkey >= 50 AND l_suppkey < 53) AS sum_qty_s,
+      TRUE AS p_range_pruned,
+      TRUE AS s_range_pruned
+    """,
+)
+def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
+    """Z-ORDER (Morton-curve) layout (r10) — the multi-dimension
+    clustering lever: a linear sort makes row-group min/max stats prune
+    ONE column and leaves every other predicate reading 100 % (pinned
+    in test_plan_shape.py); interleaving the bits of two keys' 8-bit
+    ranks clusters BOTH, so range predicates on EITHER column skip most
+    row groups.  lineitem is rewritten sorted by
+    z = interleave(rank8(l_partkey), rank8(l_suppkey)) — the z-value is
+    a pure JVM shift/mask expression built in a Python loop, used only
+    as the sort key and dropped before the write.
+
+    Evidence is the scan's numOutputRows metric, as in
+    parquet_rowgroup_prune_check: both probes must materialize < 1/2 of
+    the table (measured ~41 % for the partkey range — the single-dim
+    cost of sharing the curve — and ~23 % for the suppkey range that a
+    linear layout reads in full).  Exact counts/sums hash-check against
+    DuckDB on the original parquet."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/li_zorder_tmp"
+    shutil.rmtree(path, ignore_errors=True)
+    l = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    mx = l.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    rp = f"CAST(l_partkey * 256 / {int(mx['mp']) + 1} AS BIGINT)"
+    rs = f"CAST(l_suppkey * 256 / {int(mx['ms']) + 1} AS BIGINT)"
+    z = F.expr(
+        " + ".join(
+            f"((({rp} >> {i}) & 1) << {2 * i})"
+            f" + ((({rs} >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        )
+    )
+    (
+        l.withColumn("zv", z)
+        .repartition(1)
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(path)
+    )
+
+    def scanned_rows(df) -> int:
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    r = spark.read.parquet(path)
+    n_total = r.count()
+    pq_ = r.filter((F.col("l_partkey") >= 1000) & (F.col("l_partkey") < 1040))
+    sq = r.filter((F.col("l_suppkey") >= 50) & (F.col("l_suppkey") < 53))
+    p_agg = pq_.agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("s")).collect()[0]
+    s_agg = sq.agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("s")).collect()[0]
+    p_scanned, s_scanned = scanned_rows(pq_), scanned_rows(sq)
+    return spark.createDataFrame(
+        [
+            (
+                int(p_agg["n"]), int(p_agg["s"]),
+                int(s_agg["n"]), int(s_agg["s"]),
+                bool(p_scanned * 2 < n_total),
+                bool(s_scanned * 2 < n_total),
+            )
+        ],
+        "n_p_range bigint, sum_qty_p bigint, n_s_range bigint,"
+        " sum_qty_s bigint, p_range_pruned boolean, s_range_pruned boolean",
+    )
+
+
+@query(
     "skew_salted_join_check",
     oracle="""
     WITH big AS (
