@@ -875,3 +875,119 @@ def partitioned_scan_prune_check(spark: SparkSession, sf_dir: str):
         )
         .orderBy("user_bucket")
     )
+
+
+@query(
+    "funnel_click_signup_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), s AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'signup' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (VALUES
+      (1, 'click',    (SELECT COUNT(*) FROM c)),
+      (2, 'signup',   (SELECT COUNT(*) FROM s)),
+      (3, 'purchase', (SELECT COUNT(*) FROM p)))
+      AS t(stage, event_type, n_users)
+    ORDER BY stage
+    """,
+)
+def funnel_click_signup_purchase(spark: SparkSession, sf_dir: str):
+    """ORDERED funnel analysis (r10, product-analytics staple): users
+    counted at stage k only if the stage-k event happened strictly
+    AFTER their stage-(k−1) entry time — click → signup → purchase.
+    Each stage is one groupBy(min ts) + an equi-join back on user_id
+    with the time predicate as a join residual; no window over the full
+    event stream, no per-user sort.
+
+    100 TB path: every stage shuffles on user_id only (and the stage
+    tables shrink monotonically); at cluster scale the three joins
+    co-locate on one user_id partitioning."""
+    e = tbl(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [c.count(), s.count(), p.count()]
+    return spark.createDataFrame(
+        [
+            (1, "click", counts[0]),
+            (2, "signup", counts[1]),
+            (3, "purchase", counts[2]),
+        ],
+        "stage int, event_type string, n_users bigint",
+    ).orderBy("stage")
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+      FROM events e
+    )
+    SELECT f.cohort AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_k,
+           COUNT(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY cohort_week, week_k
+    ORDER BY cohort_week, week_k
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str):
+    """COHORT retention triangle (r10): users grouped by first-activity
+    week; n_active = distinct users of cohort c active in week c+k.
+    Week buckets via date_trunc('week') (Monday start in BOTH engines,
+    kept as timestamps — the comparator's precedent from the daily
+    rollup);
+    the week offset is an exact day-difference // 7 — both truncated
+    stamps are Mondays, so the division is integral and cross-engine
+    stable (no engine-specific week-diff semantics involved).
+
+    100 TB path: first-activity table shuffles once on user_id; the
+    (user, week) activity set is the DISTINCT of a map-side projection;
+    the final agg is over cohort×k — tiny."""
+    e = tbl(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_k")
+    )
