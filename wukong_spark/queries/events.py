@@ -991,3 +991,70 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_k")
     )
+
+
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_t IS NULL OR prev_t <> event_type
+    ), versioned AS (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version_n
+      FROM changes
+    )
+    SELECT user_id, CAST(version_n AS BIGINT) AS version_n, attr,
+           valid_from,
+           COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str):
+    """SCD TYPE-2 dimension build (r10, the warehouse history pattern):
+    collapse each user's event stream into attribute VERSIONS — a new
+    version opens whenever the tracked attribute (event_type here)
+    differs from the previous event — with [valid_from, valid_to)
+    intervals and an is_current flag, exactly the row layout a
+    slowly-changing dimension table carries.
+
+    One lag pass flags changes, one lead + row_number pass builds the
+    intervals — all three windows share the SAME (user_id) partitioning
+    and (ts, event_id) order, so Catalyst plans a single shuffle.  The
+    open interval's NULL valid_to is COALESCEd to a 2200-01-01 sentinel
+    on BOTH engines (the comparator treats NaT ≠ NaT, and pandas
+    nanosecond timestamps overflow past 2262 — no 9999-12-31)."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn(
+        "prev_t", F.lag("event_type").over(w)
+    ).filter(F.col("prev_t").isNull() | (F.col("prev_t") != F.col("event_type")))
+    versioned = changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to_raw"),
+    )
+    return versioned.select(
+        "user_id",
+        "version_n",
+        "attr",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to_raw"),
+            F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+        F.col("valid_to_raw").isNull().alias("is_current"),
+    )
