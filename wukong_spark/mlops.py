@@ -357,3 +357,94 @@ def make_classification_blocks(
     return spark.range(0, n_partitions, 1, n_partitions).mapInPandas(
         gen, "sample_id long, features array<double>, label int"
     )
+
+
+def als_fit(
+    ratings: DataFrame,
+    n_users: int,
+    n_items: int,
+    n_factors: int = 8,
+    reg: float = 0.1,
+    iters: int = 5,
+    seed: int = 11,
+) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """Distributed ALTERNATING LEAST SQUARES over a (user_id, item_id,
+    rating) table — the collaborative-filtering workload the reference
+    runs as an opaque dask graph; here every half-step is a DataFrame
+    job.
+
+    Each half-step solves, per entity, the EXACT regularized normal
+    equations over its observed ratings — (V_SᵀV_S + λI) u = V_Sᵀ r_S —
+    via `applyInPandas` grouped on that entity, with the OTHER side's
+    factor matrix broadcast (k and the entity counts keep it small
+    here; at web scale the join side blocks by entity range and factors
+    co-partition with the ratings instead of broadcasting).  The
+    objective Σ(r − u·v)² + λ(‖U‖² + ‖V‖²) is re-measured after every
+    full iteration by one Arrow pass over the ratings — ALS decreases
+    it monotonically, which the caller can assert.
+
+    Returns (U, V, objectives) with objectives[0] the initial value."""
+    spark = ratings.sparkSession
+    rng = np.random.default_rng(seed)
+    u_mat = rng.standard_normal((n_users, n_factors)) * 0.1
+    v_mat = rng.standard_normal((n_items, n_factors)) * 0.1
+
+    def half_step(df: DataFrame, group: str, other: np.ndarray, n_out: int):
+        bc = spark.sparkContext.broadcast(other)
+        key_other = "item_id" if group == "user_id" else "user_id"
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            o = bc.value
+            s = pdf[key_other].to_numpy()
+            r = pdf["rating"].to_numpy(dtype=np.float64)
+            vs = o[s]
+            a = vs.T @ vs + reg * np.eye(o.shape[1])
+            f = np.linalg.solve(a, vs.T @ r)
+            return pd.DataFrame(
+                {"idx": [int(pdf[group].iloc[0])], "f": [f.tolist()]}
+            )
+
+        rows = (
+            df.groupBy(group)
+            .applyInPandas(solve, "idx long, f array<double>")
+            .collect()
+        )
+        out = np.zeros((n_out, other.shape[1]))
+        for row in rows:
+            out[row["idx"]] = np.asarray(row["f"])
+        return out
+
+    def objective(u: np.ndarray, v: np.ndarray) -> float:
+        bc = spark.sparkContext.broadcast((u, v))
+
+        def sq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            uu, vv = bc.value
+            t = 0.0
+            got = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pred = np.einsum(
+                    "ij,ij->i",
+                    uu[pdf["user_id"].to_numpy()],
+                    vv[pdf["item_id"].to_numpy()],
+                )
+                t += float(((pdf["rating"].to_numpy() - pred) ** 2).sum())
+                got = True
+            if got:
+                yield pd.DataFrame({"s": [t]})
+
+        parts = ratings.mapInPandas(sq, "s double").collect()
+        sse = float(sum(r["s"] for r in parts))
+        return sse + reg * (float((u * u).sum()) + float((v * v).sum()))
+
+    objs = [objective(u_mat, v_mat)]
+    for _ in range(iters):
+        u_mat = half_step(ratings, "user_id", v_mat, n_users)
+        v_mat = half_step(ratings, "item_id", u_mat, n_items)
+        # final half-step of the loop is the USER solve of the NEXT pass —
+        # callers wanting user-side optimality re-solve users once after
+        objs.append(objective(u_mat, v_mat))
+    u_mat = half_step(ratings, "user_id", v_mat, n_users)
+    objs.append(objective(u_mat, v_mat))
+    return u_mat, v_mat, objs

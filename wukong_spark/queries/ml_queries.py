@@ -458,3 +458,114 @@ def ml_softmax_predict(spark: SparkSession, sf_dir: str):
     return predict_broadcast(e, model, id_cols=("vec_id", "label")).orderBy(
         "vec_id"
     )
+
+
+def _gen_ratings(spark: SparkSession, n_users: int, n_items: int):
+    """Seeded (user_id, item_id, rating) table: each user rates 20
+    deterministic items with a low-rank-plus-noise rating, so ALS has
+    real structure to recover."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    k_true = 4
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                u = int(i)
+                rng = np.random.default_rng(21000 + u)
+                ut = rng.standard_normal(k_true)
+                items = rng.choice(n_items, 20, replace=False)
+                for it in items:
+                    vt = np.random.default_rng(22000 + int(it)).standard_normal(
+                        k_true
+                    )
+                    r = float(ut @ vt + 0.1 * rng.standard_normal())
+                    rows.append((u, int(it), r))
+            yield pd.DataFrame(rows, columns=["user_id", "item_id", "rating"])
+
+    return spark.range(0, n_users, 1, 8).mapInPandas(
+        gen, "user_id long, item_id long, rating double"
+    )
+
+
+@query(
+    "ml_als_check",
+    oracle=(
+        "SELECT TRUE AS user_grad_zero, TRUE AS objective_monotonic,"
+        " TRUE AS beats_mean_baseline, 200 AS n_users, 100 AS n_items,"
+        " 8 AS n_factors"
+    ),
+)
+def ml_als_check(spark: SparkSession, sf_dir: str):
+    """Distributed ALS collaborative filtering contract (r10): fit 3
+    alternating iterations over a seeded low-rank ratings table
+    (`mlops.als_fit`: per-entity exact normal-equation solves via
+    applyInPandas, the other side's factors broadcast), then verify
+    with INDEPENDENT passes (the ml_logreg_check pattern):
+
+    - user_grad_zero: after the closing user half-step, every user's
+      regularized gradient (V_SᵀV_S + λI)u − V_Sᵀr — recomputed from
+      the ratings in a fresh grouped pass, not the solver's buffers —
+      has ‖·‖∞ < 1e-8;
+    - objective_monotonic: the full objective, re-measured over the
+      ratings after every iteration, never increases (the ALS
+      guarantee — each half-step is an exact argmin);
+    - beats_mean_baseline: final SSE < Σ(r − r̄)², recomputed in-plan.
+
+    Only the verdicts leave the cluster."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import als_fit
+
+    n_users, n_items, k, reg = 200, 100, 8, 0.1
+    ratings = _gen_ratings(spark, n_users, n_items).persist()
+    u_mat, v_mat, objs = als_fit(
+        ratings, n_users, n_items, n_factors=k, reg=reg, iters=3
+    )
+    bc = spark.sparkContext.broadcast((u_mat, v_mat))
+
+    def user_grad(pdf: pd.DataFrame) -> pd.DataFrame:
+        uu, vv = bc.value
+        u_id = int(pdf["user_id"].iloc[0])
+        vs = vv[pdf["item_id"].to_numpy()]
+        r = pdf["rating"].to_numpy(dtype=np.float64)
+        g = (vs.T @ vs + reg * np.eye(vv.shape[1])) @ uu[u_id] - vs.T @ r
+        return pd.DataFrame({"g": [float(np.abs(g).max())]})
+
+    gmax = (
+        ratings.groupBy("user_id")
+        .applyInPandas(user_grad, "g double")
+        .agg(F.max("g").alias("m"))
+        .collect()[0]["m"]
+    )
+    # mean-baseline SSE without a window: Σr² − (Σr)²/n
+    stats = ratings.agg(
+        F.sum(F.col("rating") * F.col("rating")).alias("srr"),
+        F.sum("rating").alias("sr"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    sse_mean = float(stats["srr"]) - float(stats["sr"]) ** 2 / float(stats["n"])
+    sse_final = objs[-1] - reg * (
+        float((u_mat * u_mat).sum()) + float((v_mat * v_mat).sum())
+    )
+    monotonic = all(b <= a + 1e-9 for a, b in zip(objs, objs[1:]))
+    ratings.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                bool(gmax < 1e-8),
+                bool(monotonic),
+                bool(sse_final < sse_mean),
+                n_users,
+                n_items,
+                k,
+            )
+        ],
+        "user_grad_zero boolean, objective_monotonic boolean,"
+        " beats_mean_baseline boolean, n_users int, n_items int,"
+        " n_factors int",
+    )
