@@ -147,3 +147,85 @@ def graph_connected_components(spark: SparkSession, sf_dir: str):
     )
     labels = connected_components(edges)
     return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "graph_pagerank_check",
+    # 3 damped power iterations UNROLLED as CTE stages (the
+    # rollup-from-hourly pattern applied to graph iteration); round-9
+    # doubles: rank values ~6e-4 with cross-engine drift ~1e-18, eight
+    # orders below the rounding grid
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r0 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r1 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r2 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, ROUND(r, 9) AS rank_9 FROM r3 ORDER BY node
+    """,
+)
+def graph_pagerank_check(spark: SparkSession, sf_dir: str):
+    """PageRank (r10) — the second iterative graph algorithm, and unlike
+    connected components a FULLY SQL-ORACLED one: 3 damped (d = 0.85)
+    power iterations over the undirected customer↔supplier graph, each
+    iteration one edges⋈ranks⋈degree join + a dst-grouped sum — the
+    contribution-passing shape PageRank takes on any dataflow engine.
+    Undirected edges mean every node has out-degree ≥ 1, so no dangling
+    -mass correction is needed and the per-node recurrence
+    r' = 0.15/N + 0.85·Σ r(u)/deg(u) is exact in both engines.
+
+    100 TB path: ranks and degrees co-partition with edges on src (one
+    shuffle per iteration reused across the joins); edges materialize
+    once (eager localCheckpoint) instead of re-deriving the orders⋈
+    lineitem distinct per iteration."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=True
+    )
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
+        )
+    return ranks.select("node", F.round("r", 9).alias("rank_9")).orderBy("node")

@@ -1368,3 +1368,132 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
         "step int, left_sym string, right_sym string, merged string,"
         " pair_n bigint",
     ).orderBy("step")
+
+
+def _gen_fuzzy_vocab(spark: SparkSession):
+    """Seeded token vocabulary for fuzzy joining: 120 syllable-compound
+    base words + 40 planted edit-1 variants (substitution / deletion /
+    insertion, seeded per id — a variant row regenerates its base from
+    the base id's own seed, so generation parallelizes by id)."""
+    from typing import Iterator
+
+    import numpy as np
+
+    def base_word(k: int) -> str:
+        rng = np.random.default_rng(23000 + k)
+        syll = ["ka", "lo", "mi", "ta", "re", "su", "no", "vi"]
+        return "".join(rng.choice(syll, int(rng.integers(2, 4))))
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                k = int(i)
+                if k < 120:
+                    rows.append((k, base_word(k)))
+                    continue
+                rng = np.random.default_rng(24000 + (k - 120))
+                w = base_word(int(rng.integers(0, 120)))
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(0, len(w)))
+                ch = "abcdefghij"[int(rng.integers(0, 10))]
+                if op == 0:
+                    v = w[:pos] + ch + w[pos + 1:]
+                elif op == 1:
+                    v = w[:pos] + w[pos + 1:]
+                else:
+                    v = w[:pos] + ch + w[pos:]
+                rows.append((k, v))
+            yield pd.DataFrame(rows, columns=["word_id", "word"])
+
+    return spark.range(0, 160, 1, 4).mapInPandas(
+        gen, "word_id long, word string"
+    )
+
+
+@query(
+    "fuzzy_join_edit1",
+    # literal oracle: the vocabulary is seeded-generated and Levenshtein
+    # is integer, so the 66 distance-1 pairs (40 planted variants plus
+    # accidental base-base neighbors like sumi/suvi) are pinned exactly
+    oracle="""
+    SELECT * FROM (VALUES
+      ('asu', 'kasu', 1), ('asu', 'nsu', 1),
+      ('asu', 'tasu', 1), ('casuvi', 'kasuvi', 1),
+      ('cmirelo', 'mirelo', 1), ('crelo', 'relo', 1),
+      ('fkasu', 'kasu', 1), ('gkasuka', 'kasuka', 1),
+      ('gomi', 'lomi', 1), ('husumi', 'susumi', 1),
+      ('iomilo', 'nomilo', 1), ('jsumi', 'sumi', 1),
+      ('kakaka', 'kataka', 1), ('kalo', 'kano', 1),
+      ('kalo', 'klo', 1), ('kalono', 'klono', 1),
+      ('kamfsu', 'kamisu', 1), ('kami', 'khmi', 1),
+      ('kamisa', 'kamisu', 1), ('kano', 'tano', 1),
+      ('kanota', 'kanotba', 1), ('kareaka', 'kareka', 1),
+      ('kasu', 'tasu', 1), ('kasumi', 'kasuvi', 1),
+      ('kavido', 'kavino', 1), ('laovino', 'lovino', 1),
+      ('loiino', 'lovino', 1), ('lokaka', 'lokata', 1),
+      ('lolo', 'nolo', 1), ('miasu', 'mikasu', 1),
+      ('miasu', 'misu', 1), ('micino', 'mivino', 1),
+      ('mika', 'mikas', 1), ('mika', 'tika', 1),
+      ('mikas', 'mikasu', 1), ('mimi', 'mivi', 1),
+      ('mimi', 'vimi', 1), ('mirelo', 'virelo', 1),
+      ('mivilo', 'mivino', 1), ('nosu', 'nsu', 1),
+      ('rea', 'reka', 1), ('rea', 'reta', 1),
+      ('redlo', 'relo', 1), ('rejo', 'relo', 1),
+      ('rejo', 'reno', 1), ('reka', 'reta', 1),
+      ('relo', 'reno', 1), ('remiv', 'remivi', 1),
+      ('rere', 'rhere', 1), ('suai', 'sumi', 1),
+      ('suai', 'suvi', 1), ('suasu', 'sukasu', 1),
+      ('sukalo', 'sukano', 1), ('sulo', 'suno', 1),
+      ('sumi', 'suvi', 1), ('taa', 'taka', 1),
+      ('taa', 'tata', 1), ('tadita', 'tamita', 1),
+      ('taeka', 'taka', 1), ('taka', 'tata', 1),
+      ('taka', 'tika', 1), ('tamifa', 'tamita', 1),
+      ('vctaka', 'vitaka', 1), ('vilo', 'vino', 1),
+      ('vino', 'vno', 1), ('vitaea', 'vitaka', 1))
+      AS t(word_a, word_b, dist)
+    ORDER BY word_a, word_b
+    """,
+)
+def fuzzy_join_edit1(spark: SparkSession, sf_dir: str):
+    """FUZZY self-join at edit distance ≤ 1 (r10) — typo/variant linking
+    for vocabulary normalization, with STRUCTURAL recall and no
+    all-pairs: SymSpell deletion neighborhoods.  Each distinct word
+    explodes into its identity plus every delete-one-character variant;
+    two words at Levenshtein ≤ 1 ALWAYS share a neighborhood key (a
+    substitution pair shares the delete-at-the-edited-position variant;
+    an insertion/deletion pair shares the shorter word itself), so
+    candidates come from one equi-join on the variant key and the exact
+    JVM `levenshtein` only runs on candidates.
+
+    100 TB path: a length-n word emits n+1 keys — corpus-linear
+    candidate generation versus the quadratic naive join; the exact
+    filter touches only key-colliding pairs."""
+    words = _gen_fuzzy_vocab(spark).select("word").distinct()
+    keyed = words.select(
+        "word",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(word)), i -> CASE WHEN i = 0"
+                " THEN word ELSE concat(substring(word, 1, i - 1),"
+                " substring(word, i + 1, length(word) - i)) END)"
+            )
+        ).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("word_a", "word_b"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("word_a", "word_b")
+    )
