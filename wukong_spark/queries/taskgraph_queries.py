@@ -196,10 +196,12 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
     -mass correction is needed and the per-node recurrence
     r' = 0.15/N + 0.85·Σ r(u)/deg(u) is exact in both engines.
 
-    100 TB path: ranks and degrees co-partition with edges on src (one
-    shuffle per iteration reused across the joins); edges materialize
+    100 TB path: per iteration the shuffle carries (node, rank/degree)
+    pairs and 16-byte edge keys — never payloads; edges materialize
     once (eager localCheckpoint) instead of re-deriving the orders⋈
-    lineitem distinct per iteration."""
+    lineitem distinct per iteration, and bucketed edge storage would
+    remove the per-iteration edge exchange entirely (the
+    bucketed_join_check lever applied to graphs)."""
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -210,6 +212,11 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
+    # eager checkpoint: materialize edges once instead of replaying the
+    # orders⋈lineitem distinct per iteration.  (A checkpointed plan
+    # reports unknown partitioning, so each iteration still exchanges
+    # the 16-byte edge keys — the deliberate trade vs re-deriving the
+    # join; at scale bucketed edge storage removes both costs.)
     edges = (
         e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
