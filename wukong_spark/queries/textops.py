@@ -1497,3 +1497,115 @@ def fuzzy_join_edit1(spark: SparkSession, sf_dir: str):
         .filter(F.col("dist") <= 1)
         .orderBy("word_a", "word_b")
     )
+
+
+@query(
+    "ml_naive_bayes_lang",
+    # FULLY SQL-oracled ML: train and predict are the same counting +
+    # log-sum algebra in both engines.  Scores round to 6 decimals
+    # before the argmax (ln() may differ in the last ulp across libm
+    # implementations; drift ~1e-14 vs the 5e-7 rounding boundary), and
+    # ties break on class name — deterministic in both engines
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    prior AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    wc AS (SELECT lang, w, COUNT(*) AS cnt FROM toks GROUP BY lang, w),
+    ctot AS (SELECT lang, COUNT(*) AS n_toks FROM toks GROUP BY lang),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+    scores AS (
+      SELECT t.doc_id, p.lang AS cls,
+             LN(p.n_docs * 1.0 / (SELECT n FROM tot))
+             + SUM(LN((COALESCE(wc.cnt, 0) + 1) * 1.0
+                      / (ct.n_toks + (SELECT v FROM vocab)))) AS s
+      FROM toks t
+      CROSS JOIN prior p
+      JOIN ctot ct ON ct.lang = p.lang
+      LEFT JOIN wc ON wc.lang = p.lang AND wc.w = t.w
+      GROUP BY t.doc_id, p.lang, p.n_docs, ct.n_toks
+    ),
+    pred AS (
+      SELECT doc_id, cls,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(s, 6) DESC, cls) AS rk
+      FROM scores
+    )
+    SELECT p.doc_id, d.lang AS true_lang, p.cls AS predicted_lang,
+           (p.cls = d.lang) AS correct
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    WHERE p.rk = 1
+    ORDER BY p.doc_id
+    """,
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str):
+    """Multinomial NAIVE BAYES language classifier (r10) — the rare ML
+    entry whose ENTIRE train+predict pipeline is SQL-oracled, not just
+    contract booleans: Laplace-smoothed class-conditional token counts
+    (train = two groupBys), per-document log-posterior scoring (one
+    token×class join), argmax with a round-6 + class-name tie-break.
+    In-sample prediction — the point is cross-engine parity of the
+    full counting/scoring algebra, per document.
+
+    100 TB path: the model IS two aggregate tables (class priors +
+    (class, word) counts — vocabulary-sized, broadcastable); scoring is
+    a broadcast join against the token stream, map-side.  No Python
+    anywhere."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    prior = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = d.count()
+    wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    ctot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_toks"))
+    v = toks.select("w").distinct().count()
+    p = prior.select(F.col("lang").alias("cls"), "n_docs")
+    scores = (
+        toks.crossJoin(F.broadcast(p))
+        .join(
+            F.broadcast(ctot.select(F.col("lang").alias("cls"), "n_toks")),
+            "cls",
+        )
+        .join(
+            F.broadcast(
+                wc.select(F.col("lang").alias("cls"), "w", "cnt")
+            ),
+            ["cls", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "cls", "n_docs", "n_toks")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("n_toks") + F.lit(v))
+                )
+            ).alias("sw")
+        )
+        .select(
+            "doc_id",
+            "cls",
+            (F.log(F.col("n_docs") / F.lit(float(n_total))) + F.col("sw")).alias("s"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.round("s", 6).desc(), F.col("cls"))
+    )
+    pred = scores.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("cls").alias("predicted_lang"),
+            (F.col("cls") == F.col("lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
