@@ -1058,3 +1058,59 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str):
         ).alias("valid_to"),
         F.col("valid_to_raw").isNull().alias("is_current"),
     )
+
+
+@query(
+    "incremental_rollup_check",
+    # the oracle computes the rollup DIRECTLY over all events; the Spark
+    # side maintains it INCREMENTALLY (base view + delta partition,
+    # merged by the sum-of-sums identity) — hash equality proves the
+    # maintenance step is exact
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4
+    FROM events
+    GROUP BY h, event_type
+    ORDER BY h, event_type
+    """,
+)
+def incremental_rollup_check(spark: SparkSession, sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE (r10): the hourly rollup is NOT
+    recomputed from all events — the stream splits at the last day
+    boundary into the "already materialized" base and the "newly
+    ingested" delta partition; the delta's hourly aggregate merges into
+    the base view by the reaggregation identity (count → sum of
+    counts, sum → sum of sums), exactly how a lakehouse keeps a
+    continuous aggregate fresh without touching history.  The oracle
+    recomputes the rollup directly over everything — hash equality IS
+    the proof that maintenance ≡ recompute.
+
+    100 TB path: the delta is one day of a year-partitioned table; the
+    merge touches only the hour×type groups the delta contains, and the
+    base view never rescans."""
+    e = tbl(spark, sf_dir, "events")
+    split = e.agg(F.date_trunc("day", F.max("ts")).alias("s")).collect()[0]["s"]
+
+    def hourly(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_value_4"),
+        )
+
+    base_view = hourly(e.filter(F.col("ts") < F.lit(split)))
+    delta_agg = hourly(e.filter(F.col("ts") >= F.lit(split)))
+    return (
+        base_view.unionByName(delta_agg)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_4").cast("long").alias("sum_value_4"),
+        )
+        .orderBy("h", "event_type")
+    )

@@ -874,3 +874,80 @@ def skew_salted_join_check(spark: SparkSession, sf_dir: str):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "dq_expectations_check",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('orders_pk_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0),
+      ('lineitem_fk_orphans',
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) = 0),
+      ('custkey_nulls',
+       (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL),
+       (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) = 0),
+      ('discount_range_violations',
+       (SELECT COUNT(*) FROM lineitem
+         WHERE l_discount < 0 OR l_discount > 0.1),
+       (SELECT COUNT(*) FROM lineitem
+         WHERE l_discount < 0 OR l_discount > 0.1) = 0),
+      ('quantity_positive_violations',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0),
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0),
+      ('event_type_vocab_violations',
+       (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+         ('click', 'view', 'purchase', 'signup', 'error')),
+       (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+         ('click', 'view', 'purchase', 'signup', 'error')) = 0))
+      AS t(check_name, observed, passed)
+    ORDER BY check_name
+    """,
+)
+def dq_expectations_check(spark: SparkSession, sf_dir: str):
+    """DATA-QUALITY expectation suite (r10) — the validation gate every
+    production pipeline runs before training or serving: primary-key
+    uniqueness, referential integrity (lineitem→orders orphans via
+    LEFT ANTI join — never a row-by-row lookup), null checks, numeric
+    range contracts, and categorical vocabulary closure.  Each
+    expectation is one aggregate; the whole suite is a handful of scans
+    Catalyst can share.
+
+    100 TB path: anti-join integrity checks shuffle only keys; every
+    other check is a map-side filter + count.  Observed values ride
+    along so a failing run reports magnitude, not just a flag."""
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    c = tbl(spark, sf_dir, "customer")
+    e = tbl(spark, sf_dir, "events")
+    pk_dup = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+    ).collect()[0]["v"]
+    orphans = (
+        l.select("l_orderkey")
+        .join(o.select("o_orderkey"), l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .count()
+    )
+    nulls = c.filter(F.col("c_custkey").isNull()).count()
+    disc = l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).count()
+    qty = l.filter(F.col("l_quantity") <= 0).count()
+    vocab = e.filter(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+    ).count()
+    rows = [
+        ("orders_pk_unique", int(pk_dup), pk_dup == 0),
+        ("lineitem_fk_orphans", int(orphans), orphans == 0),
+        ("custkey_nulls", int(nulls), nulls == 0),
+        ("discount_range_violations", int(disc), disc == 0),
+        ("quantity_positive_violations", int(qty), qty == 0),
+        ("event_type_vocab_violations", int(vocab), vocab == 0),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, observed bigint, passed boolean"
+    ).orderBy("check_name")
