@@ -1114,3 +1114,75 @@ def incremental_rollup_check(spark: SparkSession, sf_dir: str):
         )
         .orderBy("h", "event_type")
     )
+
+
+@query(
+    "compaction_small_files_check",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4,
+           TRUE AS files_reduced,
+           TRUE AS sized_to_target
+    FROM events
+    """,
+)
+def compaction_small_files_check(spark: SparkSession, sf_dir: str):
+    """SMALL-FILES COMPACTION (r10) — the table-maintenance op every
+    streaming-ingested lake needs: events land as 64 tiny files (the
+    per-trigger micro-batch pattern), then compaction rewrites them
+    sized to a byte target — partition count = ceil(bytes / target) —
+    in one repartition pass.  Row count and an integer checksum
+    hash-check against DuckDB on the ORIGINAL table, proving the
+    rewrite is lossless; `files_reduced` pins ≥ 8× fewer files and
+    `sized_to_target` pins the output file count to the computed
+    target ±1.
+
+    100 TB path: compaction is per table-partition (never a global
+    repartition); the byte-targeted partition count is exactly how
+    OPTIMIZE jobs size their output, and readers regain
+    maxPartitionBytes-aligned scans afterwards."""
+    import math
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    small_dir, big_dir = f"{wh}/evt_small_tmp", f"{wh}/evt_compact_tmp"
+    for p in (small_dir, big_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    e = tbl(spark, sf_dir, "events")
+    e.repartition(64).write.mode("overwrite").parquet(small_dir)
+
+    def parquet_files(path: str) -> list[str]:
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+
+    small_files = parquet_files(small_dir)
+    total_bytes = sum(os.path.getsize(f) for f in small_files)
+    target = max(1, math.ceil(total_bytes / (4 * 1024 * 1024)))
+    spark.read.parquet(small_dir).repartition(target).write.mode(
+        "overwrite"
+    ).parquet(big_dir)
+    big_files = parquet_files(big_dir)
+    out = spark.read.parquet(big_dir).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("sum_value_4"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(out["n_rows"]),
+                int(out["sum_value_4"]),
+                len(big_files) * 8 <= len(small_files),
+                abs(len(big_files) - target) <= 1,
+            )
+        ],
+        "n_rows bigint, sum_value_4 bigint, files_reduced boolean,"
+        " sized_to_target boolean",
+    )
