@@ -1186,3 +1186,71 @@ def compaction_small_files_check(spark: SparkSession, sf_dir: str):
         "n_rows bigint, sum_value_4 bigint, files_reduced boolean,"
         " sized_to_target boolean",
     )
+
+
+@query(
+    "stream_countmin_merge_check",
+    # mergeability is EXACT: a Count-Min sketch built by summing
+    # per-micro-batch partials must equal the one-pass batch sketch
+    # cell for cell (integer counters, order-free addition), so the
+    # parity booleans are deterministic
+    oracle="""
+    SELECT TRUE AS sketches_identical, TRUE AS never_underestimates,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_keys,
+           (SELECT COUNT(*) FROM events) AS n_rows
+    """,
+)
+def stream_countmin_merge_check(spark: SparkSession, sf_dir: str):
+    """SKETCHES ON A STREAM (r10): the Count-Min sketch is built
+    micro-batch by micro-batch through a foreachBatch sink — each
+    batch contributes a counter-block partial, summed into the running
+    sketch — and must equal the one-pass BATCH sketch cell-for-cell:
+    integer counters add order-free, which is exactly why sketches are
+    the streaming aggregation currency.  The second contract re-checks
+    never-underestimates for every distinct key against exact batch
+    counts.
+
+    100 TB path: the stream never keeps raw rows — O(w·d) state total
+    regardless of stream length — and the same merge works across
+    PARALLEL streams (kafka partitions), not just sequential batches."""
+    import numpy as np
+
+    from wukong_spark.operators.membership import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from wukong_spark.streaming import read_events_stream, run_foreach_batch
+
+    width, depth = 4096, 5
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id")
+        streamed = np.zeros((depth, width), np.int64)
+
+        def absorb(bdf, _epoch):
+            nonlocal streamed
+            if bdf.count():
+                streamed = streamed + countmin_build(
+                    bdf, "user_id", width, depth
+                )
+
+        run_foreach_batch(ev, absorb)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    e = tbl(spark, sf_dir, "events").select("user_id")
+    batch_cms = countmin_build(e, "user_id", width, depth)
+    truth = e.groupBy("user_id").count().toPandas()
+    ests = countmin_estimate(batch_cms, truth["user_id"], integral=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(np.array_equal(streamed, batch_cms)),
+                bool((ests >= truth["count"].to_numpy()).all()),
+                len(truth),
+                int(truth["count"].sum()),
+            )
+        ],
+        "sketches_identical boolean, never_underestimates boolean,"
+        " n_keys bigint, n_rows bigint",
+    )
