@@ -1609,3 +1609,75 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bigram_perplexity",
+    # fully SQL-oracled LM scoring: bigram counts are exact integers,
+    # and the per-doc mean log-prob rounds to 6 decimals (ln() last-ulp
+    # drift ~1e-14 per doc vs the 5e-7 grid — no boundary risk)
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest([substring(text, CAST(x AS INT), 2)
+                     for x in range(1, length(text))]) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT bg, COUNT(*) AS cnt FROM chars GROUP BY bg),
+    tot AS (SELECT COUNT(*) AS n FROM chars),
+    vocab AS (SELECT COUNT(DISTINCT bg) AS v FROM bc),
+    scored AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(LN((bc.cnt + 1) * 1.0
+                    / ((SELECT n FROM tot) + (SELECT v FROM vocab)))) AS s
+      FROM chars c JOIN bc ON bc.bg = c.bg
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(-s / n_bigrams, 6) AS cross_entropy_6
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str):
+    """LM PERPLEXITY quality scoring (r10) — the CCNet-style filter
+    that ranks documents by how surprising they are under a language
+    model, here a Laplace-smoothed character-BIGRAM unigram-of-bigrams
+    model trained on the corpus itself: per-document cross-entropy =
+    −mean ln P(bigram).  Everything is counting + log algebra, so the
+    WHOLE train+score pipeline hash-checks against DuckDB per document
+    (round-6, the ml_naive_bayes_lang float discipline).
+
+    100 TB path: the model is one (bigram → count) table — broadcast
+    side of the scoring join; the document stream is scored map-side.
+    A real pipeline swaps in KenLM scores via mapInPandas with the
+    same plan shape."""
+    d = tbl(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    bc = chars.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = chars.count()
+    v = bc.count()
+    scored = (
+        chars.join(F.broadcast(bc), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log((F.col("cnt") + 1) / F.lit(float(tot + v)))
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(-F.col("s") / F.col("n_bigrams"), 6).alias("cross_entropy_6"),
+    ).orderBy("doc_id")
