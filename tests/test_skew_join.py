@@ -54,3 +54,40 @@ def test_skewed_join_correct_and_aqe_splits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_multikey_and_nulls(spark):
+    """salted_join (r10): composite keys salt correctly, NULL join keys
+    drop from BOTH branches (inner-join semantics — `~isin(hot)` is
+    NULL for null keys and would otherwise leak them out of only the
+    cold branch), and the result equals the plain inner join exactly."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.skew import salted_join
+
+    big = spark.range(0, 20000, 1, 8).select(
+        F.when(F.col("id") % 4 == 3, None)
+        .otherwise(F.when(F.col("id") % 3 < 2, F.lit(0)).otherwise(F.col("id") % 40))
+        .alias("k1"),
+        (F.col("id") % 2).alias("k2"),
+        (F.col("id") % 11).alias("v"),
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k1"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k2"),
+        (F.col("id") * 3).alias("w"),
+    )
+    salted = salted_join(big, dim, on=["k1", "k2"], hot_keys=[(0, 0), (0, 1)])
+    plain = big.join(dim, ["k1", "k2"], "inner")
+    assert salted.count() == plain.count()
+    assert (
+        salted.groupBy("k1", "k2")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        .exceptAll(
+            plain.groupBy("k1", "k2").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        )
+        .count()
+        == 0
+    )
+    # no __salt column may leak into the result schema
+    assert "__salt" not in salted.columns

@@ -1552,7 +1552,11 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str):
     100 TB path: the model IS two aggregate tables (class priors +
     (class, word) counts — vocabulary-sized, broadcastable); scoring is
     a broadcast join against the token stream, map-side.  No Python
-    anywhere."""
+    anywhere.  (Plan note: the token×class expansion is a deliberate
+    BroadcastNestedLoopJoin against the FIVE-row class table — the
+    sanctioned tiny-broadcast scalar pattern, same class as
+    ml_predict_ref's margin crossJoin; it is K-fold row replication, not
+    a quadratic join.)"""
     d = tbl(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
