@@ -808,7 +808,10 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
             (
                 int(p_agg["n"]), int(p_agg["s"]),
                 int(s_agg["n"]), int(s_agg["s"]),
-                bool(p_scanned * 2 < n_total),
+                # the shared-curve dim measures ~41 %: gate at 2/3 so a
+                # driver data regen can't flip it (the strict layout
+                # comparison lives in test_plan_shape on frozen data)
+                bool(p_scanned * 3 < n_total * 2),
                 bool(s_scanned * 2 < n_total),
             )
         ],
