@@ -518,12 +518,65 @@ KMEANS_DIM = 64
 KMEANS_MARGIN = 1e-6
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB oracle: Lloyd's algorithm UNROLLED as 5 CTE stages — a real
-    cross-engine differential test of the iterative computation, not a
-    captured literal.  Same init (centroids = vectors vec_id < k), same
-    distance expansion (x·x − 2·x·c + c·c), same lowest-cluster tie-break,
-    same keep-old-centroid rule for empty clusters."""
+def _kmeans_assign_udf(c: np.ndarray):
+    """Vectorized assignment against the centroid matrix shipped in the
+    task closure — same distance expansion as the SQL oracle
+    (x·x − 2·x·c + c·c), first-min = lowest-cluster tie-break."""
+    c_sq = (c**2).sum(axis=1)
+
+    @F.pandas_udf("cluster int, margin double")
+    def assign(xs: pd.Series) -> pd.DataFrame:
+        x = np.vstack(xs.to_numpy())
+        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+        best = np.argmin(d2, axis=1)
+        part = np.partition(d2, 1, axis=1)
+        return pd.DataFrame(
+            {"cluster": best.astype(np.int32), "margin": part[:, 1] - part[:, 0]}
+        )
+
+    return assign
+
+
+def _kmeans_fit(e) -> np.ndarray:
+    """Lloyd's loop shared by embed_kmeans_clusters and
+    dedup_semantic_clusters: k=8, 5 iterations, deterministic init from
+    the first k vec_ids, keep-old-centroid rule for empty clusters.
+    Per iteration one (cluster, dim) partial+final aggregation — the
+    driver only ever holds k×64 floats."""
+    init = e.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents = np.array([r.x for r in init])
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            "vec_id",
+            "x",
+            _kmeans_assign_udf(cents)(F.col("x")).getField("cluster").alias("cluster"),
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("x").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        newc = cents.copy()  # empty clusters keep their old centroid
+        sums = np.zeros((KMEANS_K, KMEANS_DIM))
+        counts = np.zeros(KMEANS_K)
+        for r in stats:
+            sums[r.cluster, r.i] = r.s
+            counts[r.cluster] = r.cnt
+        nonempty = counts > 0
+        newc[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = newc
+    return cents
+
+
+def _kmeans_oracle_ctes() -> str:
+    """DuckDB oracle CTE prefix (through per-vector assignments `fin`):
+    Lloyd's algorithm UNROLLED as 5 CTE stages — a real cross-engine
+    differential test of the iterative computation, not a captured
+    literal.  Same init (centroids = vectors vec_id < k), same distance
+    expansion (x·x − 2·x·c + c·c), same lowest-cluster tie-break, same
+    keep-old-centroid rule for empty clusters.  Shared by the kmeans
+    entry and the SemDeDup entry's oracle."""
     d2 = (
         "list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, c.cx)"
         " + list_dot_product(c.cx, c.cx)"
@@ -559,8 +612,12 @@ def _kmeans_oracle() -> str:
         f"SELECT e.vec_id, c.cluster, {d2} AS d2"
         f" FROM e CROSS JOIN cent{KMEANS_ITERS} c))"
     )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle() -> str:
     return (
-        ",\n".join(parts)
+        _kmeans_oracle_ctes()
         + f"""
     SELECT f1.cluster, COUNT(*) AS n,
            MIN(f2.d2 - f1.d2) > {KMEANS_MARGIN} AS margin_ok
@@ -591,45 +648,8 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
         .selectExpr("vec_id", "CAST(embedding AS array<double>) AS x")
         .persist()
     )
-    init = e.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
-    cents = np.array([r.x for r in init])
-
-    def assign_with(c: np.ndarray):
-        c_sq = (c**2).sum(axis=1)
-
-        @F.pandas_udf("cluster int, margin double")
-        def assign(xs: pd.Series) -> pd.DataFrame:
-            x = np.vstack(xs.to_numpy())
-            # same expansion as the SQL oracle: x·x − 2 x·c + c·c
-            d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
-            best = np.argmin(d2, axis=1)  # first min = lowest cluster id
-            part = np.partition(d2, 1, axis=1)
-            return pd.DataFrame(
-                {"cluster": best.astype(np.int32), "margin": part[:, 1] - part[:, 0]}
-            )
-
-        return assign
-
-    for _ in range(KMEANS_ITERS):
-        assigned = e.select(
-            "vec_id", "x", assign_with(cents)(F.col("x")).getField("cluster").alias("cluster")
-        )
-        stats = (
-            assigned.select("cluster", F.posexplode("x").alias("i", "v"))
-            .groupBy("cluster", "i")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
-            .collect()
-        )
-        newc = cents.copy()  # empty clusters keep their old centroid
-        sums = np.zeros((KMEANS_K, KMEANS_DIM))
-        counts = np.zeros(KMEANS_K)
-        for r in stats:
-            sums[r.cluster, r.i] = r.s
-            counts[r.cluster] = r.cnt
-        nonempty = counts > 0
-        newc[nonempty] = sums[nonempty] / counts[nonempty, None]
-        cents = newc
-
+    cents = _kmeans_fit(e)
+    assign_with = _kmeans_assign_udf
     final = e.select(assign_with(cents)(F.col("x")).alias("a")).select(
         F.col("a.cluster").alias("cluster"), F.col("a.margin").alias("margin")
     )
@@ -647,6 +667,85 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
     )
     e.unpersist()
     return out
+
+
+SEMDEDUP_COS = 0.4
+
+
+@query(
+    "dedup_semantic_clusters",
+    # cosine threshold hazard class: cos > 0.4 on unrounded doubles
+    # (same accepted class as the 0.5/0.8 thresholds — a pair within
+    # ~1e-15 of the threshold could flip; none are, by construction of
+    # the drift analysis in ROUND_NOTES)
+    oracle=_kmeans_oracle_ctes()
+    + f""",
+    asg AS (SELECT vec_id, cluster FROM fin WHERE rn = 1),
+    nrm AS (SELECT e.vec_id, e.x,
+                   sqrt(list_dot_product(e.x, e.x)) AS nn FROM e)
+    SELECT a1.cluster,
+           a1.vec_id AS id_a, b1.vec_id AS id_b,
+           ROUND(list_dot_product(a.x, b.x) / (a.nn * b.nn), 6) AS cos_6
+    FROM asg a1
+    JOIN asg b1 ON a1.cluster = b1.cluster AND a1.vec_id < b1.vec_id
+    JOIN nrm a ON a.vec_id = a1.vec_id
+    JOIN nrm b ON b.vec_id = b1.vec_id
+    WHERE list_dot_product(a.x, b.x) / (a.nn * b.nn) > {SEMDEDUP_COS}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
+    """SEMANTIC DEDUP, SemDeDup-style (r10): cluster the embedding
+    corpus (the SAME distributed Lloyd's fit as embed_kmeans_clusters —
+    shared `_kmeans_fit`), then search for high-cosine pairs ONLY
+    WITHIN clusters — the pair space shrinks from C(n,2) to
+    Σ C(n_k, 2), the whole point of clustering before deduplication at
+    corpus scale (recall is heuristic by design: a near-dup pair split
+    across clusters is missed, the documented SemDeDup trade).  The
+    DuckDB oracle replays the identical 5 unrolled Lloyd iterations AND
+    the within-cluster pair scan, so cluster assignments and surviving
+    pairs hash-match end-to-end.
+
+    100 TB path: assignment is map-side (centroids in the closure);
+    the pair join shuffles on cluster id — each reducer sees one
+    cluster's vectors, never the corpus."""
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS x")
+        .persist()
+    )
+    cents = _kmeans_fit(e)
+    asg = e.select(
+        "vec_id",
+        "x",
+        _kmeans_assign_udf(cents)(F.col("x")).getField("cluster").alias("cluster"),
+        norm(F.col("x")).alias("nn"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    a = asg.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("nn").alias("na"),
+    )
+    b = asg.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > SEMDEDUP_COS)
+        .select("cluster", "id_a", "id_b", F.round("cos_raw", 6).alias("cos_6"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
