@@ -444,3 +444,34 @@ def test_zorder_prunes_both_dims_linear_only_one(spark):
     assert zp * 2 < total and zs * 2 < total  # z-order prunes BOTH dims
     assert lp * 2 < total  # linear prunes its own sort column...
     assert ls == total  # ...and nothing else
+
+
+def test_naive_bayes_model_tables_broadcast(spark):
+    """ml_naive_bayes_lang (r10): the class/word count model tables must
+    BROADCAST into the scoring join (the model is vocabulary-sized);
+    the only nested-loop join allowed is the deliberate 5-row class
+    expansion."""
+    plan = _plan(spark, "ml_naive_bayes_lang")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_model_broadcasts(spark):
+    """text_bigram_perplexity (r10): the bigram-count LM joins the token
+    stream as a broadcast — scoring must stay map-side."""
+    plan = _plan(spark, "text_bigram_perplexity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert not plans.has_cartesian(plan)
+    rows, _ = plans.python_eval_count(plan)
+    assert rows == 0
+
+
+def test_semantic_dedup_pair_join_on_cluster(spark):
+    """dedup_semantic_clusters (r10): the pair search must equi-join on
+    the cluster id (within-cluster only) — never a cartesian over the
+    corpus."""
+    plan = _plan(spark, "dedup_semantic_clusters")
+    assert not plans.has_cartesian(plan)
+    assert "cluster" in plan
+    rows, _ = plans.python_eval_count(plan)
+    assert rows == 0
