@@ -1254,3 +1254,121 @@ def stream_countmin_merge_check(spark: SparkSession, sf_dir: str):
         "sketches_identical boolean, never_underestimates boolean,"
         " n_keys bigint, n_rows bigint",
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(ROUND(value * 10000) AS BIGINT) / 250000.0)
+                AS BIGINT) AS bin_id,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS min_v4,
+           CAST(MAX(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS max_v4
+    FROM events
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str):
+    """Fixed-width HISTOGRAM of the event value distribution (bin width
+    25.0, computed in exact integer 1e-4 space so binning is
+    cross-engine stable: round → BIGINT → float divide → floor, every
+    step identical IEEE in both engines).  One map-side partial
+    aggregation — the profiling pass a pipeline runs before choosing
+    normalization or outlier gates.
+
+    100 TB path: ~20 bins of state per task regardless of row count;
+    the same shape computes per-column profiles for a whole table in
+    one pass."""
+    e = tbl(spark, sf_dir, "events")
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    return (
+        e.select(v4.alias("v4"))
+        .groupBy(F.floor(F.col("v4") / 250000.0).cast("long").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v4").alias("min_v4"),
+            F.max("v4").alias("max_v4"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@query(
+    "format_roundtrip_check",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS csv_roundtrip_exact,
+           TRUE AS json_roundtrip_exact
+    FROM events
+    """,
+)
+def format_roundtrip_check(spark: SparkSession, sf_dir: str):
+    """FORMAT FIDELITY through the source/sink surface (r10): events
+    write out as CSV (header + ISO timestamps) and JSONL, read back
+    through `sources.read_any` with an explicit schema, and both copies
+    must reproduce the parquet original EXACTLY — row count, integer
+    value checksum, and per-row md5 over the (event_id, user_id,
+    event_type, value-in-1e-4) tuple, compared as full set equality via
+    exceptAll in-plan.  Timestamps round-trip at microsecond precision
+    via an explicit format (CSV has no type system; the schema is the
+    contract).
+
+    100 TB path: text formats cost ~5-10× parquet scan time and lose
+    pushdown/pruning — this entry exists because ingest corpora arrive
+    as CSV/JSONL anyway, and the fidelity contract is what lets the
+    pipeline normalize them to parquet once and trust it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from wukong_spark.sources import read_any
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    csv_dir, json_dir = f"{wh}/evt_csv_tmp", f"{wh}/evt_json_tmp"
+    for p in (csv_dir, json_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )
+    e.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    e.write.mode("overwrite").json(json_dir)
+    schema = (
+        "event_id long, user_id long, event_type string, v4 long, ts_s string"
+    )
+    back_csv = read_any(spark, csv_dir, "csv", schema=schema, header=True)
+    back_json = read_any(spark, json_dir, "json", schema=schema)
+
+    def fingerprint(df):
+        return df.select(
+            F.md5(
+                F.concat_ws(
+                    "|", "event_id", "user_id", "event_type", "v4", "ts_s"
+                )
+            ).alias("h")
+        )
+
+    csv_ok = (
+        fingerprint(e).exceptAll(fingerprint(back_csv)).count() == 0
+        and back_csv.count() == e.count()
+    )
+    json_ok = (
+        fingerprint(e).exceptAll(fingerprint(back_json)).count() == 0
+        and back_json.count() == e.count()
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("s"),
+        F.countDistinct("user_id").alias("u"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(stats["n"]), int(stats["s"]), int(stats["u"]), csv_ok, json_ok)],
+        "n_rows bigint, sum_value_4 bigint, n_users bigint,"
+        " csv_roundtrip_exact boolean, json_roundtrip_exact boolean",
+    )
