@@ -1685,3 +1685,46 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str):
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round(-F.col("s") / F.col("n_bigrams"), 6).alias("cross_entropy_6"),
     ).orderBy("doc_id")
+
+
+@query(
+    "sample_weighted_topk",
+    # Efraimidis–Spirakis keys: u from the portable md5 fold (exact
+    # integer → identical double), POW differs by ≤1 ulp across libm —
+    # round-9 + doc_id tie-break makes the top-k cut deterministic
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             ROUND(POW((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) + 1)
+                       / 1152921504606846977.0,
+                       1.0 / n_chars), 9) AS key_9
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, key_9
+    FROM k ORDER BY key_9 DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str):
+    """WEIGHTED sampling without replacement (r10) — Efraimidis–
+    Spirakis: each document draws key u^(1/w) from a DETERMINISTIC
+    uniform u (the repo's portable md5→60-bit fold, so re-runs and both
+    engines agree) with weight w = n_chars; the k largest keys are an
+    exact weighted sample — the mixture-weighting primitive a training
+    pipeline uses to oversample high-value sources reproducibly.
+
+    100 TB path: key assignment is map-only; top-k is TakeOrdered
+    (per-partition heaps, never a global sort), and the same keys
+    support distributed reservoir merging across table partitions."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_long(F.col("text")) + 1) / F.lit(1152921504606846977.0)
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("key_9"),
+        )
+        .orderBy(F.desc("key_9"), "doc_id")
+        .limit(50)
+    )
