@@ -954,3 +954,57 @@ def dq_expectations_check(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         rows, "check_name string, observed bigint, passed boolean"
     ).orderBy("check_name")
+
+
+@query(
+    "join_family_check",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('inner', (SELECT COUNT(*) FROM customer c
+                 JOIN orders o ON c.c_custkey = o.o_custkey)),
+      ('left',  (SELECT COUNT(*) FROM customer c
+                 LEFT JOIN orders o ON c.c_custkey = o.o_custkey)),
+      ('right', (SELECT COUNT(*) FROM orders o
+                 RIGHT JOIN customer c ON c.c_custkey = o.o_custkey)),
+      ('full',  (SELECT COUNT(*) FROM customer c
+                 FULL JOIN orders o ON c.c_custkey = o.o_custkey)),
+      ('semi',  (SELECT COUNT(*) FROM customer c
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey))),
+      ('anti',  (SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))),
+      ('cross_dims', (SELECT COUNT(*) FROM region, nation)))
+      AS t(join_type, n_rows)
+    ORDER BY join_type
+    """,
+)
+def join_family_check(spark: SparkSession, sf_dir: str):
+    """JOIN-FAMILY completeness in one gate entry (r10): inner / left /
+    right / full outer / left-semi / left-anti over customer⋈orders
+    (TPC-H guarantees order-less customers, so outer and anti rows are
+    nonempty), plus an explicit bounded crossJoin over the two tiny
+    dimension tables — every join type the engine claims, each counted
+    and hash-checked against DuckDB running the textbook SQL form.
+
+    100 TB path: semi/anti never materialize the probe payload; the
+    outer joins shuffle on the key like inner; the cross join is legal
+    ONLY because both sides are fixed-size dims (the plan audit bans
+    cartesians everywhere else)."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    r = tbl(spark, sf_dir, "region").select("r_regionkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey")
+    cond = c["c_custkey"] == o["o_custkey"]
+    rows = [
+        ("inner", c.join(o, cond, "inner").count()),
+        ("left", c.join(o, cond, "left").count()),
+        ("right", o.join(c, cond, "right").count()),
+        ("full", c.join(o, cond, "full").count()),
+        ("semi", c.join(o, cond, "left_semi").count()),
+        ("anti", c.join(o, cond, "left_anti").count()),
+        ("cross_dims", r.crossJoin(n).count()),
+    ]
+    return spark.createDataFrame(
+        rows, "join_type string, n_rows bigint"
+    ).orderBy("join_type")
