@@ -1008,3 +1008,72 @@ def join_family_check(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         rows, "join_type string, n_rows bigint"
     ).orderBy("join_type")
+
+
+@query(
+    "interval_overlap_join_check",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate AS s,
+             l_shipdate + INTERVAL 1 DAY * CAST(l_quantity AS INT) AS e
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_orderkey,
+             (a.s <= b.e AND b.s <= a.e) AS ovl
+      FROM iv a JOIN iv b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN ovl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlapping,
+           COUNT(DISTINCT CASE WHEN ovl THEN l_orderkey END)
+             AS n_orders_with_overlap
+    FROM pairs
+    """,
+)
+def interval_overlap_join_check(spark: SparkSession, sf_dir: str):
+    """INTERVAL OVERLAP JOIN (r10): each lineitem carries a derived
+    validity window [shipdate, shipdate + quantity days]; find pairs of
+    items of the SAME ORDER whose windows overlap — the temporal-join
+    shape behind meeting-conflict, price-validity, and session-overlap
+    queries.  The equi key (orderkey) bounds the quadratic blow-up: the
+    range predicate only runs WITHIN a key group (≤ 7 items per TPC-H
+    order), never across the table — the scalable formulation of a
+    range join (an unkeyed interval join would instead bin intervals
+    into time buckets and equi-join on the bucket).
+
+    Interval arithmetic stays on TIMESTAMP_NTZ (the load_table
+    convention — no tz dependence) and the overlap predicate
+    s1 ≤ e2 ∧ s2 ≤ e1 is evaluated identically in both engines."""
+    iv = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s"),
+        (
+            F.col("l_shipdate")
+            + F.col("l_quantity").cast("int") * F.expr("INTERVAL '1' DAY")
+        ).alias("e"),
+    )
+    a = iv.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, ["l_orderkey"]).filter(F.col("ln_a") < F.col("ln_b"))
+    ov = (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(ov, 1).otherwise(0)).cast("long").alias("n_overlapping"),
+        F.countDistinct(F.when(ov, F.col("l_orderkey"))).alias(
+            "n_orders_with_overlap"
+        ),
+    )

@@ -236,3 +236,74 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
             (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
         )
     return ranks.select("node", F.round("r", 9).alias("rank_9")).orderBy("node")
+
+
+@query(
+    "graph_triangle_count",
+    # the graph is CONSTRUCTED BY SQL-EXPRESSIBLE RULES (ring + chord +
+    # quadratic edges over Z_97), so both engines build the identical
+    # edge set from range() — no seeded-literal dependency
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(x AS BIGINT) % 97 AS a, CAST(x + 1 AS BIGINT) % 97 AS b
+      FROM range(0, 97) t(x)
+      UNION ALL
+      SELECT CAST(x AS BIGINT) % 97, CAST(x + 2 AS BIGINT) % 97
+      FROM range(0, 97) t(x)
+      UNION ALL
+      SELECT CAST(x AS BIGINT) % 97, CAST(x * x AS BIGINT) % 97
+      FROM range(0, 97) t(x)
+    ),
+    e AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+          FROM raw WHERE a <> b)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str):
+    """TRIANGLE COUNTING (r10) — the third graph analytic, the
+    clustering-coefficient / community-detection primitive: store each
+    undirected edge once in canonical (a < b) order, then count paths
+    a→b→c that close with edge (a, c) — two equi-joins, and the
+    canonical ordering means every triangle is counted EXACTLY once
+    (a < b < c).  The graph is built from arithmetic rules over Z_97
+    (ring + chord + quadratic residue edges) that both engines derive
+    from range(), so the oracle replays construction AND counting.
+
+    100 TB path: this is the standard distributed triangle join —
+    edges shuffle on the join keys, and at web scale the e1⋈e2 path
+    join keys on the LOW-DEGREE endpoint first (degree-ordered
+    orientation) to bound intermediate size."""
+    n = 97
+    base = spark.range(0, n)
+    raw = (
+        base.select((F.col("id") % n).alias("a"), ((F.col("id") + 1) % n).alias("b"))
+        .unionByName(
+            base.select(
+                (F.col("id") % n).alias("a"), ((F.col("id") + 2) % n).alias("b")
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("id") % n).alias("a"),
+                ((F.col("id") * F.col("id")) % n).alias("b"),
+            )
+        )
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    return spark.createDataFrame(
+        [(e.count(), tri)], "n_edges bigint, n_triangles bigint"
+    )
