@@ -250,11 +250,12 @@ def test_partitioned_scan_prunes_at_planning_time(spark):
 
 
 def test_salted_join_salts_the_hot_exchange(spark):
-    """skew_salted_join_check (r10): the hot-key branch must shuffle on
-    (key, __salt) — the salt column appears in the hot join's exchange
-    hashpartitioning, so the hot key spreads over `buckets` reducers
-    instead of one straggler partition.  The cold branch joins on the
-    bare key as usual."""
+    """skew_salted_join_check (r10/r11): the join must shuffle on
+    (key, __salt) — the salt column appears in both exchange
+    hashpartitionings, so the hot key spreads over `buckets` reducers
+    instead of one straggler partition — and the one-pass shape
+    (VERDICT r10 #5) must scan the big side exactly ONCE (the old
+    two-branch variant read it twice)."""
     from pyspark.sql import functions as F
     from wukong_spark.operators.skew import salted_join
 
@@ -277,8 +278,11 @@ def test_salted_join_salts_the_hot_exchange(spark):
             ln for ln in plan.splitlines()
             if "hashpartitioning" in ln and "__salt" in ln
         ]
-        assert len(salted_exchanges) >= 2, plan  # both hot join inputs
+        assert len(salted_exchanges) >= 2, plan  # both join inputs
         assert not plans.has_cartesian(plan)
+        # one-pass pin: the big side (Range 0..10000) appears ONCE as a
+        # leaf — no hot/cold branch duplication of the scan
+        assert plan.count("Range (0, 10000") == 1, plan
         # exactness: salted result == plain join, row for row
         plain = big.join(dim, ["k"], "inner")
         assert (

@@ -147,3 +147,73 @@ def test_local_heavy_candidates_superset(spark):
     assert heavy <= cand
     # and the candidate set is bounded, not the full key space
     assert len(cand) <= 8 * 2 * 100 + 1
+
+
+def test_bloom_large_int64_keys_with_nulls(spark):
+    """ADVICE r10 (medium): bigint keys with |v| >= 2^53 must hash
+    identically in null-carrying and null-free batches.  Arrow->pandas
+    promotes a null-carrying int64 batch to float64, rounding such keys
+    BEFORE any Python code runs — the operators therefore project
+    coalesce(key, 0) + an isnull flag so every batch stays exact int64.
+    Build over null-carrying partitions, probe from null-free ones: no
+    false negatives allowed."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+        countmin_build,
+        countmin_estimate,
+    )
+
+    base = 1 << 60
+    # 2000 odd-offset keys near 2^60 (float64 rounds them to multiples
+    # of 256 up here), with a null every 16 rows so EVERY batch carries
+    # nulls — the promotion trap fires in every partition
+    members = spark.range(0, 2000, 1, 8).select(
+        F.when(F.col("id") % 16 == 5, None)
+        .otherwise(F.lit(base) + F.col("id") * 2 + 1)
+        .alias("key")
+    )
+    bits = bloom_build(members, "key", ((12 * 2000 + 7) // 8) * 8, k=7)
+    # probe side is NULL-FREE: batches arrive as exact int64
+    probe = spark.range(0, 2000, 1, 8).select(
+        (F.lit(base) + F.col("id") * 2 + 1).alias("key")
+    )
+    rows = bloom_probe(probe, "key", bits, k=7).collect()
+    member_set = {base + i * 2 + 1 for i in range(2000) if i % 16 != 5}
+    misses = [r.key for r in rows if r.key in member_set and not r.maybe]
+    assert misses == [], f"false negatives on large int64 keys: {misses[:5]}"
+
+    # Count-Min: same trap, never-underestimate must hold
+    cms = countmin_build(members, "key", 2048, 5)
+    truth = (
+        members.filter(F.col("key").isNotNull()).groupBy("key").count().toPandas()
+    )
+    ests = countmin_estimate(cms, truth["key"].astype("int64"), integral=True)
+    assert (ests >= truth["count"].to_numpy()).all()
+
+
+def test_local_heavy_candidates_null_key(spark):
+    """ADVICE r10 (low): a φ-heavy NULL key must surface as a candidate —
+    pandas value_counts() drops NaN by default, which would quietly
+    violate the documented pigeonhole superset guarantee."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.membership import local_heavy_candidates
+
+    # NULL holds 1/3 of the stream — clearly phi-heavy at phi = 1/100
+    df = spark.range(0, 30000, 1, 8).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 600 + 1000)
+        .alias("k")
+    )
+    cand = {r[0] for r in local_heavy_candidates(df, "k", 0.01).collect()}
+    assert None in cand
+    # string dtype path too (object series hold None)
+    sdf = df.select(F.col("k").cast("string").alias("k"))
+    scand = {r[0] for r in local_heavy_candidates(sdf, "k", 0.01).collect()}
+    assert None in scand

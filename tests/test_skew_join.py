@@ -91,3 +91,42 @@ def test_salted_join_multikey_and_nulls(spark):
     )
     # no __salt column may leak into the result schema
     assert "__salt" not in salted.columns
+
+
+def test_salted_join_null_hot_key(spark):
+    """ADVICE r10 (high): when the big side's HOTTEST key is NULL,
+    detect_hot_keys must not return a None-containing tuple — `col ==
+    lit(None)` is SQL NULL for every row, so `~hot_pred` would silently
+    empty the entire cold branch (wrong results, not just bad
+    partitioning).  Auto-detected and explicitly-passed null tuples must
+    both yield exactly the plain inner join."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.skew import detect_hot_keys, salted_join
+
+    # 2/3 of rows carry a NULL key — the hottest "key" is the null
+    big = spark.range(0, 12000, 1, 8).select(
+        F.when(F.col("id") % 3 < 2, None)
+        .otherwise(F.col("id") % 20)
+        .alias("k"),
+        (F.col("id") % 5).alias("v"),
+    )
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    hot = detect_hot_keys(big, ["k"], fraction=0.5)
+    assert all(t[0] is not None for t in hot)
+
+    plain = big.join(dim, ["k"], "inner")
+    for hk in (None, [(None,)], [(None,), (0,)]):
+        salted = salted_join(big, dim, on=["k"], hot_keys=hk)
+        assert salted.count() == plain.count() > 0
+        assert (
+            salted.groupBy("k")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+            .exceptAll(
+                plain.groupBy("k").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+            )
+            .count()
+            == 0
+        )

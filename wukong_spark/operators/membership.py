@@ -23,6 +23,15 @@ would silently switch branches partition-dependently and break the
 no-false-negative / never-underestimate contracts).  NULL keys hash to
 a fixed sentinel lane pair in every branch, so build and probe agree
 regardless of how nulls distribute across partitions.
+
+Batches are made null-proof UPSTREAM in the Spark plan (ADVICE r10
+medium): the operators project `coalesce(key, 0)` plus an `isnull`
+flag, so an integral key column reaches pandas as exact int64 in EVERY
+batch.  Without this, Arrow→pandas promotes a null-carrying int64 batch
+to float64 before any Python code runs, silently rounding keys with
+|v| ≥ 2^53 — the same key would then hash differently in null-carrying
+vs null-free batches, and build/probe could disagree partition-
+dependently.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -62,19 +72,40 @@ def _is_integral(df: DataFrame, col: str) -> bool:
     return t in _INTEGRAL_SPARK_TYPES
 
 
+_KEY, _NULLFLAG = "__wk_key", "__wk_isnull"
+
+
+def _key_cols(col: str, integral: bool):
+    """Null-proof batch projection for a key column (module docstring):
+    integral keys ship as `coalesce(col, 0)` bigint — exact int64 in
+    every Arrow batch, no float64 promotion — with null positions in a
+    separate boolean flag; other types pass through (object series hold
+    None losslessly)."""
+    key = (
+        F.coalesce(F.col(col), F.lit(0)).cast("bigint")
+        if integral
+        else F.col(col)
+    )
+    return key.alias(_KEY), F.isnull(col).alias(_NULLFLAG)
+
+
 def _hash2_series(
-    s: pd.Series, integral: bool
+    s: pd.Series, integral: bool, na: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Series of keys → two independent uint64 hash lanes (vectorized
     splitmix64 when the SPARK column type is integral, blake2b per value
     otherwise).  `integral` comes from the DataFrame schema, never from
-    the batch dtype.  NULLs map to a fixed sentinel pair.  The second
+    the batch dtype.  NULLs map to a fixed sentinel pair; the null mask
+    `na` should come from the plan-side `_key_cols` flag (a null-carrying
+    int64 batch without that projection has ALREADY been promoted to
+    float64 and rounded past 2^53 — see module docstring).  The second
     lane is forced odd so double hashing never degenerates."""
-    na = s.isna().to_numpy()
+    if na is None:
+        na = s.isna().to_numpy()
     if integral:
-        # fillna(0) keeps the vectorized cast valid when nulls promoted
-        # the batch to float64/object; null rows are overwritten below.
-        vals = s.fillna(0) if na.any() else s
+        # fillna(0) keeps the vectorized cast valid for direct driver-side
+        # callers that skip _key_cols; null rows are overwritten below.
+        vals = s.fillna(0) if s.isna().any() else s
         x = vals.to_numpy(dtype=np.int64).astype(np.uint64)
         h1 = _splitmix(x)
         h2 = _splitmix(x ^ np.uint64(0xA076_1D64_78BD_642F))
@@ -123,14 +154,16 @@ def bloom_build(df: DataFrame, col: str, n_bits: int, k: int = 7) -> np.ndarray:
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1, h2 = _hash2_series(pdf[col], integral)
+            h1, h2 = _hash2_series(
+                pdf[_KEY], integral, na=pdf[_NULLFLAG].to_numpy()
+            )
             pos = _positions(h1, h2, nb, k).ravel()
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             got = True
         if got:
             yield pd.DataFrame({"b": [bits.tobytes()]})
 
-    rows = df.select(col).mapInPandas(partials, "b binary").collect()
+    rows = df.select(*_key_cols(col, integral)).mapInPandas(partials, "b binary").collect()
     out = np.zeros(nb // 8, np.uint8)
     for row in rows:
         out |= np.frombuffer(row.b, np.uint8)
@@ -153,18 +186,23 @@ def bloom_probe(
         for pdf in batches:
             pdf = pdf.copy()
             if len(pdf):
-                h1, h2 = _hash2_series(pdf[col], integral)
+                h1, h2 = _hash2_series(
+                    pdf[_KEY], integral, na=pdf[_NULLFLAG].to_numpy()
+                )
                 pos = _positions(h1, h2, nb, k)
                 hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                 pdf[out_col] = hit.all(axis=1)
             else:
                 pdf[out_col] = np.zeros(0, bool)
-            yield pdf
+            yield pdf.drop(columns=[_KEY, _NULLFLAG])
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return df.mapInPandas(run, f"{schema}, {out_col} boolean")
+    key, flag = _key_cols(col, integral)
+    return df.select("*", key, flag).mapInPandas(
+        run, f"{schema}, {out_col} boolean"
+    )
 
 
 def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarray:
@@ -181,7 +219,9 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1, h2 = _hash2_series(pdf[col], integral)
+            h1, h2 = _hash2_series(
+                pdf[_KEY], integral, na=pdf[_NULLFLAG].to_numpy()
+            )
             pos = _positions(h1, h2, width, depth)  # (n, depth)
             for r in range(depth):
                 np.add.at(cms[r], pos[:, r], 1)
@@ -189,7 +229,7 @@ def countmin_build(df: DataFrame, col: str, width: int, depth: int) -> np.ndarra
         if got:
             yield pd.DataFrame({"b": [cms.tobytes()]})
 
-    rows = df.select(col).mapInPandas(partials, "b binary").collect()
+    rows = df.select(*_key_cols(col, integral)).mapInPandas(partials, "b binary").collect()
     out = np.zeros((depth, width), np.int64)
     for row in rows:
         out += np.frombuffer(row.b, np.int64).reshape(depth, width)
@@ -212,19 +252,36 @@ def local_heavy_candidates(
     100 TB path: driver/shuffle traffic is n_batches · m keys, never
     the key cardinality — this is the candidate stream a Count-Min
     sketch is probed with when keys are unbounded (user×URL, n-grams).
+
+    NULL keys participate (ADVICE r10 low): counting runs over the
+    null-proof (key, isnull) projection — `value_counts(dropna=False)`
+    on the pair — so a φ-heavy NULL key surfaces as a candidate (as a
+    NULL row of the result) instead of being silently dropped by
+    pandas' default NaN exclusion.
     """
     import math
 
     m = margin * int(math.ceil(1.0 / phi))
+    integral = _is_integral(df, col)
 
     def tops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                top = pdf[col].value_counts().head(m)
-                yield pd.DataFrame({col: top.index.to_numpy()})
+                top = pdf.value_counts(dropna=False).head(m)
+                yield top.index.to_frame(index=False)
 
     schema_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
-    return df.select(col).mapInPandas(tops, f"{col} {schema_t}").distinct()
+    key_t = "bigint" if integral else schema_t
+    cands = df.select(*_key_cols(col, integral)).mapInPandas(
+        tops, f"{_KEY} {key_t}, {_NULLFLAG} boolean"
+    ).distinct()
+    # (0, true) ↔ NULL is injective, so distinct-before-map is exact
+    return cands.select(
+        F.when(F.col(_NULLFLAG), F.lit(None))
+        .otherwise(F.col(_KEY))
+        .cast(schema_t)
+        .alias(col)
+    )
 
 
 def countmin_estimate(
