@@ -479,3 +479,47 @@ def test_semantic_dedup_pair_join_on_cluster(spark):
     assert "cluster" in plan
     rows, _ = plans.python_eval_count(plan)
     assert rows == 0
+
+
+def test_als_never_collects_factors(spark, monkeypatch):
+    """ml_als_check (r11, VERDICT r10 #1): the co-partitioned ALS must
+    keep factors as DataFrames end-to-end — every driver collect during
+    the fit is a bounded scalar (objective legs), never O(n_entities)
+    factor rows.  The r10 variant collected all 300 entity factors per
+    half-step; this pins the regression shut by recording the row count
+    of every collect() the fit issues."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.mlops import als_fit
+
+    n_users, n_items = 120, 60
+    ratings = spark.range(0, n_users * 6, 1, 4).select(
+        (F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7 + 3) % n_items).alias("item_id"),
+        (F.col("id") % 5 + F.rand(7)).alias("rating"),
+    ).persist()
+    ratings.count()
+
+    # pyspark 4: instances are pyspark.sql.classic.dataframe.DataFrame —
+    # patch the concrete class, not the abstract base
+    DF = type(ratings)
+    sizes = []
+    real_collect = DF.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DF, "collect", spy)
+    u_df, v_df, objs = als_fit(ratings, n_factors=4, iters=1)
+    monkeypatch.undo()
+
+    assert sizes, "fit issued no collects at all?"
+    assert max(sizes) <= 8, f"O(n_entities) driver collect detected: {sizes}"
+    # the factors really are sharded DataFrames covering every entity
+    assert u_df.count() == n_users and v_df.count() == n_items
+    assert len(objs) == 3 and all(
+        b <= a + 1e-9 for a, b in zip(objs, objs[1:])
+    )
+    ratings.unpersist()
