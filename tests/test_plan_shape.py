@@ -523,3 +523,57 @@ def test_als_never_collects_factors(spark, monkeypatch):
         b <= a + 1e-9 for a, b in zip(objs, objs[1:])
     )
     ratings.unpersist()
+
+
+def test_pagerank_bucketed_edge_join_no_edge_exchange(spark):
+    """graph_pagerank_bucketed_check (r11, VERDICT r10 #2): with the
+    adjacency written bucketed+sorted by src, an iteration's
+    edges⋈ranks join must read the bucketed scan DIRECTLY — the only
+    exchanges in the iteration plan are on the rank side and the
+    contribution agg (both keyed on node); no hashpartitioning(src...)
+    may appear anywhere, because that would be the per-iteration edge
+    shuffle the bucketing exists to remove."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    table = "bkt_pr_edges_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    # ring graph over 400 nodes, both directions, degree pre-joined
+    e0 = spark.range(0, 400).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 400).alias("dst")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges.join(deg, "src").write.mode("overwrite").bucketBy(8, "src").sortBy(
+        "src"
+    ).saveAsTable(table)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        adj = spark.table(table)
+        ranks = spark.range(0, 400).select(
+            F.col("id").alias("node"), F.lit(1.0 / 400).alias("r")
+        )
+        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c")
+        )
+        nxt = contrib.groupBy("node").agg(F.sum("c").alias("r"))
+        plan = plans.formatted_plan(nxt)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # the edge side never exchanges: every exchange keys on node
+        assert "hashpartitioning(src" not in plan, plan
+        ex_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+        assert ex_lines and all("node" in ln for ln in ex_lines), plan
+        assert not plans.has_cartesian(plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)

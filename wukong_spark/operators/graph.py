@@ -85,3 +85,67 @@ def connected_components(
             "(graph diameter exceeds max_iter); raise max_iter"
         )
     return labels
+
+
+def pagerank_bucketed(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    table: str = "bkt_pagerank_edges",
+    buckets: int = 8,
+) -> DataFrame:
+    """Damped PageRank whose per-iteration edges⋈ranks join needs NO
+    exchange on the edge side (VERDICT r10 #2: the bucketed_join_check
+    lever applied to iteration).
+
+    The adjacency is written ONCE as (src, dst, d) — out-degree
+    pre-joined, so the degree lookup also vanishes from the loop —
+    bucketed AND sorted by src.  Every iteration then feeds the bucketed
+    scan straight into the sort-merge join: only the (node, rank) side
+    (n_nodes rows) and the dst-grouped contribution sum shuffle.  The
+    plain variant exchanges the full edge set every iteration because
+    localCheckpoint drops partitioning metadata; a bucket layout is
+    DURABLE partitioning the planner can see across jobs — the Spark
+    analogue of the reference reusing warm Lambdas for iterative jobs
+    (`Static Scheduler/wukong/scheduler.py:2794-2848`).
+
+    Assumes every node has out-degree ≥ 1 (true for an undirected edge
+    list passed in both directions) — no dangling-mass correction.
+    `table` is left in the warehouse: paying the layout once and
+    reusing it IS the point; callers that want cleanup drop it.
+
+    100 TB path: per iteration the shuffles carry (node, rank) pairs —
+    linear in the node count — while the edge set (the 100 TB part)
+    never moves again after the bucketed write.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = edges.sparkSession
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # a previous session's managed-table directory survives DROP TABLE
+    # (in-memory catalog) — clear the location too, as bucketed_join_check
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    (
+        edges.join(deg, "src")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .saveAsTable(table)
+    )
+    adj = spark.table(table)
+    # bucket layout satisfies the groupBy clustering: no exchange here
+    nodes = adj.select("src").distinct()
+    n = nodes.count()
+    ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(iters):
+        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c")
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
+        )
+    return ranks

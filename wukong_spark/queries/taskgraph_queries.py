@@ -239,6 +239,76 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "graph_pagerank_bucketed_check",
+    # identical oracle to graph_pagerank_check: the bucketed layout may
+    # change ONLY the physical plan, never a rank value
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r0 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r1 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.r / deg.d) AS r
+      FROM edges e JOIN r2 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, ROUND(r, 9) AS rank_9 FROM r3 ORDER BY node
+    """,
+)
+def graph_pagerank_bucketed_check(spark: SparkSession, sf_dir: str):
+    """BUCKETED-EDGE PageRank (r11, VERDICT r10 #2): same 3 damped
+    power iterations as graph_pagerank_check, but the adjacency —
+    (src, dst, out-degree), degree pre-joined — is written ONCE bucketed
+    + sorted by src (`operators/graph.py:pagerank_bucketed`), so every
+    iteration's edges⋈ranks join reads the bucketed scan directly with
+    NO exchange on the edge side AND no per-iteration degree join
+    (plan-pinned in tests/test_plan_shape.py::
+    test_pagerank_bucketed_edge_join_no_edge_exchange).  The plain
+    variant pays an edge exchange per iteration because localCheckpoint
+    drops partitioning metadata; the bucket layout is durable
+    partitioning the planner sees across jobs.
+
+    Ranks must be IDENTICAL to the unbucketed entry — the oracle is the
+    same unrolled-CTE replay, so a hash-green row proves the layout
+    lever changed only the physical plan."""
+    from wukong_spark.operators.graph import pagerank_bucketed
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_bucketed(edges, iters=3, table="bkt_pr_edges_tmp")
+    return ranks.select("node", F.round("r", 9).alias("rank_9")).orderBy("node")
+
+
+@query(
     "graph_triangle_count",
     # the graph is CONSTRUCTED BY SQL-EXPRESSIBLE RULES (ring + chord +
     # quadratic edges over Z_97), so both engines build the identical
