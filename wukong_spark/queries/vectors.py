@@ -749,6 +749,104 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "dedup_semantic_verdict",
+    # WITH RECURSIVE prefix: the closure CTE re-derives the transitive
+    # closure of the SemDeDup pair graph (the dedup_neardup_clusters
+    # referee pattern); gate-scale-only like that entry's oracle
+    oracle=_kmeans_oracle_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    asg AS (SELECT vec_id, cluster FROM fin WHERE rn = 1),
+    nrm AS (SELECT e.vec_id, e.x,
+                   sqrt(list_dot_product(e.x, e.x)) AS nn FROM e),
+    prs AS MATERIALIZED (
+      SELECT a1.vec_id AS doc_a, b1.vec_id AS doc_b
+      FROM asg a1
+      JOIN asg b1 ON a1.cluster = b1.cluster AND a1.vec_id < b1.vec_id
+      JOIN nrm a ON a.vec_id = a1.vec_id
+      JOIN nrm b ON b.vec_id = b1.vec_id
+      WHERE list_dot_product(a.x, b.x) / (a.nn * b.nn) > {SEMDEDUP_COS}
+    ),
+    edges2 AS (
+      SELECT doc_a AS s, doc_b AS d FROM prs
+      UNION ALL
+      SELECT doc_b, doc_a FROM prs
+    ),
+    reach AS (
+      SELECT s AS node, s AS comp FROM edges2
+      UNION
+      SELECT e2.d AS node, r.comp FROM reach r JOIN edges2 e2 ON e2.s = r.node
+    ),
+    comp AS MATERIALIZED (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+    verdicts AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS canonical_id,
+             COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+      FROM e LEFT JOIN comp c ON c.node = e.vec_id
+    ),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM verdicts
+    )
+    SELECT v.vec_id, v.canonical_id, v.keep,
+           s.n_total, s.n_kept,
+           CAST(s.n_kept * 1000000 // s.n_total AS BIGINT) AS shrink_ppm
+    FROM verdicts v CROSS JOIN summary s
+    ORDER BY v.vec_id
+    """,
+)
+def dedup_semantic_verdict(spark: SparkSession, sf_dir: str):
+    """SemDeDup KEEP/DROP VERDICT stage (r11, VERDICT r10 #3) — what a
+    pipeline user actually runs: compose the within-cluster high-cosine
+    pairs of `dedup_semantic_clusters` with the connected-components
+    machinery of `dedup_neardup_clusters` into a per-document verdict —
+    keep the canonical copy (min vec_id of its near-dup component), drop
+    the rest — plus the corpus shrink ratio in exact integer
+    parts-per-million (n_kept·10⁶ div n_total: no float rounding to
+    disagree cross-engine).
+
+    The DuckDB oracle replays the ENTIRE pipeline: 5 unrolled Lloyd
+    iterations → within-cluster pair scan → RECURSIVE-CTE transitive
+    closure → verdict join, so assignments, components, verdicts AND the
+    ratio all hash-match end-to-end.
+
+    100 TB path: pair search shuffles on cluster id (never all-pairs);
+    CC converges in O(component diameter) rounds — near-dup components
+    are tiny cliques; the verdict is one left join keyed on doc id; the
+    summary is a broadcast scalar."""
+    from wukong_spark.operators.graph import connected_components
+
+    pairs = dedup_semantic_clusters(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    all_ids = tbl(spark, sf_dir, "embeddings").select("vec_id")
+    canonical = F.coalesce(F.col("component"), F.col("vec_id"))
+    verdicts = all_ids.join(cc, all_ids.vec_id == cc.node, "left").select(
+        "vec_id",
+        canonical.cast("long").alias("canonical_id"),
+        (canonical == F.col("vec_id")).alias("keep"),
+    )
+    summary = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return (
+        verdicts.crossJoin(F.broadcast(summary))
+        .select(
+            "vec_id",
+            "canonical_id",
+            "keep",
+            "n_total",
+            "n_kept",
+            # integer DIV: exact on both engines, no double rounding
+            F.expr("n_kept * 1000000L div n_total").alias("shrink_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "ivf_recall_check",
     oracle=_IVF_COMMON_SQL
     + f"""
