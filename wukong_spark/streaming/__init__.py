@@ -263,3 +263,93 @@ def sessionize_stream(
             "sum_value_4",
         )
     )
+
+
+def bloom_dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    n_bits: int = 1 << 22,
+    k: int = 7,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED SKETCH STATE (r11, VERDICT r10 #4):
+    an `applyInPandasWithState` operator whose per-group state is a
+    FIXED-SIZE Bloom bit array — O(n_bits), never O(distinct keys) —
+    unlike `dropDuplicatesWithinWatermark`, whose state store holds
+    every key inside the watermark horizon.
+
+    Shape: rows group by a content-hash bucket of the key columns
+    (`pmod(xxhash64(keys), n_buckets)` — deterministic under recompute,
+    the salted-join rule); each bucket's state is one n_bits Bloom.
+    Per micro-batch: exact pandas dedup WITHIN the batch (vectorized,
+    order-free), then ONE vectorized probe of the carried Bloom decides
+    which keys are new, then all the batch's keys set their bits.  A
+    key is emitted at most once GLOBALLY — no false negatives is the
+    Bloom's structural guarantee, so a duplicate can never re-emit.
+    False positives silently DROP a never-seen key; size n_bits so the
+    per-probe rate is negligible (the registry entry uses ~4M bits per
+    bucket against ~1k keys: p ≈ (7k/4M)^7 < 1e-19 — the CMS
+    heavy-hitters sizing discipline).
+
+    100 TB path: state is n_buckets · n_bits/8 bytes TOTAL, chosen up
+    front — a billion-key stream carries the same state as a
+    thousand-key one; the probe/insert is one Arrow batch of numpy per
+    micro-batch per bucket.  Hash lanes come from
+    `operators.membership._hash2_series` (blake2b on the composite key
+    string), the same build/probe-stable lanes as the batch Bloom.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from wukong_spark.operators.membership import _hash2_series, _positions
+
+    out_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in events.schema.fields
+        if f.name in keys
+    ]
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+    state_bytes = n_bits // 8
+
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_buckets)
+    ).alias("__bucket")
+    src = events.select(*keys, bucket)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            assert len(blob) == state_bytes, "Bloom state must be fixed-size"
+            bits = np.frombuffer(blob, np.uint8).copy()
+        else:
+            bits = np.zeros(state_bytes, np.uint8)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # exact within-batch dedup (order-free: the kept KEY SET is what
+        # matters, and it equals the batch's distinct keys)
+        batch = batch.drop_duplicates(subset=keys, ignore_index=True)
+        if len(batch):
+            comp = batch[keys[0]].astype(str)
+            for c in keys[1:]:
+                comp = comp + "\x1f" + batch[c].astype(str)
+            h1, h2 = _hash2_series(comp, integral=False)
+            pos = _positions(h1, h2, n_bits, k)  # (n, k)
+            seen = (
+                (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            ).all(axis=1)
+            flat = pos[~seen].ravel()
+            np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+            out = batch.loc[~seen, [n for n, _ in out_fields]]
+        else:
+            out = batch[[n for n, _ in out_fields]]
+        state.update((bits.tobytes(),))
+        if len(out):
+            yield out
+
+    return src.groupBy("__bucket").applyInPandasWithState(
+        update,
+        out_schema,
+        "b binary",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
