@@ -69,3 +69,53 @@ def test_all_zero_block(spark):
     assert s.nnz() == 1
     assert np.array_equal(s.to_dense().to_numpy(), a)
     assert np.allclose(s.col_sums(), a.sum(axis=0), atol=1e-12)
+
+
+def test_spgemm_matches_numpy_ragged(spark):
+    """SpGEMM (r11): sparse COO block matmul equals the numpy dense
+    product EXACTLY on integer-valued nonzeros (float64 integer sums are
+    order-independent below 2^53), across ragged edge blocks."""
+    import numpy as np
+
+    from wukong_spark.blockmatrix import BlockMatrix
+    from wukong_spark.sparse import SparseBlockMatrix
+
+    rng = np.random.default_rng(5)
+    A = np.where(
+        rng.random((130, 97)) < 0.9, 0.0, np.floor(rng.random((130, 97)) * 9) + 1
+    )
+    B = np.where(
+        rng.random((97, 81)) < 0.9, 0.0, np.floor(rng.random((97, 81)) * 9) + 1
+    )
+    sa = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, A, 40, 32))
+    sb = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, 32, 25))
+    got = sa.matmul(sb).to_dense().to_numpy()
+    assert got.shape == (130, 81)
+    assert (got == A @ B).all()
+
+
+def test_spgemm_empty_blocks_and_shape_guard(spark):
+    """SpGEMM: all-zero block pairs never materialize (the join prunes
+    them) and the result is still correct; mismatched inner blockings
+    are rejected."""
+    import numpy as np
+    import pytest
+
+    from wukong_spark.blockmatrix import BlockMatrix
+    from wukong_spark.sparse import SparseBlockMatrix
+
+    A = np.zeros((60, 60))
+    A[:20, :20] = np.eye(20) * 3  # only block (0,0) nonzero
+    B = np.zeros((60, 40))
+    B[:20, :20] = np.eye(20) * 5
+    sa = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, A, 20, 20))
+    sb = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, 20, 20))
+    c = sa.matmul(sb)
+    # only ONE output block can exist: the (0,0) product
+    assert c.df.count() == 1
+    got = c.to_dense().to_numpy()
+    assert (got == A @ B).all()
+
+    wrong = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, 30, 20))
+    with pytest.raises(AssertionError):
+        sa.matmul(wrong)
