@@ -1344,15 +1344,17 @@ def events_value_histogram(spark: SparkSession, sf_dir: str):
              AS sum_value_4,
            COUNT(DISTINCT user_id) AS n_users,
            TRUE AS csv_roundtrip_exact,
-           TRUE AS json_roundtrip_exact
+           TRUE AS json_roundtrip_exact,
+           TRUE AS orc_roundtrip_exact
     FROM events
     """,
 )
 def format_roundtrip_check(spark: SparkSession, sf_dir: str):
-    """FORMAT FIDELITY through the source/sink surface (r10): events
-    write out as CSV (header + ISO timestamps) and JSONL, read back
-    through `sources.read_any` with an explicit schema, and both copies
-    must reproduce the parquet original EXACTLY — row count, integer
+    """FORMAT FIDELITY through the source/sink surface (r10, ORC added
+    r11): events write out as CSV (header + ISO timestamps), JSONL, and
+    ORC (typed columnar — Spark-native, the schema rides in the file),
+    read back through `sources.read_any` with an explicit schema, and
+    every copy must reproduce the parquet original EXACTLY — row count, integer
     value checksum, and per-row md5 over the (event_id, user_id,
     event_type, value-in-1e-4) tuple, compared as full set equality via
     exceptAll in-plan.  Timestamps round-trip at microsecond precision
@@ -1370,7 +1372,8 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     csv_dir, json_dir = f"{wh}/evt_csv_tmp", f"{wh}/evt_json_tmp"
-    for p in (csv_dir, json_dir):
+    orc_dir = f"{wh}/evt_orc_tmp"
+    for p in (csv_dir, json_dir, orc_dir):
         shutil.rmtree(p, ignore_errors=True)
     e = tbl(spark, sf_dir, "events").select(
         "event_id",
@@ -1381,11 +1384,13 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
     )
     e.write.mode("overwrite").option("header", "true").csv(csv_dir)
     e.write.mode("overwrite").json(json_dir)
+    e.write.mode("overwrite").orc(orc_dir)
     schema = (
         "event_id long, user_id long, event_type string, v4 long, ts_s string"
     )
     back_csv = read_any(spark, csv_dir, "csv", schema=schema, header=True)
     back_json = read_any(spark, json_dir, "json", schema=schema)
+    back_orc = read_any(spark, orc_dir, "orc")
 
     def fingerprint(df):
         return df.select(
@@ -1404,13 +1409,23 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
         fingerprint(e).exceptAll(fingerprint(back_json)).count() == 0
         and back_json.count() == e.count()
     )
+    orc_ok = (
+        fingerprint(e).exceptAll(fingerprint(back_orc)).count() == 0
+        and back_orc.count() == e.count()
+    )
     stats = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v4").alias("s"),
         F.countDistinct("user_id").alias("u"),
     ).collect()[0]
     return spark.createDataFrame(
-        [(int(stats["n"]), int(stats["s"]), int(stats["u"]), csv_ok, json_ok)],
+        [
+            (
+                int(stats["n"]), int(stats["s"]), int(stats["u"]),
+                csv_ok, json_ok, orc_ok,
+            )
+        ],
         "n_rows bigint, sum_value_4 bigint, n_users bigint,"
-        " csv_roundtrip_exact boolean, json_roundtrip_exact boolean",
+        " csv_roundtrip_exact boolean, json_roundtrip_exact boolean,"
+        " orc_roundtrip_exact boolean",
     )

@@ -309,6 +309,93 @@ def graph_pagerank_bucketed_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "graph_bfs_layers",
+    # 4 BFS rounds UNROLLED as CTE stages (the PageRank oracle pattern):
+    # d_{k+1}(v) = min(d_k(v), 1 + min over in-neighbors' d_k) — exact
+    # integer distances, no float anywhere
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+    ),
+    d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS dist),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d0
+      UNION ALL
+      SELECT e.dst AS node, d.dist + 1 FROM d0 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d1
+      UNION ALL
+      SELECT e.dst AS node, d.dist + 1 FROM d1 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d2
+      UNION ALL
+      SELECT e.dst AS node, d.dist + 1 FROM d2 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d3
+      UNION ALL
+      SELECT e.dst AS node, d.dist + 1 FROM d3 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node)
+    SELECT node, CAST(dist AS INTEGER) AS dist FROM d4 ORDER BY node
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str):
+    """BFS SHORTEST HOPS (r11) — the fourth graph analytic, the
+    single-source shortest-path primitive (unweighted): 4 relaxation
+    rounds from the minimum customer node over the undirected
+    customer↔supplier graph, each round one frontier⋈edges join + a
+    node-grouped MIN — the label-relaxation shape every distributed SSSP
+    takes (Bellman-Ford rounds).  Distances are exact integers, so the
+    oracle (4 unrolled CTE stages, the PageRank referee pattern)
+    hash-matches with zero float discipline needed.
+
+    Emits every node within 4 hops with its hop count — on the bipartite
+    order graph that alternates customer (even) / supplier (odd) layers.
+
+    100 TB path: per round the shuffle carries (node, dist) pairs and
+    the edge join keys — linear in edges; labels localCheckpoint per
+    round (the CC lineage rule); bucketed edge storage would make the
+    edge side exchange-free per round exactly as
+    graph_pagerank_bucketed_check demonstrates."""
+    from wukong_spark.session import release_checkpoint
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    src_node = edges.agg(F.min("src")).collect()[0][0]
+    labels = spark.createDataFrame([(int(src_node), 0)], "node long, dist int")
+    for _ in range(4):
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(labels)
+        labels = new_labels
+    release_checkpoint(edges)
+    return labels.orderBy("node")
+
+
+@query(
     "graph_triangle_count",
     # the graph is CONSTRUCTED BY SQL-EXPRESSIBLE RULES (ring + chord +
     # quadratic edges over Z_97), so both engines build the identical
