@@ -506,3 +506,36 @@ def test_bpe_merge_fold_is_greedy_left_to_right(spark, word, l, r):
         ).alias("m")
     ).collect()[0]["m"]
     assert got == ref(list(word)), (word, l, r)
+
+
+@given(
+    n=st.integers(20, 90),
+    k=st.integers(20, 90),
+    m=st.integers(20, 90),
+    br=st.integers(10, 40),
+    bk=st.integers(10, 40),
+    bc=st.integers(10, 40),
+    density=st.sampled_from([0.02, 0.1, 0.4]),
+    seed=st.integers(0, 10),
+)
+@settings(**SETTINGS)
+def test_spgemm_equals_numpy_any_shape(
+    spark, n, k, m, br, bk, bc, density, seed
+):
+    """SpGEMM (r11): sparse COO block matmul equals the numpy product
+    EXACTLY for any dims/blocking/density — integer-valued nonzeros make
+    float64 sums order-independent, so the check is == not allclose."""
+    from wukong_spark.sparse import SparseBlockMatrix
+
+    rng = np.random.default_rng(seed)
+    A = np.where(
+        rng.random((n, k)) >= density, 0.0, np.floor(rng.random((n, k)) * 9) + 1
+    )
+    B = np.where(
+        rng.random((k, m)) >= density, 0.0, np.floor(rng.random((k, m)) * 9) + 1
+    )
+    sa = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, A, br, bk))
+    sb = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, bk, bc))
+    got = sa.matmul(sb).to_dense().to_numpy()
+    assert got.shape == (n, m)
+    assert (got == A @ B).all()
