@@ -197,6 +197,141 @@ def ml_linreg_simple(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "ml_kfold_cv_check",
+    # every emitted double is a FIXED sequence of IEEE ops on exact
+    # BIGINT sufficient statistics (the ml_linreg_simple discipline):
+    # per-fold integer stats, train = total − fold (exact integer
+    # subtraction), then identical formula text in both engines — the
+    # round-6 values hash bit-for-bit.  y is whole DOLLARS so Σy² stays
+    # far from int64 overflow at any gate sf.
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY l_orderkey
+    ),
+    xy AS (
+      SELECT li.l_orderkey % 5 AS fold,
+             CAST(li.x AS BIGINT) AS x,
+             CAST(ROUND(o.o_totalprice) AS BIGINT) AS y
+      FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    pf AS (
+      SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy GROUP BY fold
+    ),
+    tot AS (
+      SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+             SUM(sxy) AS tsxy, SUM(sxx) AS tsxx FROM pf
+    ),
+    fit AS (
+      SELECT pf.fold, pf.n AS n_val, t.tn - pf.n AS n_train,
+             pf.n, pf.sx, pf.sy, pf.sxy, pf.sxx, pf.syy,
+             (CAST(t.tn - pf.n AS DOUBLE) * CAST(t.tsxy - pf.sxy AS DOUBLE)
+              - CAST(t.tsx - pf.sx AS DOUBLE) * CAST(t.tsy - pf.sy AS DOUBLE))
+             / (CAST(t.tn - pf.n AS DOUBLE) * CAST(t.tsxx - pf.sxx AS DOUBLE)
+                - CAST(t.tsx - pf.sx AS DOUBLE) * CAST(t.tsx - pf.sx AS DOUBLE))
+               AS b
+      FROM pf CROSS JOIN tot t
+    ),
+    fit2 AS (
+      SELECT fold, n_val, n_train, n, sx, sy, sxy, sxx, syy, b,
+             (CAST((SELECT tsy FROM tot) - sy AS DOUBLE)
+              - b * CAST((SELECT tsx FROM tot) - sx AS DOUBLE))
+             / CAST((SELECT tn FROM tot) - n AS DOUBLE) AS a
+      FROM fit
+    )
+    SELECT fold, CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           ROUND(b, 6) AS slope_6, ROUND(a, 6) AS intercept_6,
+           ROUND((CAST(syy AS DOUBLE) + a * a * CAST(n AS DOUBLE)
+                  + b * b * CAST(sxx AS DOUBLE)
+                  - 2 * a * CAST(sy AS DOUBLE) - 2 * b * CAST(sxy AS DOUBLE)
+                  + 2 * a * b * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS val_mse_6
+    FROM fit2 ORDER BY fold
+    """,
+)
+def ml_kfold_cv_check(spark: SparkSession, sf_dir: str):
+    """K-FOLD CROSS-VALIDATION (r11) — the model-selection loop every ML
+    pipeline runs (the dask_ml GridSearch/CV surface, reference
+    README.md:280-305), demonstrated on the closed-form d=1 regression
+    so the ENTIRE fit+score loop is SQL-oracled: 5 deterministic folds
+    (orderkey mod 5), each fold's model trained on the OTHER four and
+    scored on the held-out fold.
+
+    Exactness: one pass computes per-fold integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²); training stats are total − fold — exact
+    BIGINT subtraction, so 5 models cost ONE data pass, the classic CV
+    sufficient-statistics trick (no 5× rescan).  Slope/intercept and the
+    held-out MSE — expanded as (Σy² + a²n + b²Σx² − 2aΣy − 2bΣxy +
+    2abΣx)/n, a fixed IEEE op sequence on identical integers — hash
+    bit-for-bit at round-6.
+
+    100 TB path: one groupBy(l_orderkey) + one join + one 5-row fold
+    agg; the fold dimension never rescans the data — CV cost is
+    O(one pass), not O(k passes)."""
+    from pyspark.sql import functions as F
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice")).cast("long").alias("y"),
+    )
+    xy = li.join(o, "l_orderkey").select(
+        (F.col("l_orderkey") % 5).alias("fold"), "x", "y"
+    )
+    pf = xy.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = pf.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    j = pf.crossJoin(F.broadcast(tot))
+    d = lambda c: c.cast("double")  # noqa: E731
+    b = (
+        d(F.col("tn") - F.col("n")) * d(F.col("tsxy") - F.col("sxy"))
+        - d(F.col("tsx") - F.col("sx")) * d(F.col("tsy") - F.col("sy"))
+    ) / (
+        d(F.col("tn") - F.col("n")) * d(F.col("tsxx") - F.col("sxx"))
+        - d(F.col("tsx") - F.col("sx")) * d(F.col("tsx") - F.col("sx"))
+    )
+    j = j.withColumn("b", b)
+    a = (
+        d(F.col("tsy") - F.col("sy")) - F.col("b") * d(F.col("tsx") - F.col("sx"))
+    ) / d(F.col("tn") - F.col("n"))
+    j = j.withColumn("a", a)
+    mse = (
+        d(F.col("syy"))
+        + F.col("a") * F.col("a") * d(F.col("n"))
+        + F.col("b") * F.col("b") * d(F.col("sxx"))
+        - 2 * F.col("a") * d(F.col("sy"))
+        - 2 * F.col("b") * d(F.col("sxy"))
+        + 2 * F.col("a") * F.col("b") * d(F.col("sx"))
+    ) / d(F.col("n"))
+    return j.select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        F.col("n").alias("n_val"),
+        F.round(F.col("b"), 6).alias("slope_6"),
+        F.round(F.col("a"), 6).alias("intercept_6"),
+        F.round(mse, 6).alias("val_mse_6"),
+    ).orderBy("fold")
+
+
+@query(
     "ml_linreg_check",
     oracle=(
         "SELECT TRUE AS gradient_zero, TRUE AS beats_mean_baseline, 64 AS n_features"

@@ -1728,3 +1728,83 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("key_9"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "text_distribution_drift",
+    # per-token KL contributions: counts are exact integers, probabilities
+    # exact rationals of integers; ln differs in the last ulp across libm
+    # implementations and the Σ is accumulation-ordered, so every emitted
+    # float rounds to 6 BEFORE comparison (the ml_naive_bayes_lang rule) —
+    # drift ~1e-15 vs a 1e-6 grid
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS part,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token,
+             SUM(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v FROM c
+    ), scored AS (
+      SELECT c.token, c.c_a, c.c_b,
+             (c.c_a + 1.0) / (t.n_a + t.v) AS p,
+             (c.c_b + 1.0) / (t.n_b + t.v) AS q
+      FROM c CROSS JOIN tot t
+    )
+    SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           ROUND(p * ln(p / q), 6) AS kl_term_6,
+           (SELECT ROUND(SUM(p * ln(p / q)), 6) FROM scored) AS kl_total_6
+    FROM scored
+    ORDER BY token
+    """,
+)
+def text_distribution_drift(spark: SparkSession, sf_dir: str):
+    """CORPUS DISTRIBUTION DRIFT (r11) — the train/validation drift check
+    a data pipeline runs before shipping a new corpus snapshot: split the
+    corpus deterministically (doc_id parity stands in for the snapshot
+    boundary), compare token unigram distributions via Laplace-smoothed
+    KL divergence D(P_a ‖ P_b), and emit every token's count pair and KL
+    contribution plus the corpus-level total — the per-token terms ARE
+    the drift attribution (which tokens moved).
+
+    100 TB path: one explode → one (token) groupBy with map-side
+    combine; the totals are a broadcast scalar; scoring is pure JVM
+    arithmetic.  No Python anywhere."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("part"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("part") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("part") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    tot = c.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        ((F.col("c_a") + 1.0) / (F.col("n_a") + F.col("v"))).alias("p"),
+        ((F.col("c_b") + 1.0) / (F.col("n_b") + F.col("v"))).alias("q"),
+    )
+    term = F.col("p") * F.log(F.col("p") / F.col("q"))
+    total = scored.agg(F.round(F.sum(term), 6).alias("kl_total_6"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "c_a",
+            "c_b",
+            F.round(term, 6).alias("kl_term_6"),
+            "kl_total_6",
+        )
+        .orderBy("token")
+    )
