@@ -577,3 +577,28 @@ def test_pagerank_bucketed_edge_join_no_edge_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+
+def test_global_row_number_no_single_partition(spark):
+    """global_row_number_check (r11): the numbering plan must contain NO
+    Exchange SinglePartition — the whole point vs the naive global
+    window sort — and must range-partition on the order column; the ids
+    must equal the window formulation exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_row_number
+
+    df = spark.range(0, 5000, 1, 8).select(
+        (F.col("id") * 37 % 4999).alias("k")
+    ).distinct()
+    numbered = global_row_number(df, "k", n_partitions=8)
+    plan = plans.formatted_plan(numbered)
+    assert "SinglePartition" not in plan, plan
+    # the checkpointed range layout is upstream of the plan cut; verify
+    # the RESULT matches the single-partition window formulation
+    want = df.select(
+        "k", (F.row_number().over(Window.orderBy("k")) - 1).alias("row_id")
+    )
+    got = numbered.select("k", "row_id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -309,6 +309,125 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "asof_join_nearest",
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      FROM ce
+    ), d AS (
+      SELECT event_id, user_id, ts,
+             -- per-timestamp floor BEFORE subtracting (matches Spark's
+             -- CAST(ts - epoch AS BIGINT) per side; floor-of-difference
+             -- would disagree by 1 on sub-second timestamps)
+             epoch_us(ts) // 1000000 - epoch_us(back_ts) // 1000000
+               AS back_diff_s,
+             epoch_us(fwd_ts) // 1000000 - epoch_us(ts) // 1000000
+               AS fwd_diff_s,
+             back_ts, fwd_ts
+      FROM w WHERE event_type = 'purchase'
+    ), pick AS (
+      SELECT event_id, user_id, ts,
+             CASE
+               WHEN back_diff_s IS NOT NULL
+                    AND (fwd_diff_s IS NULL OR back_diff_s <= fwd_diff_s)
+                 THEN back_ts
+               ELSE fwd_ts
+             END AS cand_ts,
+             CASE
+               WHEN back_diff_s IS NOT NULL
+                    AND (fwd_diff_s IS NULL OR back_diff_s <= fwd_diff_s)
+                 THEN back_diff_s
+               ELSE fwd_diff_s
+             END AS cand_diff_s
+      FROM d
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN cand_diff_s IS NOT NULL AND cand_diff_s <= 7200
+                THEN cand_ts ELSE TIMESTAMP '1970-01-01' END
+             AS nearest_click_ts,
+           CAST(CASE WHEN cand_diff_s IS NOT NULL AND cand_diff_s <= 7200
+                THEN cand_diff_s ELSE -1 END AS BIGINT) AS diff_s
+    FROM pick
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str):
+    """NEAREST-direction as-of join with tolerance (r11) — the pandas
+    `merge_asof(direction='nearest', tolerance=...)` semantics the
+    backward-only `asof_join_last_click` doesn't cover: each purchase
+    matched to the same user's temporally CLOSEST click, looking both
+    ways, dropped to a sentinel when the nearest click is further than
+    2 hours.  Ties (equidistant clicks) deterministically prefer the
+    earlier (backward) one.
+
+    Scalable formulation: the same union-merge as the backward as-of —
+    both event streams share ONE shuffle on user_id, a running MAX over
+    preceding click timestamps and a running MIN over following ones
+    give each purchase both candidates in a single sorted pass; the
+    nearest pick and the tolerance gate are per-row CASE arithmetic.
+    No range join, no candidate blowup — O(n log n) in the partition
+    sort regardless of click density."""
+    e = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    p = (
+        e.withColumn("back_ts", F.max(click_ts).over(wb))
+        .withColumn("fwd_ts", F.min(click_ts).over(wf))
+        .filter(F.col("event_type") == "purchase")
+    )
+    # NTZ-safe integer second difference (unix_* reject TIMESTAMP_NTZ)
+    def secs(a, b):
+        return F.expr(
+            f"CAST({a} - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)"
+        ) - F.expr(
+            f"CAST({b} - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)"
+        )
+
+    p = p.withColumn("back_diff_s", secs("ts", "back_ts")).withColumn(
+        "fwd_diff_s", secs("fwd_ts", "ts")
+    )
+    back_wins = F.col("back_diff_s").isNotNull() & (
+        F.col("fwd_diff_s").isNull()
+        | (F.col("back_diff_s") <= F.col("fwd_diff_s"))
+    )
+    p = p.withColumn(
+        "cand_ts", F.when(back_wins, F.col("back_ts")).otherwise(F.col("fwd_ts"))
+    ).withColumn(
+        "cand_diff_s",
+        F.when(back_wins, F.col("back_diff_s")).otherwise(F.col("fwd_diff_s")),
+    )
+    within = F.col("cand_diff_s").isNotNull() & (F.col("cand_diff_s") <= 7200)
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("cand_ts"))
+        .otherwise(F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+        .alias("nearest_click_ts"),
+        F.when(within, F.col("cand_diff_s")).otherwise(F.lit(-1)).cast("long").alias("diff_s"),
+    )
+
+
+@query(
     "salted_agg_event_type",
     oracle="""
     SELECT event_type,
@@ -1334,6 +1453,55 @@ def events_value_histogram(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "schema_evolution_check",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CASE WHEN o_orderkey % 2 = 1
+                THEN ROUND(o_totalprice * 100) ELSE -1 END AS BIGINT)
+             AS price_cents
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def schema_evolution_check(spark: SparkSession, sf_dir: str):
+    """SCHEMA EVOLUTION on read (r11) — the ingest reality every
+    long-lived corpus hits: older parquet files lack columns newer ones
+    carry.  Half of orders is written with a v1 schema (orderkey,
+    custkey), the other half with v2 (+ price_cents); one
+    `mergeSchema=true` read unifies them — v1 rows surface NULL for the
+    added column (COALESCEd to a -1 sentinel for the hash), v2 rows keep
+    their values.  Every row hash-matches the oracle computing the same
+    merge directly from the original table.
+
+    100 TB path: mergeSchema's footer reconciliation is a planning-time
+    cost over file metadata only; the data files are never rewritten —
+    the alternative (rewrite the corpus on every column add) is exactly
+    what evolution-on-read exists to avoid."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/orders_evolved_tmp"
+    shutil.rmtree(path, ignore_errors=True)
+    o = tbl(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("price_cents"), F.lit(-1)).cast("long").alias(
+            "price_cents"
+        ),
+    ).orderBy("o_orderkey")
 
 
 @query(

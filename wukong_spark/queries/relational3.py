@@ -973,3 +973,32 @@ def describe_lineitem(spark: SparkSession, sf_dir: str):
         F.round(F.col("q")[2] * 4).cast("bigint").alias("p75_c4"),
         F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))), 4).alias("std_4"),
     ).orderBy("col")
+
+
+@query(
+    "global_row_number_check",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+           doc_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def global_row_number_check(spark: SparkSession, sf_dir: str):
+    """GLOBAL CONTIGUOUS ROW NUMBERING (r11) — zipWithIndex done at
+    scale (`operators/setindex.py:global_row_number`): every training
+    pipeline assigns stable example ids, and the naive
+    row_number().over(Window.orderBy(...)) plans an Exchange
+    SinglePartition — ONE task sorts the whole table.  This operator
+    instead range-partitions + locally sorts (the set_index machinery),
+    collects only n_partitions row counts, and adds broadcast prefix
+    offsets map-side — no global sort task anywhere (plan-pinned in
+    tests/test_plan_shape.py::test_global_row_number_no_single_partition).
+
+    Hash-checked per row against the window-function formulation the
+    oracle runs — same ids, radically different physical plan."""
+    from wukong_spark.operators.setindex import global_row_number
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    return global_row_number(d, "doc_id", n_partitions=16).select(
+        "row_id", "doc_id"
+    ).orderBy("doc_id")
