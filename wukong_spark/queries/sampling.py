@@ -330,3 +330,58 @@ def sketch_heavy_hitters_check(spark: SparkSession, sf_dir: str):
         "user_id bigint, event_type string, exact_n bigint,"
         " surfaced boolean, est_within_bound boolean",
     )
+
+
+N_NEGATIVES = 4
+
+
+@query(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT d.doc_id AS anchor_id,
+           s.j,
+           (d.doc_id + 1 +
+            {_ORACLE_H48.format(e="'neg-' || CAST(d.doc_id AS VARCHAR) || '-' || CAST(s.j AS VARCHAR)")}
+            % (n.n_docs - 1)) % n.n_docs AS negative_id
+    FROM documents d
+    CROSS JOIN n
+    CROSS JOIN (SELECT unnest(range(0, {N_NEGATIVES})) AS j) s
+    ORDER BY anchor_id, j
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str):
+    """CONTRASTIVE NEGATIVE SAMPLING (r11) — the training-pair generator
+    for embedding/contrastive objectives: every anchor document gets
+    k = 4 deterministic pseudo-random negatives.  The ring trick
+    `neg = (anchor + 1 + h48(anchor, j) mod (N−1)) mod N` guarantees
+    negative ≠ anchor WITHOUT rejection sampling (a rejection loop is
+    non-deterministic row count and unvectorizable), and the content
+    hash makes pairs reproducible across re-runs, repartitions, and
+    engines — the split_train_val_test discipline applied to pair
+    generation.
+
+    100 TB path: map-side expression + a 4-element explode — no shuffle,
+    no RNG state; the corpus-size scalar broadcasts."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(N_NEGATIVES)])).alias("j")
+    pairs = d.crossJoin(F.broadcast(n)).select(
+        F.col("doc_id").alias("anchor_id"), "n_docs", j
+    )
+    h = _h48(
+        F.concat(
+            F.lit("neg-"),
+            F.col("anchor_id").cast("string"),
+            F.lit("-"),
+            F.col("j").cast("string"),
+        )
+    )
+    return pairs.select(
+        "anchor_id",
+        "j",
+        (
+            (F.col("anchor_id") + 1 + F.pmod(h, F.col("n_docs") - 1))
+            % F.col("n_docs")
+        ).alias("negative_id"),
+    ).orderBy("anchor_id", "j")
