@@ -159,3 +159,65 @@ def group_webdataset_samples(members: DataFrame) -> DataFrame:
             ).alias("fields")
         )
     )
+
+
+def write_webdataset_shards(
+    samples: DataFrame,
+    n_shards: int,
+    key_col: str = "key",
+    fields_col: str = "fields",
+) -> DataFrame:
+    """(key, ext→bytes) samples → DETERMINISTIC WebDataset tar shards —
+    the EXPORT side of the WebDataset story (r11; ingest = explode_tar +
+    group_webdataset_samples).  Training pipelines don't just read
+    shards, they ship them: curation emits a cleaned corpus AS shards
+    for the next stage's loader.
+
+    shard = pmod(xxhash64(key), n_shards): content-derived, so the
+    assignment survives task recompute (the salted-join rule).  Within a
+    shard, samples sort by key and extensions lexicographically, and
+    every TarInfo pins mtime=0 / uid=gid=0 / mode=0o644 — SHARD BYTES
+    are a pure function of the sample data, so re-running the export
+    yields bit-identical shards (diffable, cacheable, content-
+    addressable — the property object-store corpus syncs need).
+
+    Returns (shard_id int, n_samples long, payload binary).  100 TB
+    path: one reducer packs one shard (size governed by n_shards); the
+    payload never leaves the task until the caller sinks it.
+    """
+    from pyspark.sql import functions as F
+
+    src = samples.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(fields_col).alias("f"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        pdf = pdf.sort_values("k")
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for k, fields in zip(pdf["k"], pdf["f"]):
+                for ext, data in sorted(dict(fields).items()):
+                    data = bytes(data)
+                    info = tarfile.TarInfo(f"{k}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(data))
+                n += 1
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "n_samples": [n],
+                "payload": [bytearray(buf.getvalue())],
+            }
+        )
+
+    return src.groupBy("__shard").applyInPandas(
+        pack, "shard_id int, n_samples long, payload binary"
+    )

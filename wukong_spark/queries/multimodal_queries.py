@@ -1928,3 +1928,144 @@ def crossmodal_neardup_pipeline(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_a")
     )
+
+
+@query(
+    "webdataset_export_roundtrip",
+    # literal oracle: the input is the seeded fixture generator (sf- and
+    # table-independent); 12 samples, 3 non-empty shards at this key set,
+    # booleans are in-plan structural contracts
+    oracle="SELECT 3 AS n_shards_written, 12 AS n_samples,"
+    " TRUE AS roundtrip_exact, TRUE AS rewrite_bit_identical",
+)
+def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str):
+    """WebDataset EXPORT (r11) — the write side of the shard story:
+    curated (key, ext→bytes) samples packed into deterministic tar
+    shards (`archive.write_webdataset_shards`), then proved twice over:
+
+    - roundtrip_exact: re-ingesting the written shards through the SAME
+      explode_tar + group_webdataset_samples path reproduces every
+      sample's every field byte-for-byte (md5 set equality over
+      (key, ext, content) in-plan, counts equal);
+    - rewrite_bit_identical: exporting the same samples a second time
+      yields the identical shard payload md5 set — shard bytes are a
+      pure function of the data (mtime=0, sorted members, pinned modes),
+      the property that makes corpus exports diffable and content-
+      addressable.
+
+    100 TB path: one reducer packs one shard; the re-ingest is one task
+    per shard; fingerprints (16 bytes/field) are all that shuffles for
+    the comparison."""
+    from wukong_spark.operators.archive import (
+        explode_tar,
+        group_webdataset_samples,
+        write_webdataset_shards,
+    )
+
+    src = group_webdataset_samples(explode_tar(_gen_webdataset_shards(spark)))
+    samples = src.select(
+        F.concat_ws("-", F.col("media_id").cast("string"), F.col("key")).alias(
+            "key"
+        ),
+        F.col("fields"),
+    ).localCheckpoint(eager=True)  # packed twice + fingerprinted: one decode
+
+    shards = write_webdataset_shards(samples, n_shards=3).localCheckpoint(
+        eager=True
+    )
+    back = group_webdataset_samples(
+        explode_tar(
+            shards.select(
+                F.col("shard_id").cast("long").alias("media_id"), "payload"
+            )
+        )
+    ).select(F.col("key"), F.col("fields"))
+
+    def fp(df):
+        return df.select(
+            "key", F.explode("fields").alias("ext", "content")
+        ).select("key", "ext", F.md5("content").alias("h"))
+
+    n_src, n_back = samples.count(), back.count()
+    roundtrip = (
+        fp(samples).exceptAll(fp(back)).count() == 0 and n_src == n_back
+    )
+    shards2 = write_webdataset_shards(samples, n_shards=3)
+    sig = lambda df: {  # noqa: E731
+        (r["shard_id"], r["h"])
+        for r in df.select("shard_id", F.md5("payload").alias("h")).collect()
+    }
+    identical = sig(shards) == sig(shards2)
+    n_shards_written = shards.count()
+    total = shards.agg(F.sum("n_samples")).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(n_shards_written), int(total), bool(roundtrip), bool(identical))],
+        "n_shards_written int, n_samples bigint, roundtrip_exact boolean,"
+        " rewrite_bit_identical boolean",
+    )
+
+
+@query(
+    "multimodal_channel_stats",
+    # literal oracle captured from the seeded decode (sf-invariant
+    # generated inputs): n/sum/sum² are EXACT BIGINTs; mean/std are a
+    # fixed IEEE op sequence on those exact integers
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 6912, 873275, 148301563, 126.341869, 74.122823),
+      (1, 6912, 889059, 151902969, 128.625434, 73.708795),
+      (2, 6912, 876026, 148805206, 126.739873, 73.934609))
+      AS t(channel, n_pixels, sum_v, sum_v2, mean_6, std_6)
+    ORDER BY channel
+    """,
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str):
+    """PER-CHANNEL NORMALIZATION STATISTICS (r11) — the dataset mean/std
+    every vision training pipeline computes once per corpus to normalize
+    inputs: decode the seeded BMP corpus at native resolution, aggregate
+    exact integer Σv and Σv² per RGB channel (JVM higher-order
+    functions over the interleaved pixel array — no Python), and derive
+    mean and the unbiased std from the sufficient statistics.
+
+    100 TB path: per-image partials are 6 BIGINTs; the global agg is a
+    3-row reduce — the corpus streams through the decoders once and
+    only sufficient statistics shuffle."""
+    dec = decode_images(_gen_bmp_media(spark), height=IMG_H, width=IMG_W)
+    per_ch = []
+    for ch in range(3):
+        s1 = F.expr(
+            f"aggregate(transform(pixels, (x, i) -> "
+            f"CASE WHEN i % 3 = {ch} THEN CAST(x AS BIGINT) ELSE 0L END), "
+            f"0L, (a, x) -> a + x)"
+        )
+        s2 = F.expr(
+            f"aggregate(transform(pixels, (x, i) -> "
+            f"CASE WHEN i % 3 = {ch} THEN CAST(x AS BIGINT) * CAST(x AS BIGINT)"
+            f" ELSE 0L END), 0L, (a, x) -> a + x)"
+        )
+        per_ch.append(
+            dec.select(
+                F.lit(ch).alias("channel"),
+                (F.col("height") * F.col("width")).cast("long").alias("n"),
+                s1.alias("s1"),
+                s2.alias("s2"),
+            )
+        )
+    u = per_ch[0].unionByName(per_ch[1]).unionByName(per_ch[2])
+    agg = u.groupBy("channel").agg(
+        F.sum("n").alias("n_pixels"),
+        F.sum("s1").alias("sum_v"),
+        F.sum("s2").alias("sum_v2"),
+    )
+    n = F.col("n_pixels").cast("double")
+    s1d, s2d = F.col("sum_v").cast("double"), F.col("sum_v2").cast("double")
+    return agg.select(
+        "channel",
+        "n_pixels",
+        "sum_v",
+        "sum_v2",
+        F.round(s1d / n, 6).alias("mean_6"),
+        F.round(F.sqrt((s2d - s1d * s1d / n) / (n - F.lit(1.0))), 6).alias(
+            "std_6"
+        ),
+    ).orderBy("channel")
