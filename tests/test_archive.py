@@ -150,3 +150,35 @@ def test_member_size_guard():
     _check_member("ok", 1000)
     with pytest.raises(ValueError, match="bomb"):
         _check_member("evil", MAX_MEMBER_BYTES + 1)
+
+
+def test_write_webdataset_shards_empty_and_padding(spark):
+    """Export robustness (r11): an empty sample frame yields zero shards;
+    a 1-sample frame yields one valid shard that round-trips."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.archive import (
+        explode_tar,
+        group_webdataset_samples,
+        write_webdataset_shards,
+    )
+
+    empty = spark.createDataFrame(
+        [], "key string, fields map<string, binary>"
+    )
+    assert write_webdataset_shards(empty, n_shards=4).count() == 0
+
+    one = spark.createDataFrame(
+        [("s0", {"txt": bytearray(b"hello"), "json": bytearray(b"{}")})],
+        "key string, fields map<string, binary>",
+    )
+    shards = write_webdataset_shards(one, n_shards=4)
+    assert shards.count() == 1
+    back = group_webdataset_samples(
+        explode_tar(
+            shards.select(F.col("shard_id").cast("long").alias("media_id"), "payload")
+        )
+    ).collect()
+    assert len(back) == 1 and back[0]["key"] == "s0"
+    fields = dict(back[0]["fields"])
+    assert bytes(fields["txt"]) == b"hello" and bytes(fields["json"]) == b"{}"

@@ -46,3 +46,24 @@ def test_salted_plan_has_two_aggregations(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # two shuffle boundaries: (key, salt) then (key)
     assert plan.count("Exchange") >= 2
+
+
+def test_salted_ops_empty_inputs(spark):
+    """Empty frames must flow through both skew operators without error
+    and yield empty results (r11 robustness batch)."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.skew import salted_agg, salted_join
+
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    full = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    assert salted_agg(empty, ["k"], {"n": ("count", None)}).count() == 0
+    assert salted_join(empty, full, on=["k"], hot_keys=[(1,)]).count() == 0
+    assert salted_join(
+        full.withColumnRenamed("w", "v"), empty.withColumnRenamed("v", "w"),
+        on=["k"], hot_keys=[(1,)]
+    ).count() == 0

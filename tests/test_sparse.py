@@ -119,3 +119,20 @@ def test_spgemm_empty_blocks_and_shape_guard(spark):
     wrong = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, 30, 20))
     with pytest.raises(AssertionError):
         sa.matmul(wrong)
+
+
+def test_spgemm_zero_operand(spark):
+    """A structurally-zero operand (no COO blocks at all) yields a
+    result with no blocks, and to_dense is exact zeros."""
+    import numpy as np
+
+    from wukong_spark.blockmatrix import BlockMatrix
+    from wukong_spark.sparse import SparseBlockMatrix
+
+    A = np.zeros((40, 40))
+    B = np.eye(40) * 2.0
+    sa = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, A, 20, 20))
+    sb = SparseBlockMatrix.from_dense(BlockMatrix.from_numpy(spark, B, 20, 20))
+    c = sa.matmul(sb)
+    assert c.df.count() == 0
+    assert (c.to_dense().to_numpy() == 0).all()

@@ -1597,3 +1597,78 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
         " csv_roundtrip_exact boolean, json_roundtrip_exact boolean,"
         " orc_roundtrip_exact boolean",
     )
+
+
+@query(
+    "csv_malformed_ingest_check",
+    # both engines derive the expectation from the same construction
+    # rules over range(): every 7th line is broken, the rest carry
+    # id, id*13%1000 — so counts and checksums are pure arithmetic
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 2000)) AS id)
+    SELECT
+      (SELECT COUNT(*) FROM r WHERE id % 7 <> 0) AS n_good,
+      (SELECT COUNT(*) FROM r WHERE id % 7 = 0) AS n_corrupt,
+      (SELECT CAST(SUM(id * 13 % 1000) AS BIGINT) FROM r WHERE id % 7 <> 0)
+        AS sum_v_good,
+      TRUE AS corrupt_rows_preserved
+    """,
+)
+def csv_malformed_ingest_check(spark: SparkSession, sf_dir: str):
+    """MALFORMED-ROW CSV ingest (r11) — the reality of text-format
+    corpora: some lines are broken, and the pipeline must COUNT and
+    QUARANTINE them, not die or silently drop.  A generated CSV where
+    every 7th line is garbage (wrong arity / non-numeric) is read in
+    PERMISSIVE mode with a corrupt-record column: good rows parse with
+    exact values, broken rows land in the quarantine column with their
+    RAW TEXT PRESERVED (the re-processing contract).
+
+    The good-row checksum and both counts hash-match pure arithmetic
+    over the construction rules; corrupt_rows_preserved verifies every
+    quarantined line is the verbatim input text.
+
+    100 TB path: permissive parse is map-side; the quarantine column
+    prunes away when unselected, and the bad-row lane is what feeds a
+    dead-letter sink instead of failing a 12-hour job."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/csv_malformed_tmp"
+    shutil.rmtree(path, ignore_errors=True)
+    n = 2000
+    lines = spark.range(0, n, 1, 4).select(
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(F.lit("broken|"), F.col("id").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("id").cast("string"),
+                (F.col("id") * 13 % 1000).cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    df = (
+        spark.read.schema("id long, v long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    stats = good.agg(
+        F.count(F.lit(1)).alias("n_good"), F.sum("v").alias("sum_v")
+    ).collect()[0]
+    # quarantined lines must be the verbatim input text ("broken|<id>")
+    preserved = bad.filter(~F.col("_corrupt").startswith("broken|")).count()
+    n_bad = bad.count()
+    df.unpersist()
+    return spark.createDataFrame(
+        [(int(stats["n_good"]), int(n_bad), int(stats["sum_v"]), preserved == 0)],
+        "n_good bigint, n_corrupt bigint, sum_v_good bigint,"
+        " corrupt_rows_preserved boolean",
+    )
