@@ -1747,3 +1747,38 @@ def test_decode_images_real_ico_end_to_end(spark):
     for mid in (1, 2):
         got = np.array(out[mid].pixels, np.uint8).reshape(16, 16, 3)
         assert np.array_equal(got, px), mid
+
+
+def test_augment_images_deterministic(spark):
+    """augment_images (r11): same (sample, epoch) → identical pixels on
+    re-run and under different partitioning; different epochs diverge
+    for at least one image; output dims shrink by the crop margin."""
+    import numpy as np
+    from wukong_spark.operators.multimodal import augment_images, encode_bmp, decode_images
+
+    def gen_df(parts):
+        import pandas as pd
+        rows = []
+        for k in range(6):
+            px = np.random.default_rng(900 + k).integers(
+                0, 256, (12, 10, 3), dtype=np.uint8
+            )
+            rows.append((k, bytearray(encode_bmp(px))))
+        pdf = pd.DataFrame(rows, columns=["media_id", "payload"])
+        return spark.createDataFrame(pdf).repartition(parts)
+
+    dec1 = decode_images(gen_df(2), height=12, width=10)
+    dec2 = decode_images(gen_df(5), height=12, width=10)
+
+    def snap(df, epoch):
+        return {
+            r["media_id"]: (r["height"], r["width"], tuple(r["pixels"]))
+            for r in augment_images(df, epoch=epoch).collect()
+        }
+
+    a = snap(dec1, 1)
+    b = snap(dec2, 1)  # different partitioning, same epoch
+    assert a == b
+    assert all(v[0] == 10 and v[1] == 8 for v in a.values())
+    c = snap(dec1, 2)
+    assert any(a[k] != c[k] for k in a)

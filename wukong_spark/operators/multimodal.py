@@ -1249,3 +1249,50 @@ def fingerprint_video_frames(
     return df.select("media_id", payload_col).mapInPandas(
         run, "media_id long, frame_idx int, frame_no int, dhash long"
     )
+
+
+def augment_images(
+    decoded: DataFrame, epoch: int, crop_margin: int = 2, seed: int = 17
+) -> DataFrame:
+    """DETERMINISTIC per-(sample, epoch) image augmentation (r11) — the
+    training-loader transform that must be REPRODUCIBLE: a horizontal
+    flip coin and a random-crop offset drawn from
+    `default_rng((seed, media_id, epoch))`, so the same sample in the
+    same epoch augments identically on any executor, any partitioning,
+    any retry — and differently across epochs.  (A per-task RNG stream
+    would re-roll under recompute: the SPARK-23207 rule applied to
+    augmentation.)
+
+    Input: decode_images output (media_id, height, width, pixels
+    interleaved-RGB).  Output: same shape with height/width reduced by
+    `crop_margin` and the augmented pixel array.
+
+    100 TB path: map-only Arrow pass, one numpy view-flip + slice per
+    sample — no shuffle, no Python per pixel."""
+    from typing import Iterator as _Iterator
+
+    out_schema = "media_id long, height int, width int, pixels array<int>"
+
+    def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, h, w, px in zip(
+                pdf["media_id"], pdf["height"], pdf["width"], pdf["pixels"]
+            ):
+                h, w = int(h), int(w)
+                rng = np.random.default_rng((seed, int(mid), epoch))
+                a = np.asarray(px, dtype=np.int32).reshape(h, w, 3)
+                if int(rng.integers(0, 2)):
+                    a = a[:, ::-1]
+                oy = int(rng.integers(0, crop_margin + 1))
+                ox = int(rng.integers(0, crop_margin + 1))
+                nh, nw = h - crop_margin, w - crop_margin
+                a = a[oy : oy + nh, ox : ox + nw]
+                rows.append((int(mid), nh, nw, a.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "pixels"]
+            )
+
+    return decoded.select("media_id", "height", "width", "pixels").mapInPandas(
+        run, out_schema
+    )

@@ -2069,3 +2069,45 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str):
             "std_6"
         ),
     ).orderBy("channel")
+
+
+@query(
+    "multimodal_augment_epoch1",
+    # literal oracle: exact post-augmentation integer channel sums of the
+    # seeded decode+augment pipeline (sf-invariant generated inputs)
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 22, 16, 43890, 47031, 42965), (1, 22, 16, 43694, 45707, 44249),
+      (2, 22, 16, 45896, 42606, 44474), (3, 22, 16, 44419, 43868, 46017),
+      (4, 22, 16, 46437, 45681, 44517), (5, 22, 16, 46143, 44417, 46263),
+      (6, 22, 16, 41716, 43449, 45354), (7, 22, 16, 45343, 45168, 43916),
+      (8, 22, 16, 43522, 46955, 42645), (9, 22, 16, 44364, 46878, 46898),
+      (10, 22, 16, 46384, 43264, 44836), (11, 22, 16, 44355, 45887, 42825),
+      (12, 22, 16, 45649, 43362, 43649), (13, 22, 16, 44977, 46231, 42816),
+      (14, 22, 16, 43172, 48314, 44298), (15, 22, 16, 44048, 45193, 44635))
+      AS t(media_id, height, width, sum_r, sum_g, sum_b)
+    ORDER BY media_id
+    """,
+)
+def multimodal_augment_epoch1(spark: SparkSession, sf_dir: str):
+    """DETERMINISTIC AUGMENTATION (r11): the seeded BMP corpus decoded,
+    then augmented for epoch 1 via `multimodal.augment_images` — per-
+    (sample, epoch) seeded flip + crop, reproducible on any executor,
+    partitioning, or retry (a per-task RNG would re-roll under
+    recompute).  The literal oracle pins every image's post-augmentation
+    exact channel sums: any drift in the flip coin, the crop offsets, or
+    the slice arithmetic flips a sum.  Same-epoch run-to-run identity
+    and cross-epoch divergence are pinned in
+    tests/test_mlops_multimodal.py::test_augment_images_deterministic."""
+    from wukong_spark.operators.multimodal import augment_images
+
+    dec = decode_images(_gen_bmp_media(spark), height=IMG_H, width=IMG_W)
+    aug = augment_images(dec, epoch=1)
+    return aug.select(
+        "media_id",
+        "height",
+        "width",
+        _channel_sum(0).alias("sum_r"),
+        _channel_sum(1).alias("sum_g"),
+        _channel_sum(2).alias("sum_b"),
+    ).orderBy("media_id")

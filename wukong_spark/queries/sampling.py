@@ -385,3 +385,60 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str):
             % F.col("n_docs")
         ).alias("negative_id"),
     ).orderBy("anchor_id", "j")
+
+
+def _epoch_key(epoch: int) -> Column:
+    """Unique, engine-portable epoch-shuffle sort key: fixed-width decimal
+    h48 then the doc id — lexicographic order == (hash, id) order, and
+    the id suffix makes the key unique even under 48-bit collisions."""
+    h = _h48(F.concat(F.lit(f"ep{epoch}-"), F.col("doc_id").cast("string")))
+    return F.concat(
+        F.lpad(h.cast("string"), 15, "0"),
+        F.lit("-"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+    )
+
+
+@query(
+    "epoch_shuffle_check",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             lpad(CAST({_ORACLE_H48.format(e="'ep1-' || CAST(doc_id AS VARCHAR)")} AS VARCHAR), 15, '0')
+               || '-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS k1,
+             lpad(CAST({_ORACLE_H48.format(e="'ep2-' || CAST(doc_id AS VARCHAR)")} AS VARCHAR), 15, '0')
+               || '-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS k2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY k1) - 1 AS BIGINT) AS pos_epoch1,
+           CAST(ROW_NUMBER() OVER (ORDER BY k2) - 1 AS BIGINT) AS pos_epoch2
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def epoch_shuffle_check(spark: SparkSession, sf_dir: str):
+    """DETERMINISTIC EPOCH SHUFFLING (r11) — the data-loader contract:
+    every training epoch visits the corpus in a different but
+    REPRODUCIBLE pseudo-random order (re-runs, restarts, and executor
+    retries must agree on position i of epoch e).  Order = content hash
+    of (epoch, doc_id) with the id as unique suffix; positions come from
+    `operators/setindex.global_row_number` — range-partition + broadcast
+    prefix offsets, NO single-partition sort (the window formulation the
+    ORACLE uses is the semantic spec, not the physical plan).
+
+    Emits each document's position in epochs 1 and 2 — hash-checked per
+    row, and the two permutations differ by construction of the salt.
+
+    100 TB path: one range exchange per epoch ordering; position
+    assignment is map-side offsets — the same machinery as
+    global_row_number_check."""
+    from wukong_spark.operators.setindex import global_row_number
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    p1 = global_row_number(
+        d.withColumn("k", _epoch_key(1)), "k", n_partitions=16, out_col="pos"
+    ).select("doc_id", F.col("pos").alias("pos_epoch1"))
+    p2 = global_row_number(
+        d.withColumn("k", _epoch_key(2)), "k", n_partitions=16, out_col="pos"
+    ).select("doc_id", F.col("pos").alias("pos_epoch2"))
+    return p1.join(p2, "doc_id").orderBy("doc_id")
