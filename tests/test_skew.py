@@ -67,3 +67,49 @@ def test_salted_ops_empty_inputs(spark):
         full.withColumnRenamed("w", "v"), empty.withColumnRenamed("v", "w"),
         on=["k"], hot_keys=[(1,)]
     ).count() == 0
+
+
+def test_salted_ops_tolerate_map_columns(spark):
+    """ADVICE r11 low: the content-derived salt hashes only HASHABLE
+    columns — a map-typed column must not raise AnalysisException in
+    either salted operator, and results still match the plain plan."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.skew import salted_agg, salted_join
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    got = (
+        salted_agg(df, ["k"], {"n": ("count", None), "s": ("sum", "v")}, buckets=4)
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    small = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("t"))
+    j = salted_join(df, small, on=["k"], hot_keys=[(0,)], buckets=4)
+    assert j.count() == df.join(small, ["k"]).count()
+
+
+def test_salt_expr_all_unhashable_degenerates_not_fails(spark):
+    """A frame whose every column is map-typed salts to the constant 0
+    (documented degeneration: correct results, no spread) instead of
+    raising."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.skew import _salt_expr
+
+    df = spark.range(10).select(
+        F.create_map(F.lit("a"), F.col("id")).alias("m")
+    )
+    vals = df.select(_salt_expr(df, 8).alias("s")).distinct().collect()
+    assert [r["s"] for r in vals] == [0]

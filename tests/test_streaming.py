@@ -284,3 +284,46 @@ def test_bloom_dedup_bounded_state_across_batches(spark, tmp_path):
     # sizing gives parity (at this density FP prob < 1e-9 per probe)
     assert got == want
     assert len(want) > 50  # the state bound was actually exercised
+
+
+def test_bloom_dedup_nullable_int64_keys_across_batches(spark, tmp_path):
+    """ADVICE r11 medium: hash lanes are computed PLAN-SIDE, so a
+    null-carrying micro-batch can no longer promote an int64 key column
+    to float64 and re-emit the same key rendered '5.0' vs '5' across
+    batches.  Keys at 2^60 pin the full trap: under the old astype(str)
+    path, batch 1 (null present) rendered both 2^60 and 2^60+1 as the
+    SAME float64 string (collapsing two distinct keys) and batch 2
+    (null-free) rendered 2^60 differently (re-emitting it)."""
+    from wukong_spark.streaming import (
+        bloom_dedup_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    big = 1 << 60
+    staged = str(tmp_path / "nullable_keys")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batch1 = [(1, 0, big, "a", 0.0, ""), (2, 0, None, "a", 0.0, ""),
+              (3, 0, big + 1, "a", 0.0, "")]
+    batch2 = [(4, 0, big, "a", 0.0, "")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(staged)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+
+    stream = read_events_dir_stream(spark, staged, max_files_per_trigger=1)
+    out = run_to_memory(
+        bloom_dedup_stream(
+            stream.select("user_id"), ["user_id"], n_bits=1 << 14, n_buckets=2
+        ),
+        "bloom_nullable_test",
+        mode="update",
+    ).collect()
+
+    got = sorted((r["user_id"] for r in out), key=lambda v: (v is None, v))
+    # exactly once per distinct key: both big keys kept distinct, 2^60
+    # emitted a single time across the two batches, NULL emitted once
+    assert got == [big, big + 1, None]

@@ -118,15 +118,13 @@ def pagerank_bucketed(
     linear in the node count — while the edge set (the 100 TB part)
     never moves again after the bucketed write.
     """
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import drop_managed_table
 
     spark = edges.sparkSession
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    # a previous session's managed-table directory survives DROP TABLE
-    # (in-memory catalog) — clear the location too, as bucketed_join_check
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    # Hadoop-FS cleanup (layout.py): works for file:/hdfs:/s3a: warehouses
+    # alike — a previous session's managed-table directory survives DROP
+    # TABLE under an in-memory catalog and must be cleared too
+    drop_managed_table(spark, table)
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     (

@@ -254,10 +254,12 @@ def local_heavy_candidates(
     sketch is probed with when keys are unbounded (user×URL, n-grams).
 
     NULL keys participate (ADVICE r10 low): counting runs over the
-    null-proof (key, isnull) projection — `value_counts(dropna=False)`
-    on the pair — so a φ-heavy NULL key surfaces as a candidate (as a
+    null-proof (key, isnull) projection — `groupby(dropna=False)` on
+    the pair — so a φ-heavy NULL key surfaces as a candidate (as a
     NULL row of the result) instead of being silently dropped by
-    pandas' default NaN exclusion.
+    pandas' default NaN exclusion.  (`groupby(dropna=False)` is
+    pandas ≥ 1.3; `DataFrame.value_counts(dropna=...)` would need 1.5 —
+    ADVICE r11 low, executor-pandas portability.)
     """
     import math
 
@@ -267,7 +269,15 @@ def local_heavy_candidates(
     def tops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                top = pdf.value_counts(dropna=False).head(m)
+                # sort_values + head, not nlargest: nlargest drops rows
+                # through MultiIndex.drop, which raises KeyError when the
+                # (key, flag) index carries a NaN lane (pandas quirk)
+                top = (
+                    pdf.groupby([_KEY, _NULLFLAG], dropna=False, sort=False)
+                    .size()
+                    .sort_values(ascending=False, kind="stable")
+                    .head(m)
+                )
                 yield top.index.to_frame(index=False)
 
     schema_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]

@@ -62,6 +62,38 @@ _COMBINE = {
 }
 
 
+def _salt_expr(df: DataFrame, buckets: int) -> Column:
+    """Content-derived salt in [0, buckets): `pmod(xxhash64(cols), b)` —
+    stable under task recompute (module docstring), built over the
+    HASHABLE columns only.
+
+    `xxhash64` raises AnalysisException on map-typed columns (maps have
+    no canonical order), so columns containing a MapType anywhere in
+    their structure are skipped (ADVICE r11 low).  Degenerate cases,
+    both documented rather than fatal: (a) a frame whose every column is
+    unhashable salts to the constant 0 — results stay correct, the hot
+    key just doesn't spread (same as not salting); (b) rows that are
+    exact duplicates across the hashable columns share a salt, so a hot
+    key consisting of ONE repeated row value doesn't spread either —
+    mix in a uniqueifier column (an event id, a file offset) when the
+    schema has one."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+    if not cols:
+        return F.lit(0)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame, keys: list[str], aggs: AggSpec, buckets: int = 32
 ) -> DataFrame:
@@ -77,9 +109,7 @@ def salted_agg(
 
     # content-derived salt (stable under task recompute — see module
     # docstring); spreads a hot key's rows as long as the rows differ
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)
-    ).alias("__salt")
+    salt = _salt_expr(df, buckets).alias("__salt")
 
     partial_cols = [
         _PARTIAL[fn](col).alias(f"__p_{name}") for name, (fn, col) in aggs.items()
@@ -189,12 +219,12 @@ def salted_join(
         non_null = c if non_null is None else (non_null & c)
 
     big_nn, small_nn = big.filter(non_null), small.filter(non_null)
-    # content-derived salt: stable under task recompute (module docstring)
-    row_hash = F.xxhash64(*[F.col(c) for c in big_nn.columns])
+    # content-derived salt over the hashable columns: stable under task
+    # recompute, map-typed columns skipped (see _salt_expr)
     big_salted = big_nn.withColumn(
         "__salt",
         F.when(
-            hot_pred(big_nn), F.pmod(row_hash, F.lit(buckets)).cast("int")
+            hot_pred(big_nn), _salt_expr(big_nn, buckets).cast("int")
         ).otherwise(F.lit(0)),
     )
     small_salted = small_nn.withColumn(

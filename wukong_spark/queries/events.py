@@ -1016,12 +1016,10 @@ def partitioned_scan_prune_check(spark: SparkSession, sf_dir: str):
     bucketing entry: bucketing kills the join shuffle, partitioning
     kills the scan.  Results hash-check against DuckDB filtering the
     original un-partitioned parquet."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import fs_delete, warehouse_uri
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/evt_by_type_tmp"
-    shutil.rmtree(path, ignore_errors=True)
+    path = warehouse_uri(spark, "evt_by_type_tmp")
+    fs_delete(spark, path)
     tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(path)
@@ -1304,26 +1302,22 @@ def compaction_small_files_check(spark: SparkSession, sf_dir: str):
     OPTIMIZE jobs size their output, and readers regain
     maxPartitionBytes-aligned scans afterwards."""
     import math
-    import os
-    import shutil
-    from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    small_dir, big_dir = f"{wh}/evt_small_tmp", f"{wh}/evt_compact_tmp"
+    from wukong_spark.layout import fs_delete, fs_list_files, warehouse_uri
+
+    small_dir = warehouse_uri(spark, "evt_small_tmp")
+    big_dir = warehouse_uri(spark, "evt_compact_tmp")
     for p in (small_dir, big_dir):
-        shutil.rmtree(p, ignore_errors=True)
+        fs_delete(spark, p)
     e = tbl(spark, sf_dir, "events")
     e.repartition(64).write.mode("overwrite").parquet(small_dir)
 
-    def parquet_files(path: str) -> list[str]:
-        return [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
+    def parquet_files(path: str) -> list[tuple[str, int]]:
+        # Hadoop-FS listing (layout.py): (name, bytes) pairs, any scheme
+        return fs_list_files(spark, path, suffix=".parquet")
 
     small_files = parquet_files(small_dir)
-    total_bytes = sum(os.path.getsize(f) for f in small_files)
+    total_bytes = sum(sz for _, sz in small_files)
     target = max(1, math.ceil(total_bytes / (4 * 1024 * 1024)))
     spark.read.parquet(small_dir).repartition(target).write.mode(
         "overwrite"
@@ -1479,12 +1473,10 @@ def schema_evolution_check(spark: SparkSession, sf_dir: str):
     cost over file metadata only; the data files are never rewritten —
     the alternative (rewrite the corpus on every column add) is exactly
     what evolution-on-read exists to avoid."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import fs_delete, warehouse_uri
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/orders_evolved_tmp"
-    shutil.rmtree(path, ignore_errors=True)
+    path = warehouse_uri(spark, "orders_evolved_tmp")
+    fs_delete(spark, path)
     o = tbl(spark, sf_dir, "orders")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -1533,16 +1525,14 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
     pushdown/pruning — this entry exists because ingest corpora arrive
     as CSV/JSONL anyway, and the fidelity contract is what lets the
     pipeline normalize them to parquet once and trust it."""
-    import shutil
-    from urllib.parse import urlparse
-
+    from wukong_spark.layout import fs_delete, warehouse_uri
     from wukong_spark.sources import read_any
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    csv_dir, json_dir = f"{wh}/evt_csv_tmp", f"{wh}/evt_json_tmp"
-    orc_dir = f"{wh}/evt_orc_tmp"
+    csv_dir = warehouse_uri(spark, "evt_csv_tmp")
+    json_dir = warehouse_uri(spark, "evt_json_tmp")
+    orc_dir = warehouse_uri(spark, "evt_orc_tmp")
     for p in (csv_dir, json_dir, orc_dir):
-        shutil.rmtree(p, ignore_errors=True)
+        fs_delete(spark, p)
     e = tbl(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -1630,12 +1620,10 @@ def csv_malformed_ingest_check(spark: SparkSession, sf_dir: str):
     100 TB path: permissive parse is map-side; the quarantine column
     prunes away when unselected, and the bad-row lane is what feeds a
     dead-letter sink instead of failing a 12-hour job."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import fs_delete, warehouse_uri
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/csv_malformed_tmp"
-    shutil.rmtree(path, ignore_errors=True)
+    path = warehouse_uri(spark, "csv_malformed_tmp")
+    fs_delete(spark, path)
     n = 2000
     lines = spark.range(0, n, 1, 4).select(
         F.when(

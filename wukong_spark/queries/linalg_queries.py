@@ -551,9 +551,14 @@ def la_sparse_matmul_check(spark: SparkSession, sf_dir: str):
     Contracts: total nnz and the grand total of C (both exact integers —
     the nonzeros are integers 1..9, so every partial product and sum is
     an exact float64 integer), plus matches_dense — the SAME masked
-    operands pushed through the DENSE BlockMatrix.matmul path and
-    subtracted block-by-block must agree to exactly 0.0 (two independent
-    distributed algorithms, integer arithmetic, no tolerance)."""
+    operands pushed through the DENSE BlockMatrix.matmul path must agree
+    three ways (two independent distributed algorithms, integer
+    arithmetic, no tolerance): (a) block-by-block subtract exactly 0.0,
+    (b) the dense product's INDEPENDENTLY computed nnz equals the sparse
+    nnz, and (c) its grand total equals the sparse total.  (b)/(c) are
+    computed from the dense path alone, so a block the sparse matmul
+    wrongly OMITTED — invisible to the inner-join subtract, which drops
+    unpaired blocks — still fails the referee (ADVICE r11 low)."""
     from wukong_spark.sparse import SparseBlockMatrix
 
     a = BlockMatrix.random(spark, 512, 384, 128, 96, seed=73)
@@ -571,12 +576,28 @@ def la_sparse_matmul_check(spark: SparkSession, sf_dir: str):
     c.df.persist()  # read by nnz, sum, and the dense comparison
     nnz = c.nnz()
     total = c.sum()
-    err = c.to_dense().subtract(ma.matmul(mb)).max_abs()
+    dense = ma.matmul(mb)
+    dense.df.persist()  # read by the subtract, dense-nnz, and dense-total
+    err = c.to_dense().subtract(dense).max_abs()
+    # dense-path-only structural contracts: indicator sums are exact
+    # integer-valued float64 (< 2^53), order-independent
+    nnz_dense = int(
+        round(
+            float(
+                dense.map_elementwise(lambda blk: (blk != 0).astype(np.float64))
+                .col_sums()
+                .sum()
+            )
+        )
+    )
+    total_dense = int(round(float(dense.col_sums().sum())))
+    dense.df.unpersist()
     c.df.unpersist()
     ma.df.unpersist()
     mb.df.unpersist()
+    matches = bool(err == 0.0) and nnz == nnz_dense and int(total) == total_dense
     return spark.createDataFrame(
-        [(int(nnz), int(total), bool(err == 0.0))],
+        [(int(nnz), int(total), matches)],
         "nnz bigint, total_sum bigint, matches_dense boolean",
     )
 

@@ -566,8 +566,7 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
     forever after.  Result: revenue per order priority in exact integer
     cents, hash-checked against DuckDB running the same join on the
     original parquet."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import drop_managed_table
 
     o = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -575,15 +574,11 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    # DROP TABLE only clears THIS session's in-memory catalog; a previous
-    # session's managed-table directory survives in the warehouse and
-    # fails the next saveAsTable with LOCATION_ALREADY_EXISTS.  Local
-    # mode: clear the leftover locations too.  (A real cluster has a
-    # persistent metastore, where DROP TABLE removes the location.)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # Hadoop-FS cleanup (layout.py — object-store-safe): DROP TABLE only
+    # clears this session's in-memory catalog; the leftover managed-table
+    # location would fail the next saveAsTable with LOCATION_ALREADY_EXISTS
     for t in ("bkt_orders_tmp", "bkt_lineitem_tmp"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        drop_managed_table(spark, t)
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
@@ -654,12 +649,10 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
     of row groups and re-reading a whole sorted table for a needle
     lookup.  Counts/sums hash-check against DuckDB on the original
     parquet."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import fs_delete, warehouse_uri
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/li_rowgroup_tmp"
-    shutil.rmtree(path, ignore_errors=True)
+    path = warehouse_uri(spark, "li_rowgroup_tmp")
+    fs_delete(spark, path)
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.to_date("l_shipdate").alias("ship_date"),
@@ -755,12 +748,10 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
     cost of sharing the curve — and ~23 % for the suppkey range that a
     linear layout reads in full).  Exact counts/sums hash-check against
     DuckDB on the original parquet."""
-    import shutil
-    from urllib.parse import urlparse
+    from wukong_spark.layout import fs_delete, warehouse_uri
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/li_zorder_tmp"
-    shutil.rmtree(path, ignore_errors=True)
+    path = warehouse_uri(spark, "li_zorder_tmp")
+    fs_delete(spark, path)
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
     )

@@ -265,6 +265,44 @@ def sessionize_stream(
     )
 
 
+def _stream_key_lanes(keys: list[str], n_buckets: int) -> list:
+    """Plan-side (JVM) hash lanes for sketch-gated streaming dedup:
+    `__h1`/`__h2` (two independently seeded xxhash64 lanes over the key
+    tuple) plus `__bucket` (a third seed, so the bucket residue cannot
+    restrict the probe positions when n_buckets and n_bits share powers
+    of two).
+
+    Each key column is interleaved with its `isnull` flag: Spark's
+    xxhash64 SKIPS null inputs in its fold, so without the flags
+    ('a', NULL) and (NULL, 'a') would hash identically; the non-null
+    boolean flags pin every value to its position.  Computing the lanes
+    in the plan keeps the hashed bytes exactly the column's JVM value —
+    no Arrow float64 promotion, no str() rendering, no NULL/'None'
+    collision (ADVICE r11 medium)."""
+    parts: list = []
+    for c in keys:
+        parts.append(F.col(c))
+        parts.append(F.isnull(c))
+    return [
+        F.xxhash64(F.lit("wukong:lane1"), *parts).alias("__h1"),
+        F.xxhash64(F.lit("wukong:lane2"), *parts).alias("__h2"),
+        F.pmod(
+            F.xxhash64(F.lit("wukong:bucket"), *parts), F.lit(n_buckets)
+        ).alias("__bucket"),
+    ]
+
+
+def _lanes_from_batch(batch) -> tuple:
+    """(h1, h2) uint64 arrays from the plan-side lane columns; h2 is
+    forced odd so Kirsch–Mitzenmacher double hashing never degenerates
+    (the membership._hash2_series rule)."""
+    import numpy as np
+
+    h1 = batch["__h1"].to_numpy(np.int64).astype(np.uint64)
+    h2 = batch["__h2"].to_numpy(np.int64).astype(np.uint64) | np.uint64(1)
+    return h1, h2
+
+
 def bloom_dedup_stream(
     events: DataFrame,
     keys: list[str],
@@ -294,15 +332,21 @@ def bloom_dedup_stream(
     100 TB path: state is n_buckets · n_bits/8 bytes TOTAL, chosen up
     front — a billion-key stream carries the same state as a
     thousand-key one; the probe/insert is one Arrow batch of numpy per
-    micro-batch per bucket.  Hash lanes come from
-    `operators.membership._hash2_series` (blake2b on the composite key
-    string), the same build/probe-stable lanes as the batch Bloom.
+    micro-batch per bucket.  Hash lanes are computed PLAN-SIDE
+    (`_stream_key_lanes`: two seeded `xxhash64` columns over the key
+    tuple + per-key null flags), so the key bytes the Bloom sees never
+    cross the Arrow boundary at all — a null-carrying int64 micro-batch
+    used to promote the key column to float64 and render '5.0' vs '5'
+    across batches, re-emitting the key (ADVICE r11 medium; the same
+    promotion trap membership._key_cols closes for the batch Bloom).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from wukong_spark.operators.membership import _hash2_series, _positions
+    from wukong_spark.operators.membership import _positions
+
+    from wukong_spark.operators.membership import _INTEGRAL_SPARK_TYPES
 
     out_fields = [
         (f.name, f.dataType.simpleString())
@@ -312,10 +356,28 @@ def bloom_dedup_stream(
     out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
     state_bytes = n_bits // 8
 
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_buckets)
-    ).alias("__bucket")
-    src = events.select(*keys, bucket)
+    # integral key columns ship as (coalesce(col,0) bigint, isnull flag)
+    # pairs — the membership._key_cols pattern — because the EMITTED
+    # values must survive Arrow too: a null-carrying int64 batch arrives
+    # float64 and would round keys past 2^53 on output even with exact
+    # plan-side hash lanes
+    int_keys = {n for n, t in out_fields if t in _INTEGRAL_SPARK_TYPES}
+    proj = [F.col(n) for n, _ in out_fields if n not in int_keys]
+    for c in int_keys:
+        proj.append(F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"__v_{c}"))
+        proj.append(F.isnull(c).alias(f"__f_{c}"))
+    src = events.select(*proj, *_stream_key_lanes(keys, n_buckets))
+
+    def emit(kept: "pd.DataFrame") -> "pd.DataFrame":
+        data = {}
+        for n, _ in out_fields:
+            if n in int_keys:
+                col = kept[f"__v_{n}"].astype(object)
+                col[kept[f"__f_{n}"].to_numpy(bool)] = None
+                data[n] = col
+            else:
+                data[n] = kept[n]
+        return pd.DataFrame(data)
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -325,23 +387,24 @@ def bloom_dedup_stream(
         else:
             bits = np.zeros(state_bytes, np.uint8)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # exact within-batch dedup (order-free: the kept KEY SET is what
-        # matters, and it equals the batch's distinct keys)
-        batch = batch.drop_duplicates(subset=keys, ignore_index=True)
+        # within-batch dedup on the 128-bit lane pair (order-free: the
+        # kept KEY SET is what matters); a pair collision merges two
+        # distinct keys with probability ~n²/2⁻¹²⁸ — far below the
+        # Bloom's own false-positive budget, and dtype-exact where raw
+        # key columns are not (two >2⁵³ int64 keys in a null-carrying
+        # batch arrive as the SAME float64)
+        batch = batch.drop_duplicates(subset=["__h1", "__h2"], ignore_index=True)
         if len(batch):
-            comp = batch[keys[0]].astype(str)
-            for c in keys[1:]:
-                comp = comp + "\x1f" + batch[c].astype(str)
-            h1, h2 = _hash2_series(comp, integral=False)
+            h1, h2 = _lanes_from_batch(batch)
             pos = _positions(h1, h2, n_bits, k)  # (n, k)
             seen = (
                 (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
             ).all(axis=1)
             flat = pos[~seen].ravel()
             np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
-            out = batch.loc[~seen, [n for n, _ in out_fields]]
+            out = emit(batch.loc[~seen])
         else:
-            out = batch[[n for n, _ in out_fields]]
+            out = emit(batch)
         state.update((bits.tobytes(),))
         if len(out):
             yield out
