@@ -579,6 +579,63 @@ def test_pagerank_bucketed_edge_join_no_edge_exchange(spark):
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
 
 
+def test_cc_bucketed_edge_join_no_edge_exchange(spark):
+    """graph_cc_bucketed_check (r12, VERDICT r11 #1): with the doubled
+    edge set written bucketed+sorted by `b` (the label-lookup column),
+    an iteration's edges⋈labels join must read the bucketed scan
+    DIRECTLY — every Exchange in the relay plan keys on `node` (the
+    label side / min-agg); no hashpartitioning(b...) may appear,
+    because that would be the per-iteration edge shuffle the bucketing
+    exists to remove (the plain connected_components re-exchanges the
+    edge set every round since labels' partitioning dies at the
+    localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.layout import drop_managed_table
+
+    table = "bkt_cc_edges_pin"
+    drop_managed_table(spark, table)
+    # ring graph over 300 nodes, doubled, as connected_components_bucketed
+    # lays it out
+    e0 = spark.range(0, 300).select(
+        F.col("id").alias("a"), ((F.col("id") + 1) % 300).alias("b")
+    )
+    both = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    both.distinct().write.mode("overwrite").bucketBy(8, "b").sortBy(
+        "b"
+    ).saveAsTable(table)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        adj = spark.table(table)
+        labels = spark.range(0, 300).select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+        via_nbr = adj.join(labels, adj.b == labels.node).select(
+            F.col("a").alias("node"), "component"
+        )
+        relay = (
+            labels.select("node", "component")
+            .union(via_nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        plan = plans.formatted_plan(relay)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # the edge side never exchanges: every exchange keys on node
+        assert "hashpartitioning(b" not in plan, plan
+        ex_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+        assert ex_lines and all("node" in ln for ln in ex_lines), plan
+        assert not plans.has_cartesian(plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_managed_table(spark, table)
+
+
 def test_global_row_number_no_single_partition(spark):
     """global_row_number_check (r11): the numbering plan must contain NO
     Exchange SinglePartition — the whole point vs the naive global

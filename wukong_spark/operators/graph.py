@@ -87,12 +87,102 @@ def connected_components(
     return labels
 
 
+def connected_components_bucketed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    table: str = "bkt_cc_edges",
+    buckets: int = 8,
+) -> DataFrame:
+    """`connected_components` with the DOUBLED edge set written ONCE as a
+    bucket layout on the join column (VERDICT r11 #1: the
+    pagerank_bucketed lever applied to CC — the engine behind near-dup
+    clustering, SemDeDup verdicts, and the cross-modal pipeline).
+
+    The plain variant re-exchanges the persisted edge set every round:
+    each iteration is a fresh query, labels' partitioning dies at the
+    localCheckpoint, and the planner re-shuffles BOTH join sides.  Here
+    the doubled, deduped edge set is written bucketed + sorted by `b`
+    (the label-lookup column), so every round's edges⋈labels join reads
+    the bucketed scan with NO edge-side exchange — only (node, label)
+    pairs move.  Label init is also exchange-free: distinct over the
+    bucketed column.  Reference analogue: iterative-job Lambda reuse
+    (`Static Scheduler/wukong/scheduler.py:2794-2848`) — pay setup once,
+    iterate against warm state.
+
+    100 TB path: per round the shuffles carry (node, component) pairs —
+    linear in nodes — plus the relay output's min-agg; the edge set (the
+    100 TB part) never moves again after the one bucketed write.  Same
+    convergence contract as `connected_components` (RuntimeError past
+    max_iter; partial labels are wrong labels)."""
+    from wukong_spark.layout import drop_managed_table
+    from wukong_spark.session import release_checkpoint as _release
+
+    spark = edges.sparkSession
+    drop_managed_table(spark, table)
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    (
+        both.distinct()
+        .write.mode("overwrite")
+        .bucketBy(buckets, "b")
+        .sortBy("b")
+        .saveAsTable(table)
+    )
+    adj = spark.table(table)
+
+    # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED column
+    # satisfies clustering straight off the scan (no exchange)
+    labels = (
+        adj.select(F.col("b").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        via_nbr = (
+            adj.join(labels, adj.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(via_nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        _release(labels)
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_bucketed did not converge within {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter"
+        )
+    return labels
+
+
 def pagerank_bucketed(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
     table: str = "bkt_pagerank_edges",
     buckets: int = 8,
+    handle_dangling: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """Damped PageRank whose per-iteration edges⋈ranks join needs NO
     exchange on the edge side (VERDICT r10 #2: the bucketed_join_check
@@ -109,16 +199,36 @@ def pagerank_bucketed(
     analogue of the reference reusing warm Lambdas for iterative jobs
     (`Static Scheduler/wukong/scheduler.py:2794-2848`).
 
-    Assumes every node has out-degree ≥ 1 (true for an undirected edge
-    list passed in both directions) — no dangling-mass correction.
+    Default mode (`handle_dangling=False`) assumes every node has
+    out-degree ≥ 1 (true for an undirected edge list passed in both
+    directions).  With `handle_dangling=True` (r12, VERDICT r11 #3) the
+    recurrence is the COMPLETE one for directed graphs with sinks:
+
+        r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)/deg(u) + m/N )
+
+    where m = Σ_{deg(u)=0} r(u) is the dangling mass, redistributed
+    uniformly — the standard teleport treatment, and what keeps
+    Σ r(v) = 1 each iteration (a random surfer on a sink jumps anywhere).
+    Per iteration the correction costs ONE scalar aggregation over the
+    precomputed dangling-node set plus a left join against the node
+    list; nodes with no in-edges now receive their (1−d)/N + d·m/N
+    share instead of vanishing from the result.
+
+    `tol` adds an L1 convergence stop: iterate until
+    Σ|r'(v) − r(v)| < tol (checked each round, one extra scalar agg),
+    capped at `iters` rounds — the production shape, vs the fixed
+    oracle-replayable iteration count the check entries use.
+
     `table` is left in the warehouse: paying the layout once and
     reusing it IS the point; callers that want cleanup drop it.
 
     100 TB path: per iteration the shuffles carry (node, rank) pairs —
     linear in the node count — while the edge set (the 100 TB part)
-    never moves again after the bucketed write.
+    never moves again after the bucketed write; the dangling/delta
+    checks are scalar-only driver traffic.
     """
     from wukong_spark.layout import drop_managed_table
+    from wukong_spark.session import release_checkpoint as _release
 
     spark = edges.sparkSession
     # Hadoop-FS cleanup (layout.py): works for file:/hdfs:/s3a: warehouses
@@ -135,15 +245,74 @@ def pagerank_bucketed(
         .saveAsTable(table)
     )
     adj = spark.table(table)
-    # bucket layout satisfies the groupBy clustering: no exchange here
-    nodes = adj.select("src").distinct()
+
+    if not handle_dangling:
+        # undirected input: src column covers every node, and the bucket
+        # layout satisfies the distinct's clustering (no exchange here)
+        nodes = adj.select("src").distinct()
+        n = nodes.count()
+        ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+        for _ in range(iters):
+            contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+                F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c")
+            )
+            ranks = contrib.groupBy("node").agg(
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
+            )
+        return ranks
+
+    # directed graph with sinks: the node universe is src ∪ dst, and the
+    # dangling set (no out-edges) is computed once up front
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
-    ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    dangling = nodes.join(
+        adj.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint(
+        eager=True
+    )
     for _ in range(iters):
-        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
-            F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c")
+        # dangling mass this round: one 1-row scalar job
+        m_row = dangling.join(ranks, "node").agg(F.sum("r")).collect()[0][0]
+        m = float(m_row) if m_row is not None else 0.0
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
         )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(m / n))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+                .collect()[0][0]
+            )
+            _release(ranks)
+            ranks = new_ranks
+            if delta is not None and float(delta) < tol:
+                break
+        else:
+            _release(ranks)
+            ranks = new_ranks
+    _release(nodes)
+    _release(dangling)
     return ranks
