@@ -819,6 +819,69 @@ def stream_bloom_dedup_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "stream_bloom_rotating_check",
+    # a key emits in epoch (day) e iff it did not occur in day e-1, at
+    # most once per day — the within-watermark dedup contract the
+    # rotating two-generation Bloom implements
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch
+      FROM events
+    )
+    SELECT a.user_id, a.event_type, a.epoch
+    FROM t a LEFT JOIN t b
+      ON b.user_id = a.user_id AND b.event_type = a.event_type
+     AND b.epoch = a.epoch - 1
+    WHERE b.epoch IS NULL
+    """,
+)
+def stream_bloom_rotating_check(spark: SparkSession, sf_dir: str):
+    """GENERATIONAL streaming Bloom dedup (r12, VERDICT r11 #4) — the
+    `dropDuplicatesWithinWatermark` contract at O(bits) state over an
+    UNBOUNDED stream: `streaming.bloom_dedup_rotating_stream` rotates
+    two Bloom generations per bucket keyed to event-time day number
+    (probe both, insert current, retire the older when the epoch
+    advances), so state stays a fixed 2 × 4 Mbit per bucket while the
+    FP rate is STATIONARY — the eternal single Bloom of
+    `stream_bloom_dedup_check` degrades monotonically as keys
+    accumulate; this is the production shape for a stream with no end.
+
+    Parity contract vs the batch anti-join: a (user_id, event_type)
+    emits on day e iff it did not occur on day e−1 (30 day-epochs in
+    the events table, so the retire path cycles 29 times).  In-epoch
+    exactly-once and cross-epoch suppression are structural
+    (no-false-negative Bloom probes over both live generations); a
+    false positive would need ~(7·270/4M)⁷ ≈ 1e-25 — far below the
+    driver-regen noise floor.  State size is pinned constant across
+    epoch advances in tests/test_streaming.py."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        bloom_dedup_rotating_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_bloomrot_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+        d = bloom_dedup_rotating_stream(
+            ev,
+            ["user_id", "event_type"],
+            epoch=F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
+        )
+        rows = run_to_memory(d, sink, mode="update").collect()
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, epoch long"
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
     "stream_interval_join_clicks",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,

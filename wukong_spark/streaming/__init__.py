@@ -416,3 +416,154 @@ def bloom_dedup_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_dedup_rotating_stream(
+    events: DataFrame,
+    keys: list[str],
+    epoch: "F.Column",
+    n_bits: int = 1 << 22,
+    k: int = 7,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """GENERATIONAL Bloom-gated streaming dedup (r12, VERDICT r11 #4):
+    the `dropDuplicatesWithinWatermark` CONTRACT at O(bits) state over
+    an UNBOUNDED stream.  `bloom_dedup_stream` carries one eternal Bloom
+    per bucket — bounded memory, but its false-positive rate degrades
+    monotonically as distinct keys accumulate forever.  Here each bucket
+    carries TWO Bloom epochs (current + previous) keyed to event time:
+    a row probes both, inserts into the current, and when event time
+    advances an epoch the OLDER Bloom retires (previous ← current,
+    current ← zeros), so the sketch only ever holds ~2 epochs of keys
+    and the FP rate is stationary no matter how long the stream runs.
+
+    Emission contract: a key emits in epoch e iff it did not occur in
+    epoch e−1 (and at most once per epoch) — i.e. duplicates are
+    suppressed within a horizon of one-to-two epoch widths, exactly the
+    within-watermark dedup shape.  `epoch` is a caller-supplied integer
+    Column over event time (e.g. day number) — computed PLAN-side so it
+    is exact and SQL-mirrorable.
+
+    Batch rows are processed in epoch order (stable sort inside the
+    micro-batch), so a single availableNow batch replays deterministically
+    regardless of file split; across micro-batches, a LATE row from
+    epoch current−1 still probes both generations and inserts into its
+    own (previous) Bloom — best-effort suppression — while rows older
+    than that are dropped, the same discard `dropDuplicatesWithinWatermark`
+    applies past the watermark.
+
+    100 TB path: state is n_buckets · 2 · n_bits/8 bytes + one epoch
+    long TOTAL, fixed up front and INDEPENDENT of stream length — the
+    property the non-rotating variant lacks; the probe/insert stays one
+    vectorized numpy pass per micro-batch per bucket.  Hash lanes are
+    plan-side (`_stream_key_lanes`) with the same null-flag/int64
+    dtype-exactness guarantees as `bloom_dedup_stream`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from wukong_spark.operators.membership import (
+        _INTEGRAL_SPARK_TYPES,
+        _positions,
+    )
+
+    out_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in events.schema.fields
+        if f.name in keys
+    ]
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields) + ", epoch bigint"
+    state_bytes = n_bits // 8
+
+    int_keys = {n for n, t in out_fields if t in _INTEGRAL_SPARK_TYPES}
+    proj = [F.col(n) for n, _ in out_fields if n not in int_keys]
+    for c in int_keys:
+        proj.append(F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"__v_{c}"))
+        proj.append(F.isnull(c).alias(f"__f_{c}"))
+    src = events.select(
+        *proj,
+        epoch.cast("bigint").alias("__epoch"),
+        *_stream_key_lanes(keys, n_buckets),
+    )
+
+    def emit(kept: "pd.DataFrame") -> "pd.DataFrame":
+        data = {}
+        for n, _ in out_fields:
+            if n in int_keys:
+                col = kept[f"__v_{n}"].astype(object)
+                col[kept[f"__f_{n}"].to_numpy(bool)] = None
+                data[n] = col
+            else:
+                data[n] = kept[n]
+        data["epoch"] = kept["__epoch"].astype("int64")
+        return pd.DataFrame(data)
+
+    def _probe_insert(bits_list, ins, batch, n_bits, k):
+        """Vectorized probe of every generation in bits_list; unseen rows
+        are returned for emission.  EVERY row inserts into `ins` (its
+        epoch's generation) — a row suppressed by the PREVIOUS generation
+        must still record its occurrence in the current one, or the key
+        would wrongly re-emit next epoch (occurrence recording is
+        complete; emission is what the probe gates)."""
+        h1, h2 = _lanes_from_batch(batch)
+        pos = _positions(h1, h2, n_bits, k)  # (n, k)
+        seen = np.zeros(len(batch), bool)
+        for bits in bits_list:
+            seen |= (
+                (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            ).all(axis=1)
+        flat = pos.ravel()
+        np.bitwise_or.at(ins, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+        return batch.loc[~seen]
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cur_epoch, cur_blob, prev_blob = state.get
+            assert len(cur_blob) == state_bytes, "Bloom state must be fixed-size"
+            assert len(prev_blob) == state_bytes, "Bloom state must be fixed-size"
+            cur = np.frombuffer(cur_blob, np.uint8).copy()
+            prev = np.frombuffer(prev_blob, np.uint8).copy()
+        else:
+            cur_epoch = None
+            cur = np.zeros(state_bytes, np.uint8)
+            prev = np.zeros(state_bytes, np.uint8)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # within-batch dedup on (epoch, 128-bit lane pair): the kept set
+        # per epoch is what matters (same rationale as bloom_dedup_stream)
+        batch = batch.drop_duplicates(
+            subset=["__epoch", "__h1", "__h2"], ignore_index=True
+        )
+        outs = []
+        # stable epoch-order replay: a single availableNow batch is
+        # deterministic no matter how the source files split
+        batch = batch.sort_values("__epoch", kind="stable")
+        for e, grp in batch.groupby("__epoch", sort=True):
+            e = int(e)
+            if cur_epoch is None:
+                cur_epoch = e
+            if e > cur_epoch:
+                if e == cur_epoch + 1:
+                    prev, cur = cur, np.zeros(state_bytes, np.uint8)
+                else:  # a whole epoch gap: both generations expire
+                    prev = np.zeros(state_bytes, np.uint8)
+                    cur = np.zeros(state_bytes, np.uint8)
+                cur_epoch = e
+            if e == cur_epoch:
+                kept = _probe_insert([cur, prev], cur, grp, n_bits, k)
+            elif e == cur_epoch - 1:  # late row: its generation still lives
+                kept = _probe_insert([cur, prev], prev, grp, n_bits, k)
+            else:  # older than the horizon: dropped, like past-watermark rows
+                continue
+            if len(kept):
+                outs.append(emit(kept))
+        state.update((int(cur_epoch or 0), cur.tobytes(), prev.tobytes()))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return src.groupBy("__bucket").applyInPandasWithState(
+        update,
+        out_schema,
+        "cur_epoch bigint, cur binary, prev binary",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
