@@ -1808,3 +1808,100 @@ def text_distribution_drift(spark: SparkSession, sf_dir: str):
         )
         .orderBy("token")
     )
+
+
+@query(
+    "text_boilerplate_mine",
+    # same shingling replayed in SQL: token trigrams per position,
+    # doc-frequency >= 5 is "boilerplate", per-doc coverage in integer ppm
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), heavy AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle
+      ) WHERE nd >= 5
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), b AS (
+      SELECT s.doc_id, COUNT(*) AS n_boiler
+      FROM sh s JOIN heavy h USING (shingle) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_shingles, 0) AS n_shingles,
+           COALESCE(b.n_boiler, 0) AS n_boiler,
+           CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN 0
+                ELSE (COALESCE(b.n_boiler, 0) * 1000000) // t.n_shingles
+           END AS boiler_ppm
+    FROM documents d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_boilerplate_mine(spark: SparkSession, sf_dir: str):
+    """CORPUS-LEVEL repeated-n-gram (boilerplate) mining (r12, VERDICT
+    r11 #6) — the RefinedWeb/CCNet pass the registry lacked: within-doc
+    repetition (`text_repetition_filter`) and whole-doc/segment dedup
+    exist, but headers, footers, and license blurbs repeat ACROSS
+    documents without making any single doc a duplicate.  Shape:
+    token-trigram shingles per position → doc-frequency count (one
+    keyed groupBy — the ONLY shuffle that scales with the corpus) →
+    the heavy set (df ≥ 5 docs) broadcast back → per-doc coverage.
+
+    No all-pairs anything: docs never meet docs; each doc's shingles
+    meet only the broadcast heavy set (a left-semi hash probe).  At
+    100 TB the (shingle, doc_id) exchange is the cost — linear in
+    corpus tokens and AQE-splittable on skewed shingles — while the
+    heavy set stays tiny BY CONSTRUCTION (a shingle needs ≥5 distinct
+    docs; natural text keeps that set ~1e-4 of shingle space; the CMS
+    heavy-hitter sketch in operators/membership.py is the
+    approximate-first-pass variant when even one exact count pass is
+    too dear).  Output is integer-exact: per-doc shingle totals,
+    boilerplate-position counts, and coverage in integer ppm."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # Spark sequence(1, n-2) DESCENDS when n-2 < 1 — guard short docs
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+        ).alias("shingle"),
+    )
+    heavy = (
+        shingled.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 5)
+        .select("shingle")
+    )
+    tot = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler = (
+        shingled.join(F.broadcast(heavy), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("coalesce(n_boiler, 0) * 1000000 div n_shingles")
+            )
+            .alias("boiler_ppm"),
+        )
+        .orderBy("doc_id")
+    )
