@@ -628,6 +628,7 @@ def _gen_ratings(spark: SparkSession, n_users: int, n_items: int):
 
 @query(
     "ml_als_check",
+    headline=True,
     oracle=(
         "SELECT TRUE AS user_grad_zero, TRUE AS objective_monotonic,"
         " TRUE AS beats_mean_baseline, 200 AS n_users, 100 AS n_items,"

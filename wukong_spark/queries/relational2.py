@@ -813,6 +813,7 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "skew_salted_join_check",
+    headline=True,
     oracle="""
     WITH big AS (
       SELECT CASE WHEN l_orderkey % 3 < 2 THEN 0

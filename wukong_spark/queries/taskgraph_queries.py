@@ -240,6 +240,7 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "graph_pagerank_bucketed_check",
+    headline=True,
     # identical oracle to graph_pagerank_check: the bucketed layout may
     # change ONLY the physical plan, never a rank value
     oracle="""
