@@ -320,6 +320,91 @@ def softmax_fit_newton(
     return w[:-1], np.asarray(w[-1])
 
 
+def kfold_ridge(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    fold_col: str = "fold",
+    l2: float = 0.0,
+) -> list[dict]:
+    """ONE-PASS k-fold ridge cross-validation for d-dimensional features
+    (r12, VERDICT r11 #8 — the d=1 `ml_kfold_cv_check`
+    sufficient-statistics trick generalized via Gramian partials).
+
+    Each Arrow batch accumulates, PER FOLD, the augmented Gramian
+    M_f = Zᵀ Z where Z = [X | 1 | y] — a single (d+2)×(d+2) symmetric
+    block holding XᵀX, Xᵀy, yᵀy, and n together.  Training statistics
+    for fold f are exact matrix subtraction M_total − M_f, so all k
+    models cost ONE data pass (never k rescans); the k small
+    (d+1)×(d+1) ridge solves and the held-out MSE (a quadratic form in
+    the SAME statistics — no scoring pass either) run on the driver.
+
+    Driver traffic: k × partitions blocks of (d+2)² doubles —
+    independent of row count, the `linreg_fit_normal` scaling story.
+    The intercept is appended and never penalized.
+
+    Returns one dict per fold: {fold, n_train, n_val, weights (d,),
+    intercept, val_mse}, sorted by fold.
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accum: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for fold, sub in pdf.groupby(fold_col):
+                x = np.vstack(sub[features_col].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                z = np.hstack(
+                    [
+                        x,
+                        np.ones((len(x), 1)),
+                        sub[label_col].to_numpy(dtype=np.float64)[:, None],
+                    ]
+                )
+                m = z.T @ z
+                key = int(fold)
+                accum[key] = m if key not in accum else accum[key] + m
+        for fold, m in accum.items():
+            yield pd.DataFrame(
+                {"fold": [fold], "d": [m.shape[0]], "p": [m.tobytes()]}
+            )
+
+    rows = df.select(fold_col, features_col, label_col).mapInPandas(
+        partials, "fold long, d int, p binary"
+    ).collect()
+    if not rows:
+        raise ValueError("kfold_ridge: empty input")
+    d2 = rows[0].d  # d + 2 (intercept + label)
+    per: dict[int, np.ndarray] = {}
+    for row in rows:
+        m = np.frombuffer(row.p).reshape(d2, d2)
+        per[row.fold] = m if row.fold not in per else per[row.fold] + m
+    total = sum(per.values())
+    d1 = d2 - 1  # features + intercept
+    reg = np.eye(d1) * l2
+    reg[-1, -1] = 0.0  # never shrink the intercept
+    out = []
+    for fold in sorted(per):
+        tr = total - per[fold]
+        beta = np.linalg.solve(tr[:d1, :d1] + reg, tr[:d1, d1])
+        v = per[fold]
+        n_val = v[d1 - 1, d1 - 1]  # 1ᵀ1 of the intercept column
+        mse = (v[d1, d1] + beta @ v[:d1, :d1] @ beta - 2.0 * beta @ v[:d1, d1]) / n_val
+        out.append(
+            {
+                "fold": fold,
+                "n_train": int(round(tr[d1 - 1, d1 - 1])),
+                "n_val": int(round(n_val)),
+                "weights": beta[:-1],
+                "intercept": float(beta[-1]),
+                "val_mse": float(mse),
+            }
+        )
+    return out
+
+
 def make_classification_blocks(
     spark,
     n_samples: int,

@@ -724,3 +724,163 @@ def ml_als_check(spark: SparkSession, sf_dir: str):
         " beats_mean_baseline boolean, n_users int, n_items int,"
         " n_factors int",
     )
+
+
+# --- k-fold ridge CV (d=2 + intercept), shared Cramer/MSE formula text ---
+# The EXACT same strings feed the Spark selectExpr stages and the DuckDB
+# oracle, so the fixed IEEE op sequence is identical in both engines and
+# the round-6 doubles hash bit-for-bit (the ml_kfold_cv_check discipline
+# lifted to a 3x3 system solved by Cramer's rule).
+_KR_TRAIN = (
+    "CAST(ts11 - s11 AS DOUBLE) + 1000.0 AS m11,"
+    " CAST(ts12 - s12 AS DOUBLE) AS m12,"
+    " CAST(ts1 - s1 AS DOUBLE) AS m13,"
+    " CAST(ts22 - s22 AS DOUBLE) + 1000.0 AS m22,"
+    " CAST(ts2 - s2 AS DOUBLE) AS m23,"
+    " CAST(tn - n AS DOUBLE) AS m33,"
+    " CAST(ts1y - s1y AS DOUBLE) AS v1,"
+    " CAST(ts2y - s2y AS DOUBLE) AS v2,"
+    " CAST(tsy - sy AS DOUBLE) AS v3,"
+    " tn - n AS n_train"
+)
+_KR_DETS = (
+    "m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13)"
+    " + m13*(m12*m23 - m22*m13) AS det,"
+    " v1*(m22*m33 - m23*m23) - m12*(v2*m33 - m23*v3)"
+    " + m13*(v2*m23 - m22*v3) AS det1,"
+    " m11*(v2*m33 - m23*v3) - v1*(m12*m33 - m23*m13)"
+    " + m13*(m12*v3 - v2*m13) AS det2,"
+    " m11*(m22*v3 - v2*m23) - m12*(m12*v3 - v2*m13)"
+    " + v1*(m12*m23 - m22*m13) AS det3"
+)
+_KR_MSE = (
+    "(CAST(syy AS DOUBLE) + b1*b1*CAST(s11 AS DOUBLE)"
+    " + b2*b2*CAST(s22 AS DOUBLE) + b0*b0*CAST(n AS DOUBLE)"
+    " + 2*b1*b2*CAST(s12 AS DOUBLE) + 2*b1*b0*CAST(s1 AS DOUBLE)"
+    " + 2*b2*b0*CAST(s2 AS DOUBLE) - 2*b1*CAST(s1y AS DOUBLE)"
+    " - 2*b2*CAST(s2y AS DOUBLE) - 2*b0*CAST(sy AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+)
+
+
+@query(
+    "ml_kfold_ridge_check",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS x1,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS x2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    xy AS (
+      SELECT li.l_orderkey % 5 AS fold, li.x1, li.x2,
+             CAST(ROUND(o.o_totalprice) AS BIGINT) AS y
+      FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    pf AS (
+      SELECT fold, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+             SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+             SUM(y*y) AS syy
+      FROM xy GROUP BY fold
+    ),
+    tot AS (
+      SELECT SUM(n) AS tn, SUM(s1) AS ts1, SUM(s2) AS ts2,
+             SUM(s11) AS ts11, SUM(s12) AS ts12, SUM(s22) AS ts22,
+             SUM(sy) AS tsy, SUM(s1y) AS ts1y, SUM(s2y) AS ts2y
+      FROM pf
+    ),
+    tr AS (
+      SELECT fold, n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+             {_KR_TRAIN}
+      FROM pf CROSS JOIN tot
+    ),
+    dt AS (
+      SELECT fold, n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy, n_train,
+             {_KR_DETS}
+      FROM tr
+    ),
+    b AS (
+      SELECT *, det1/det AS b1, det2/det AS b2, det3/det AS b0 FROM dt
+    )
+    SELECT fold, CAST(n_train AS BIGINT) AS n_train, CAST(n AS BIGINT) AS n_val,
+           ROUND(b1, 6) AS b1_6, ROUND(b2, 6) AS b2_6, ROUND(b0, 6) AS b0_6,
+           ROUND({_KR_MSE}, 6) AS val_mse_6
+    FROM b ORDER BY fold
+    """,
+)
+def ml_kfold_ridge_check(spark: SparkSession, sf_dir: str):
+    """K-FOLD RIDGE CV for MULTIVARIATE features (r12, VERDICT r11 #8 —
+    `ml_kfold_cv_check`'s sufficient-statistics trick generalized past
+    d=1): per-order features x = (lineitem count, Σ quantity) plus an
+    unpenalized intercept, y = order total, 5 deterministic folds, ridge
+    λ=1000 — every fold's 3×3 normal-equation system solved IN-PLAN by
+    Cramer's rule whose formula text is char-identical in Spark and
+    DuckDB, so all 5 models' coefficients and held-out MSEs hash
+    bit-for-bit at round-6.
+
+    The one-pass structure is the point: per-fold integer Gramian
+    statistics (n, Σx_i, Σx_i x_j, Σx_i y, Σy, Σy²), train = total −
+    fold by EXACT bigint subtraction, and the validation MSE is a
+    quadratic form in the same statistics — 5 fits + 5 scorings, ONE
+    scan, no rescan per fold.  The general-d operator (driver-side
+    numpy solve over the same partials) is `mlops.kfold_ridge`, pinned
+    against this entry in tests/test_kfold_ridge.py.
+
+    100 TB path: one groupBy(l_orderkey), one join, one 5-row fold agg;
+    adding folds or features never adds a data pass (stats grow as
+    k·d², the data motion doesn't)."""
+    from pyspark.sql import functions as F
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("x2"),
+        )
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice")).cast("long").alias("y"),
+    )
+    xy = li.join(o, "l_orderkey").select(
+        (F.col("l_orderkey") % 5).alias("fold"), "x1", "x2", "y"
+    )
+    pf = xy.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = pf.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.sum("s11").alias("ts11"),
+        F.sum("s12").alias("ts12"),
+        F.sum("s22").alias("ts22"),
+        F.sum("sy").alias("tsy"),
+        F.sum("s1y").alias("ts1y"),
+        F.sum("s2y").alias("ts2y"),
+    )
+    keep = "fold, n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy"
+    tr = pf.crossJoin(F.broadcast(tot)).selectExpr(
+        *keep.split(", "), *_KR_TRAIN.split(", ")
+    )
+    dt = tr.selectExpr(*keep.split(", "), "n_train", *_KR_DETS.split(", "))
+    b = dt.selectExpr("*", "det1/det AS b1", "det2/det AS b2", "det3/det AS b0")
+    return b.selectExpr(
+        "fold",
+        "CAST(n_train AS BIGINT) AS n_train",
+        "CAST(n AS BIGINT) AS n_val",
+        "ROUND(b1, 6) AS b1_6",
+        "ROUND(b2, 6) AS b2_6",
+        "ROUND(b0, 6) AS b0_6",
+        f"ROUND({_KR_MSE}, 6) AS val_mse_6",
+    ).orderBy("fold")
