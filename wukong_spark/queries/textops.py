@@ -1905,3 +1905,231 @@ def text_boilerplate_mine(spark: SparkSession, sf_dir: str):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_boilerplate_strip",
+    # span-level removal replayed in SQL: every token position covered by
+    # a heavy (df>=5) trigram is dropped; surviving tokens rejoin in order
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), heavy AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle
+      ) WHERE nd >= 5
+    ), cov AS (
+      SELECT DISTINCT s.doc_id, u.p
+      FROM sh s JOIN heavy h USING (shingle),
+           UNNEST([s.i, s.i + 1, s.i + 2]) AS u(p)
+    ), kept AS (
+      SELECT tk.doc_id, tk.p, tk.tok
+      FROM (
+        SELECT doc_id, u.p AS p, t[u.p] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(p)
+      ) tk
+      LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.p = tk.p
+      WHERE c.p IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str):
+    """BOILERPLATE SPAN REMOVAL (r12) — the cleaning pass on top of
+    `text_boilerplate_mine`: every token position covered by any heavy
+    (cross-doc df ≥ 5) trigram is dropped and the survivors rejoin in
+    original order, producing the cleaned text itself (what a training
+    pipeline actually feeds downstream), not just coverage counts.
+
+    Shape: shingles carry their 1-based position; the broadcast heavy
+    set marks covered positions (explode of [i, i+1, i+2], distinct);
+    kept tokens are a LEFT ANTI join of (doc, position, token) against
+    the covered set, then an order-preserving reassembly
+    (array_sort over (p, tok) structs — p is unique per doc, so the
+    sort is total and the rebuilt string is deterministic).
+
+    100 TB path: everything is keyed on (doc_id [, p]) — shuffles are
+    linear in corpus tokens, the heavy set is broadcast, docs never
+    meet docs.  Output strings are exact, so the entry hash-verifies
+    byte-for-byte against the SQL replay."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(" ", F.slice(toks, i, 3)).alias("shingle"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.shingle")
+    heavy = (
+        shingled.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 5)
+        .select("shingle")
+    )
+    covered = (
+        shingled.join(F.broadcast(heavy), "shingle", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("i"), F.col("i") + 1, F.col("i") + 2)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("p"), "tok")
+    kept = tok_pos.join(covered, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_dsir_weights",
+    # hashed-bigram importance weights replayed in SQL: identical hash,
+    # identical Laplace smoothing, identical ln() expression text; the
+    # per-doc sum is <=64 bucket terms so cross-engine fp drift is
+    # ~1e-13 against a 1e-6 rounding grid
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))
+                  AS BIGINT) % 64 AS bucket
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM bg GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt
+    ), lw AS (
+      SELECT bucket,
+             LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+             - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)) AS lr
+      FROM cnt CROSS JOIN tot
+    ), db AS (
+      SELECT doc_id, bucket, COUNT(*) AS n FROM bg GROUP BY doc_id, bucket
+    ), w AS (
+      SELECT db.doc_id, SUM(db.n) AS n_feats,
+             SUM(CAST(db.n AS DOUBLE) * lw.lr) AS w
+      FROM db JOIN lw USING (bucket) GROUP BY db.doc_id
+    )
+    SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
+           ROUND(COALESCE(w.w, 0.0), 6) AS w_6,
+           COALESCE(ROUND(w.w, 6) > 0, FALSE) AS selected
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str):
+    """DSIR-style IMPORTANCE WEIGHTS for data selection (r12) — the
+    hashed-n-gram importance-resampling pass (Xie et al. 2023, public
+    method) a pretraining pipeline runs to up-weight raw data that looks
+    like a target domain: features are bigrams hashed into 64 buckets
+    (`md5_long % 64` — the registry's engine-portable hash), the target
+    distribution is the `lang='en'` slice, the raw distribution is the
+    whole corpus, both Laplace-smoothed; a document's log importance
+    weight is Σ_b n_db · ln(p_target(b)/q_raw(b)).
+
+    Plan shape: one (doc, bucket) count pass, one 64-row bucket table
+    (broadcast back — the model IS 64 doubles), one keyed per-doc sum.
+    No Python anywhere; at 100 TB the only corpus-sized motion is the
+    (doc_id, bucket) exchange, and `selected` (weight > 0 on the ROUNDED
+    value, so the threshold can't straddle a sub-grid fp tie) is the
+    resampling gate a pipeline would hash-sample against.
+
+    Reference scope note: data-selection is beyond the reference's own
+    operator list — added as first-class LLM-pipeline surface per the
+    build brief."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, 2)))
+                % 64,
+            )
+        ).alias("bucket"),
+    )
+    cnt = bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lw = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))"
+        " - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)) AS lr",
+    )
+    db = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        db.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n").cast("double") * F.col("lr")).alias("w"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.round(F.coalesce("w", F.lit(0.0)), 6).alias("w_6"),
+            F.coalesce(F.round("w", 6) > 0, F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
