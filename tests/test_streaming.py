@@ -401,3 +401,63 @@ def test_bloom_rotating_dedup_epochs_across_batches(spark, tmp_path):
 
     got = sorted((r["event_type"], r["epoch"]) for r in out)
     assert got == [("A", 10), ("B", 10), ("B", 12), ("C", 11), ("D", 10)]
+
+
+def test_cms_heavy_hitters_bounded_state_across_batches(spark, tmp_path):
+    """cms_heavy_hitters_stream (r12): a key whose count crosses the
+    threshold MID-STREAM emits exactly once (never again in later
+    batches), keys that only cross via accumulation ACROSS batches are
+    caught (the sketch state round-trips), sub-threshold keys never
+    emit, and state stays fixed-size every batch (in-operator asserts)."""
+    from wukong_spark.streaming import (
+        cms_heavy_hitters_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    staged = str(tmp_path / "cms_hh")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # batch 1: A x3 (crosses immediately), B x2 (accumulating), C x1
+    # batch 2: A x2 (already emitted — must NOT re-emit), B x1 (crosses
+    #          now via carried state), C x1 (still below)
+    batches = [
+        [("A", 3), ("B", 2), ("C", 1)],
+        [("A", 2), ("B", 1), ("C", 1)],
+    ]
+    import os
+
+    eid = 0
+    for i, spec in enumerate(batches):
+        rows = []
+        for key, cnt in spec:
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, 0, 0, key, 0.0, ""))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+        # pin arrival order (the file source sorts by mtime)
+        for f in os.listdir(staged):
+            p = os.path.join(staged, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e9 + i:
+                os.utime(p, (1e9 + i, 1e9 + i))
+
+    stream = read_events_dir_stream(spark, staged, max_files_per_trigger=1)
+    out = run_to_memory(
+        cms_heavy_hitters_stream(
+            stream.select("event_type"),
+            ["event_type"],
+            threshold=3,
+            width=256,
+            bloom_bits=1 << 12,
+            n_buckets=2,
+        ),
+        "cms_hh_test",
+        mode="update",
+    ).collect()
+
+    got = sorted(r["event_type"] for r in out)
+    assert got == ["A", "B"]  # A once despite 5 total; B via carry; C never

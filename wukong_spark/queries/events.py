@@ -1723,3 +1723,50 @@ def csv_malformed_ingest_check(spark: SparkSession, sf_dir: str):
         "n_good bigint, n_corrupt bigint, sum_v_good bigint,"
         " corrupt_rows_preserved boolean",
     )
+
+
+@query(
+    "stream_cms_heavy_hitters_check",
+    oracle="""
+    SELECT user_id, event_type FROM events
+    GROUP BY user_id, event_type HAVING COUNT(*) >= 18
+    """,
+)
+def stream_cms_heavy_hitters_check(spark: SparkSession, sf_dir: str):
+    """STREAMING HEAVY HITTERS with bounded sketch state (r12) — each
+    (user_id, event_type) key emits EXACTLY ONCE, the first time its
+    running total reaches 18, from
+    `streaming.cms_heavy_hitters_stream`: per-bucket state is one
+    Count-Min sketch (5×4096 int64) plus one emitted-keys Bloom, both
+    fixed size — an unbounded stream with unbounded key cardinality
+    carries O(sketch) state, never O(keys).
+
+    Parity contract vs batch HAVING COUNT(*) >= 18: the emitted key set
+    is arrival-order independent (final totals don't depend on batch
+    splits; the Bloom's no-false-negative guarantee makes emission
+    exactly-once), CMS can only over-count so no qualifying key is
+    missed, and a spurious emission needs a key colliding in all 5
+    sketch rows — width 8192 against ~1.4k keys gives
+    (1.4k/8192)⁵ ≈ 1.5e-4 per key, the membership.py sizing discipline.
+    Counts are not emitted: an estimate at crossing time is
+    split-dependent; the key set is the deterministic contract."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        cms_heavy_hitters_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_cmshh_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+        d = cms_heavy_hitters_stream(
+            ev, ["user_id", "event_type"], threshold=18, width=8192
+        )
+        rows = run_to_memory(d, sink, mode="update").collect()
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -442,3 +442,72 @@ def epoch_shuffle_check(spark: SparkSession, sf_dir: str):
         d.withColumn("k", _epoch_key(2)), "k", n_partitions=16, out_col="pos"
     ).select("doc_id", F.col("pos").alias("pos_epoch2"))
     return p1.join(p2, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "sample_mixture_rebalance",
+    # data-dependent integer rates replayed in SQL: rate_l in hash-bucket
+    # units is pure BIGINT arithmetic (min(MOD, target_ppm*N*MOD DIV
+    # (1e6*n_l))), then the same 48-bit hash gate as every sampler here
+    oracle=f"""
+    WITH n_l AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n) AS nt FROM n_l
+    ), rates AS (
+      SELECT lang, n,
+             LEAST({SAMPLE_MOD},
+                   (200000 * nt * {SAMPLE_MOD}) // (1000000 * n)) AS rate
+      FROM n_l CROSS JOIN tot
+    )
+    SELECT d.lang, r.n AS n_before, CAST(r.rate AS BIGINT) AS rate,
+           COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE {_ORACLE_H48.format(e="'mix-' || CAST(d.doc_id AS VARCHAR)")}
+          % {SAMPLE_MOD} < r.rate
+    GROUP BY d.lang, r.n, r.rate
+    ORDER BY d.lang
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str):
+    """MIXTURE REBALANCING to target proportions (r12) — the data-mixing
+    knob of a pretraining pipeline: given a target share per stratum
+    (equal fifths by lang here, 200000 ppm each), the per-stratum
+    acceptance rate is COMPUTED from the observed counts —
+    rate_l = min(1, target_share·N / n_l) — rather than hardcoded like
+    `sample_stratified_by_lang`'s fixed rates.  Over-represented strata
+    are downsampled toward the target; under-represented ones keep
+    everything (a sampler cannot mint rows — the min() is the honest
+    cap, and the emitted `rate` column shows which strata saturated).
+
+    Exactness: rates live in integer hash-bucket units via pure BIGINT
+    arithmetic (no float proportions), and the row gate is the
+    registry's deterministic 48-bit md5 hash — so the sampled set is
+    reproducible across engines, partitionings, and retries.
+
+    100 TB path: one small per-stratum count agg, a ≤|strata|-row
+    broadcast join, then a map-side hash filter — the data is scanned
+    once and never shuffled."""
+    d = tbl(spark, sf_dir, "documents")
+    n_l = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = n_l.agg(F.sum("n").alias("nt"))
+    rates = n_l.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "n",
+        f"LEAST({SAMPLE_MOD},"
+        f" (200000 * nt * {SAMPLE_MOD}) DIV (1000000 * n)) AS rate",
+    )
+    b = _bucket(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(b < F.col("rate"))
+        .groupBy("lang", "n", "rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            F.col("rate").cast("long").alias("rate"),
+            "n_sampled",
+        )
+        .orderBy("lang")
+    )

@@ -567,3 +567,125 @@ def bloom_dedup_rotating_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_heavy_hitters_stream(
+    events: DataFrame,
+    keys: list[str],
+    threshold: int,
+    width: int = 4096,
+    depth: int = 5,
+    bloom_bits: int = 1 << 17,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """STREAMING HEAVY HITTERS with bounded sketch state (r12): emit each
+    key EXACTLY ONCE, the first time its running total reaches
+    `threshold` — per-bucket state is one Count-Min sketch
+    (depth × width int64 counters) plus one emitted-keys Bloom, both
+    FIXED SIZE, so an unbounded stream with unbounded key cardinality
+    carries O(width·depth + bloom_bits) state per bucket, never O(keys)
+    (the state-store shape `dropDuplicates`-style tracking would need).
+
+    The emitted KEY SET is arrival-order independent: final totals don't
+    depend on micro-batch splits, a key crosses the threshold exactly
+    once, and the Bloom makes the emission exactly-once (its
+    no-false-negative guarantee means a recorded emission can never
+    repeat).  CMS can only OVER-estimate, so no qualifying key is ever
+    missed; a spurious early emission needs a key colliding in ALL
+    `depth` rows (~(n_keys/width)^depth — the membership.py sizing
+    discipline makes this negligible at any gate scale).  Counts are
+    NOT emitted: a key's estimate AT CROSSING TIME is split-dependent;
+    the deterministic contract is the key set, exactly like
+    `bloom_dedup_stream`.
+
+    Per micro-batch per bucket the work is three vectorized numpy
+    passes (per-key batch counts, np.add.at into the sketch, a min-over
+    -rows estimate + Bloom probe) — no per-row Python.  Hash lanes are
+    plan-side (`_stream_key_lanes`) with the same dtype-exactness
+    story as the Bloom dedup operators.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from wukong_spark.operators.membership import (
+        _INTEGRAL_SPARK_TYPES,
+        _positions,
+    )
+
+    out_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in events.schema.fields
+        if f.name in keys
+    ]
+    out_schema = ", ".join(f"{n} {t}" for n, t in out_fields)
+    cms_bytes = depth * width * 8
+    bloom_bytes = bloom_bits // 8
+
+    int_keys = {n for n, t in out_fields if t in _INTEGRAL_SPARK_TYPES}
+    proj = [F.col(n) for n, _ in out_fields if n not in int_keys]
+    for c in int_keys:
+        proj.append(F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"__v_{c}"))
+        proj.append(F.isnull(c).alias(f"__f_{c}"))
+    src = events.select(*proj, *_stream_key_lanes(keys, n_buckets))
+
+    def emit(kept: "pd.DataFrame") -> "pd.DataFrame":
+        data = {}
+        for n, _ in out_fields:
+            if n in int_keys:
+                col = kept[f"__v_{n}"].astype(object)
+                col[kept[f"__f_{n}"].to_numpy(bool)] = None
+                data[n] = col
+            else:
+                data[n] = kept[n]
+        return pd.DataFrame(data)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cms_blob, bl_blob = state.get
+            assert len(cms_blob) == cms_bytes, "CMS state must be fixed-size"
+            assert len(bl_blob) == bloom_bytes, "Bloom state must be fixed-size"
+            cms = np.frombuffer(cms_blob, np.int64).reshape(depth, width).copy()
+            bloom = np.frombuffer(bl_blob, np.uint8).copy()
+        else:
+            cms = np.zeros((depth, width), np.int64)
+            bloom = np.zeros(bloom_bytes, np.uint8)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # per-key batch counts on the 128-bit lane pair, keeping one
+        # representative row per key for emission
+        grouped = batch.groupby(["__h1", "__h2"], sort=False)
+        reps = grouped.head(1).reset_index(drop=True)
+        # realign group sizes to reps' row order explicitly (head(1) keeps
+        # first-seen order, but the contract is positional — reindex pins it)
+        cnt = (
+            grouped.size()
+            .reindex(pd.MultiIndex.from_frame(reps[["__h1", "__h2"]]))
+            .to_numpy(np.int64)
+        )
+        h1, h2 = _lanes_from_batch(reps)
+        pos = _positions(h1, h2, width, depth)  # (n, depth) in [0, width)
+        # add this batch's counts into every CMS row, then estimate
+        for r in range(depth):
+            np.add.at(cms[r], pos[:, r], cnt)
+        est = cms[np.arange(depth)[None, :], pos].min(axis=1)
+        crossed = est >= threshold
+        # exactly-once: drop keys whose emission the Bloom already records
+        bpos = _positions(h1, h2, bloom_bits, 7)
+        already = (
+            (bloom[bpos >> 3] & (1 << (bpos & 7)).astype(np.uint8)) != 0
+        ).all(axis=1)
+        fire = crossed & ~already
+        flat = bpos[fire].ravel()
+        np.bitwise_or.at(bloom, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+        state.update((cms.tobytes(), bloom.tobytes()))
+        out = emit(reps.loc[fire])
+        if len(out):
+            yield out
+
+    return src.groupBy("__bucket").applyInPandasWithState(
+        update,
+        out_schema,
+        "cms binary, bl binary",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
