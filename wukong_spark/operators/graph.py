@@ -183,6 +183,7 @@ def pagerank_bucketed(
     buckets: int = 8,
     handle_dangling: bool = False,
     tol: float | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank whose per-iteration edges⋈ranks join needs NO
     exchange on the edge side (VERDICT r10 #2: the bucketed_join_check
@@ -219,6 +220,14 @@ def pagerank_bucketed(
     capped at `iters` rounds — the production shape, vs the fixed
     oracle-replayable iteration count the check entries use.
 
+    `seeds` (r12) makes it PERSONALIZED PageRank: a (node, s) DataFrame
+    holding a teleport DISTRIBUTION (Σ s = 1) replaces the uniform 1/N —
+    the recurrence becomes r'(v) = (1−d)·s(v) + d·(Σ contrib + m·s(v)),
+    i.e. the random surfer restarts at the seed set, and dangling mass
+    returns there too, so Σ r = 1 still holds every iteration.  Requires
+    `handle_dangling=True` (the teleport machinery lives on that path);
+    nodes outside the seed set get s(v) = 0.
+
     `table` is left in the warehouse: paying the layout once and
     reusing it IS the point; callers that want cleanup drop it.
 
@@ -246,6 +255,9 @@ def pagerank_bucketed(
     )
     adj = spark.table(table)
 
+    if seeds is not None and not handle_dangling:
+        raise ValueError("seeds (personalized PageRank) requires handle_dangling=True")
+
     if not handle_dangling:
         # undirected input: src column covers every node, and the bucket
         # layout satisfies the distinct's clustering (no exchange here)
@@ -263,20 +275,28 @@ def pagerank_bucketed(
 
     # directed graph with sinks: the node universe is src ∪ dst, and the
     # dangling set (no out-edges) is computed once up front
-    nodes = (
+    universe = (
         adj.select(F.col("src").alias("node"))
         .union(adj.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    dangling = nodes.join(
+    n = universe.count()
+    if seeds is not None:
+        # teleport distribution from the seed set (0 elsewhere)
+        nodes = (
+            universe.join(seeds.select("node", F.col("s").alias("t")), "node", "left")
+            .select("node", F.coalesce("t", F.lit(0.0)).alias("t"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        nodes = universe.select("node", F.lit(1.0 / n).alias("t")).localCheckpoint(
+            eager=True
+        )
+    dangling = nodes.select("node").join(
         adj.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).localCheckpoint(eager=True)
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint(
-        eager=True
-    )
+    ranks = nodes.select("node", F.col("t").alias("r")).localCheckpoint(eager=True)
     for _ in range(iters):
         # dangling mass this round: one 1-row scalar job
         m_row = dangling.join(ranks, "node").agg(F.sum("r")).collect()[0][0]
@@ -292,9 +312,12 @@ def pagerank_bucketed(
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(m / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(m) * F.col("t")
+                    )
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

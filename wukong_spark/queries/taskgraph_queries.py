@@ -469,7 +469,8 @@ def graph_cc_bucketed_check(spark: SparkSession, sf_dir: str):
     ), deg AS (
       SELECT src, COUNT(*) AS d FROM e0 GROUP BY src
     ), nn AS (SELECT COUNT(*) AS n FROM nodes),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    tv AS (SELECT node, 1.0 / (SELECT n FROM nn) AS t FROM nodes),
+    r0 AS (SELECT node, t AS r FROM tv),
     m0 AS (
       SELECT COALESCE(SUM(r.r), 0) AS m FROM r0 r
       LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
@@ -481,10 +482,10 @@ def graph_cc_bucketed_check(spark: SparkSession, sf_dir: str):
     ),
     r1 AS (
       SELECT n.node,
-             0.15 / (SELECT n FROM nn)
+             (1.0 - 0.85) * n.t
              + 0.85 * (COALESCE(c1.c, 0)
-                       + (SELECT m FROM m0) / (SELECT n FROM nn)) AS r
-      FROM nodes n LEFT JOIN c1 ON c1.node = n.node
+                       + (SELECT m FROM m0) * n.t) AS r
+      FROM tv n LEFT JOIN c1 ON c1.node = n.node
     ),
     m1 AS (
       SELECT COALESCE(SUM(r.r), 0) AS m FROM r1 r
@@ -497,10 +498,10 @@ def graph_cc_bucketed_check(spark: SparkSession, sf_dir: str):
     ),
     r2 AS (
       SELECT n.node,
-             0.15 / (SELECT n FROM nn)
+             (1.0 - 0.85) * n.t
              + 0.85 * (COALESCE(c2.c, 0)
-                       + (SELECT m FROM m1) / (SELECT n FROM nn)) AS r
-      FROM nodes n LEFT JOIN c2 ON c2.node = n.node
+                       + (SELECT m FROM m1) * n.t) AS r
+      FROM tv n LEFT JOIN c2 ON c2.node = n.node
     )
     SELECT node, ROUND(r, 9) AS rank_9 FROM r2 ORDER BY node
     """,
@@ -608,4 +609,109 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
     return spark.createDataFrame(
         [(e.count(), tri)], "n_edges bigint, n_triangles bigint"
+    )
+
+
+@query(
+    "graph_ppr_check",
+    # 2 personalized iterations unrolled: the teleport vector is uniform
+    # over the seed set (customers with custkey % 10 = 0), zero elsewhere;
+    # dangling mass also returns to the seeds, so mass stays 1
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM e0 GROUP BY src
+    ), sd AS (
+      SELECT DISTINCT src AS node FROM e0 WHERE src % 10 = 0
+    ), ns AS (SELECT COUNT(*) AS n FROM sd),
+    tv AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NULL THEN 0.0
+                  ELSE 1.0 / (SELECT n FROM ns) END AS t
+      FROM nodes n LEFT JOIN sd s ON s.node = n.node
+    ),
+    r0 AS (SELECT node, t AS r FROM tv),
+    m0 AS (
+      SELECT COALESCE(SUM(r.r), 0) AS m FROM r0 r
+      LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+    ),
+    c1 AS (
+      SELECT e.dst AS node, SUM(p.r / deg.d) AS c
+      FROM e0 e JOIN r0 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+             (1.0 - 0.85) * n.t
+             + 0.85 * (COALESCE(c1.c, 0)
+                       + (SELECT m FROM m0) * n.t) AS r
+      FROM tv n LEFT JOIN c1 ON c1.node = n.node
+    ),
+    m1 AS (
+      SELECT COALESCE(SUM(r.r), 0) AS m FROM r1 r
+      LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM(p.r / deg.d) AS c
+      FROM e0 e JOIN r1 p ON p.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+             (1.0 - 0.85) * n.t
+             + 0.85 * (COALESCE(c2.c, 0)
+                       + (SELECT m FROM m1) * n.t) AS r
+      FROM tv n LEFT JOIN c2 ON c2.node = n.node
+    )
+    SELECT node, ROUND(r, 9) AS rank_9 FROM r2
+    WHERE ROUND(r, 9) <> 0 ORDER BY node
+    """,
+)
+def graph_ppr_check(spark: SparkSession, sf_dir: str):
+    """PERSONALIZED PageRank (r12) — the random surfer restarts at a
+    SEED SET (every-10th customer) instead of uniformly: the
+    recommendation/relatedness primitive (rank suppliers by proximity
+    to a customer cohort).  `pagerank_bucketed(seeds=...)`: the same
+    bucketed edge layout (no per-iteration edge exchange), the teleport
+    vector s(v) uniform over seeds and 0 elsewhere, dangling mass
+    returning to the seeds — Σ r = 1 every iteration.
+
+    The oracle unrolls 2 complete personalized iterations in SQL
+    (identical (1.0−0.85)·t + 0.85·(c + m·t) expression text, the same
+    round-9 discipline as the other pagerank entries); nodes whose
+    round-9 rank is 0 (unreachable within 2 hops of the seeds) are
+    filtered on the ROUNDED value in both engines, so the emitted row
+    set can't straddle an fp boundary."""
+    from wukong_spark.operators.graph import pagerank_bucketed
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    seed_nodes = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 10 == 0
+    ).distinct()
+    n_seeds = seed_nodes.count()
+    seeds = seed_nodes.select("node", F.lit(1.0 / n_seeds).alias("s"))
+    ranks = pagerank_bucketed(
+        edges,
+        iters=2,
+        table="bkt_ppr_tmp",
+        handle_dangling=True,
+        seeds=seeds,
+    )
+    return (
+        ranks.select("node", F.round("r", 9).alias("rank_9"))
+        .filter(F.col("rank_9") != 0)
+        .orderBy("node")
     )
