@@ -1770,3 +1770,57 @@ def stream_cms_heavy_hitters_check(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "events_exact_quantiles",
+    # identical integer index arithmetic both sides: 0-based rank
+    # idx = ((n-1) * p) // 100 over value_4 ascending; with ties the
+    # value at any rank is the sorted multiset's value — order-free
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 10000) AS BIGINT) AS value_4 FROM events
+    ), o AS (
+      SELECT value_4, ROW_NUMBER() OVER (ORDER BY value_4) - 1 AS rid FROM v
+    ), nn AS (SELECT COUNT(*) AS n FROM v),
+    spec AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS s(p))
+    SELECT s.p AS p_pct, o.value_4 AS q_value_4
+    FROM spec s
+    JOIN nn ON TRUE
+    JOIN o ON o.rid = ((nn.n - 1) * s.p) // 100
+    ORDER BY p_pct
+    """,
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str):
+    """EXACT distributed quantiles WITHOUT a single-partition sort (r12)
+    — p25/p50/p75/p90/p99 of the event value as discrete order
+    statistics: rank idx = ⌊(n−1)·p⌋ over the globally-numbered sort
+    order from `operators.setindex.global_row_number` (range exchange +
+    per-partition sort + broadcast prefix offsets — the plan that
+    scales where `ROW_NUMBER() OVER (ORDER BY ...)`'s Exchange
+    SinglePartition dies; pinned in test_plan_shape.py for the
+    numbering operator).
+
+    `percentile_approx` is the usual streaming answer but its sketch is
+    implementation-defined (no cross-engine oracle); DISCRETE order
+    statistics on the integer value_4 are exact and engine-portable —
+    with duplicate values the value AT a rank is determined by the
+    sorted multiset alone, so tie order is irrelevant.  The probe set
+    joins as 5 broadcast rows; driver traffic beyond that is one scalar
+    count plus n_partitions offsets."""
+    from wukong_spark.operators.setindex import global_row_number
+
+    v = tbl(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 10000).cast("long").alias("value_4")
+    )
+    numbered = global_row_number(v, "value_4", n_partitions=32, out_col="rid")
+    n = v.count()
+    spec = spark.createDataFrame(
+        [(p, (n - 1) * p // 100) for p in (25, 50, 75, 90, 99)],
+        "p_pct int, rid long",
+    )
+    return (
+        numbered.join(F.broadcast(spec), "rid")
+        .select("p_pct", F.col("value_4").alias("q_value_4"))
+        .orderBy("p_pct")
+    )
