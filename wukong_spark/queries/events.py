@@ -1824,3 +1824,60 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str):
         .select("p_pct", F.col("value_4").alias("q_value_4"))
         .orderBy("p_pct")
     )
+
+
+@query(
+    "stream_static_enrich_check",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, e.event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS sum_value_4
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_nationkey, e.event_type
+    """,
+)
+def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
+    """STREAM-STATIC dimension enrichment (r12) — the most common
+    production streaming shape: an unbounded fact stream joined to a
+    static dimension snapshot (events → customer → nation rollup).
+    Spark plans this as a BROADCAST of the static side into every
+    micro-batch — no stream state at all (unlike stream-stream joins,
+    there is nothing to buffer: the dimension is a local hash table),
+    so the join adds zero to the state store and re-snapshots the
+    dimension per batch.
+
+    Batch/stream parity: the aggregated rollup over the whole stream
+    (complete output mode) must hash-match the batch join+agg — the
+    fifth batch/stream-parity entry in the gate family."""
+    import uuid
+
+    from wukong_spark.streaming import read_events_stream, run_to_memory
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("value_4"),
+        )
+        cust = tbl(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        joined = (
+            ev.join(F.broadcast(cust), "user_id")
+            .groupBy("nationkey", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_4").alias("sum_value_4"),
+            )
+        )
+        rows = run_to_memory(joined, sink, complete=True).collect()
+        return spark.createDataFrame(
+            rows,
+            "nationkey long, event_type string, n_events long, sum_value_4 long",
+        )
+    finally:
+        spark.catalog.dropTempView(sink)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
