@@ -1881,3 +1881,97 @@ def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
     finally:
         spark.catalog.dropTempView(sink)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "events_gap_fill_locf",
+    # identical spine + identical LAST_VALUE IGNORE NULLS window framing
+    # in both engines; carried values are exact BIGINTs
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, bucket, SUM(v4) AS sv4 FROM b
+      GROUP BY event_type, bucket
+    ),
+    bounds AS (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg),
+    spine AS (
+      SELECT t.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+      ) s
+    ),
+    joined AS (
+      SELECT sp.event_type, sp.bucket, a.sv4
+      FROM spine sp LEFT JOIN agg a
+        ON a.event_type = sp.event_type AND a.bucket = sp.bucket
+    )
+    SELECT event_type, bucket,
+           COALESCE(last_value(sv4 IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS filled_sum_value_4,
+           (sv4 IS NULL) AS was_gap
+    FROM joined ORDER BY event_type, bucket
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str):
+    """GAP FILL with LAST-OBSERVATION-CARRIED-FORWARD (r12) — the other
+    half of time-series regularization next to `events_resample_5m`'s
+    zero-fill: empty (event_type, hour) buckets inherit the most recent
+    observed hourly sum via `last(..., ignorenulls=True)` over an
+    UNBOUNDED PRECEDING row frame — pandas `ffill` semantics, the shape
+    sensor/metrics pipelines run constantly.
+
+    Plan: one keyed bucket aggregation; the spine is event_types ×
+    sequence(min, max, 1 hour) exploded off a 1-row bounds agg (never a
+    driver loop); the forward-fill window partitions by event_type so
+    each series sorts independently — no global sort, no single
+    partition.  Carried values are exact BIGINTs; `was_gap` marks
+    synthesized rows.  Leading gaps before a series' first observation
+    COALESCE to 0 in both engines."""
+    # F.window buckets NTZ timestamps natively — epoch arithmetic
+    # (unix_timestamp/timestamp_seconds) shifts by the session tz on the
+    # driver's non-UTC session (the events_resample_5m lesson)
+    et = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    agg = et.groupBy("event_type", "bucket").agg(F.sum("v4").alias("sv4"))
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = (
+        et.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(bounds).select(
+                F.explode(
+                    F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+                ).alias("bucket")
+            )
+        )
+    )
+    joined = spine.join(agg, ["event_type", "bucket"], "left")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.last("sv4", ignorenulls=True).over(w), F.lit(0)).alias(
+            "filled_sum_value_4"
+        ),
+        F.col("sv4").isNull().alias("was_gap"),
+    ).orderBy("event_type", "bucket")
