@@ -715,3 +715,94 @@ def graph_ppr_check(spark: SparkSession, sf_dir: str):
         .filter(F.col("rank_9") != 0)
         .orderBy("node")
     )
+
+
+@query(
+    "graph_sssp_weighted",
+    # 4 Bellman-Ford rounds UNROLLED with integer edge weights — exact
+    # integer distances, no float anywhere (the BFS oracle with +w)
+    oracle="""
+    WITH e0 AS (
+      SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+             MIN(CAST(ROUND(l.l_quantity) AS BIGINT)) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey, l.l_suppkey
+    ), edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d0
+      UNION ALL
+      SELECT e.dst AS node, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d1
+      UNION ALL
+      SELECT e.dst AS node, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d2
+      UNION ALL
+      SELECT e.dst AS node, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM d3
+      UNION ALL
+      SELECT e.dst AS node, d.dist + e.w FROM d3 d JOIN edges e ON e.src = d.node
+    ) GROUP BY node)
+    SELECT node, dist FROM d4 ORDER BY node
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
+    """WEIGHTED single-source shortest paths (r12) — `graph_bfs_layers`'
+    relaxation with integer edge weights (the cheapest quantity ever
+    shipped on the customer↔supplier edge): 4 Bellman-Ford rounds of
+    d'(v) = min(d(v), min over in-edges (d(u) + w(u,v))) from the
+    minimum customer node.  After k rounds distances are exact for every
+    path of ≤ k edges — the standard distributed SSSP contract (rounds =
+    hop radius; Dijkstra's priority queue doesn't distribute, Bellman-
+    Ford relaxation does).
+
+    Weights are exact BIGINTs (min rounded quantity per edge), so the
+    oracle — 4 unrolled CTE stages with +w — hash-matches with zero
+    float discipline.  100 TB path: per round the shuffle carries
+    (node, dist) pairs; weights ride the edge set, which a bucketed
+    layout would pin exchange-free exactly as the pagerank/CC bucketed
+    entries demonstrate."""
+    from wukong_spark.session import release_checkpoint
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .agg(F.min(F.round("l_quantity").cast("long")).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    src_node = edges.agg(F.min("src")).collect()[0][0]
+    labels = spark.createDataFrame(
+        [(int(src_node), 0)], "node long, dist long"
+    )
+    for _ in range(4):
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(labels)
+        labels = new_labels
+    release_checkpoint(edges)
+    return labels.orderBy("node")

@@ -2228,3 +2228,69 @@ def text_quality_classifier_check(spark: SparkSession, sf_dir: str):
         "gradient_zero boolean, beats_null_logloss boolean,"
         " n_features int, n_docs long",
     )
+
+
+@query(
+    "text_token_entropy",
+    # identical formula text both engines: H = -Σ (c/n)·ln(c/n) over the
+    # per-doc token distribution; ≤ vocab-size terms per doc, round-6
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ), n AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_unique FROM c GROUP BY doc_id
+    ), h AS (
+      SELECT c.doc_id,
+             SUM(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * LN(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS h
+      FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, n.n AS n_tokens, n.n_unique,
+           ROUND(h.h, 6) AS entropy_6
+    FROM documents d
+    JOIN n ON n.doc_id = d.doc_id
+    JOIN h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str):
+    """PER-DOCUMENT token Shannon entropy (r12) — the
+    repetitiveness/diversity signal quality filters threshold on
+    (low-entropy docs are boilerplate, keyboard mash, or template spam;
+    the Gopher/RefinedWeb rule family): H = −Σ_t (c_t/n)·ln(c_t/n) over
+    each doc's token distribution, alongside the raw counts.
+
+    All-JVM: one explode, one (doc, token) count, one per-doc sum —
+    every shuffle keyed on doc_id and map-side combinable.  The entropy
+    sum has at most vocab-size terms per doc, so cross-engine fp-order
+    drift sits ~1e-14 under the 1e-6 rounding grid (the ln-ulp
+    discipline of text_distribution_drift)."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    c = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_unique")
+    )
+    h = (
+        c.join(n.select("doc_id", "n"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                    " * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                )
+            ).alias("h")
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(n, "doc_id")
+        .join(h, "doc_id")
+        .select("doc_id", "n", "n_unique", F.round("h", 6).alias("entropy_6"))
+        .withColumnRenamed("n", "n_tokens")
+        .orderBy("doc_id")
+    )
