@@ -1975,3 +1975,85 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str):
         ),
         F.col("sv4").isNull().alias("was_gap"),
     ).orderBy("event_type", "bucket")
+
+
+@query(
+    "events_grouped_median_mad",
+    # discrete order statistics per group with one shared index
+    # convention (0-based rank = (cnt-1) DIV 2, the lower median) —
+    # exact BIGINTs end to end, tie order irrelevant
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), r AS (
+      SELECT event_type, v4,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v4) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM v
+    ), med AS (
+      SELECT event_type, v4 AS median_4, cnt FROM r
+      WHERE rn = (cnt - 1) // 2
+    ), dev AS (
+      SELECT v.event_type, ABS(v.v4 - m.median_4) AS d
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ), rd AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    )
+    SELECT m.event_type, m.cnt AS n, m.median_4, rd.d AS mad_4
+    FROM med m JOIN rd ON rd.event_type = m.event_type
+    WHERE rd.rn = (rd.cnt - 1) // 2
+    ORDER BY m.event_type
+    """,
+)
+def events_grouped_median_mad(spark: SparkSession, sf_dir: str):
+    """GROUPED ROBUST STATISTICS (r12) — per-event-type median and MAD
+    (median absolute deviation) as exact DISCRETE order statistics on
+    the integer value_4: the outlier-resistant describe() every
+    monitoring pipeline wants where mean/stddev are skew-blind.  Lower-
+    median convention (0-based rank (cnt−1) DIV 2) shared by both
+    engines; with duplicate values the value AT a rank is the sorted
+    multiset's, so tie order is irrelevant and the result is exact —
+    no percentile_approx sketch, no float.
+
+    Plan: two ranked passes (values, then absolute deviations from the
+    broadcast per-group medians), each one hash-partitioned window per
+    group — groups sort independently, no global sort.  At 100 TB a
+    heavy single group bounds the partition (the known window-skew
+    shape; the salting lever applies if one group dominates)."""
+    from pyspark.sql.window import Window
+
+    v = tbl(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("long").alias("v4")
+    )
+    w = Window.partitionBy("event_type").orderBy("v4")
+    r = v.select(
+        "event_type",
+        "v4",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(cnt - 1) DIV 2")).select(
+        "event_type", F.col("v4").alias("median_4"), "cnt"
+    )
+    dev = v.join(F.broadcast(med.select("event_type", "median_4")), "event_type").select(
+        "event_type", F.abs(F.col("v4") - F.col("median_4")).alias("d")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    rd = dev.select(
+        "event_type",
+        "d",
+        (F.row_number().over(wd) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    mad = rd.filter(F.col("rn") == F.expr("(cnt - 1) DIV 2")).select(
+        "event_type", F.col("d").alias("mad_4")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select("event_type", F.col("cnt").alias("n"), "median_4", "mad_4")
+        .orderBy("event_type")
+    )
