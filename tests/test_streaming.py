@@ -461,3 +461,59 @@ def test_cms_heavy_hitters_bounded_state_across_batches(spark, tmp_path):
 
     got = sorted(r["event_type"] for r in out)
     assert got == ["A", "B"]  # A once despite 5 total; B via carry; C never
+
+
+def test_bloom_rotating_random_stream_matches_referee(spark, tmp_path):
+    """Seeded random (key, epoch) stream in one availableNow batch vs a
+    pure-Python referee of the contract: emit (k, e) iff e is k's first
+    occurrence in epoch e AND k did not occur in epoch e−1.  Exercises
+    epoch gaps, long chains, and re-emission after expiry on data the
+    author didn't hand-pick."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from wukong_spark.streaming import (
+        bloom_dedup_rotating_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    rng = np.random.RandomState(12)
+    n = 800
+    keys = rng.randint(0, 60, n)  # 60 keys
+    epochs = np.sort(rng.choice([3, 4, 5, 7, 8, 11, 12], n))  # gaps at 6, 9-10
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows = [
+        (i, int(epochs[i]) * 86_400 * 10**9, int(keys[i]), "x", 0.0, "")
+        for i in range(n)
+    ]
+    staged = str(tmp_path / "rot_random")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+
+    stream = read_events_dir_stream(spark, staged)
+    out = run_to_memory(
+        bloom_dedup_rotating_stream(
+            stream.select("ts", "user_id"),
+            ["user_id"],
+            epoch=F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
+            n_bits=1 << 14,
+            n_buckets=4,
+        ),
+        "rot_random_test",
+        mode="update",
+    ).collect()
+    got = sorted((r["user_id"], r["epoch"]) for r in out)
+
+    per_epoch: dict = {}
+    for k, e in zip(keys, epochs):
+        per_epoch.setdefault(int(e), set()).add(int(k))
+    want = sorted(
+        (k, e)
+        for e, ks in per_epoch.items()
+        for k in ks
+        if k not in per_epoch.get(e - 1, set())
+    )
+    assert got == want
