@@ -122,3 +122,16 @@ def test_pagerank_dangling_mass_conserved_and_converges(spark):
     )
     a = {r.node: r.r for r in r_a.collect()}
     assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+def test_cc_bucketed_raises_without_convergence(spark):
+    """Same convergence contract as the plain variant: partial labels are
+    wrong labels, so exceeding max_iter must raise, never return."""
+    import pytest
+
+    from wukong_spark.operators.graph import connected_components_bucketed
+
+    edges = [(i, i + 1) for i in range(12)]  # a 13-node path: diameter 12
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_bucketed(df, max_iter=2, table="bkt_cc_noconv_pin")

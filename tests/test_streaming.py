@@ -517,3 +517,31 @@ def test_bloom_rotating_random_stream_matches_referee(spark, tmp_path):
         if k not in per_epoch.get(e - 1, set())
     )
     assert got == want
+
+
+def test_cms_heavy_hitters_threshold_one_equals_dedup(spark, tmp_path):
+    """threshold=1 degenerates to exactly-once key emission — every
+    distinct key emits once, none twice (the Bloom gate alone)."""
+    from wukong_spark.streaming import (
+        cms_heavy_hitters_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows = [(i, 0, i % 7, "t", 0.0, "") for i in range(50)]
+    staged = str(tmp_path / "cms_t1")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+    stream = read_events_dir_stream(spark, staged)
+    out = run_to_memory(
+        cms_heavy_hitters_stream(
+            stream.select("user_id"), ["user_id"], threshold=1,
+            width=256, bloom_bits=1 << 12, n_buckets=2,
+        ),
+        "cms_t1_test",
+        mode="update",
+    ).collect()
+    assert sorted(r["user_id"] for r in out) == list(range(7))
