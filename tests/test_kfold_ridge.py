@@ -93,7 +93,7 @@ def test_kfold_ridge_matches_cramer_entry(spark):
         assert g["weights"][0] == pytest.approx(w["b1_6"], abs=2e-6)
         assert g["weights"][1] == pytest.approx(w["b2_6"], abs=2e-6)
         assert g["intercept"] == pytest.approx(w["b0_6"], abs=2e-6)
-        assert g["val_mse"] == pytest.approx(w["val_mse_6"], rel=1e-6)
+        assert g["val_mse"] == pytest.approx(w["val_mse_r"], rel=1e-6)
 
 
 def test_kfold_ridge_empty_input_raises(spark):

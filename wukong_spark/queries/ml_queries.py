@@ -804,7 +804,7 @@ _KR_MSE = (
     )
     SELECT fold, CAST(n_train AS BIGINT) AS n_train, CAST(n AS BIGINT) AS n_val,
            ROUND(b1, 6) AS b1_6, ROUND(b2, 6) AS b2_6, ROUND(b0, 6) AS b0_6,
-           ROUND({_KR_MSE}, 6) AS val_mse_6
+           CAST(ROUND({_KR_MSE}, 0) AS BIGINT) AS val_mse_r
     FROM b ORDER BY fold
     """,
 )
@@ -815,8 +815,12 @@ def ml_kfold_ridge_check(spark: SparkSession, sf_dir: str):
     unpenalized intercept, y = order total, 5 deterministic folds, ridge
     λ=1000 — every fold's 3×3 normal-equation system solved IN-PLAN by
     Cramer's rule whose formula text is char-identical in Spark and
-    DuckDB, so all 5 models' coefficients and held-out MSEs hash
-    bit-for-bit at round-6.
+    DuckDB, so all 5 models' coefficients hash bit-for-bit at round-6.
+    The held-out MSE is ~1e10 (whole dollars squared), where a 1e-6
+    rounding grid sits AT the double ulp and a 1-ulp cross-engine
+    accumulation difference flips the digit (caught at sf0.001) — so
+    the MSE is emitted on an INTEGER grid (round-0 bigint), 6 orders
+    above the drift.
 
     The one-pass structure is the point: per-fold integer Gramian
     statistics (n, Σx_i, Σx_i x_j, Σx_i y, Σy, Σy²), train = total −
@@ -882,5 +886,5 @@ def ml_kfold_ridge_check(spark: SparkSession, sf_dir: str):
         "ROUND(b1, 6) AS b1_6",
         "ROUND(b2, 6) AS b2_6",
         "ROUND(b0, 6) AS b0_6",
-        f"ROUND({_KR_MSE}, 6) AS val_mse_6",
+        f"CAST(ROUND({_KR_MSE}, 0) AS BIGINT) AS val_mse_r",
     ).orderBy("fold")
