@@ -704,7 +704,7 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
         [
             (
                 int(range_agg["n"]),
-                int(range_agg["s"]),
+                int(range_agg["s"] or 0),
                 int(n_point),
                 bool(range_scanned * 2 < n_total),
                 bool(point_scanned * 2 < n_total),
@@ -797,8 +797,11 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
     return spark.createDataFrame(
         [
             (
-                int(p_agg["n"]), int(p_agg["s"]),
-                int(s_agg["n"]), int(s_agg["s"]),
+                # SUM over an empty filter is NULL (e.g. the key range
+                # doesn't exist at a tiny scale factor) — degrade to 0,
+                # never TypeError
+                int(p_agg["n"]), int(p_agg["s"] or 0),
+                int(s_agg["n"]), int(s_agg["s"] or 0),
                 # the shared-curve dim measures ~41 %: gate at 2/3 so a
                 # driver data regen can't flip it (the strict layout
                 # comparison lives in test_plan_shape on frozen data)
