@@ -305,7 +305,7 @@ def graph_pagerank_bucketed_check(spark: SparkSession, sf_dir: str):
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank_bucketed(edges, iters=3, table="bkt_pr_edges_tmp")
+    ranks = pagerank_bucketed(edges, iters=3, table="bkt_pr_edges_tmp", buckets=32)
     return ranks.select("node", F.round("r", 9).alias("rank_9")).orderBy("node")
 
 
@@ -449,7 +449,7 @@ def graph_cc_bucketed_check(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    labels = connected_components_bucketed(edges, table="bkt_cc_edges_tmp")
+    labels = connected_components_bucketed(edges, table="bkt_cc_edges_tmp", buckets=32)
     return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -536,7 +536,8 @@ def graph_pagerank_dangling_check(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     ranks = pagerank_bucketed(
-        edges, iters=2, table="bkt_pr_dangling_tmp", handle_dangling=True
+        edges, iters=2, table="bkt_pr_dangling_tmp", handle_dangling=True,
+        buckets=32,
     )
     return ranks.select("node", F.round("r", 9).alias("rank_9")).orderBy("node")
 
@@ -709,6 +710,7 @@ def graph_ppr_check(spark: SparkSession, sf_dir: str):
         table="bkt_ppr_tmp",
         handle_dangling=True,
         seeds=seeds,
+        buckets=32,
     )
     return (
         ranks.select("node", F.round("r", 9).alias("rank_9"))
