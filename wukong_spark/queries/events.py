@@ -2057,3 +2057,97 @@ def events_grouped_median_mad(spark: SparkSession, sf_dir: str):
         .select("event_type", F.col("cnt").alias("n"), "median_4", "mad_4")
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_merge_upsert_sink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
+    """STREAMING MERGE-UPSERT SINK (r12) — the production lakehouse sink
+    shape: each micro-batch's per-user aggregates MERGE into a keyed
+    parquet state table via foreachBatch (matched keys accumulate,
+    new keys insert — the `merge_upsert_orders` full-outer-join
+    emulation driven incrementally).  The source is the events table
+    split into 4 files streamed one per trigger, so ≥4 real merge
+    rounds run and the final table must equal the batch aggregation —
+    upsert idempotence + accumulation correctness in one contract.
+
+    100 TB path: each round's merge joins the batch DELTA aggregate
+    (small) against the state table on the upsert key — broadcast the
+    delta side; with Delta/Iceberg this is MERGE INTO and the state
+    table never fully rewrites (documented emulation limit: plain
+    parquet rewrites; the JOIN SHAPE is what carries over)."""
+    import tempfile
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_dir_stream,
+        run_foreach_batch,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    work = tempfile.mkdtemp(prefix=f"stream_merge_{uuid.uuid4().hex[:8]}-")
+    src, state = f"{work}/src", f"{work}/state"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(4).write.parquet(src)
+
+        stream = read_events_dir_stream(spark, src, max_files_per_trigger=1)
+
+        def merge(bdf, epoch_id):
+            delta = (
+                bdf.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 10000).cast("long")
+                    ).alias("sum_value_4"),
+                )
+            )
+            s = bdf.sparkSession
+            try:
+                cur = s.read.parquet(state)
+            except Exception:  # first batch: no state yet
+                delta.write.mode("overwrite").parquet(state)
+                return
+            merged = (
+                cur.alias("c")
+                .join(F.broadcast(delta).alias("d"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0))
+                        + F.coalesce(F.col("d.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("c.sum_value_4"), F.lit(0))
+                        + F.coalesce(F.col("d.sum_value_4"), F.lit(0))
+                    ).alias("sum_value_4"),
+                )
+            )
+            # parquet can't overwrite its own input mid-read: stage then swap
+            merged.write.mode("overwrite").parquet(f"{state}_next")
+            import shutil
+
+            shutil.rmtree(state)
+            shutil.move(f"{state}_next", state)
+
+        epochs = run_foreach_batch(
+            stream.select("user_id", "value"), merge
+        )
+        assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
+        rows = spark.read.parquet(state).collect()
+        return spark.createDataFrame(
+            rows, "user_id long, n_events long, sum_value_4 long"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
