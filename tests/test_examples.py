@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, "/root/repo/examples")
 
 import array_ops  # noqa: E402
+import curation_pipeline  # noqa: E402
 import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
 import gemm  # noqa: E402
@@ -23,6 +24,7 @@ import tree_reduction  # noqa: E402
 
 ALL = {
     "array_ops": array_ops.run,
+    "curation_pipeline": curation_pipeline.run,
     "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
     "linear_dag": linear_dag.run,
