@@ -2151,3 +2151,65 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
 
         shutil.rmtree(work, ignore_errors=True)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "events_transition_matrix",
+    # per-user event-type bigrams in ts order (event_id breaks ts ties —
+    # both engines order identically), integer counts + round-6 rows
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), tot AS (
+      SELECT prev_type, SUM(n) AS row_n FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p_6
+    FROM c JOIN tot t ON t.prev_type = c.prev_type
+    ORDER BY c.prev_type, c.next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str):
+    """EVENT-SEQUENCE TRANSITION MATRIX (r12) — the first-order Markov
+    view of user journeys: per-user event streams ordered by (ts,
+    event_id) — the unique tiebreak both engines share — yield
+    (prev → next) bigrams, aggregated to exact integer counts and
+    row-normalized transition probabilities (one double division on
+    exact BIGINTs, round-6).
+
+    Plan: one user_id-keyed window (users sort independently — no
+    global sort), one keyed count, a |event_types|-row totals broadcast.
+    At 100 TB the window partitions by user — millions of small
+    sequences, the friendly skew shape — and the matrix itself is
+    |types|² rows regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    e = tbl(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("p_6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
