@@ -1002,3 +1002,92 @@ def global_row_number_check(spark: SparkSession, sf_dir: str):
     return global_row_number(d, "doc_id", n_partitions=16).select(
         "row_id", "doc_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "basket_pair_lift",
+    # per-order distinct part pairs (i < j) via a keyed self-join on
+    # l_orderkey; support counts are exact integers, lift is one double
+    # expression on exact BIGINTs, round-6; top pairs gated on integer
+    # support so the emitted row set can't straddle an fp boundary
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM items
+    ), item_n AS (
+      SELECT item, COUNT(*) AS n_item FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b, p.n_pair,
+           ROUND(CAST(p.n_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)),
+                 6) AS lift_6
+    FROM pairs p
+    JOIN item_n ia ON ia.item = p.item_a
+    JOIN item_n ib ON ib.item = p.item_b
+    CROSS JOIN n_orders n
+    WHERE p.n_pair >= 10
+    ORDER BY p.item_a, p.item_b
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str):
+    """MARKET-BASKET CO-OCCURRENCE with lift (r12) — the association-
+    mining support pass: distinct (order, item) pairs self-join on the
+    ORDER KEY (never item×item — the join is keyed and each order holds
+    ≤7 items, so pair fan-out is bounded per order), i<j kills mirror
+    duplicates, and lift = P(a,b)/(P(a)·P(b)) comes out as one double
+    expression over exact BIGINT supports.  The emitted set gates on
+    INTEGER support (≥10 co-occurrences), so no fp boundary can decide
+    membership.
+
+    Items are partkey mod 200 (a catalog-category surrogate that gives
+    real co-occurrence mass at gate scale).  100 TB path: the self-join
+    shuffles on l_orderkey — linear in line items — and the per-order
+    pair explosion is quadratic only in the per-basket size (bounded);
+    the item-marginal table broadcasts."""
+    items = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 10)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_n.selectExpr("item AS item_a", "n_item AS n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.selectExpr("item AS item_b", "n_item AS n_b")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift_6"),
+        )
+        .orderBy("item_a", "item_b")
+    )
