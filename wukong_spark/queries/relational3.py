@@ -1091,3 +1091,81 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str):
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@query(
+    "rfm_segmentation",
+    # per-customer RFM on exact integers (recency = days to the corpus
+    # max orderdate; monetary in whole cents... dollars), tercile bucket
+    # via the discrete NTILE rank — NTILE's split arithmetic is integer
+    # and identical in both engines; ties broken by c_custkey so the
+    # assignment is total and deterministic
+    oracle="""
+    WITH rfm AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(DATEDIFF('day', MAX(o.o_orderdate),
+                           (SELECT MAX(o_orderdate) FROM orders))
+               AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o.o_totalprice) AS BIGINT)) AS monetary
+      FROM orders o GROUP BY o.o_custkey
+    ), scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(3) OVER (ORDER BY recency_days, custkey) AS r_bucket,
+             NTILE(3) OVER (ORDER BY frequency DESC, custkey) AS f_bucket,
+             NTILE(3) OVER (ORDER BY monetary DESC, custkey) AS m_bucket
+      FROM rfm
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           COUNT(*) AS n_customers,
+           SUM(monetary) AS segment_monetary
+    FROM scored GROUP BY r_bucket, f_bucket, m_bucket
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str):
+    """RFM CUSTOMER SEGMENTATION (r12) — the classic CRM/warehouse
+    segmentation: per-customer Recency (days to the corpus max order
+    date), Frequency (order count), Monetary (whole-dollar total), each
+    NTILE(3)-bucketed with a custkey tiebreak so the tercile assignment
+    is total and engine-identical (NTILE's split arithmetic is pure
+    integer), then rolled up to the 27-cell segment grid with exact
+    integer measures.
+
+    Scale note: NTILE over a global ORDER BY is a single-partition sort
+    — correct for the oracle-replayable contract here; the scale path
+    for a 1e9-customer table is `events_exact_quantiles`' rank
+    selection (compute the two tercile cut VALUES via
+    global_row_number, then bucket map-side), the documented swap."""
+    from pyspark.sql.window import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate")).collect()[0][0]  # one scalar date
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit(mx), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round("o_totalprice").cast("long")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(3).over(Window.orderBy("recency_days", "custkey")).alias("r_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_bucket"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("segment_monetary"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
