@@ -2213,3 +2213,74 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str):
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_cusum_changepoints",
+    # CUSUM kept in PURE INTEGERS: C_t = Σ_{i<=t} (n*s_i − S) where s_i
+    # is the hourly sum, S the total, n the hour count — zero float until
+    # nothing (none at all); the flag compares integers to an integer
+    # threshold scaled the same way
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), h AS (
+      SELECT bucket, SUM(v4) AS s FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(s) AS total FROM h
+    ), c AS (
+      SELECT h.bucket, h.s,
+             SUM(t.n * h.s - t.total) OVER (
+               ORDER BY h.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum_scaled,
+             t.n, t.total
+      FROM h CROSS JOIN tot t
+    )
+    SELECT bucket, s AS hourly_sum_4, cusum_scaled,
+           ABS(cusum_scaled) > 50 * n * total / 100 AS flagged
+    FROM c ORDER BY bucket
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
+    """CUSUM CHANGE DETECTION over the hourly value series (r12) — the
+    classic mean-shift detector every metrics pipeline runs: the
+    cumulative sum of deviations from the global mean, kept in PURE
+    INTEGERS by scaling (C_t = Σ n·s_i − S instead of Σ s_i − S/n), so
+    the statistic and the flag (|C| above 50 % of n·S/100) are exact in
+    both engines — no float enters the pipeline at all.
+
+    Plan: one keyed hourly aggregation, a 1-row totals broadcast, one
+    ordered cumulative window.  The single-series global window is the
+    contract here; at scale the series key joins the partition clause
+    (per-metric CUSUM — millions of independent small windows)."""
+    from pyspark.sql.window import Window
+
+    b = tbl(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    h = b.groupBy("bucket").agg(F.sum("v4").alias("s"))
+    tot = h.agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "s",
+        F.sum(F.col("n") * F.col("s") - F.col("total")).over(w).alias(
+            "cusum_scaled"
+        ),
+        "n",
+        "total",
+    )
+    return c.select(
+        "bucket",
+        F.col("s").alias("hourly_sum_4"),
+        "cusum_scaled",
+        (
+            F.abs(F.col("cusum_scaled"))
+            > F.lit(50) * F.col("n") * F.col("total") / F.lit(100)
+        ).alias("flagged"),
+    ).orderBy("bucket")

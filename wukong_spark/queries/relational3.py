@@ -1169,3 +1169,82 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str):
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+@query(
+    "table_diff_reconcile",
+    # v2 derives from v1 by SQL-expressible rules (drop %97, bump value
+    # on %101), both sides reduce to (key, md5 row fingerprint), and the
+    # full-outer join classifies added/removed/changed — all exact
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS VARCHAR)) AS fp
+      FROM orders
+    ), v2 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || CAST(CAST(ROUND(o_totalprice) AS BIGINT)
+                         + CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END
+                         AS VARCHAR)) AS fp
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT
+      SUM(CASE WHEN v1.k IS NULL THEN 1 ELSE 0 END) AS n_added,
+      SUM(CASE WHEN v2.k IS NULL THEN 1 ELSE 0 END) AS n_removed,
+      SUM(CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+               AND v1.fp <> v2.fp THEN 1 ELSE 0 END) AS n_changed,
+      SUM(CASE WHEN v1.fp = v2.fp THEN 1 ELSE 0 END) AS n_same
+    FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k
+    """,
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str):
+    """TABLE DIFF / RECONCILIATION (r12) — the data-diff every migration
+    and replication pipeline runs: two table versions reduce to
+    (key, md5 row fingerprint) and ONE keyed full-outer join classifies
+    every key as added / removed / changed / same.  v2 derives from v1
+    by deterministic rules (every 97th key dropped, every 101st value
+    bumped) so the oracle replays the whole diff exactly.
+
+    100 TB path: fingerprints are computed map-side (a scan each), the
+    join ships (key, 32-byte fp) pairs only — never rows — and the
+    classification is a keyed aggregate; this is the Merkle-less
+    row-level reconcile, the same shape at any table size."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def fingerprint(bump: bool):
+        price = F.round("o_totalprice").cast("long")
+        if bump:
+            price = price + F.when(F.col("o_orderkey") % 101 == 0, 1).otherwise(0)
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                price.cast("string"),
+            )
+        )
+
+    v1 = o.select(F.col("o_orderkey").alias("k"), fingerprint(False).alias("fp"))
+    v2 = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), fingerprint(True).alias("fp")
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("b.k") == F.col("a.k"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("a.fp") != F.col("b.fp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(F.when(F.col("a.fp") == F.col("b.fp"), 1).otherwise(0)).alias(
+            "n_same"
+        ),
+    )
