@@ -113,8 +113,9 @@ def test_pagerank_dangling_mass_conserved_and_converges(spark):
     assert set(rows) == set(range(8))  # sinks AND sources present
     assert abs(sum(rows.values()) - 1.0) < 1e-9  # mass conserved
 
-    # convergence stop: with a tight tol the loop runs to stability —
-    # re-running with one extra fixed iteration changes ranks < tol
+    # convergence stop: with a tight tol the loop halts at stability —
+    # the converged ranks must agree with an explicit long fixed run to
+    # within tol, and mass stays conserved at the stop
     tol = 1e-12
     r_a = pagerank_bucketed(
         df, iters=100, table="bkt_pr_dangling_pin", handle_dangling=True,
@@ -122,6 +123,11 @@ def test_pagerank_dangling_mass_conserved_and_converges(spark):
     )
     a = {r.node: r.r for r in r_a.collect()}
     assert abs(sum(a.values()) - 1.0) < 1e-9
+    r_b = pagerank_bucketed(
+        df, iters=60, table="bkt_pr_dangling_pin", handle_dangling=True
+    )
+    b = {r.node: r.r for r in r_b.collect()}
+    assert max(abs(a[n] - b[n]) for n in a) < 1e-9
 
 
 def test_cc_bucketed_raises_without_convergence(spark):
