@@ -2284,3 +2284,58 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
             > F.lit(50) * F.col("n") * F.col("total") / F.lit(100)
         ).alias("flagged"),
     ).orderBy("bucket")
+
+
+@query(
+    "events_equidepth_histogram",
+    # identical integer bucket assignment both sides: bucket =
+    # (0-based rank * 8) DIV n over value_4 ascending; tied values are
+    # interchangeable, so every bucket's count/min/max/sum is the sorted
+    # multiset's — exact BIGINTs end to end
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v4 FROM events
+    ), r AS (
+      SELECT v4, ROW_NUMBER() OVER (ORDER BY v4) - 1 AS rid,
+             COUNT(*) OVER () AS n
+      FROM v
+    )
+    SELECT (rid * 8) // n AS bucket, COUNT(*) AS n_rows,
+           MIN(v4) AS lo_4, MAX(v4) AS hi_4, SUM(v4) AS sum_4
+    FROM r GROUP BY (rid * 8) // n ORDER BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str):
+    """EQUI-DEPTH HISTOGRAM (r12) — the statistic ANALYZE TABLE computes
+    for optimizer cardinality estimates and the partner of the
+    equi-WIDTH `events_value_histogram`: 8 buckets holding equal row
+    counts (±1 — the exact integer formula bucket = rank·8 DIV n), each
+    with its count, boundary values, and sum.  Ranks come from
+    `global_row_number`'s range-partitioned order — no single-partition
+    sort — and with duplicate values the multiset inside a rank range is
+    determined by the sorted multiset alone, so every emitted cell is
+    exact regardless of tie order.
+
+    100 TB path: one range exchange (the numbering), then a keyed
+    8-group aggregate; the driver sees n_partitions offsets and one
+    scalar count, nothing else."""
+    from wukong_spark.operators.setindex import global_row_number
+
+    v = tbl(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 10000).cast("long").alias("v4")
+    )
+    numbered = global_row_number(v, "v4", n_partitions=32, out_col="rid")
+    n = v.count()
+    return (
+        numbered.select(
+            F.expr(f"(rid * 8) DIV {n}").alias("bucket"), "v4"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v4").alias("lo_4"),
+            F.max("v4").alias("hi_4"),
+            F.sum("v4").alias("sum_4"),
+        )
+        .orderBy("bucket")
+    )

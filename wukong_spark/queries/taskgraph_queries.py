@@ -808,3 +808,105 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         labels = new_labels
     release_checkpoint(edges)
     return labels.orderBy("node")
+
+
+@query(
+    "graph_power_iteration_check",
+    # 4 matvecs x' = A·x from x0 = 1 over the doubled edge set: the
+    # iterates are WALK COUNTS — pure integers, zero float — and the
+    # Rayleigh quotient (x3·x4)/(x3·x3) estimating the dominant
+    # eigenvalue is one double division on two exact BIGINT dot products
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ),
+    x0 AS (SELECT node, CAST(1 AS BIGINT) AS x FROM nodes),
+    x1 AS (SELECT e.dst AS node, SUM(p.x) AS x
+           FROM edges e JOIN x0 p ON p.node = e.src GROUP BY e.dst),
+    x2 AS (SELECT e.dst AS node, SUM(p.x) AS x
+           FROM edges e JOIN x1 p ON p.node = e.src GROUP BY e.dst),
+    x3 AS (SELECT e.dst AS node, SUM(p.x) AS x
+           FROM edges e JOIN x2 p ON p.node = e.src GROUP BY e.dst),
+    x4 AS (SELECT e.dst AS node, SUM(p.x) AS x
+           FROM edges e JOIN x3 p ON p.node = e.src GROUP BY e.dst),
+    ray AS (
+      SELECT SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS num,
+             SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)) AS den
+      FROM x3 a JOIN x4 b ON b.node = a.node
+    )
+    SELECT x4.node, x4.x AS walks_4,
+           (SELECT ROUND(num / den, 6) FROM ray) AS lambda_6
+    FROM x4 ORDER BY x4.node
+    """,
+)
+def graph_power_iteration_check(spark: SparkSession, sf_dir: str):
+    """POWER ITERATION on the graph adjacency (r12) — dominant-eigenvalue
+    estimation, the iterative-matvec primitive under spectral methods
+    (PageRank is its damped cousin; spectral clustering and eigenvector
+    centrality are direct users): x_{k+1} = A·x_k from x0 = 1 over the
+    doubled customer↔supplier edge set.  Unnormalized iterates are
+    length-k WALK COUNTS — exact integers (≤ ~maxdeg⁴, far inside
+    BIGINT), so the four matvecs replay in SQL with zero float
+    discipline; the dominant-eigenvalue estimate is the Rayleigh
+    quotient x₃ᵀx₄ / x₃ᵀx₃ with the dot products accumulated in DOUBLE
+    — the int64 products overflow at sf0.1 while DuckDB silently
+    promotes SUM to 128-bit, a cross-engine trap — and λ ≈ 9 rounds at
+    1e-6 against ~1e-14 sum-order drift.
+
+    Per matvec: one edges⋈x join + a dst-grouped SUM — the same (node,
+    value) pair shuffle as every iterative graph entry here; at 100 TB
+    the bucketed-edge layout (`pagerank_bucketed`) removes the edge-side
+    exchange identically."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    from wukong_spark.session import release_checkpoint
+
+    x = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(4):
+        nxt = (
+            edges.join(x, edges["src"] == x["node"])
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("x").alias("x"))
+            .selectExpr("n2 AS node", "x")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            release_checkpoint(prev)
+        prev, x = x, nxt
+    ray = (
+        prev.alias("a")
+        .join(x.alias("b"), F.col("b.node") == F.col("a.node"))
+        .agg(
+            F.sum(
+                F.col("a.x").cast("double") * F.col("b.x").cast("double")
+            ).alias("num"),
+            F.sum(
+                F.col("a.x").cast("double") * F.col("a.x").cast("double")
+            ).alias("den"),
+        )
+    )
+    out = x.crossJoin(F.broadcast(ray)).selectExpr(
+        "node",
+        "x AS walks_4",
+        "ROUND(num / den, 6) AS lambda_6",
+    ).orderBy("node")
+    return out
