@@ -30,9 +30,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kind(dtype) -> str:
+    """Normalized dtype kind: unsigned ints fold into 'i'."""
+    k = dtype.kind
+    return "i" if k == "u" else k
+
+
 def cells_equal(a, b) -> bool:
+    # dtype-strict: the driver's value-hash is repr-sensitive, so an
+    # int64 vs float64 of the same value MUST fail here (r12 lesson).
     if a is None and b is None:
         return True
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -50,6 +60,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
+        for c in a.columns:
+            ak, bk = dtype_kind(a[c].dtype), dtype_kind(b[c].dtype)
+            if ak != bk:
+                problems.append(
+                    f"col {c}: dtype kind spark={a[c].dtype} duck={b[c].dtype}"
+                )
         for c in a.columns:
             av, bv = a[c].tolist(), b[c].tolist()
             bad = sum(0 if cells_equal(x, y) else 1 for x, y in zip(av, bv))

@@ -39,9 +39,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kind(dtype) -> str:
+    """Normalized dtype kind: unsigned ints fold into 'i'."""
+    k = dtype.kind
+    return "i" if k == "u" else k
+
+
 def cells_equal(a, b) -> bool:
+    # dtype-strict: the driver's value-hash is repr-sensitive, so an
+    # int64 12300000000 vs float64 1.23e+10 MUST fail here even though
+    # they compare numerically equal (r12 lesson: 5 driver reds shipped
+    # behind an int==float comparator).
     if a is None and b is None:
         return True
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -105,6 +117,12 @@ def main() -> None:
         elif len(g) != len(w):
             probs.append(f"rowcount {len(g)} != {len(w)}")
         else:
+            for c in g.columns:
+                gk, wk = dtype_kind(g[c].dtype), dtype_kind(w[c].dtype)
+                if gk != wk:
+                    probs.append(
+                        f"col {c}: dtype kind spark={g[c].dtype} duck={w[c].dtype}"
+                    )
             for c in g.columns:
                 bad = [
                     (i, x, y)

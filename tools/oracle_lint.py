@@ -1,0 +1,67 @@
+"""Registry-wide oracle output-type lint (r12 lesson, VERDICT r12 item 2).
+
+DuckDB silently promotes SUM(BIGINT) to HUGEINT; fetchdf() renders
+HUGEINT as float64 while Spark emits int64, so the driver's
+repr-sensitive value-hash fails even when every value is numerically
+identical.  This lint DESCRIBEs every oracle (no execution) and rejects
+any whose OUTPUT schema contains HUGEINT / UHUGEINT / DECIMAL — those
+must carry an explicit outer CAST (BIGINT or DOUBLE) instead.
+
+Usage: python tools/oracle_lint.py            # lint all oracles
+       python tools/oracle_lint.py name ...   # lint a subset
+Exit status 1 if any oracle is flagged.
+"""
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint(oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
+    """Return ["name: col TYPE", ...] for every banned output column."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad: list[str] = []
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: DESCRIBE failed: {str(e)[:200]}")
+            continue
+        for col, typ, *_ in desc:
+            if any(b in typ.upper() for b in BANNED):
+                bad.append(f"{name}: {col} {typ}")
+    con.close()
+    return bad
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:]) or None
+    bad = lint(oracles, only)
+    n = len(oracles) if only is None else len(only)
+    for line in bad:
+        print(f"LINT {line}")
+    print(f"== {n} oracles linted, {len(bad)} flagged ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -636,7 +636,12 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
         windowed_counts,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     # unique sink name, dropped afterwards — a long-lived driver session
     # re-running the gate must not accumulate dead memory-sink tables.
     # (Staging for the single-file source is read_events_stream's cached,
@@ -652,10 +657,10 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
-        # read_events_stream pins UTC for watermark semantics; restore the
-        # caller's tz so later queries in the same (possibly non-UTC
-        # driver) session see their own setting
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        # read_events_stream pins UTC + nanosAsLong for watermark/scan
+        # semantics; restore BOTH so later queries in the same (possibly
+        # non-UTC driver) session see their own settings
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -703,7 +708,12 @@ def stream_sessionize_30m(spark: SparkSession, sf_dir: str):
         sessionize_stream,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir)
@@ -715,7 +725,7 @@ def stream_sessionize_30m(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -747,7 +757,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
         run_to_memory,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select(
@@ -773,7 +788,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
         )
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -806,7 +821,12 @@ def stream_bloom_dedup_check(spark: SparkSession, sf_dir: str):
         run_to_memory,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_bloomdedup_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
@@ -815,7 +835,7 @@ def stream_bloom_dedup_check(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, "user_id long, event_type string")
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -863,7 +883,12 @@ def stream_bloom_rotating_check(spark: SparkSession, sf_dir: str):
         run_to_memory,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_bloomrot_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
@@ -878,7 +903,7 @@ def stream_bloom_rotating_check(spark: SparkSession, sf_dir: str):
         )
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -916,7 +941,12 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str):
         run_to_memory,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_ivj_{uuid.uuid4().hex[:8]}"
     try:
         # deterministic 1-in-5 user subset: bounds the gate's join state
@@ -941,7 +971,7 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -980,7 +1010,12 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str):
         stateful_user_totals,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_stateful_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select(
@@ -1005,7 +1040,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str):
         )
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -1042,7 +1077,12 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str):
         windowed_counts,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir)
@@ -1055,7 +1095,7 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -1440,7 +1480,12 @@ def stream_countmin_merge_check(spark: SparkSession, sf_dir: str):
     from wukong_spark.streaming import read_events_stream, run_foreach_batch
 
     width, depth = 4096, 5
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     try:
         ev = read_events_stream(spark, sf_dir).select("user_id")
         streamed = np.zeros((depth, width), np.int64)
@@ -1453,25 +1498,29 @@ def stream_countmin_merge_check(spark: SparkSession, sf_dir: str):
                 )
 
         run_foreach_batch(ev, absorb)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
-    e = tbl(spark, sf_dir, "events").select("user_id")
-    batch_cms = countmin_build(e, "user_id", width, depth)
-    truth = e.groupBy("user_id").count().toPandas()
-    ests = countmin_estimate(batch_cms, truth["user_id"], integral=True)
-    return spark.createDataFrame(
-        [
-            (
-                bool(np.array_equal(streamed, batch_cms)),
-                bool((ests >= truth["count"].to_numpy()).all()),
-                len(truth),
-                int(truth["count"].sum()),
-            )
-        ],
-        "sketches_identical boolean, never_underestimates boolean,"
-        " n_keys bigint, n_rows bigint",
-    )
+        # batch replay INSIDE the snapshot region: tbl(events) pins
+        # nanosAsLong for its lazy scan, and the collects below are the
+        # last actions that need it — restoring after keeps the entry
+        # conf-neutral for the shared session
+        e = tbl(spark, sf_dir, "events").select("user_id")
+        batch_cms = countmin_build(e, "user_id", width, depth)
+        truth = e.groupBy("user_id").count().toPandas()
+        ests = countmin_estimate(batch_cms, truth["user_id"], integral=True)
+        return spark.createDataFrame(
+            [
+                (
+                    bool(np.array_equal(streamed, batch_cms)),
+                    bool((ests >= truth["count"].to_numpy()).all()),
+                    len(truth),
+                    int(truth["count"].sum()),
+                )
+            ],
+            "sketches_identical boolean, never_underestimates boolean,"
+            " n_keys bigint, n_rows bigint",
+        )
+    finally:
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -1758,7 +1807,12 @@ def stream_cms_heavy_hitters_check(spark: SparkSession, sf_dir: str):
         run_to_memory,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_cmshh_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
@@ -1769,7 +1823,7 @@ def stream_cms_heavy_hitters_check(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(rows, "user_id long, event_type string")
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -1831,7 +1885,8 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT c.c_nationkey AS nationkey, e.event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS sum_value_4
+           CAST(SUM(CAST(ROUND(e.value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_nationkey, e.event_type
     """,
@@ -1853,7 +1908,12 @@ def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
 
     from wukong_spark.streaming import read_events_stream, run_to_memory
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     try:
         ev = read_events_stream(spark, sf_dir).select(
@@ -1880,7 +1940,7 @@ def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
         )
     finally:
         spark.catalog.dropTempView(sink)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -1897,7 +1957,7 @@ def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
       FROM events
     ),
     agg AS (
-      SELECT event_type, bucket, SUM(v4) AS sv4 FROM b
+      SELECT event_type, bucket, CAST(SUM(v4) AS BIGINT) AS sv4 FROM b
       GROUP BY event_type, bucket
     ),
     bounds AS (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg),
@@ -2063,7 +2123,8 @@ def events_grouped_median_mad(spark: SparkSession, sf_dir: str):
     "stream_merge_upsert_sink",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_value_4
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4
     FROM events GROUP BY user_id
     """,
 )
@@ -2090,7 +2151,12 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
         run_foreach_batch,
     )
 
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    from wukong_spark.streaming import (
+        restore_stream_conf,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
     work = tempfile.mkdtemp(prefix=f"stream_merge_{uuid.uuid4().hex[:8]}-")
     src, state = f"{work}/src", f"{work}/state"
     try:
@@ -2150,7 +2216,7 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        restore_stream_conf(spark, prev_conf)
 
 
 @query(
@@ -2229,19 +2295,21 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str):
              CAST(ROUND(value * 10000) AS BIGINT) AS v4
       FROM events
     ), h AS (
-      SELECT bucket, SUM(v4) AS s FROM b GROUP BY bucket
+      SELECT bucket, CAST(SUM(v4) AS BIGINT) AS s FROM b GROUP BY bucket
     ), tot AS (
-      SELECT COUNT(*) AS n, SUM(s) AS total FROM h
+      SELECT COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS total FROM h
     ), c AS (
       SELECT h.bucket, h.s,
-             SUM(t.n * h.s - t.total) OVER (
+             CAST(SUM(t.n * h.s - t.total) OVER (
                ORDER BY h.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cusum_scaled,
+             ) AS BIGINT) AS cusum_scaled,
              t.n, t.total
       FROM h CROSS JOIN tot t
     )
     SELECT bucket, s AS hourly_sum_4, cusum_scaled,
-           ABS(cusum_scaled) > 50 * n * total / 100 AS flagged
+           ABS(CAST(cusum_scaled AS DOUBLE))
+             > 50.0 * CAST(n AS DOUBLE) * CAST(total AS DOUBLE) / 100.0
+             AS flagged
     FROM c ORDER BY bucket
     """,
 )
@@ -2250,8 +2318,9 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
     classic mean-shift detector every metrics pipeline runs: the
     cumulative sum of deviations from the global mean, kept in PURE
     INTEGERS by scaling (C_t = Σ n·s_i − S instead of Σ s_i − S/n), so
-    the statistic and the flag (|C| above 50 % of n·S/100) are exact in
-    both engines — no float enters the pipeline at all.
+    the statistic is exact in both engines.  Only the FLAG (|C| above
+    50 % of n·S/100) is computed in double — n·S overflows int64 at
+    100 TB per-series totals, and a comparison tolerates double.
 
     Plan: one keyed hourly aggregation, a 1-row totals broadcast, one
     ordered cumulative window.  The single-series global window is the
@@ -2280,8 +2349,15 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
         F.col("s").alias("hourly_sum_4"),
         "cusum_scaled",
         (
-            F.abs(F.col("cusum_scaled"))
-            > F.lit(50) * F.col("n") * F.col("total") / F.lit(100)
+            # threshold in DOUBLE: 50 * n * total as int64 wraps silently
+            # at 100 TB per-series totals while DuckDB promotes to
+            # HUGEINT (r12 verdict item 4) — the flag is a comparison,
+            # not an exact artifact, so double is the right domain.
+            F.abs(F.col("cusum_scaled").cast("double"))
+            > F.lit(50.0)
+            * F.col("n").cast("double")
+            * F.col("total").cast("double")
+            / F.lit(100.0)
         ).alias("flagged"),
     ).orderBy("bucket")
 
@@ -2301,7 +2377,7 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
       FROM v
     )
     SELECT (rid * 8) // n AS bucket, COUNT(*) AS n_rows,
-           MIN(v4) AS lo_4, MAX(v4) AS hi_4, SUM(v4) AS sum_4
+           MIN(v4) AS lo_4, MAX(v4) AS hi_4, CAST(SUM(v4) AS BIGINT) AS sum_4
     FROM r GROUP BY (rid * 8) // n ORDER BY bucket
     """,
 )

@@ -2011,7 +2011,9 @@ def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str):
     # generated inputs): n/sum/sum² are EXACT BIGINTs; mean/std are a
     # fixed IEEE op sequence on those exact integers
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT channel, n_pixels, sum_v, sum_v2,
+           CAST(mean_6 AS DOUBLE) AS mean_6, CAST(std_6 AS DOUBLE) AS std_6
+    FROM (VALUES
       (0, 6912, 873275, 148301563, 126.341869, 74.122823),
       (1, 6912, 889059, 151902969, 128.625434, 73.708795),
       (2, 6912, 876026, 148805206, 126.739873, 73.934609))

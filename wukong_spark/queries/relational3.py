@@ -1118,7 +1118,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str):
     )
     SELECT r_bucket, f_bucket, m_bucket,
            COUNT(*) AS n_customers,
-           SUM(monetary) AS segment_monetary
+           CAST(SUM(monetary) AS BIGINT) AS segment_monetary
     FROM scored GROUP BY r_bucket, f_bucket, m_bucket
     ORDER BY r_bucket, f_bucket, m_bucket
     """,
@@ -1191,11 +1191,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str):
       FROM orders WHERE o_orderkey % 97 <> 0
     )
     SELECT
-      SUM(CASE WHEN v1.k IS NULL THEN 1 ELSE 0 END) AS n_added,
-      SUM(CASE WHEN v2.k IS NULL THEN 1 ELSE 0 END) AS n_removed,
-      SUM(CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
-               AND v1.fp <> v2.fp THEN 1 ELSE 0 END) AS n_changed,
-      SUM(CASE WHEN v1.fp = v2.fp THEN 1 ELSE 0 END) AS n_same
+      CAST(SUM(CASE WHEN v1.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(SUM(CASE WHEN v2.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(SUM(CASE WHEN v1.k IS NOT NULL AND v2.k IS NOT NULL
+               AND v1.fp <> v2.fp THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_changed,
+      CAST(SUM(CASE WHEN v1.fp = v2.fp THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_same
     FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k
     """,
 )

@@ -826,13 +826,13 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
       SELECT DISTINCT src AS node FROM edges
     ),
     x0 AS (SELECT node, CAST(1 AS BIGINT) AS x FROM nodes),
-    x1 AS (SELECT e.dst AS node, SUM(p.x) AS x
+    x1 AS (SELECT e.dst AS node, CAST(SUM(p.x) AS BIGINT) AS x
            FROM edges e JOIN x0 p ON p.node = e.src GROUP BY e.dst),
-    x2 AS (SELECT e.dst AS node, SUM(p.x) AS x
+    x2 AS (SELECT e.dst AS node, CAST(SUM(p.x) AS BIGINT) AS x
            FROM edges e JOIN x1 p ON p.node = e.src GROUP BY e.dst),
-    x3 AS (SELECT e.dst AS node, SUM(p.x) AS x
+    x3 AS (SELECT e.dst AS node, CAST(SUM(p.x) AS BIGINT) AS x
            FROM edges e JOIN x2 p ON p.node = e.src GROUP BY e.dst),
-    x4 AS (SELECT e.dst AS node, SUM(p.x) AS x
+    x4 AS (SELECT e.dst AS node, CAST(SUM(p.x) AS BIGINT) AS x
            FROM edges e JOIN x3 p ON p.node = e.src GROUP BY e.dst),
     ray AS (
       SELECT SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS num,

@@ -836,7 +836,7 @@ def _word_ngrams(toks: Column, n: int) -> Column:
       SELECT doc_id, SUM(c) AS n, COUNT(*) AS dist, MAX(c) AS top
       FROM counts GROUP BY doc_id
     )
-    SELECT doc_id, n AS n_2grams,
+    SELECT doc_id, CAST(n AS BIGINT) AS n_2grams,
            ROUND(1.0 - dist * 1.0 / n, 4) AS dup_frac,
            ROUND(top * 1.0 / n, 4) AS top_frac,
            (1.0 - dist * 1.0 / n) <= 0.05 AS keep
@@ -2059,7 +2059,7 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str):
              SUM(CAST(db.n AS DOUBLE) * lw.lr) AS w
       FROM db JOIN lw USING (bucket) GROUP BY db.doc_id
     )
-    SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
+    SELECT d.doc_id, CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
            ROUND(COALESCE(w.w, 0.0), 6) AS w_6,
            COALESCE(ROUND(w.w, 6) > 0, FALSE) AS selected
     FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
@@ -2248,7 +2248,7 @@ def text_quality_classifier_check(spark: SparkSession, sf_dir: str):
                  * LN(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS h
       FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY c.doc_id
     )
-    SELECT d.doc_id, n.n AS n_tokens, n.n_unique,
+    SELECT d.doc_id, CAST(n.n AS BIGINT) AS n_tokens, n.n_unique,
            ROUND(h.h, 6) AS entropy_6
     FROM documents d
     JOIN n ON n.doc_id = d.doc_id
