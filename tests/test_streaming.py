@@ -545,3 +545,70 @@ def test_cms_heavy_hitters_threshold_one_equals_dedup(spark, tmp_path):
         mode="update",
     ).collect()
     assert sorted(r["user_id"] for r in out) == list(range(7))
+
+
+def test_streaming_entries_leave_session_conf_bit_identical(spark):
+    """Every stream_* registry entry must leave the shared session conf
+    EXACTLY as it found it — including confs that were UNSET before
+    (r12 verdict item 3: callers restored the tz but leaked
+    spark.sql.legacy.parquet.nanosAsLong=true into the session, changing
+    parquet scan semantics for every later query)."""
+    keys = (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+    )
+    stream_entries = [n for n in sorted(REG) if n.startswith("stream_")]
+    assert len(stream_entries) >= 10
+    for name in stream_entries:
+        before = {k: spark.conf.get(k, None) for k in keys}
+        REG[name].fn(spark, SF_SMOKE).collect()
+        after = {k: spark.conf.get(k, None) for k in keys}
+        assert after == before, f"{name} leaked session conf: {before} -> {after}"
+
+
+def test_bloom_rotating_null_epochs_dropped_plan_side(spark, tmp_path):
+    """ADVICE r12: rows whose epoch expression evaluates to NULL used to
+    fall into pandas groupby's silently-dropped NaN group AND promote
+    __epoch to float64 in the Arrow batch.  The fix filters them
+    plan-side — pin that (a) null-epoch rows are dropped without error,
+    (b) every valid row still dedups exactly as before."""
+    import pyspark.sql.functions as F
+
+    from wukong_spark.streaming import (
+        bloom_dedup_rotating_stream,
+        read_events_dir_stream,
+        run_to_memory,
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    day = 86_400 * 10**9
+    rows = [
+        (1, 10 * day, 0, "A", 0.0, ""),
+        (2, 10 * day, 0, "A", 0.0, ""),  # dup, suppressed
+        (3, 10 * day, 0, "B", 0.0, ""),
+        (4, 11 * day, 0, "C", 0.0, ""),
+    ]
+    staged = str(tmp_path / "rotating_null_epoch")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+
+    stream = read_events_dir_stream(spark, staged)
+    # epoch is NULL for event_type B: that row must be dropped plan-side
+    epoch = F.when(F.col("event_type") != "B",
+                   F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+    out = run_to_memory(
+        bloom_dedup_rotating_stream(
+            stream.select("ts", "event_type"),
+            ["event_type"],
+            epoch=epoch,
+            n_bits=1 << 14,
+            n_buckets=2,
+        ),
+        "bloom_rotating_null_test",
+        mode="update",
+    ).collect()
+    got = sorted((r["event_type"], r["epoch"]) for r in out)
+    assert got == [("A", 10), ("C", 11)]

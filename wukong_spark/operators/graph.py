@@ -239,6 +239,11 @@ def pagerank_bucketed(
     from wukong_spark.layout import drop_managed_table
     from wukong_spark.session import release_checkpoint as _release
 
+    # validate BEFORE the expensive bucketed write — an invalid call must
+    # not pay the layout step or clobber the named table (ADVICE r12)
+    if seeds is not None and not handle_dangling:
+        raise ValueError("seeds (personalized PageRank) requires handle_dangling=True")
+
     spark = edges.sparkSession
     # Hadoop-FS cleanup (layout.py): works for file:/hdfs:/s3a: warehouses
     # alike — a previous session's managed-table directory survives DROP
@@ -255,22 +260,38 @@ def pagerank_bucketed(
     )
     adj = spark.table(table)
 
-    if seeds is not None and not handle_dangling:
-        raise ValueError("seeds (personalized PageRank) requires handle_dangling=True")
-
     if not handle_dangling:
         # undirected input: src column covers every node, and the bucket
         # layout satisfies the distinct's clustering (no exchange here)
         nodes = adj.select("src").distinct()
         n = nodes.count()
         ranks = nodes.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+        if tol is not None:
+            ranks = ranks.localCheckpoint(eager=True)
         for _ in range(iters):
             contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
                 F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c")
             )
-            ranks = contrib.groupBy("node").agg(
+            new_ranks = contrib.groupBy("node").agg(
                 (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias("r")
             )
+            if tol is None:
+                # fixed-iteration mode: stay fully lazy (oracle-replayable)
+                ranks = new_ranks
+                continue
+            # L1 convergence stop (ADVICE r12: tol was silently ignored on
+            # this branch) — same contract as the dangling path
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+                .collect()[0][0]
+            )
+            _release(ranks)
+            ranks = new_ranks
+            if delta is not None and float(delta) < tol:
+                break
         return ranks
 
     # directed graph with sinks: the node universe is src ∪ dst, and the

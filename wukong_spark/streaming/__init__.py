@@ -48,6 +48,33 @@ def _cleanup_stages() -> None:
     _STAGE_CACHE.clear()
 
 
+#: session confs the stream readers pin; snapshot/restore as a PAIR so a
+#: streaming registry entry leaves the shared session bit-identical
+#: (r12 verdict item 3: callers restored only the tz, leaking nanosAsLong
+#: into every later query in the same session)
+_PINNED_CONF_KEYS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+)
+
+
+def snapshot_stream_conf(spark: SparkSession) -> dict[str, str | None]:
+    """Snapshot every session conf the stream readers mutate (None =
+    the key was unset).  Call BEFORE read_events_stream; pass the result
+    to restore_stream_conf in the caller's finally."""
+    return {k: spark.conf.get(k, None) for k in _PINNED_CONF_KEYS}
+
+
+def restore_stream_conf(spark: SparkSession, snap: dict[str, str | None]) -> None:
+    """Restore a snapshot_stream_conf snapshot exactly: previously-unset
+    keys are unset again, not left behind with the pinned value."""
+    for k, v in snap.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """events parquet directory as an unbounded source.
 
@@ -442,7 +469,10 @@ def bloom_dedup_rotating_stream(
     suppressed within a horizon of one-to-two epoch widths, exactly the
     within-watermark dedup shape.  `epoch` is a caller-supplied integer
     Column over event time (e.g. day number) — computed PLAN-side so it
-    is exact and SQL-mirrorable.
+    is exact and SQL-mirrorable.  Rows whose epoch evaluates to NULL are
+    DROPPED (filtered plan-side): an undated row cannot be placed in a
+    generation, mirroring how a null-event-time row falls out of any
+    watermarked operator.
 
     Batch rows are processed in epoch order (stable sort inside the
     micro-batch), so a single availableNow batch replays deterministically
@@ -480,7 +510,12 @@ def bloom_dedup_rotating_stream(
     for c in int_keys:
         proj.append(F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"__v_{c}"))
         proj.append(F.isnull(c).alias(f"__f_{c}"))
-    src = events.select(
+    # rows whose epoch evaluates to NULL are dropped PLAN-side (ADVICE
+    # r12): without this, pandas groupby's dropna=True silently discarded
+    # the NaN-epoch group AND a single null promoted __epoch to float64
+    # in the Arrow batch — an explicit filter makes the drop semantics
+    # declared and keeps __epoch int64
+    src = events.filter(epoch.isNotNull()).select(
         *proj,
         epoch.cast("bigint").alias("__epoch"),
         *_stream_key_lanes(keys, n_buckets),
