@@ -219,3 +219,85 @@ def test_cc_early_exit_matches_generous_cap(spark):
         ).collect()
     }
     assert b == generous
+
+
+def test_kcore_triangle_pendant_and_deep_cascade(spark):
+    """kcore (r13): (a) triangle+pendant — the 2-core is the triangle with
+    every core degree 2, the 3-core is empty; (b) a DEEP peel cascade (a
+    path hung off a clique: each peel round removes exactly one path
+    node) stabilizes to the clique and needs one round per path node —
+    the convergence loop, not a fixed round count, is what gets it
+    right; (c) max_iter too small raises instead of returning a partial
+    (wrong) core."""
+    import pytest as _pytest
+
+    from wukong_spark.operators.graph import kcore
+
+    def doubled(e):
+        return e + [(b, a) for a, b in e]
+
+    tri = doubled([(0, 1), (1, 2), (2, 0), (2, 3)])
+    df = spark.createDataFrame(tri, "src long, dst long")
+    got = sorted((r.node, r.deg_in_core) for r in kcore(df, 2).collect())
+    assert got == [(0, 2), (1, 2), (2, 2)]
+    assert kcore(df, 3).count() == 0
+
+    # K4 clique on {0,1,2,3} + path 3-10-11-12-13: 2-core peels the path
+    # one node per round (13, then 12, ...) — a 4-round cascade
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 10), (10, 11), (11, 12), (12, 13)]
+    deep = doubled(clique + path)
+    dfd = spark.createDataFrame(deep, "src long, dst long")
+    core = sorted((r.node, r.deg_in_core) for r in kcore(dfd, 2).collect())
+    assert core == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+    with _pytest.raises(RuntimeError, match="kcore"):
+        kcore(dfd, 2, max_iter=2)
+
+
+def test_kcore_fixed_replay_margin_at_gate_sf(spark):
+    """graph_kcore_decomposition's oracle replays a FIXED 6 peel rounds;
+    pin that the converged operator result on the gate data equals a
+    fixed 3-round replay already (so 6 rounds carry 2x margin) — if a
+    regenerated dataset ever cascades deeper, this is the test that
+    says why the gate went red."""
+    from wukong_spark.operators.graph import kcore
+    from wukong_spark.queries.helpers import tbl
+    from tests.conftest import SF_CORRECT
+
+    o = tbl(spark, SF_CORRECT, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    converged = {(r.node, r.deg_in_core) for r in kcore(edges, 25).collect()}
+
+    # manual fixed 3-round replay (the oracle shape, shorter)
+    cur = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(3):
+        cur = (
+            edges.join(cur.select(F.col("node").alias("src")), "src")
+            .join(cur.select(F.col("node").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 25)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        edges.join(cur.select(F.col("node").alias("src")), "src")
+        .join(cur.select(F.col("node").alias("dst")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg_in_core"))
+    )
+    replay = {(r.node, r.deg_in_core) for r in final.collect()}
+    assert converged == replay

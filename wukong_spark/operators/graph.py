@@ -360,3 +360,75 @@ def pagerank_bucketed(
     _release(nodes)
     _release(dangling)
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-CORE DECOMPOSITION by iterative peeling (r13): repeatedly remove
+    nodes of degree < k until the survivor set is stable; return
+    (node, deg_in_core) — each survivor's degree WITHIN the core.  The
+    standard community/spam-graph densification primitive (the k-core is
+    the maximal subgraph where every node keeps ≥ k neighbors).
+
+    Input is an UNDIRECTED edge list given in both directions (the CC
+    convention).  Each round: one join of the edge set against the
+    survivor set on both endpoints, one count-agg per src, one HAVING-
+    style filter — all keyed on node.  The survivor set shrinks
+    monotonically, so "count unchanged" == "set unchanged" and the loop
+    stops one round after stability (the labels-changed early-exit
+    pattern of connected_components).  Raises RuntimeError past
+    max_iter: a partial peel is a WRONG core, never returned silently.
+
+    100 TB path: the survivor set is (node) rows — linear in nodes —
+    while the edge set stays put (persist here; the
+    connected_components_bucketed one-time bucketed layout is the same
+    lever if rounds are many).  Peeling cascades are shallow in
+    practice (degree distributions are heavy-tailed), so the loop runs
+    O(cascade depth) rounds, not O(diameter)."""
+    from wukong_spark.session import release_checkpoint as _release
+
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    cur = both.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_cur = cur.count()
+
+    converged = False
+    for _ in range(max_iter):
+        nxt = (
+            both.join(cur.select(F.col("node").alias("a")), "a")
+            .join(cur.select(F.col("node").alias("b")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        _release(cur)
+        cur = nxt.select("node").localCheckpoint(eager=True)
+        if n_nxt == n_cur:
+            # survivor sets shrink monotonically: equal COUNT == equal SET,
+            # and this round's degrees were computed within that stable
+            # set — they ARE the core degrees
+            _release(cur)
+            both.unpersist()
+            return nxt.select("node", F.col("deg").alias("deg_in_core"))
+        _release(nxt)
+        n_cur = n_nxt
+        if n_cur == 0:
+            converged = True
+            break
+
+    both.unpersist()
+    if converged:
+        return cur.sparkSession.createDataFrame(
+            [], "node long, deg_in_core long"
+        )
+    raise RuntimeError(
+        f"kcore did not stabilize within {max_iter} rounds; raise max_iter"
+    )

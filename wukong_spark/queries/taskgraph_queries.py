@@ -910,3 +910,159 @@ def graph_power_iteration_check(spark: SparkSession, sf_dir: str):
         "ROUND(num / den, 6) AS lambda_6",
     ).orderBy("node")
     return out
+
+
+@query(
+    "graph_link_prediction",
+    # common-neighbor / Jaccard scores over 2-hop candidate pairs: cn and
+    # the degrees are exact integers; the Jaccard is ONE double division
+    # on exact ints with char-identical formula text in both engines
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey % 50 = 0
+    ), deg AS (
+      SELECT c, COUNT(*) AS d FROM e GROUP BY c
+    ), pairs AS (
+      SELECT a.c AS cust_a, b.c AS cust_b, COUNT(*) AS cn
+      FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT p.cust_a, p.cust_b, CAST(p.cn AS BIGINT) AS cn,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+           ROUND(CAST(cn AS DOUBLE) / CAST(da.d + db.d - cn AS DOUBLE), 6)
+             AS jaccard_6
+    FROM pairs p
+    JOIN deg da ON da.c = p.cust_a
+    JOIN deg db ON db.c = p.cust_b
+    WHERE p.cn >= 2
+    ORDER BY p.cust_a, p.cust_b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str):
+    """LINK PREDICTION by common-neighbor counting (r13) — the classic
+    similarity primitive under "customers also bought" / collaborative
+    candidate generation: for customer pairs sharing at least one
+    supplier in the bipartite customer↔supplier purchase graph, score
+    the pair by common-neighbor count and neighborhood Jaccard
+    |Γa∩Γb| / |Γa∪Γb|.
+
+    Candidate generation is the textbook 2-hop self-join THROUGH the
+    relay node (never all-pairs): pairs = e ⋈ e on the shared supplier
+    with a < b, so only co-neighbors ever meet.  The check samples the
+    customer side deterministically (custkey % 50) to bound the output;
+    the production levers at 100 TB are (a) the same hash-mod sharding
+    run shard-by-shard, and (b) a degree cap on the relay node — a hub
+    supplier with degree D contributes O(D²) pairs, so hubs are dropped
+    or down-sampled first (the MinHash-LSH banding argument applied to
+    graphs).  Every shuffle keys on supplier or the (a,b) pair; degrees
+    broadcast-join back onto the pair list.  cn ≥ 2 keeps only
+    multi-witness pairs (rank-stable under regeneration)."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.filter(F.col("o_custkey") % 50 == 0)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    da = deg.select(F.col("c").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("c").alias("cust_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .selectExpr(
+            "cust_a",
+            "cust_b",
+            "CAST(cn AS BIGINT) AS cn",
+            "CAST(da AS BIGINT) AS deg_a",
+            "CAST(db AS BIGINT) AS deg_b",
+            "ROUND(CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE), 6)"
+            " AS jaccard_6",
+        )
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+@query(
+    "graph_kcore_decomposition",
+    # fixed 6-round peel replay: the cascade stabilizes in <=3 rounds at
+    # every shipped SF (bipartite graph, 2-hop cascade), so s6 IS the
+    # converged core and equals the operator's convergence-stopped
+    # result (pinned in tests/test_graph.py); degrees are exact ints
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), ed AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    s0 AS (SELECT DISTINCT src AS node FROM ed),
+    s1 AS (SELECT e.src AS node FROM ed e
+           JOIN s0 a ON a.node = e.src JOIN s0 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s2 AS (SELECT e.src AS node FROM ed e
+           JOIN s1 a ON a.node = e.src JOIN s1 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s3 AS (SELECT e.src AS node FROM ed e
+           JOIN s2 a ON a.node = e.src JOIN s2 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s4 AS (SELECT e.src AS node FROM ed e
+           JOIN s3 a ON a.node = e.src JOIN s3 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s5 AS (SELECT e.src AS node FROM ed e
+           JOIN s4 a ON a.node = e.src JOIN s4 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s6 AS (SELECT e.src AS node FROM ed e
+           JOIN s5 a ON a.node = e.src JOIN s5 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25)
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+    FROM ed e
+    JOIN s6 a ON a.node = e.src JOIN s6 b ON b.node = e.dst
+    GROUP BY e.src ORDER BY node
+    """,
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
+    """k-CORE DECOMPOSITION (r13) — iterative peeling to the maximal
+    subgraph where every node keeps >= k neighbors (k=25 on the doubled
+    customer↔supplier purchase graph), returning each survivor's degree
+    WITHIN the core.  The graph-densification primitive under community
+    detection, spam-farm discovery, and engagement cohorting.
+
+    The Spark side runs `operators.graph.kcore` — the CONVERGENCE-
+    stopped loop (survivor count unchanged -> stop, RuntimeError past
+    max_iter).  The oracle replays a FIXED 6 peel rounds in nested CTEs:
+    the bipartite cascade stabilizes in <= 3 rounds at every shipped SF
+    (customers peel, supplier degrees drop, one echo round), so the
+    fixed replay and the converged run coincide with 2x margin — the
+    power-iteration fixed-replay pattern for loops SQL can't express.
+
+    100 TB path: per round only (node) survivor rows move — the edge
+    set is persisted and joined in place (or laid out bucketed once,
+    the connected_components_bucketed lever, when cascades are deep);
+    both joins and the degree agg key on node."""
+    from wukong_spark.operators.graph import kcore
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore(edges, k=25).orderBy("node")
