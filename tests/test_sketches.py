@@ -217,3 +217,29 @@ def test_local_heavy_candidates_null_key(spark):
     sdf = df.select(F.col("k").cast("string").alias("k"))
     scand = {r[0] for r in local_heavy_candidates(sdf, "k", 0.01).collect()}
     assert None in scand
+
+
+def test_value_hist_build_merge_clip_nulls(spark):
+    """value_hist_build (r13): (a) exact counts on a known grid with
+    NULLs dropped; (b) MERGEABILITY — partials over disjoint splits sum
+    to the one-pass histogram cell-for-cell; (c) out-of-domain values
+    clip into the edge buckets (never lost, never crash)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wukong_spark.operators.membership import value_hist_build
+
+    df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("v"))
+    with_null = df.unionByName(
+        spark.createDataFrame([(None,)], "v long")
+    )
+    h = value_hist_build(with_null, "v", 100, 16)
+    assert list(h[:10]) == [100] * 10 and h.sum() == 1000
+
+    lo = value_hist_build(df.filter("v < 437"), "v", 100, 16)
+    hi = value_hist_build(df.filter("v >= 437"), "v", 100, 16)
+    assert np.array_equal(lo + hi, value_hist_build(df, "v", 100, 16))
+
+    spiky = spark.createDataFrame([(-5,), (10**12,), (50,)], "v long")
+    hs = value_hist_build(spiky, "v", 100, 16)
+    assert hs[0] == 2 and hs[15] == 1 and hs.sum() == 3

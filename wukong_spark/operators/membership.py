@@ -308,3 +308,44 @@ def countmin_estimate(
     pos = _positions(h1, h2, width, depth)  # (n, depth)
     ests = np.stack([cms[r][pos[:, r]] for r in range(depth)], axis=1)
     return ests.min(axis=1)
+
+
+def value_hist_build(
+    df: DataFrame, col: str, width: int, n_buckets: int
+) -> np.ndarray:
+    """Distributed MERGEABLE value-bucket histogram -> int64[n_buckets]:
+    bucket[j] counts rows with j*width <= value < (j+1)*width (values
+    outside [0, n_buckets*width) clip into the edge buckets — callers
+    that need the containment contract check the domain separately).
+
+    This is the quantile-sketch workhorse of the streaming layer: exact
+    integer counts over a FIXED value grid, so partials from partitions,
+    micro-batches, or parallel streams merge by plain addition
+    (order-free, loss-free) — the same mergeability currency as the
+    Count-Min counters above — and any rank query answers from one
+    cumsum with value-resolution error <= width.  State is
+    O(n_buckets) int64 regardless of row count.
+
+    `col` must be integral (the caller fixes the grid by pre-scaling,
+    e.g. CAST(ROUND(value*10000) AS BIGINT)); NULLs are dropped."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hist = np.zeros(n_buckets, np.int64)
+        got = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = pdf[col].dropna().to_numpy(np.int64)
+            if not len(v):
+                continue
+            idx = np.clip(v // width, 0, n_buckets - 1)
+            np.add.at(hist, idx, 1)
+            got = True
+        if got:
+            yield pd.DataFrame({"b": [hist.tobytes()]})
+
+    rows = df.select(col).mapInPandas(partials, "b binary").collect()
+    out = np.zeros(n_buckets, np.int64)
+    for row in rows:
+        out += np.frombuffer(row.b, np.int64)
+    return out

@@ -2415,3 +2415,105 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "stream_quantile_hist_check",
+    # the sketch is an EXACT counting histogram over a fixed value grid
+    # (bucket width 4096 on v4), so (a) micro-batch partials sum to the
+    # one-pass batch sketch cell-for-cell and (b) the bucket recovered
+    # for rank k = FLOOR(q*(n-1)) + 1 is exactly the bucket of the k-th
+    # order statistic — both engines compute k with the same IEEE double
+    # product, and the order statistic itself is integer
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 10000) AS BIGINT) AS v4 FROM events
+    ), n AS (SELECT COUNT(*) AS n FROM v),
+    r AS (SELECT v4, ROW_NUMBER() OVER (ORDER BY v4) AS rn FROM v),
+    qs AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q
+      UNION ALL SELECT CAST(0.9 AS DOUBLE)
+      UNION ALL SELECT CAST(0.99 AS DOUBLE)
+    ), ks AS (
+      SELECT q, CAST(FLOOR(q * (n.n - 1)) AS BIGINT) + 1 AS k, n.n AS n
+      FROM qs CROSS JOIN n
+    ), os AS (
+      SELECT ks.q, ks.n, r.v4 AS ostat FROM ks JOIN r ON r.rn = ks.k
+    )
+    SELECT os.q, TRUE AS sketches_identical, TRUE AS in_domain,
+           os.ostat // 4096 AS bucket_id,
+           (os.ostat // 4096) * 4096 AS bucket_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+            WHERE v4 < ((os.ostat // 4096) + 1) * 4096) AS n_le,
+           CAST(os.n AS BIGINT) AS n_rows
+    FROM os ORDER BY q
+    """,
+)
+def stream_quantile_hist_check(spark: SparkSession, sf_dir: str):
+    """QUANTILE SKETCH ON A STREAM (r13) — the rank-query companion to
+    stream_countmin_merge_check: a mergeable value-bucket histogram
+    (`operators.membership.value_hist_build`, int64[4096] over bucket
+    width 4096 on v4 = round(value*10000)) built micro-batch by
+    micro-batch through foreachBatch and summed — integer counters add
+    order-free, so the streamed sketch must equal the one-pass BATCH
+    sketch cell-for-cell.  Quantile recovery: for q in {0.5, 0.9, 0.99}
+    the first bucket whose cumulative count reaches rank
+    k = floor(q*(n-1)) + 1 is exactly the bucket holding the k-th order
+    statistic — the oracle recomputes that bucket from the true order
+    statistic via ROW_NUMBER, so the sketch's answer is checked against
+    exact SQL, not against itself.
+
+    100 TB path: O(n_buckets) int64 state TOTAL regardless of stream
+    length or key cardinality; partials merge by addition across
+    micro-batches AND across parallel streams (kafka partitions); rank
+    queries are one cumsum, value-resolution error <= bucket width.
+    The domain contract (v4 within [0, 4096*4096), 3x headroom over
+    shipped data) is emitted as the in_domain boolean rather than
+    silently clipped."""
+    import numpy as np
+
+    from wukong_spark.operators.membership import value_hist_build
+    from wukong_spark.streaming import (
+        read_events_stream,
+        restore_stream_conf,
+        run_foreach_batch,
+        snapshot_stream_conf,
+    )
+
+    W = NB = 4096
+    prev_conf = snapshot_stream_conf(spark)
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            F.round(F.col("value") * 10000).cast("long").alias("v4")
+        )
+        streamed = np.zeros(NB, np.int64)
+
+        def absorb(bdf, _epoch):
+            nonlocal streamed
+            if bdf.count():
+                streamed = streamed + value_hist_build(bdf, "v4", W, NB)
+
+        run_foreach_batch(ev, absorb)
+
+        e = tbl(spark, sf_dir, "events").select(
+            F.round(F.col("value") * 10000).cast("long").alias("v4")
+        )
+        batch_hist = value_hist_build(e, "v4", W, NB)
+        identical = bool(np.array_equal(streamed, batch_hist))
+        mn, mx = e.agg(F.min("v4"), F.max("v4")).collect()[0]
+        in_domain = bool(mn is not None and mn >= 0 and mx < W * NB)
+
+        cum = np.cumsum(streamed)
+        n = int(cum[-1])
+        rows = []
+        for q in (0.5, 0.9, 0.99):
+            k = int(np.floor(q * (n - 1))) + 1
+            b = int(np.searchsorted(cum, k, side="left"))
+            rows.append((q, identical, in_domain, b, b * W, int(cum[b]), n))
+        return spark.createDataFrame(
+            rows,
+            "q double, sketches_identical boolean, in_domain boolean,"
+            " bucket_id long, bucket_lo long, n_le long, n_rows long",
+        )
+    finally:
+        restore_stream_conf(spark, prev_conf)
