@@ -606,3 +606,59 @@ def sketch_hll_distinct_check(spark: SparkSession, sf_dir: str):
         F.col("v").cast("long").alias("empty_registers"),
         (F.abs(F.col("e") - n_exact) / n_exact < 0.08).alias("within_error"),
     )
+
+
+@query(
+    "sample_bottomk_per_key",
+    # bottom-k by md5 hex: the hash ORDER is a total order on (h, id)
+    # strings/ints identical in both engines, so the k survivors per key
+    # are bit-deterministic — no RNG, no seed drift
+    oracle="""
+    WITH h AS (
+      SELECT event_type, event_id,
+             md5(CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    ), r AS (
+      SELECT event_type, event_id, hx,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hx ASC, event_id ASC
+             ) AS rk
+      FROM h
+    )
+    SELECT event_type, rk, event_id, hx
+    FROM r WHERE rk <= 5
+    ORDER BY event_type, rk
+    """,
+)
+def sample_bottomk_per_key(spark: SparkSession, sf_dir: str):
+    """BOTTOM-K PER-KEY SAMPLING (r13) — the deterministic equivalent of
+    a per-key reservoir sample: hash every row's id and keep the k rows
+    with the SMALLEST hashes per key.  Because md5 is uniform, the
+    survivors are a uniform k-sample of each key's rows, yet fully
+    reproducible across engines, reruns, and data relayouts — no RNG
+    state, no seed plumbing.  The same bottom-k set doubles as a
+    mergeable DISTINCT-COUNT sketch (the k-th smallest hash estimates
+    cardinality), which is why warehouses keep it as a first-class
+    sample operator.
+
+    Plan: map-side hash, one exchange on the key, window row_number.
+    At 100 TB the winning move Catalyst already makes here: rank<=k
+    windows push a per-partition TOP-K (WindowGroupLimit) below the
+    exchange, so each map task forwards at most k rows per key instead
+    of its whole partition — the reservoir property, distributed."""
+    from pyspark.sql.window import Window
+
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hx").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id", "hx")
+        .orderBy("event_type", "rk")
+    )

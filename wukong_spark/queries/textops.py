@@ -2294,3 +2294,82 @@ def text_token_entropy(spark: SparkSession, sf_dir: str):
         .withColumnRenamed("n", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_vocab_oov_rate",
+    # vocab = top-16 corpus tokens (count DESC, token ASC tiebreak —
+    # total order, deterministic in both engines); per-doc OOV counts
+    # are exact ints, the rate is one double division with
+    # char-identical formula text
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rk FROM freq
+      ) WHERE rk <= 16
+    ), per_doc AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok LEFT JOIN vocab v ON v.t = tok.t
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS oov_rate_6
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str):
+    """VOCABULARY COVERAGE / OOV RATE (r13) — the tokenizer-design signal
+    every training pipeline computes before fixing a vocab: build the
+    top-K corpus vocabulary by frequency (K=16 here; count DESC with a
+    token-ASC tiebreak makes the cut a total order), then score each
+    document by its out-of-vocabulary token fraction.  High-OOV docs are
+    the ones a fixed vocab will shred into UNKs/bytes — the standard
+    filter-or-upweight signal for multilingual and code corpora.
+
+    Plan: one explode + token-keyed count for the corpus frequency
+    table, a row_number top-K (K rows — broadcast back), one left join
+    explode-side against the broadcast vocab, one doc-keyed agg.  At
+    100 TB the vocab stays driver-small by construction (top-K of a
+    frequency agg) and BROADCASTS — the per-token membership test never
+    shuffles the corpus; only (doc_id, counts) pairs move."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    vocab = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 16)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        "ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+        " AS oov_rate_6",
+    ).orderBy("doc_id")
