@@ -2517,3 +2517,105 @@ def stream_quantile_hist_check(spark: SparkSession, sf_dir: str):
         )
     finally:
         restore_stream_conf(spark, prev_conf)
+
+
+@query(
+    "events_anomaly_mad",
+    # median and MAD are exact ORDER STATISTICS on integer v4 (rank
+    # k = FLOOR(0.5*(n-1)) + 1, the quantile_disc convention both
+    # engines replay with the same IEEE product), so med, MAD, the
+    # 3*MAD threshold and the anomaly counts are all exact integers —
+    # no float enters the pipeline
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), n AS (
+      SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type
+    ), r AS (
+      SELECT event_type, v4,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v4) AS rn
+      FROM v
+    ), med AS (
+      SELECT r.event_type, r.v4 AS med4
+      FROM r JOIN n ON n.event_type = r.event_type
+      WHERE r.rn = CAST(FLOOR(0.5 * (n.n - 1)) AS BIGINT) + 1
+    ), d AS (
+      SELECT v.event_type, ABS(v.v4 - m.med4) AS ad
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ), r2 AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn
+      FROM d
+    ), mad AS (
+      SELECT r2.event_type, r2.ad AS mad4
+      FROM r2 JOIN n ON n.event_type = r2.event_type
+      WHERE r2.rn = CAST(FLOOR(0.5 * (n.n - 1)) AS BIGINT) + 1
+    )
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(me.med4) AS med_4, MIN(m.mad4) AS mad_4,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM d
+    JOIN med me ON me.event_type = d.event_type
+    JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str):
+    """ROBUST ANOMALY DETECTION via median absolute deviation (r13) —
+    the outlier flag metrics pipelines use when means/stddevs are
+    poisoned by the very outliers they hunt: per series (event_type),
+    med = median(v4), MAD = median(|v4 − med|), anomaly ⇔
+    |x − med| > 3·MAD.  Medians are exact lower-median order statistics
+    (rank floor(0.5·(n−1))+1), so on integer-scaled values the whole
+    pipeline — both medians, the threshold, the counts — is exact
+    integer arithmetic in both engines.
+
+    Plan: two per-key rank windows (value, then absolute deviation) and
+    two broadcast joins of the per-key scalars back onto the rows.  At
+    100 TB each window partitions by the series key — millions of
+    independent small sorts, no global sort anywhere — and the med/MAD
+    tables are one row per key (broadcast).  The exact-median pass can
+    swap for value_hist_build's bucketed rank recovery when per-key
+    cardinality explodes."""
+    from pyspark.sql.window import Window
+
+    v = tbl(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("long").alias("v4")
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    k = (F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("long") + 1).alias("k")
+    kn = n.select("event_type", k)
+
+    w1 = Window.partitionBy("event_type").orderBy("v4")
+    med = (
+        v.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(kn), "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", F.col("v4").alias("med4"))
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v4") - F.col("med4")).alias("ad")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad")
+    mad = (
+        d.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(kn), "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", F.col("ad").alias("mad4"))
+    )
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("med4").alias("med_4"),
+            F.min("mad4").alias("mad_4"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad4"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

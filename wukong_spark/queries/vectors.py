@@ -1079,3 +1079,97 @@ def embed_pca_check(spark: SparkSession, sf_dir: str):
         "decorrelated boolean, variance_sorted boolean,"
         " variance_captured boolean, k int",
     )
+
+
+@query(
+    "embed_knn_classifier",
+    # cosine uses the SAME sequential-fold IEEE op order in both engines
+    # (the embed_cosine_topk discipline); ranking ties break on vec_id,
+    # vote ties on (count DESC, label ASC) — both total orders, so the
+    # prediction is bit-deterministic
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS true_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), t AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS tv
+      FROM embeddings WHERE vec_id % 20 <> 0
+    ), scored AS (
+      SELECT q.q_id, q.true_label, t.vec_id, t.label,
+             list_dot_product(q.qv, t.tv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(t.tv, t.tv))) AS cos
+      FROM q CROSS JOIN t
+    ), ranked AS (
+      SELECT q_id, true_label, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT q_id, true_label, label, COUNT(*) AS c
+      FROM ranked WHERE rn <= 5 GROUP BY q_id, true_label, label
+    ), pred AS (
+      SELECT q_id, true_label, label AS pred_label, CAST(c AS BIGINT) AS votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY c DESC, label ASC
+             ) AS pr
+      FROM votes
+    )
+    SELECT q_id, true_label, pred_label, votes,
+           true_label = pred_label AS correct
+    FROM pred WHERE pr = 1 ORDER BY q_id
+    """,
+)
+def embed_knn_classifier(spark: SparkSession, sf_dir: str):
+    """k-NN CLASSIFIER over embeddings (r13) — the semi-supervised
+    labeling / label-propagation primitive: every 20th vector is held
+    out as a query, classified by majority vote of its 5
+    nearest-cosine labeled neighbors (vote ties break count DESC then
+    label ASC — a total order, so predictions replay exactly).
+
+    Plan: the held-out query side is small by construction and
+    BROADCASTS; the labeled corpus streams through ONE scoring pass (no
+    corpus shuffle), then only (q_id, label, cos) triples move through
+    the rank/vote windows.  At 100 TB the brute-force scoring pass
+    swaps for the IVF partition-pruned probe (`operators/ann.py`) —
+    candidate generation changes, the vote machinery is identical."""
+    from pyspark.sql.window import Window
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    t = e.filter(F.col("vec_id") % 20 != 0)
+    scored = t.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "true_label",
+        "vec_id",
+        "label",
+        (dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))))
+        .alias("cos"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .groupBy("q_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.col("c").cast("long").alias("votes"),
+            (F.col("true_label") == F.col("label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
