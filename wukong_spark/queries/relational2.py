@@ -616,7 +616,8 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
       (SELECT COUNT(*) FROM lineitem
         WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
           AND CAST(l_shipdate AS DATE) <  DATE '1995-04-01') AS n_range,
-      (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+      (SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        FROM lineitem
         WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
           AND CAST(l_shipdate AS DATE) <  DATE '1995-04-01') AS sum_qty_range,
       (SELECT COUNT(*) FROM lineitem
@@ -700,14 +701,28 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
     pt = r.filter(F.col("l_orderkey") == point_key)
     n_point = pt.count()
     point_scanned = scanned_rows(pt)
+    # at a tiny scale factor the whole rewrite can fit 1-2 row groups —
+    # there is nothing to skip and the <1/2 gates are vacuous, not
+    # failed (r12 notes: scale-dependent layout entries must DEGRADE
+    # CLEANLY at sf0.001, never go red).  Count the actual groups.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    n_groups = sum(
+        _pq.ParquetFile(f).metadata.num_row_groups
+        for f in _glob.glob(f"{local}/*.parquet")
+    )
+    vacuous = n_groups <= 2
     return spark.createDataFrame(
         [
             (
                 int(range_agg["n"]),
                 int(range_agg["s"] or 0),
                 int(n_point),
-                bool(range_scanned * 2 < n_total),
-                bool(point_scanned * 2 < n_total),
+                bool(vacuous or range_scanned * 2 < n_total),
+                bool(vacuous or point_scanned * 2 < n_total),
             )
         ],
         "n_range bigint, sum_qty_range bigint, n_point bigint,"
@@ -721,11 +736,13 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
     SELECT
       (SELECT COUNT(*) FROM lineitem
         WHERE l_partkey >= 1000 AND l_partkey < 1040) AS n_p_range,
-      (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+      (SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        FROM lineitem
         WHERE l_partkey >= 1000 AND l_partkey < 1040) AS sum_qty_p,
       (SELECT COUNT(*) FROM lineitem
         WHERE l_suppkey >= 50 AND l_suppkey < 53) AS n_s_range,
-      (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+      (SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        FROM lineitem
         WHERE l_suppkey >= 50 AND l_suppkey < 53) AS sum_qty_s,
       TRUE AS p_range_pruned,
       TRUE AS s_range_pruned
