@@ -1252,3 +1252,87 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str):
             "n_same"
         ),
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    # the changelog derives from orders by SQL-replayable rules (update
+    # every %3 key, then delete every %6 key — a strict subset, proving
+    # LAST-WINS; insert a shifted copy of every %1000 key); prices stay
+    # integer cents so every cell is exact
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ), log AS (
+      SELECT k, 1 AS seq, 'U' AS op, status, price_c + 100 AS price_c
+      FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, 2 AS seq, 'D' AS op, status, price_c
+      FROM base WHERE k % 6 = 0
+      UNION ALL
+      SELECT k + 10000000 AS k, 1 AS seq, 'I' AS op, status, price_c
+      FROM base WHERE k % 1000 = 0
+    ), last AS (
+      SELECT k, op, status, price_c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ), untouched AS (
+      SELECT b.k, b.status, b.price_c
+      FROM base b LEFT JOIN last l ON l.k = b.k WHERE l.k IS NULL
+    ), applied AS (
+      SELECT k, status, price_c FROM last WHERE op <> 'D'
+    )
+    SELECT k, status, price_c FROM untouched
+    UNION ALL
+    SELECT k, status, price_c FROM applied
+    ORDER BY k
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
+    """CDC CHANGELOG APPLY (r13) — the replication/lakehouse primitive
+    under every Debezium/binlog consumer: given a base snapshot and an
+    ordered changelog of (key, seq, op∈{I,U,D}, payload) rows, produce
+    the new snapshot with LAST-WINS semantics per key.  The derived log
+    updates every %3 key then deletes every %6 key (a strict subset —
+    those keys must come out DELETED, proving seq order beats op
+    union order) and inserts shifted copies of every %1000 key.
+
+    Plan: one per-key rank window over the changelog (last op wins),
+    one left-anti join to find untouched base rows, one union.  At
+    100 TB both the window and the anti-join key on the primary key —
+    the changelog is typically ≪ base, so the last-op table BROADCASTS
+    and the base never shuffles; with a bucketed base layout
+    (layout.py) even the anti-join probe is exchange-free.  This is
+    exactly the per-micro-batch MERGE the streaming upsert sink
+    emulates — here as the one-shot batch form."""
+    from pyspark.sql.window import Window
+
+    base = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    upd = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"), "status",
+        (F.col("price_c") + 100).alias("price_c"),
+    )
+    dels = base.filter(F.col("k") % 6 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("D").alias("op"), "status", "price_c"
+    )
+    ins = base.filter(F.col("k") % 1000 == 0).select(
+        (F.col("k") + 10000000).alias("k"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"), "status", "price_c",
+    )
+    log = upd.unionByName(dels).unionByName(ins)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "status", "price_c")
+    )
+    untouched = base.join(last.select("k"), "k", "left_anti")
+    applied = last.filter(F.col("op") != "D").select("k", "status", "price_c")
+    return untouched.unionByName(applied).orderBy("k")

@@ -1066,3 +1066,90 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kcore(edges, k=25).orderBy("node")
+
+
+@query(
+    "graph_hits_check",
+    # 2 full HITS alternations (a=Σh over in-edges, h=Σa over out-edges)
+    # from h0=1 on the DIRECTED bipartite graph — unnormalized iterates
+    # are integer path counts (the power-iteration discipline), so the
+    # SQL replay is exact; the conventional unit-normalization is a
+    # single scalar division done at read time, not stored
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM e),
+    a1 AS (SELECT e.dst AS node, CAST(SUM(h0.h) AS BIGINT) AS a
+           FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    h1 AS (SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+           FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    h2 AS (SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src)
+    SELECT h2.node, h2.h AS hub_2, CAST(NULL AS BIGINT) AS auth_2 FROM h2
+    UNION ALL
+    SELECT a2.node, CAST(NULL AS BIGINT) AS hub_2, a2.a AS auth_2 FROM a2
+    ORDER BY node, hub_2 NULLS FIRST
+    """,
+)
+def graph_hits_check(spark: SparkSession, sf_dir: str):
+    """HITS HUBS & AUTHORITIES (r13) — Kleinberg's link-analysis pair on
+    the DIRECTED customer→supplier purchase graph: authorities are
+    suppliers many strong buyers use, hubs are customers who buy from
+    many strong suppliers; two full alternations (a ← Σ h over
+    in-edges, h ← Σ a over out-edges) from h0 = 1.  Unnormalized
+    iterates are exact integer PATH COUNTS (the power-iteration
+    fixed-replay discipline — graph_power_iteration_check), so both
+    engines agree bit-for-bit with no float anywhere; production
+    normalizes by one scalar at read time.
+
+    Plan: each half-step is one edges⋈scores join + a keyed SUM —
+    identical shuffle shape to PageRank's matvec, so the bucketed-edge
+    layout (pagerank_bucketed) is the same 100 TB lever: the edge set
+    never moves again after one layout write; only (node, score) pairs
+    shuffle per half-step."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("s")
+    )
+    for _ in range(2):
+        a = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("s").cast("long").alias("s2"))
+            .select(F.col("n2").alias("node"), F.col("s2").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.sum("s").cast("long").alias("s2"))
+            .select(F.col("n2").alias("node"), F.col("s2").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    from wukong_spark.session import release_checkpoint
+
+    hubs = h.select(
+        "node", F.col("s").alias("hub_2"), F.lit(None).cast("long").alias("auth_2")
+    )
+    auths = a.select(
+        "node", F.lit(None).cast("long").alias("hub_2"), F.col("s").alias("auth_2")
+    )
+    out = hubs.unionByName(auths).orderBy(
+        "node", F.col("hub_2").asc_nulls_first()
+    )
+    release_checkpoint(e)
+    return out
