@@ -659,3 +659,41 @@ def test_global_row_number_no_single_partition(spark):
     )
     got = numbered.select("k", "row_id")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bottomk_window_group_limit_below_exchange(spark):
+    """sample_bottomk_per_key's scale claim: Catalyst pushes the rank<=k
+    filter as a WindowGroupLimit BELOW the exchange, so each map task
+    forwards at most k rows per key (the distributed reservoir
+    property).  If a refactor loses the limit pushdown, every map task
+    ships its whole partition — a scale bug with identical results."""
+    plan = _plan(spark, "sample_bottomk_per_key")
+    assert "WindowGroupLimit" in plan
+    # partial (pre-shuffle) mode must appear, not just the final one
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_link_prediction_no_cartesian_degrees_broadcast(spark):
+    """graph_link_prediction: candidate pairs must come from the relay
+    equi-join (never a cartesian), and the per-node degree tables must
+    BROADCAST back onto the pair list."""
+    plan = _plan(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert plans.broadcast_join_count(plan) >= 2
+
+
+def test_knn_corpus_side_not_shuffled(spark):
+    """embed_knn_classifier: the query side broadcasts (BNLJ over the
+    tiny held-out set) — the corpus must stream through the scoring
+    pass without an exchange before the join."""
+    plan = _plan(spark, "embed_knn_classifier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cdc_last_op_broadcasts_base_unshuffled(spark):
+    """cdc_apply_changelog: the last-op table is changelog-sized and must
+    broadcast into the anti-join; the base never shuffles."""
+    plan = _plan(spark, "cdc_apply_changelog")
+    assert "CartesianProduct" not in plan
+    assert plans.broadcast_join_count(plan) >= 1
