@@ -2619,3 +2619,87 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_twap_by_type",
+    # durations come from LEAD over the (epoch_s, event_id) TOTAL order;
+    # Σ v4·dur is bounded by max_v4 · table_timespan (durations telescope
+    # to the span, ~5.6e6 · 2e8 ≈ 1.1e15 ≪ 2^63), so numerator and
+    # denominator are exact BIGINTs at every scale; the TWAP itself is
+    # one double division rounded on a value far above ulp drift
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), d AS (
+      SELECT event_type, v4,
+             LEAD(epoch_s) OVER (
+               PARTITION BY event_type ORDER BY epoch_s, event_id
+             ) - epoch_s AS dur
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(dur) AS BIGINT) AS n_intervals,
+           CAST(SUM(v4 * dur) AS BIGINT) AS num_4s,
+           CAST(SUM(dur) AS BIGINT) AS den_s,
+           ROUND(CAST(SUM(v4 * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+             AS twap_6
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_twap_by_type(spark: SparkSession, sf_dir: str):
+    """TIME-WEIGHTED AVERAGE over an irregular event series (r13) — the
+    finance/metrics primitive plain AVG gets wrong when samples arrive
+    unevenly: each observation holds until the next one, so it weighs by
+    its duration (TWAP = Σ vᵢ·durᵢ / Σ durᵢ, last observation open-ended
+    and excluded).  Durations come from LEAD over the total order
+    (epoch seconds, event_id tiebreak), so ties contribute zero
+    deterministically.
+
+    Exactness: durations TELESCOPE — Σ dur per series is bounded by the
+    table's timespan regardless of row count, so the int64 numerator
+    bound is max_v4 · span (~1.1e15), scale-independent; both sums stay
+    exact BIGINTs at 100 TB (the r12 HUGEINT lesson applied by
+    construction, not by cast alone).
+
+    Plan: one per-key LEAD window + one keyed agg, both on the series
+    key — at scale this is millions of independent per-key passes; the
+    NTZ interval cast derives integer epoch seconds without tz
+    sensitivity (unix_timestamp rejects NTZ)."""
+    from pyspark.sql.window import Window
+
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "CAST(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)"
+        ).alias("epoch_s"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = Window.partitionBy("event_type").orderBy("epoch_s", "event_id")
+    d = e.select(
+        "event_type",
+        "v4",
+        (F.lead("epoch_s").over(w) - F.col("epoch_s")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("dur").cast("long").alias("n_intervals"),
+            F.sum(F.col("v4") * F.col("dur")).cast("long").alias("num_4s"),
+            F.sum("dur").cast("long").alias("den_s"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_intervals",
+            "num_4s",
+            "den_s",
+            "ROUND(CAST(num_4s AS DOUBLE) / CAST(den_s AS DOUBLE), 6)"
+            " AS twap_6",
+        )
+        .orderBy("event_type")
+    )
