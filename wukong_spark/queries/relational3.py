@@ -1417,3 +1417,89 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str):
         "n_matched bigint, sum_price_c bigint, n_customers bigint,"
         " results_exact boolean, prefilter_reduced boolean",
     )
+
+
+@query(
+    "pareto_abc_customers",
+    # revenue ranks order by (revenue DESC, custkey) — a total order; the
+    # class boundaries compare integer cumsums against integer totals
+    # scaled by 100 (cum*100 <= total*80), so classification is exact
+    # integer arithmetic end-to-end
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT custkey, rev_c,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             (SELECT CAST(SUM(rev_c) AS BIGINT) FROM rev) AS total_c
+      FROM rev
+    ), classed AS (
+      SELECT custkey, rev_c,
+             CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+           CAST(MIN(rev_c) AS BIGINT) AS min_rev_c,
+           CAST(MAX(rev_c) AS BIGINT) AS max_rev_c
+    FROM classed GROUP BY cls ORDER BY cls
+    """,
+)
+def pareto_abc_customers(spark: SparkSession, sf_dir: str):
+    """PARETO / ABC ANALYSIS (r13) — the inventory-and-CRM classic: rank
+    customers by revenue, classify A = the ranks covering the first 80 %
+    of cumulative revenue, B = to 95 %, C = the tail, and report each
+    class's size and revenue mass.  Classification compares integer
+    cumulative cents against the integer total scaled by 100
+    (cum·100 ≤ total·80), so the boundaries are exact in both engines —
+    no percentage float ever materializes.  Bound: total·100 needs
+    cents·100 < 2^63 — orders revenue at 100 TB is ~1e15 cents, 1e17
+    scaled, three orders under the limit.
+
+    Plan: one keyed revenue agg, one global cumulative window over the
+    per-customer rows (already reduced — the window input is ~customers,
+    not orders), a broadcast scalar total, one 3-group agg.  The global
+    ORDER BY window on the REDUCED table is the documented trade: at
+    extreme key cardinality swap for the global_row_number range-
+    exchange pattern (operators/setindex.py)."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"))
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    classed = (
+        rev.withColumn("cum_c", F.sum("rev_c").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "custkey",
+            "rev_c",
+            F.when(F.col("cum_c") * 100 <= F.col("total_c") * 80, "A")
+            .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_c").cast("long").alias("class_rev_c"),
+            F.min("rev_c").alias("min_rev_c"),
+            F.max("rev_c").alias("max_rev_c"),
+        )
+        .orderBy("cls")
+    )
