@@ -697,3 +697,13 @@ def test_cdc_last_op_broadcasts_base_unshuffled(spark):
     plan = _plan(spark, "cdc_apply_changelog")
     assert "CartesianProduct" not in plan
     assert plans.broadcast_join_count(plan) >= 1
+
+
+def test_oov_vocab_is_take_ordered_not_global_window(spark):
+    """text_vocab_oov_rate (r14 fix): the top-16 vocab cut must compile to
+    TakeOrderedAndProject (distributed partial top-K) — NOT a
+    row_number() over an unpartitioned window, which funnels the full
+    distinct-token table (~1e9 rows at 100 TB) through one task."""
+    plan = _plan(spark, "text_vocab_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan, plan

@@ -2336,24 +2336,24 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str):
     filter-or-upweight signal for multilingual and code corpora.
 
     Plan: one explode + token-keyed count for the corpus frequency
-    table, a row_number top-K (K rows — broadcast back), one left join
-    explode-side against the broadcast vocab, one doc-keyed agg.  At
-    100 TB the vocab stays driver-small by construction (top-K of a
-    frequency agg) and BROADCASTS — the per-token membership test never
+    table, then the vocab cut via ``orderBy().limit(16)`` — this
+    compiles to TakeOrderedAndProject, a distributed partial top-K
+    (each task keeps its local 16, the driver merges), NOT a
+    single-partition window sort of the full token table (the ntile
+    anti-pattern this file's BM25 entry documents at the top-k-FIRST
+    comment).  The rank value is never used downstream — only vocab
+    MEMBERSHIP — so no window is needed at all.  The K-row vocab then
+    broadcasts; one left join explode-side, one doc-keyed agg.  At
+    100 TB the distinct-token table is ~1e9 rows: TakeOrdered scales,
+    an unpartitioned window does not.  Per-token membership never
     shuffles the corpus; only (doc_id, counts) pairs move."""
     d = tbl(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql.window import Window
 
     vocab = (
-        freq.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
-            ),
-        )
-        .filter(F.col("rk") <= 16)
+        freq.orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(16)
         .select("t", F.lit(True).alias("in_vocab"))
     )
     per_doc = (
