@@ -707,3 +707,23 @@ def test_oov_vocab_is_take_ordered_not_global_window(spark):
     plan = _plan(spark, "text_vocab_oov_rate")
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pareto_cumsum_no_single_partition_window(spark):
+    """pareto_abc_customers (r14): cumulative revenue must come from the
+    global_cumsum range-exchange pattern, never a SUM OVER (ORDER BY)
+    single-partition window — the last registry-wide instance of the
+    unpartitioned-window scale killer.  (A SinglePartition exchange does
+    remain for the scalar TOTAL aggregate — a 1-row-per-task partial
+    agg, which is fine; what must be gone is the Window.)"""
+    plan = _plan(spark, "pareto_abc_customers")
+    assert "Window" not in plan, plan
+
+
+def test_rfm_terciles_no_single_partition_window(spark):
+    """rfm_segmentation (r14): each NTILE(3) is replaced by a broadcast
+    boundary-tuple comparison (rank_cut_values), so the final plan may
+    not contain any window at all, let alone an unpartitioned one."""
+    plan = _plan(spark, "rfm_segmentation")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
