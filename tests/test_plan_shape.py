@@ -727,3 +727,31 @@ def test_rfm_terciles_no_single_partition_window(spark):
     plan = _plan(spark, "rfm_segmentation")
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_single_partition_window_detector(spark):
+    """plans.single_partition_window_count (r14, VERDICT r13 item 3):
+    flags a Window fed by Exchange SinglePartition on unbounded input,
+    passes keyed windows and windows over a constant-bounded (limit)
+    frame — so tools/plan_audit.py catches the ntile anti-pattern
+    registry-wide."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("v")))
+    assert plans.single_partition_window_count(plans.formatted_plan(bad)) == 1
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    )
+    assert plans.single_partition_window_count(plans.formatted_plan(good)) == 0
+    exempt = (
+        df.orderBy(F.desc("v"))
+        .limit(10)
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("v"))))
+    )
+    assert (
+        plans.single_partition_window_count(plans.formatted_plan(exempt)) == 0
+    )

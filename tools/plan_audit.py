@@ -9,6 +9,12 @@ Prints one line per registered query with the scale-relevant plan metrics:
   push  pushed filters reached the scan
   rowPy row-at-a-time Python      (MUST be 0 — the banned slow path)
   arrow Arrow-vectorized Python boundaries
+  1pw   SinglePartition windows   (MUST be 0 — a Window fed by
+                                   Exchange SinglePartition on
+                                   non-constant-bounded input funnels
+                                   every row through ONE task; windows
+                                   over a TakeOrdered/limit K-row frame
+                                   are exempt)
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -44,9 +50,13 @@ def main() -> int:
             bad += 1
             continue
         rows, arrow = plans.python_eval_count(plan)
+        spw = plans.single_partition_window_count(plan)
         flags = []
         if rows:
             flags.append("ROW-PYTHON!")
+            bad += 1
+        if spw:
+            flags.append("1PART-WIN!")
             bad += 1
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN!")
@@ -60,7 +70,7 @@ def main() -> int:
             f"BHJ={plans.broadcast_join_count(plan)} "
             f"Exch={plans.count_shuffles(plan)} "
             f"push={'y' if plans.has_pushed_filters(plan) else '-'} "
-            f"rowPy={rows} arrow={arrow} {' '.join(flags)}"
+            f"rowPy={rows} arrow={arrow} 1pw={spw} {' '.join(flags)}"
         )
     spark.stop()
     return 1 if bad else 0

@@ -64,6 +64,72 @@ def has_cartesian(plan: str) -> bool:
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+_TREE_RE = re.compile(r"^([:\s+\-*]*)([A-Za-z][\w ]*?)\s*\((\d+)\)\s*$")
+# nodes that make the window input constant-bounded (a K-row frame —
+# a window over it is fine regardless of partitioning)
+_BOUNDING = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+             "LocalTableScan"}
+_PASS_THROUGH = {"Sort", "WindowGroupLimit", "Project", "Filter",
+                 "InputAdapter", "WholeStageCodegen"}
+
+
+def single_partition_window_count(plan: str) -> int:
+    """Window operators fed (through Sorts/Projects) by an
+    ``Exchange SinglePartition`` over NON-constant-bounded input — the
+    unpartitioned global-window scale killer (every row funnels through
+    ONE sorting task).  A window whose input chain contains a
+    TakeOrderedAndProject / GlobalLimit (a K-row frame) is exempt: the
+    single partition is K rows by construction.  Scans the main plan
+    tree of an EXPLAIN FORMATTED string (subquery trees excluded —
+    scalar subqueries are 1-row by contract)."""
+    lines = plan.splitlines()
+    tree = []  # (depth, name, id) in pre-order
+    for ln in lines:
+        if re.match(r"^\(\d+\) ", ln):
+            break
+        m = _TREE_RE.match(ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    # node-id -> detail block (to read Exchange Arguments)
+    blocks = {}
+    for m in re.finditer(r"^\((\d+)\) ([^\n]*)\n((?:(?!^\(\d+\) ).*\n?)*)",
+                         plan, re.M):
+        blocks[int(m.group(1))] = m.group(3)
+
+    def chain_below(i: int):
+        """First-child chain from tree index i to a leaf/branch point."""
+        d = tree[i][0]
+        j = i + 1
+        while j < len(tree) and tree[j][0] > d:
+            yield j
+            d = tree[j][0]
+            j += 1
+
+    n_bad = 0
+    for i, (depth, name, nid) in enumerate(tree):
+        if name not in ("Window", "WindowInPandas"):
+            continue
+        bounded = False
+        single = False
+        for j in chain_below(i):
+            _, cname, cid = tree[j]
+            if cname in _BOUNDING:
+                bounded = True
+                break
+            if cname == "Exchange":
+                if "SinglePartition" in blocks.get(cid, ""):
+                    single = True
+                    continue  # keep looking below for a bounding limit
+                break  # keyed exchange — partitioned window, fine
+            if cname in _PASS_THROUGH or cname in ("Window", "WindowInPandas"):
+                continue
+            if single:
+                break  # unbounded op below the single-partition exchange
+        if single and not bounded:
+            n_bad += 1
+    return n_bad
+
+
 def python_eval_count(plan: str) -> tuple[int, int]:
     """(row_at_a_time, arrow_vectorized) Python boundaries in the plan.
     The first number should be 0 everywhere — BatchEvalPython is the
