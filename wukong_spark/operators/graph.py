@@ -426,8 +426,16 @@ def kcore(
 
     both.unpersist()
     if converged:
-        return cur.sparkSession.createDataFrame(
-            [], "node long, deg_in_core long"
+        # empty core: derive the empty frame from the COMPUTED plan so the
+        # schema (incl. the node column's actual type — the operator is
+        # generic over it) always matches the non-empty path (r14, ADVICE
+        # r13), and release the final checkpoint before returning
+        _release(cur)
+        return (
+            edges.select(F.col(src).alias("a"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+            .filter(F.lit(False))
         )
     raise RuntimeError(
         f"kcore did not stabilize within {max_iter} rounds; raise max_iter"

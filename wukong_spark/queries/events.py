@@ -2322,27 +2322,33 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
     50 % of n·S/100) is computed in double — n·S overflows int64 at
     100 TB per-series totals, and a comparison tolerates double.
 
-    Plan: one keyed hourly aggregation, a 1-row totals broadcast, one
-    ordered cumulative window.  The single-series global window is the
-    contract here; at scale the series key joins the partition clause
-    (per-metric CUSUM — millions of independent small windows)."""
-    from pyspark.sql.window import Window
-
+    Plan: one keyed hourly aggregation, a 1-row totals broadcast, then
+    the running sum via `operators/setindex.global_cumsum` (r14) — a
+    range exchange on bucket + broadcast prefix offsets, never an
+    Exchange SinglePartition window.  At scale a per-metric CUSUM adds
+    the series key to the grouping and range keys; the machinery is
+    identical."""
     b = tbl(spark, sf_dir, "events").select(
         F.window("ts", "1 hour").getField("start").alias("bucket"),
         F.round(F.col("value") * 10000).cast("long").alias("v4"),
     )
     h = b.groupBy("bucket").agg(F.sum("v4").alias("s"))
     tot = h.agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("total"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    c = h.crossJoin(F.broadcast(tot)).select(
+    # running sum via global_cumsum's range-exchange pattern (r14,
+    # plan-audit 1pw rule) — the hourly series is one row per bucket,
+    # but a SUM OVER (ORDER BY) window would still plan an Exchange
+    # SinglePartition; the rank-cut machinery removes the class
+    from wukong_spark.operators.setindex import global_cumsum
+
+    dev = h.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "s",
-        F.sum(F.col("n") * F.col("s") - F.col("total")).over(w).alias(
-            "cusum_scaled"
-        ),
+        (F.col("n") * F.col("s") - F.col("total")).alias("__dev"),
         "n",
         "total",
+    )
+    c = global_cumsum(
+        dev, "__dev", "bucket", n_partitions=16, out_col="cusum_scaled"
     )
     return c.select(
         "bucket",

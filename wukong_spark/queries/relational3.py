@@ -802,20 +802,41 @@ def window_pct_rank_dist(spark: SparkSession, sf_dir: str):
     positions are deterministic, and the pct values are single divisions
     of small integers (bit-stable cross-engine).
 
-    Scale note: the global window is deliberate here — supplier is a
-    BOUNDED dimension table (≤ ~10⁷ rows at any SF), so one sorted
-    partition is fine.  For unbounded fact tables use the banded
-    decomposition in window_ntile_price_band (relational2.py), which
-    recovers exact global ranks without a single-task stage."""
-    from pyspark.sql.window import Window
+    Plan (r14 — caught by the new plan-audit 1pw rule): the global
+    window this entry used planned an Exchange SinglePartition over
+    supplier, and supplier is NOT bounded — it scales linearly with SF
+    (~1e9 rows at 100 TB TPC-H).  Because the ordering key
+    (acctbal_cents, suppkey) is UNIQUE, rank == row_number, so all three
+    distribution functions derive map-side from `global_row_number`
+    (one range exchange) + the broadcast row count n:
+    percent_rank = rk/(n−1), cume_dist = (rk+1)/n, and NTILE(4) from
+    the standard integer split arithmetic — bit-identical to the window
+    formulation, with no single-task stage."""
+    from wukong_spark.operators.setindex import global_row_number
 
-    s = tbl(spark, sf_dir, "supplier")
-    w = Window.orderBy(cents("s_acctbal"), "s_suppkey")
-    return s.select(
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", cents("s_acctbal").alias("__bal_c")
+    )
+    n = s.count()
+    ranked = global_row_number(
+        s, ["__bal_c", "s_suppkey"], n_partitions=16, out_col="__rk"
+    )
+    # NTILE(k): first n%k buckets get n//k+1 rows — invert per row id
+    base, rem = divmod(n, 4)
+    big = rem * (base + 1)  # rows covered by the larger leading buckets
+    quartile = (
+        F.when(F.col("__rk") < big, F.floor(F.col("__rk") / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("__rk") - big) / base) + 1)
+        if base
+        else F.col("__rk") + 1
+    )
+    return ranked.select(
         "s_suppkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.col("__rk") / F.lit(float(max(n - 1, 1))), 6).alias(
+            "pct_rank"
+        ),
+        F.round((F.col("__rk") + 1) / F.lit(float(n)), 6).alias("cume"),
+        quartile.cast("int").alias("quartile"),
     )
 
 
@@ -843,8 +864,6 @@ def set_index_orders(spark: SparkSession, sf_dir: str):
     Partition boundaries themselves come from reservoir sampling and are
     NOT asserted — dask's set_index divisions are sample-derived too."""
     import pandas as pd  # noqa: F401 (mapInPandas batches are pandas)
-
-    from pyspark.sql.window import Window
 
     from wukong_spark.operators.setindex import set_index
 
@@ -887,19 +906,33 @@ def set_index_orders(spark: SparkSession, sf_dir: str):
     stats = d.mapInPandas(
         probe, "pid int, mn bigint, mx bigint, cnt bigint, sorted_ok boolean"
     )
-    # ≤16 probe rows — the global lag window is bounded by n_partitions
-    w = Window.orderBy("pid")
+    # ≤16 probe rows; monotonicity via the PAIRWISE overlap check (a
+    # broadcast self-join over n_partitions rows) instead of a lag
+    # window — the probe output IS bounded by n_partitions, but the plan
+    # can't see that, and this keeps the whole registry free of Exchange
+    # SinglePartition windows (r14 plan-audit 1pw rule).  Pairwise is
+    # also STRONGER than adjacent-only: an empty middle partition can't
+    # hide an out-of-order pair behind a pid gap.
+    stats = stats.localCheckpoint(eager=True)  # probe once, join twice
+    lo = stats.select(F.col("pid").alias("p1"), F.col("mx").alias("mx1"))
+    hi = stats.select(F.col("pid").alias("p2"), F.col("mn").alias("mn2"))
+    # STRICT <: range partitioning never splits equal keys, so an
+    # identical key straddling two partitions (mx1 == mn2) is a
+    # tie-handling regression, not a pass (ADVICE r6)
+    violations = lo.join(
+        F.broadcast(hi),
+        (F.col("p1") < F.col("p2")) & (F.col("mx1") >= F.col("mn2")),
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
     return (
-        stats.withColumn("prev_mx", F.lag("mx").over(w))
-        .agg(
-            # STRICT <: range partitioning never splits equal keys, so an
-            # identical key straddling two partitions (prev_mx == mn) is a
-            # tie-handling regression, not a pass (ADVICE r6)
-            F.min(
-                F.col("prev_mx").isNull() | (F.col("prev_mx") < F.col("mn"))
-            ).alias("ranges_monotonic"),
+        stats.agg(
             F.min("sorted_ok").alias("sorted_within"),
             F.sum("cnt").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(violations))
+        .select(
+            (F.col("n_bad") == 0).alias("ranges_monotonic"),
+            "sorted_within",
+            "n_rows",
         )
     )
 
