@@ -301,3 +301,77 @@ def test_kcore_fixed_replay_margin_at_gate_sf(spark):
     )
     replay = {(r.node, r.deg_in_core) for r in final.collect()}
     assert converged == replay
+
+
+def test_hits_converged_matches_dense_numpy(spark):
+    """hits (r14): the convergence-stopped operator must agree with a
+    dense numpy replay of the SAME alternating L1-normalized power
+    iteration to well under tol on a directed graph with hub-only,
+    authority-only, and isolated-side nodes."""
+    import numpy as np
+
+    from wukong_spark.operators.graph import hits
+
+    # directed bipartite-ish graph with an extra cross edge; node 5 is
+    # authority-only, node 0 hub-only
+    edges = [(0, 3), (0, 4), (1, 3), (1, 5), (2, 4), (2, 5), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, tol=1e-10).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    srcs = sorted({s for s, _ in edges})
+    h = np.zeros(len(nodes))
+    for s in srcs:
+        h[idx[s]] = 1.0 / len(srcs)
+    a = np.zeros(len(nodes))
+    for _ in range(10000):
+        a_new = A.T @ h
+        a_new /= a_new.sum()
+        h_new = A @ a_new
+        h_new /= h_new.sum()
+        delta = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if delta < 1e-10:
+            break
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        gh, ga = got[v]
+        assert abs(gh - h[idx[v]]) < 1e-8, (v, gh, h[idx[v]])
+        assert abs(ga - a[idx[v]]) < 1e-8, (v, ga, a[idx[v]])
+    # structural zeros: no out-edges -> hub 0, no in-edges -> authority 0
+    assert got[5][0] == 0.0
+    assert got[0][1] == 0.0
+
+
+def test_hits_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from wukong_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="hits"):
+        hits(df, tol=1e-30, max_iter=1)
+
+
+def test_kcore_empty_core_schema_matches_nonempty(spark):
+    """kcore (r14, ADVICE r13): the converged-to-empty path must carry
+    the SAME schema as the non-empty path, including a non-long node
+    type — the operator is generic over the node column."""
+    from wukong_spark.operators.graph import kcore
+
+    tri = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    df = spark.createDataFrame(tri, "src int, dst int")
+    nonempty = kcore(df, 2)
+    empty = kcore(df, 3)
+    assert empty.count() == 0
+    assert [f.dataType for f in empty.schema.fields] == [
+        f.dataType for f in nonempty.schema.fields
+    ]
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in nonempty.schema.fields
+    ]

@@ -706,9 +706,22 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
     # failed (r12 notes: scale-dependent layout entries must DEGRADE
     # CLEANLY at sf0.001, never go red).  Count the actual groups.
     import glob as _glob
+    from urllib.parse import urlparse
 
     import pyarrow.parquet as _pq
 
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        # ADVICE r13: on an hdfs:/s3a: warehouse the local glob matches
+        # nothing, n_groups=0 would read as vacuous=True, and both prune
+        # gates would pass UNCONDITIONALLY — the check silently disabled.
+        # Fail loudly instead: the vacuous-gate needs local footers.
+        raise NotImplementedError(
+            f"parquet_rowgroup_prune_check reads row-group footers via "
+            f"local pyarrow; warehouse scheme {scheme!r} is not readable "
+            f"locally — run against a file: warehouse or extend the "
+            f"footer count with a Hadoop-FS reader"
+        )
     local = path[len("file:"):] if path.startswith("file:") else path
     n_groups = sum(
         _pq.ParquetFile(f).metadata.num_row_groups

