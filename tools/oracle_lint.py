@@ -7,12 +7,21 @@ identical.  This lint DESCRIBEs every oracle (no execution) and rejects
 any whose OUTPUT schema contains HUGEINT / UHUGEINT / DECIMAL — those
 must carry an explicit outer CAST (BIGINT or DOUBLE) instead.
 
+Second rule (r14, VERDICT r13 item 5): a SCALAR SUBQUERY `(SELECT SUM
+...)` in expression context returns NULL when its predicate matches
+nothing — at a tiny SF that NULL becomes a float64 NaN in fetchdf even
+when the static type is BIGINT, which DESCRIBE cannot see.  Every such
+subquery must be wrapped in COALESCE.  CTE bodies (`name AS (SELECT
+SUM ...)`) are exempt — they are derived tables, not expression-context
+scalars, and their NULLs surface as visible result cells either way.
+
 Usage: python tools/oracle_lint.py            # lint all oracles
        python tools/oracle_lint.py name ...   # lint a subset
 Exit status 1 if any oracle is flagged.
 """
 from __future__ import annotations
 
+import re
 import sys
 
 import duckdb
@@ -25,6 +34,25 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_SCALAR_SUM = re.compile(r"\(\s*SELECT\s+SUM\s*\(", re.I)
+
+
+def unguarded_scalar_sums(sql: str) -> list[str]:
+    """Occurrences of expression-context `(SELECT SUM...` not wrapped in
+    COALESCE( — the NULL-at-tiny-SF hazard.  CTE bodies (preceded by
+    `AS`) are exempt."""
+    out = []
+    for m in _SCALAR_SUM.finditer(sql):
+        before = sql[: m.start()].rstrip()
+        if before.upper().endswith("COALESCE("):
+            continue
+        # CTE definition: `name AS (SELECT SUM ...`
+        if re.search(r"\bAS\s*$", before, re.I):
+            continue
+        ctx = " ".join(sql[m.start(): m.end() + 40].split())
+        out.append(ctx)
+    return out
 
 
 def lint(oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
@@ -46,6 +74,8 @@ def lint(oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
         for col, typ, *_ in desc:
             if any(b in typ.upper() for b in BANNED):
                 bad.append(f"{name}: {col} {typ}")
+        for ctx in unguarded_scalar_sums(oracles[name]):
+            bad.append(f"{name}: scalar SUM subquery without COALESCE: {ctx}")
     con.close()
     return bad
 

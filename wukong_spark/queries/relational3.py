@@ -147,7 +147,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str):
     )
     SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
     FROM val
-    WHERE value_c * 2000 > (SELECT SUM(value_c) FROM val)
+    WHERE value_c * 2000 > COALESCE((SELECT SUM(value_c) FROM val), 0)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str):

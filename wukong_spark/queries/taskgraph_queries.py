@@ -46,8 +46,8 @@ def tree_reduction_sum(spark: SparkSession, sf_dir: str):
     "fan_in_add",
     oracle="""
     SELECT CAST(
-             (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
-           + (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer)
+             COALESCE((SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders), 0)
+           + COALESCE((SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer), 0)
            AS BIGINT) AS combined_c
     """,
 )
