@@ -47,6 +47,7 @@ from wukong_spark.queries import load_all
 from wukong_spark.session import get_spark
 
 HEAVY_THRESHOLD_S = 5.0
+WARMUP_UNCOUNTED = {"la_gemm_ref"}  # r14: retire the 1.5-2x cold first pass
 PATHOLOGICAL_S = 90.0
 AGREE_PCT = 0.15
 DISAGREE_4TH_PASS_PCT = 0.25  # best two > 25 % apart after 3 passes → 4th
@@ -193,6 +194,18 @@ def main() -> None:
         # drain stages from the previous query's retry passes so the
         # attribution window is exactly THIS query's first pass
         _new_stage_rows(spark, seen_stages)
+        if name in WARMUP_UNCOUNTED:
+            # r14 (VERDICT r13 item 7): la_gemm_ref's first pass runs
+            # 1.5-2x steady state (large-plan codegen + executor memory
+            # ramp the small warmup GEMM doesn't reach), poisoning the
+            # pass spread and triggering retry passes.  One UNCOUNTED
+            # warmup pass retires it; the counted passes then agree
+            # within the 15 % early-stop.
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+            _new_stage_rows(spark, seen_stages)  # absorb warmup stages
         passes: list[float] = []
         for i in range(4):
             t0 = time.perf_counter()

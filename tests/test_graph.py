@@ -375,3 +375,28 @@ def test_kcore_empty_core_schema_matches_nonempty(spark):
     assert [f.name for f in empty.schema.fields] == [
         f.name for f in nonempty.schema.fields
     ]
+
+
+def test_kcore_bucketed_matches_plain(spark):
+    """kcore_bucketed (r14): the one-join bucketed peel must produce
+    bit-identical (node, deg_in_core) rows to the plain two-join kcore —
+    on the triangle+pendant graph, the deep-cascade clique+path graph,
+    and an empty-core case (schema equality included)."""
+    from wukong_spark.operators.graph import kcore, kcore_bucketed
+
+    def doubled(pairs):
+        return pairs + [(b, a) for a, b in pairs]
+
+    tri = doubled([(0, 1), (1, 2), (0, 2), (2, 9)])
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 10), (10, 11), (11, 12), (12, 13)]
+    deep = doubled(clique + path)
+
+    for pairs, k in ((tri, 2), (deep, 2), (tri, 3)):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        want = sorted((r.node, r.deg_in_core) for r in kcore(df, k).collect())
+        got = sorted(
+            (r.node, r.deg_in_core)
+            for r in kcore_bucketed(df, k, table="bkt_kcore_t14").collect()
+        )
+        assert got == want, (k, got, want)

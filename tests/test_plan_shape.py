@@ -755,3 +755,41 @@ def test_single_partition_window_detector(spark):
     assert (
         plans.single_partition_window_count(plans.formatted_plan(exempt)) == 0
     )
+
+
+def test_kcore_bucketed_edge_join_no_edge_exchange(spark):
+    """graph_kcore_bucketed_check (r14): after the one-time layout write,
+    each peel round's edges⋈survivors join must read the bucketed scan
+    with NO exchange on the edge side — verify on the executed plan of a
+    single round (the loop runs identical plans)."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.layout import drop_managed_table
+    from wukong_spark.queries.helpers import tbl
+
+    table = "bkt_kcore_plan_pin"
+    drop_managed_table(spark, table)
+    e0 = (
+        tbl(spark, SF_CORRECT, "orders")
+        .select(F.col("o_custkey").alias("a"), (F.col("o_orderkey") % 97).alias("b"))
+        .distinct()
+    )
+    e0.write.mode("overwrite").bucketBy(8, "b").sortBy("b").saveAsTable(table)
+    adj = spark.table(table)
+    cur = adj.select(F.col("b").alias("node")).distinct().localCheckpoint(eager=True)
+    nxt = (
+        adj.join(cur.select(F.col("node").alias("b")), "b")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    plan = plans.formatted_plan(nxt)
+    # the bucketed scan side must feed the join without an Exchange:
+    # exactly the survivor-side exchange + the final agg exchange remain
+    import re as _re
+
+    scan_seg = plan.split("Scan")[1] if "Scan" in plan else plan
+    assert "SelectedBucketsCount" in plan, plan
+    n_exch = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exch <= 2, plan
+    drop_managed_table(spark, table)

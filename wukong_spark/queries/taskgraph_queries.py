@@ -1069,6 +1069,77 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "graph_kcore_bucketed_check",
+    # identical oracle to graph_kcore_decomposition: the bucketed layout
+    # and the one-join peel may change ONLY the physical plan, never a
+    # survivor or a degree
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), ed AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    s0 AS (SELECT DISTINCT src AS node FROM ed),
+    s1 AS (SELECT e.src AS node FROM ed e
+           JOIN s0 a ON a.node = e.src JOIN s0 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s2 AS (SELECT e.src AS node FROM ed e
+           JOIN s1 a ON a.node = e.src JOIN s1 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s3 AS (SELECT e.src AS node FROM ed e
+           JOIN s2 a ON a.node = e.src JOIN s2 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s4 AS (SELECT e.src AS node FROM ed e
+           JOIN s3 a ON a.node = e.src JOIN s3 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s5 AS (SELECT e.src AS node FROM ed e
+           JOIN s4 a ON a.node = e.src JOIN s4 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25),
+    s6 AS (SELECT e.src AS node FROM ed e
+           JOIN s5 a ON a.node = e.src JOIN s5 b ON b.node = e.dst
+           GROUP BY e.src HAVING COUNT(*) >= 25)
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+    FROM ed e
+    JOIN s6 a ON a.node = e.src JOIN s6 b ON b.node = e.dst
+    GROUP BY e.src ORDER BY node
+    """,
+)
+def graph_kcore_bucketed_check(spark: SparkSession, sf_dir: str):
+    """BUCKETED-EDGE k-CORE (r14, VERDICT r13 stretch): same converged
+    peel as graph_kcore_decomposition, but the doubled edge set is
+    written ONCE bucketed + sorted by b, and each round is ONE
+    edges⋈survivors join on the bucketed column — the a-side survivor
+    filter is provably redundant under monotone shrinkage (a peeled
+    node's degree-into-survivors can only fall, so `deg >= k`
+    re-excludes it), which is what lets a single-column layout serve
+    both endpoint constraints.  NO edge-side exchange per round
+    (plan-pinned in tests/test_plan_shape.py); results must hash
+    IDENTICAL to the plain entry — same oracle, same rows.
+
+    100 TB path: the edge set never moves after the one layout write;
+    per round only survivor (node) rows and map-side-combined (a, deg)
+    partials shuffle — the deep-cascade form of the kcore COVERAGE
+    row's documented lever."""
+    from wukong_spark.operators.graph import kcore_bucketed
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_bucketed(edges, k=25).orderBy("node")
+
+
+@query(
     "graph_hits_check",
     # 2 full HITS alternations (a=Σh over in-edges, h=Σa over out-edges)
     # from h0=1 on the DIRECTED bipartite graph — unnormalized iterates
