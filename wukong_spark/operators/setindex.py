@@ -90,7 +90,7 @@ def global_row_number(
             if not len(pdf):
                 continue
             if pos is None:
-                pos = offs[int(pdf["__pid"].iloc[0])]
+                pos = offs[int(pdf["__pid"].iloc[0])][0]
             pdf = pdf.drop(columns=["__pid"])
             pdf[out_col] = range(pos, pos + len(pdf))
             pos += len(pdf)
@@ -99,32 +99,36 @@ def global_row_number(
     return s.mapInPandas(number, f"{out_fields}, {out_col} long")
 
 
-def _ordered_with_offsets(df, order_col, n_partitions: int, partial_agg):
+def _ordered_with_offsets(df, order_col, n_partitions: int, partial_aggs):
     """Shared scan machinery for the global ordered-prefix family.
 
     Range-partitions + locally sorts `df` on `order_col` (the set_index
     plan — ONE range exchange, never a single-partition sort), pins the
     layout with an eager localCheckpoint so the partial job and the
-    downstream pass see the same partitioning, runs `partial_agg` per
-    partition (one tiny job — n_partitions scalars to the driver), and
+    downstream pass see the same partitioning, runs the partial agg(s)
+    per partition in ONE tiny job (n_partitions rows to the driver), and
     returns (pinned frame with `__pid`, exclusive-prefix offsets dict).
-    Empty partitions simply don't appear in the dict (they contribute 0
-    and are never looked up)."""
+    `partial_aggs` is one agg Column or a list; offsets[pid] is a tuple
+    of one exclusive prefix per agg.  Empty partitions simply don't
+    appear in the dict (they contribute 0 and are never looked up)."""
     from pyspark.sql import functions as F
 
+    aggs = partial_aggs if isinstance(partial_aggs, list) else [partial_aggs]
     s = set_index(df, order_col, n_partitions).withColumn(
         "__pid", F.spark_partition_id()
     )
     s = s.localCheckpoint(eager=True)
     partials = {
-        r["__pid"]: r["v"]
-        for r in s.groupBy("__pid").agg(partial_agg.alias("v")).collect()
+        r["__pid"]: tuple(r[f"v{i}"] for i in range(len(aggs)))
+        for r in s.groupBy("__pid")
+        .agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)])
+        .collect()
     }
     offsets = {}
-    acc = 0
+    acc = [0] * len(aggs)
     for pid in sorted(partials):
-        offsets[pid] = acc
-        acc += partials[pid]
+        offsets[pid] = tuple(acc)
+        acc = [a + p for a, p in zip(acc, partials[pid])]
     return s, offsets
 
 
@@ -134,6 +138,7 @@ def global_cumsum(
     order_col,
     n_partitions: int = 32,
     out_col: str = "cum",
+    row_col: str | None = None,
 ) -> DataFrame:
     """Exact running SUM of `value_col` in global `order_col` order
     WITHOUT a single-partition sort (r14) — the distributed form of
@@ -145,12 +150,18 @@ def global_cumsum(
     classification over 1e9 keys costs one keyed exchange instead of
     funnelling every row through one sorting task.  Integer inputs stay
     integer end-to-end (pandas int64 cumsum + python-int offsets).
-    Deterministic whenever `order_col` is a total order."""
+    Deterministic whenever `order_col` is a total order.
+
+    `row_col` additionally emits the 0-based global ROW NUMBER in the
+    same order for free — the count partials ride the same per-partition
+    agg job and the same broadcast, so rank-derived bucketing (decile =
+    rid·k DIV n) composes with the running sum at zero extra passes."""
     from pyspark.sql import functions as F
 
-    s, offsets = _ordered_with_offsets(
-        df, order_col, n_partitions, F.sum(value_col)
-    )
+    aggs = [F.sum(value_col)]
+    if row_col is not None:
+        aggs.append(F.count(F.lit(1)))
+    s, offsets = _ordered_with_offsets(df, order_col, n_partitions, aggs)
     bc = df.sparkSession.sparkContext.broadcast(offsets)
     out_type = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -158,21 +169,29 @@ def global_cumsum(
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    schema = f"{out_fields}, {out_col} {out_type}"
+    if row_col is not None:
+        schema += f", {row_col} long"
 
     def accumulate(batches):
         offs = bc.value
-        run = None
+        run = pos = None
         for pdf in batches:
             if not len(pdf):
                 continue
             if run is None:
-                run = offs[int(pdf["__pid"].iloc[0])]
+                part = offs[int(pdf["__pid"].iloc[0])]
+                run = part[0]
+                pos = part[1] if len(part) > 1 else 0
             pdf = pdf.drop(columns=["__pid"])
             pdf[out_col] = pdf[value_col].cumsum() + run
             run += int(pdf[value_col].sum())
+            if row_col is not None:
+                pdf[row_col] = range(pos, pos + len(pdf))
+                pos += len(pdf)
             yield pdf
 
-    return s.mapInPandas(accumulate, f"{out_fields}, {out_col} {out_type}")
+    return s.mapInPandas(accumulate, schema)
 
 
 def ntile_boundaries(n_rows: int, n_buckets: int) -> list:

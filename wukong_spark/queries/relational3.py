@@ -1506,6 +1506,110 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "revenue_decile_concentration",
+    # Lorenz/decile report in exact integers: deciles from the 0-based
+    # revenue rank via bucket = rid*10 DIV n (the equidepth-histogram
+    # formula — identical integer split in both engines), cumulative
+    # revenue from an exact running sum; shares are single divisions of
+    # exact BIGINTs rounded to 6dp (bit-stable cross-engine)
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT custkey, rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c, custkey) - 1 AS rid,
+             CAST(SUM(rev_c) OVER (
+               ORDER BY rev_c, custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_c,
+             COUNT(*) OVER () AS n,
+             COALESCE((SELECT CAST(SUM(rev_c) AS BIGINT) FROM rev), 0)
+               AS total_c
+      FROM rev
+    )
+    SELECT CAST((rid * 10) // n AS INTEGER) + 1 AS decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c,
+           CAST(MAX(cum_c) AS BIGINT) AS cum_rev_c,
+           ROUND(CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(total_c) AS DOUBLE),
+                 6) AS share_6,
+           ROUND(CAST(MAX(cum_c) AS DOUBLE) / CAST(MAX(total_c) AS DOUBLE),
+                 6) AS cum_share_6
+    FROM r GROUP BY (rid * 10) // n ORDER BY decile
+    """,
+)
+def revenue_decile_concentration(spark: SparkSession, sf_dir: str):
+    """REVENUE DECILE / LORENZ CONCENTRATION REPORT (r14) — the
+    inequality profile every CRM and marketplace warehouse publishes:
+    customers ranked ascending by revenue, split into ten equal-count
+    deciles (bucket = rank·10 DIV n — the equidepth integer split), each
+    reporting its customer count, revenue mass, CUMULATIVE revenue (the
+    Lorenz curve's y-values at decile knots), and both as shares of
+    total.  "The top decile holds 1 − cum_share(9) of revenue" is the
+    Gini/80-20 readout, here kept in exact integers until two final
+    divisions.
+
+    Plan (the r14 rank-cut machinery end-to-end): one keyed revenue agg,
+    then ONE `global_cumsum(row_col=...)` pass — a range exchange on
+    (rev_c, custkey) emitting the running sum AND the global row number
+    from the same broadcast prefix offsets — then a 10-group agg.
+    Cumulative-at-decile-end = MAX(cum) per bucket, valid because rev_c
+    ≥ 0 makes the running sum monotone along the rank order.  No window
+    anywhere, no single-partition stage; every shuffle is keyed or
+    10-row.  Bounds: cents totals ~1e17 at 100 TB and rid·10 ~1e10 —
+    both well inside int64."""
+    from wukong_spark.operators.setindex import global_cumsum
+
+    rev = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_c"))
+    )
+    n = rev.count()
+    tot = rev.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    c = global_cumsum(
+        rev,
+        "rev_c",
+        ["rev_c", "custkey"],
+        n_partitions=32,
+        out_col="cum_c",
+        row_col="rid",
+    )
+    return (
+        c.withColumn(
+            "decile", F.expr(f"CAST((rid * 10) DIV {n} AS INT) + 1")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_c").cast("long").alias("decile_rev_c"),
+            F.max("cum_c").cast("long").alias("cum_rev_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev_c",
+            "cum_rev_c",
+            F.round(
+                F.col("decile_rev_c").cast("double")
+                / F.col("total_c").cast("double"),
+                6,
+            ).alias("share_6"),
+            F.round(
+                F.col("cum_rev_c").cast("double")
+                / F.col("total_c").cast("double"),
+                6,
+            ).alias("cum_share_6"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
     "pareto_abc_customers",
     # revenue ranks order by (revenue DESC, custkey) — a total order; the
     # class boundaries compare integer cumsums against integer totals
