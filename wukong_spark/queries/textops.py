@@ -821,6 +821,89 @@ def _word_ngrams(toks: Column, n: int) -> Column:
 
 
 @query(
+    "text_dup_ngram_fraction",
+    # duplicated-5-gram span fraction: per-occurrence counting (not
+    # distinct), so a doc that repeats a corpus-common phrase 3 times
+    # scores all 3; the join key is the replayable md5-48 shingle hash
+    # (ORACLE_MD5_LONG mirrors F.conv(substr(md5,1,12))) so both engines
+    # shuffle/group the SAME 8-byte longs — a 48-bit collision would be
+    # shared by both sides, never a mismatch.  Docs under 5 tokens have
+    # no 5-grams and drop out of the report in both engines.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, array_length(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS sh
+        FROM toks
+      ) u
+    ), freq AS (
+      SELECT h, COUNT(*) AS cnt FROM g GROUP BY h
+    ), per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM g JOIN freq f ON f.h = g.h
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup,
+           ROUND(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS dup_frac_6
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str):
+    """DUPLICATED N-GRAM SPAN FRACTION (r14) — the corpus-level repeated-
+    substring signal behind C4/RefinedWeb-style dedup: for each document,
+    the fraction of its word-5-grams that occur MORE THAN ONCE anywhere
+    in the corpus (boilerplate headers, license blocks, templated spam
+    score high; original prose scores near zero).  Complements the
+    within-doc Gopher repetition rule (text_repetition_filter) and the
+    winnowing fingerprints (doc_fingerprint_winnow): this one measures
+    CROSS-document span duplication per occurrence.
+
+    Plan: explode 5-grams once (each hashed ONCE to the replayable
+    md5-48 long — the winnow discipline), one hash-keyed count, one
+    hash-keyed join back, one doc-keyed agg.  At 100 TB the shuffles
+    carry (doc_id, 8-byte hash) pairs — never shingle STRINGS — and
+    both the count and the join key on the same column, so the exchange
+    is reused.  The statistic tolerates 48-bit collisions (~1e-5 at 1e6
+    distinct shingles, shared by both engines by construction)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(_word_ngrams(toks, 5), lambda s: md5_long48(s))
+        ).alias("h"),
+    )
+    freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        g.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.selectExpr(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        "ROUND(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)"
+        " AS dup_frac_6",
+    ).orderBy("doc_id")
+
+
+@query(
     "text_repetition_filter",
     oracle="""
     WITH toks AS (
