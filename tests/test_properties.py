@@ -539,3 +539,92 @@ def test_spgemm_equals_numpy_any_shape(
     got = sa.matmul(sb).to_dense().to_numpy()
     assert got.shape == (n, m)
     assert (got == A @ B).all()
+
+
+@given(
+    rows=st.integers(1, 400),
+    nparts=st.integers(2, 12),
+    kbuckets=st.integers(2, 10),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_rank_cut_family_equals_windows(spark, rows, nparts, kbuckets, seed):
+    """The r14 rank-cut family must equal the window formulations it
+    replaces, for ANY row count / partitioning / bucket count:
+    - global_cumsum == SUM OVER (ORDER BY) rows-unbounded-preceding;
+    - global_cumsum(row_col=...) == ROW_NUMBER()-1 over the same order;
+    - ntile_boundaries + rank_cut_values classification == NTILE(k)
+      (duplicate values included — the custkey-style tiebreak makes the
+      composite key a total order)."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import (
+        global_cumsum,
+        ntile_boundaries,
+        rank_cut_values,
+    )
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(rows, dtype=np.int64),
+            # duplicates on purpose: v alone is NOT a total order
+            "v": rng.integers(-50, 50, rows).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        global_cumsum(
+            df, "v", ["v", "k"], n_partitions=nparts, out_col="c",
+            row_col="rid",
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    w = Window.orderBy("v", "k")
+    want = (
+        df.select(
+            "k",
+            "v",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("c"),
+            (F.row_number().over(w) - 1).alias("rid"),
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (got["c"].to_numpy() == want["c"].to_numpy()).all()
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+
+    bounds = ntile_boundaries(rows, kbuckets)
+    cuts = rank_cut_values(df, ["v", "k"], bounds, n_partitions=nparts)
+    key = F.struct(F.col("v"), F.col("k"))
+    col = None
+    for b, rid in enumerate(bounds):
+        if rid not in cuts:
+            continue
+        cut = F.struct(
+            F.lit(int(cuts[rid]["v"])).cast("long"),
+            F.lit(int(cuts[rid]["k"])).cast("long"),
+        )
+        cond = key <= cut
+        col = F.when(cond, b + 1) if col is None else col.when(cond, b + 1)
+    bucket = (
+        col.otherwise(kbuckets) if col is not None else F.lit(kbuckets)
+    )
+    got_b = (
+        df.select("k", bucket.alias("b"))
+        .toPandas()
+        .sort_values("k")["b"]
+        .to_numpy()
+    )
+    want_b = (
+        df.select("k", F.ntile(kbuckets).over(w).alias("b"))
+        .toPandas()
+        .sort_values("k")["b"]
+        .to_numpy()
+    )
+    assert (got_b == want_b).all()
