@@ -233,3 +233,66 @@ def rank_cut_values(
     numbered = global_row_number(df, order_col, n_partitions, "__rk")
     rows = numbered.filter(F.col("__rk").isin(wanted)).collect()
     return {int(r["__rk"]): r for r in rows}
+
+
+def global_cummax(
+    df: DataFrame,
+    value_col: str,
+    order_col,
+    n_partitions: int = 32,
+    out_col: str = "cummax",
+) -> DataFrame:
+    """Exact running MAX of `value_col` in global `order_col` order
+    WITHOUT a single-partition sort (r14) — the distributed form of
+    ``MAX(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``, the
+    running-peak primitive under drawdown / high-watermark analytics.
+
+    Same shape as `global_cumsum`, with max-combine instead of addition:
+    range exchange on `order_col`, per-partition MAX partials in one
+    tiny job, broadcast EXCLUSIVE prefix maxima (None for the first
+    nonempty partition), then a map-side running max seeded by the
+    prefix.  Exact for any ordered type pandas can accumulate;
+    deterministic whenever `order_col` is a total order."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    s = set_index(df, order_col, n_partitions).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    s = s.localCheckpoint(eager=True)
+    partials = {
+        r["__pid"]: r["v"]
+        for r in s.groupBy("__pid").agg(F.max(value_col).alias("v")).collect()
+    }
+    prefix = {}
+    run = None
+    for pid in sorted(partials):
+        prefix[pid] = run
+        run = partials[pid] if run is None else max(run, partials[pid])
+    bc = df.sparkSession.sparkContext.broadcast(prefix)
+    out_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[value_col]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def accumulate(batches):
+        seeded = False
+        seed = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not seeded:
+                seed = bc.value[int(pdf["__pid"].iloc[0])]
+                seeded = True
+            pdf = pdf.drop(columns=["__pid"])
+            m = np.maximum.accumulate(pdf[value_col].to_numpy())
+            if seed is not None:
+                m = np.maximum(m, seed)
+            pdf[out_col] = m
+            seed = m[-1]
+            yield pdf
+
+    return s.mapInPandas(accumulate, f"{out_fields}, {out_col} {out_type}")

@@ -2369,6 +2369,62 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_max_drawdown",
+    # running peak + drawdown in PURE INTEGERS: hourly sums are exact
+    # scaled BIGINTs, the prefix max is order-exact, drawdown is one
+    # integer subtraction — bit-identical in both engines
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), h AS (
+      SELECT bucket, CAST(SUM(v4) AS BIGINT) AS s FROM b GROUP BY bucket
+    ), c AS (
+      SELECT bucket, s,
+             CAST(MAX(s) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS peak_4
+      FROM h
+    )
+    SELECT bucket, s AS hourly_sum_4, peak_4,
+           CAST(peak_4 - s AS BIGINT) AS drawdown_4
+    FROM c ORDER BY bucket
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str):
+    """RUNNING PEAK / DRAWDOWN (r14) — the high-watermark analytic under
+    every financial and SLO dashboard: for the hourly value series, the
+    prefix MAXIMUM so far (the peak) and the per-hour drawdown
+    peak − value; MAX(drawdown) downstream is the classic maximum-
+    drawdown statistic.  Exact scaled integers end to end.
+
+    Plan: one keyed hourly aggregation, then the running peak via
+    `operators/setindex.global_cummax` — a range exchange on bucket +
+    broadcast exclusive prefix MAXIMA + a map-side numpy running max —
+    never a MAX OVER (ORDER BY) Exchange SinglePartition window (the
+    r14 1pw audit rule).  At scale a per-series drawdown adds the
+    series key to the grouping and range keys, same machinery."""
+    from wukong_spark.operators.setindex import global_cummax
+
+    b = tbl(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    h = b.groupBy("bucket").agg(F.sum("v4").alias("s"))
+    c = global_cummax(h, "s", "bucket", n_partitions=16, out_col="peak_4")
+    return c.select(
+        "bucket",
+        F.col("s").alias("hourly_sum_4"),
+        "peak_4",
+        (F.col("peak_4") - F.col("s")).cast("long").alias("drawdown_4"),
+    ).orderBy("bucket")
+
+
+@query(
     "events_equidepth_histogram",
     # identical integer bucket assignment both sides: bucket =
     # (0-based rank * 8) DIV n over value_4 ascending; tied values are
