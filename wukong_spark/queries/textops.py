@@ -47,6 +47,95 @@ ORACLE_MD5_LONG = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
 # ---------------------------------------------------------------------------
 
 @query(
+    "corpus_source_report",
+    # the per-source "data card": doc/token/char counts are exact ints,
+    # exact-dup docs counted via md5(text) fingerprint multiplicity,
+    # shares and means are single divisions of exact ints (round-6/4)
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             md5(text) AS fp,
+             CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+               AS BIGINT) AS n_tok
+      FROM documents
+    ), fpc AS (
+      SELECT fp, COUNT(*) AS cnt FROM d GROUP BY fp
+    ), per AS (
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+             COALESCE((SELECT CAST(SUM(CAST(array_length(
+                 regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+               AS BIGINT) FROM documents), 0) AS total_tok
+      FROM d JOIN fpc f ON f.fp = d.fp
+      GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dup_docs, n_tokens, n_chars,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+             AS mean_tokens_4,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tok AS DOUBLE), 6)
+             AS token_share_6
+    FROM per ORDER BY source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str):
+    """PER-SOURCE CORPUS DATA CARD (r14) — the rollup every training-
+    corpus release publishes per source/domain: document count,
+    exact-duplicate document count (md5 text fingerprint multiplicity —
+    the dedup_exact_md5 signal aggregated), token and char volume, mean
+    document length, and each source's share of total tokens (the
+    mixture weight the sampler consumes — sample_mixture_rebalance's
+    input statistic).
+
+    Plan: one map-only fingerprint+tokencount pass, one fp-keyed count
+    broadcast back (fingerprint table ≪ corpus after aggregation at the
+    gate SF; at 100 TB it hash-joins on fp — fingerprints, never text,
+    move), one source-keyed agg, a broadcast scalar total.  No window,
+    every exchange keyed."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    fpc = d.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = d.agg(F.sum("n_tok").cast("long").alias("total_tok"))
+    per = (
+        d.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+            4,
+        ).alias("mean_tokens_4"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("total_tok").cast("double"),
+            6,
+        ).alias("token_share_6"),
+    ).orderBy("source")
+
+
+@query(
     "text_token_stats",
     oracle="""
     SELECT doc_id, n_chars,
