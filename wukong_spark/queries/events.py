@@ -2369,6 +2369,76 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_ohlc_hourly",
+    # OHLC bars in exact scaled ints: open/close picked by the total
+    # order (ts, event_id) — event_id is unique, so first/last are
+    # deterministic; high/low/volume are plain min/max/sum
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             ts, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), r AS (
+      SELECT bucket, v4,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v4 END) AS BIGINT) AS open_4,
+           MAX(v4) AS high_4,
+           MIN(v4) AS low_4,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v4 END) AS BIGINT) AS close_4,
+           COUNT(*) AS n_events,
+           CAST(SUM(v4) AS BIGINT) AS volume_4
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str):
+    """HOURLY OHLC BARS (r14) — the candlestick aggregation every
+    market-data and metrics warehouse materializes: per hour the Open
+    (value at the earliest (ts, event_id)), High, Low, Close (latest),
+    event count, and summed volume, all in exact scaled integers.  The
+    (ts, event_id) composite is a total order (event_id unique), so
+    open/close are deterministic under any execution order.
+
+    Plan: ONE keyed aggregation — open/close via `min_by`/`max_by` with
+    a struct ordering key (JVM TypedAggregate, no window, no second
+    pass), high/low/volume ride the same agg.  At 100 TB this is a
+    single map-side-combinable exchange on the bucket key; a per-symbol
+    OHLC adds the series key to the grouping, same single shuffle.  The
+    oracle replays open/close as rank-1 rows of partitioned windows —
+    keyed windows, oracle-side only."""
+    b = tbl(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.min_by("v4", F.struct("ts", "event_id"))
+            .cast("long")
+            .alias("open_4"),
+            F.max("v4").alias("high_4"),
+            F.min("v4").alias("low_4"),
+            F.max_by("v4", F.struct("ts", "event_id"))
+            .cast("long")
+            .alias("close_4"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v4").cast("long").alias("volume_4"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "events_max_drawdown",
     # running peak + drawdown in PURE INTEGERS: hourly sums are exact
     # scaled BIGINTs, the prefix max is order-exact, drawdown is one
