@@ -98,6 +98,75 @@ def split_train_val_test(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "split_exact_stratified",
+    # EXACT per-stratum 80/10/10: per-lang 0-based rank over the salted
+    # md5 order (doc_id tiebreak — a total order), split by the integer
+    # rule rid*10 < n*8 / n*9 — counts are exact per stratum, not
+    # hash-expected; all windows are PARTITIONED by lang (keyed)
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('xsplit-' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS rid,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN rid * 10 < n * 8 THEN 'train'
+                  WHEN rid * 10 < n * 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def split_exact_stratified(spark: SparkSession, sf_dir: str):
+    """EXACT STRATIFIED 80/10/10 SPLIT (r14) — the companion to the
+    hash-bucket split (`split_train_val_test`): hash buckets give
+    EXPECTED proportions (a 500-doc language can land 76/14/10), while
+    evaluation protocols often require EXACT per-stratum counts.  Here
+    each language's docs are ranked by a salted md5 (doc_id tiebreak —
+    a total order, so the split is reproducible and backfill-stable
+    WITHIN a fixed snapshot) and cut by the integer rule rid·10 < n·8 /
+    n·9 — every stratum gets exactly ⌈0.8n⌉/⌈0.1n⌉-style counts.
+
+    Plan: per-lang rank + count via windows PARTITIONED by lang — keyed
+    exchanges (millions of independent strata at 100 TB, never a global
+    sort; the 1pw audit rule stays zero), then one (lang, split) agg.
+    Trade vs the hash split, stated: adding documents RESHUFFLES ranks
+    (the hash split is append-stable but inexact) — pick per use case."""
+    from pyspark.sql.window import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("xsplit-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        (F.row_number().over(w) - 1).alias("rid"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    split = (
+        F.when(F.col("rid") * 10 < F.col("n") * 8, "train")
+        .when(F.col("rid") * 10 < F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        r.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
     "sample_stratified_by_lang",
     oracle=f"""
     WITH rated AS (
