@@ -664,6 +664,109 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "stream_ohlc_hourly_check",
+    # identical oracle to events_ohlc_hourly modulo the column name —
+    # batch/stream parity: min_by/max_by are ASSOCIATIVE under the
+    # (ts, event_id) total order, so micro-batch partials merge to the
+    # exact batch answer
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS window_start,
+             ts, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), r AS (
+      SELECT window_start, v4,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT window_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v4 END) AS BIGINT) AS open_4,
+           MAX(v4) AS high_4,
+           MIN(v4) AS low_4,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v4 END) AS BIGINT) AS close_4,
+           COUNT(*) AS n_events,
+           CAST(SUM(v4) AS BIGINT) AS volume_4
+    FROM r GROUP BY window_start ORDER BY window_start
+    """,
+)
+def stream_ohlc_hourly_check(spark: SparkSession, sf_dir: str):
+    """STREAMING OHLC BARS (r14) — events_ohlc_hourly's aggregation run
+    as a watermarked Structured Streaming window: open/close via
+    min_by/max_by over the (ts, event_id) struct are ASSOCIATIVE
+    aggregates (the argmin of a union is the argmin of the argmins), so
+    micro-batch partial states merge to the exact batch candlesticks —
+    the batch/stream-parity invariant, hash-checked against the same
+    oracle as the batch entry.
+
+    At 100 TB the identical plan runs unbounded: per-window OHLC state
+    is a fixed handful of scalars per (window, symbol), finalized and
+    evicted once older than max(event_time) − watermark."""
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_stream,
+        restore_stream_conf,
+        run_to_memory,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
+    sink = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.min_by(
+                    F.round(F.col("value") * 10000).cast("long"),
+                    F.struct("ts", "event_id"),
+                ).alias("open_4"),
+                F.max(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "high_4"
+                ),
+                F.min(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "low_4"
+                ),
+                F.max_by(
+                    F.round(F.col("value") * 10000).cast("long"),
+                    F.struct("ts", "event_id"),
+                ).alias("close_4"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "volume_4"
+                ),
+            )
+            .select(
+                F.col("w").getField("start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "open_4",
+                "high_4",
+                "low_4",
+                "close_4",
+                "n_events",
+                "volume_4",
+            )
+        )
+        rows = run_to_memory(agg, sink).collect()
+        schema = (
+            "window_start timestamp_ntz, open_4 long, high_4 long,"
+            " low_4 long, close_4 long, n_events long, volume_4 long"
+        )
+        return spark.createDataFrame(rows, schema).orderBy("window_start")
+    finally:
+        spark.catalog.dropTempView(sink)
+        restore_stream_conf(spark, prev_conf)
+
+
+@query(
     "stream_sessionize_30m",
     oracle="""
     WITH flagged AS (
