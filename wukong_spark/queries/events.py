@@ -2472,6 +2472,78 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_seasonal_naive_error",
+    # seasonal-naive baseline (predict this hour = same hour yesterday):
+    # errors are exact integer |s_h - s_{h-24}|; the lag is a KEYED
+    # self-join on bucket = bucket - 24h, not a window — scale-safe and
+    # engine-exact; MAE/bias emitted as one rounded division of exact
+    # ints
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ), h AS (
+      SELECT bucket, CAST(SUM(v4) AS BIGINT) AS s FROM b GROUP BY bucket
+    ), j AS (
+      SELECT cur.bucket, cur.s, prev.s AS s_lag
+      FROM h cur JOIN h prev
+        ON prev.bucket = cur.bucket - INTERVAL 24 HOURS
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(s - s_lag)) AS BIGINT) AS abs_err_4,
+           CAST(SUM(s - s_lag) AS BIGINT) AS bias_4,
+           CAST(MAX(ABS(s - s_lag)) AS BIGINT) AS max_err_4,
+           ROUND(CAST(SUM(ABS(s - s_lag)) AS DOUBLE) / COUNT(*), 4)
+             AS mae_4
+    FROM j
+    """,
+)
+def events_seasonal_naive_error(spark: SparkSession, sf_dir: str):
+    """SEASONAL-NAIVE FORECAST ERROR (r14) — the baseline every
+    forecasting system must beat (and the MASE denominator): predict
+    each hour's value as the SAME HOUR YESTERDAY and score |actual −
+    predicted| over all scoreable hours.  Exact scaled integers end to
+    end; MAE is one rounded division.
+
+    Plan: one keyed hourly agg, then the 24-hour lag as a KEYED
+    SELF-JOIN on bucket = bucket − 24h — the join-instead-of-lag
+    pattern: a LAG window over the series would plan an unpartitioned
+    Window (the 1pw class) while the shifted equi-join shuffles only
+    (bucket, sum) rows on the join key.  Hours with no prior-day
+    counterpart drop out (inner join) in both engines.  At scale a
+    per-series error adds the series key to both the agg and join
+    keys."""
+    b = tbl(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    h = b.groupBy("bucket").agg(F.sum("v4").alias("s"))
+    prev = h.select(
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("bucket"),
+        F.col("s").alias("s_lag"),
+    )
+    j = h.join(prev, "bucket")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(F.col("s") - F.col("s_lag")))
+        .cast("long")
+        .alias("abs_err_4"),
+        F.sum(F.col("s") - F.col("s_lag")).cast("long").alias("bias_4"),
+        F.max(F.abs(F.col("s") - F.col("s_lag")))
+        .cast("long")
+        .alias("max_err_4"),
+        F.round(
+            F.sum(F.abs(F.col("s") - F.col("s_lag"))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mae_4"),
+    )
+
+
+@query(
     "events_ohlc_hourly",
     # OHLC bars in exact scaled ints: open/close picked by the total
     # order (ts, event_id) — event_id is unique, so first/last are
