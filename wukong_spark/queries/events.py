@@ -309,6 +309,73 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "attribution_last_touch",
+    # last-touch channel attribution: each purchase's revenue goes to
+    # the user's most recent NON-purchase event type at or before it
+    # ('direct' when none) — the IGNORE-NULLS running last over the
+    # (ts, event_id) total order is deterministic; revenue is exact
+    # scaled ints
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(v4) AS BIGINT) AS revenue_4
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct') ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str):
+    """LAST-TOUCH REVENUE ATTRIBUTION (r14) — the marketing-warehouse
+    staple built on the as-of machinery (`asof_join_last_click`'s
+    union-merge shape): every purchase's revenue is credited to the
+    channel (event_type) of the user's most recent non-purchase event
+    at or before it, 'direct' when the purchase has no predecessor;
+    rolled up to per-channel purchase counts and exact revenue.
+
+    Plan: ONE shuffle on user_id shared by all event types, a running
+    IGNORE-NULLS last over the (ts, event_id) total order (keyed
+    window — bounded per-user state), one channel-keyed agg.  No range
+    join, no candidate blowup: O(n log n) in the per-user sort, exactly
+    the as-of discipline.  First/linear/time-decay attribution swap the
+    window expression only."""
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v4").cast("long").alias("revenue_4"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
     "asof_join_nearest",
     oracle="""
     WITH ce AS (
