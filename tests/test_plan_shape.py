@@ -793,3 +793,32 @@ def test_kcore_bucketed_edge_join_no_edge_exchange(spark):
     n_exch = len(_re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exch <= 2, plan
     drop_managed_table(spark, table)
+
+
+def test_ohlc_single_keyed_agg_no_window(spark):
+    """events_ohlc_hourly (r14): open/close must come from min_by/max_by
+    INSIDE the one keyed aggregation — no Window, no second pass over
+    the events; at most the agg exchange + the output sort."""
+    plan = _plan(spark, "events_ohlc_hourly")
+    assert "Window" not in plan, plan
+    assert plans.count_shuffles(plan) <= 2, plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """attribution_last_touch (r14): all event types share ONE user_id
+    exchange feeding the keyed running-last window; the channel rollup
+    and output sort are the only other exchanges."""
+    plan = _plan(spark, "attribution_last_touch")
+    assert plans.count_shuffles(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
+    # the window must be keyed, never SinglePartition
+    assert plans.single_partition_window_count(plan) == 0
+
+
+def test_seasonal_naive_uses_join_not_lag_window(spark):
+    """events_seasonal_naive_error (r14): the 24 h lag must be the
+    keyed time-shift self-join — a LAG window over the hourly series
+    would be the unpartitioned-window anti-pattern."""
+    plan = _plan(spark, "events_seasonal_naive_error")
+    assert "Window" not in plan, plan
+    assert "Join" in plan
