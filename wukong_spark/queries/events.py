@@ -2611,6 +2611,63 @@ def events_seasonal_naive_error(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_trailing_wau",
+    # trailing 7-day distinct users per day (the WAU rollup), EXACT:
+    # each (day, user) pair is fanned to the 7 target days it supports
+    # (a bounded explode — never an unbounded range join), then one
+    # distinct-count per target day; target days clipped to the data's
+    # max so both engines score the same spine
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), mx AS (
+      SELECT MAX(d) AS mxd FROM p
+    ), fan AS (
+      SELECT p.d + CAST(x.i AS INTEGER) AS target_d, p.user_id
+      FROM p CROSS JOIN (SELECT unnest(range(0, 7)) AS i) x
+    )
+    SELECT CAST(target_d AS TIMESTAMP) AS target_d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fan, mx
+    WHERE target_d <= mx.mxd
+    GROUP BY target_d ORDER BY target_d
+    """,
+)
+def events_trailing_wau(spark: SparkSession, sf_dir: str):
+    """TRAILING 7-DAY ACTIVE USERS (r14) — the DAU/WAU/MAU rollup every
+    product warehouse materializes: for each day, the EXACT count of
+    distinct users active in the trailing 7-day window.
+
+    Plan: dedup to (day, user) pairs (one keyed distinct — the heavy
+    reduction happens FIRST, so the fan-out runs on ~active-users rows,
+    not raw events), then each pair explodes to the 7 target days it
+    supports — a BOUNDED map-side fan-out, never a range join or a
+    window over a user list — and one distinct-count agg per target
+    day.  At 100 TB the explode factor is the window length (7), fixed
+    by the metric's definition; MAU swaps 7 → 30.  Target days beyond
+    the data's max are clipped identically in both engines."""
+    p = (
+        tbl(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    mxd = p.agg(F.max("d")).collect()[0][0]  # one scalar date
+    fan = p.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target_d"),
+        "user_id",
+    ).filter(F.col("target_d") <= F.lit(mxd))
+    return (
+        fan.groupBy(
+            F.col("target_d").cast("timestamp_ntz").alias("target_d")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .orderBy("target_d")
+    )
+
+
+@query(
     "events_ohlc_hourly",
     # OHLC bars in exact scaled ints: open/close picked by the total
     # order (ts, event_id) — event_id is unique, so first/last are
