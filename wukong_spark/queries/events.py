@@ -2668,6 +2668,155 @@ def events_trailing_wau(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "events_trailing_wau_hll",
+    # the SKETCH path of events_trailing_wau: per-(day, bucket) HLL
+    # registers (md5-derived 60-bit hash — engine-portably exact), the
+    # trailing 7-day union is a register MAX after a bounded fan-out
+    # (HLL mergeability), estimate formula text shared verbatim with
+    # sketch_hll_distinct_check; within_error gates vs the exact WAU
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d,
+             CAST(('0x' || substr(md5('wau-' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ), mx AS (SELECT MAX(d) AS mxd FROM h),
+    regs AS (
+      SELECT d, h % 4096 AS bucket,
+             MAX(CASE WHEN h // 4096 = 0 THEN 49
+                      ELSE 49 - LENGTH(BIN(h // 4096)) END) AS r
+      FROM h GROUP BY d, bucket
+    ), fan AS (
+      SELECT regs.d + CAST(x.i AS INTEGER) AS target_d, bucket, r
+      FROM regs CROSS JOIN (SELECT unnest(range(0, 7)) AS i) x
+    ), merged AS (
+      SELECT target_d, bucket, MAX(r) AS r
+      FROM fan, mx WHERE target_d <= mx.mxd
+      GROUP BY target_d, bucket
+    ), agg AS (
+      SELECT target_d, COUNT(*) AS present,
+             SUM(POWER(2.0, -r)) AS s_present
+      FROM merged GROUP BY target_d
+    ), est AS (
+      SELECT target_d,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               / (s_present + (4096 - present) * 1.0) AS raw,
+             4096 - present AS v
+      FROM agg
+    ), fin AS (
+      SELECT target_d,
+             CASE WHEN raw <= 2.5 * 4096.0 AND v > 0
+                  THEN 4096.0 * LN(4096.0 / v) ELSE raw END AS e
+      FROM est
+    ), exact AS (
+      SELECT p.d + CAST(x.i AS INTEGER) AS target_d,
+             CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau_exact
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) p
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS i) x, mx
+      WHERE p.d + CAST(x.i AS INTEGER) <= mx.mxd
+      GROUP BY 1
+    )
+    SELECT CAST(f.target_d AS TIMESTAMP) AS target_d,
+           ex.wau_exact,
+           ROUND(f.e, 6) AS wau_hll_6,
+           ABS(f.e - ex.wau_exact) / ex.wau_exact < 0.08 AS within_error
+    FROM fin f JOIN exact ex ON ex.target_d = f.target_d
+    ORDER BY target_d
+    """,
+)
+def events_trailing_wau_hll(spark: SparkSession, sf_dir: str):
+    """TRAILING WAU VIA MERGEABLE HLL SKETCHES (r14) — the production
+    path of `events_trailing_wau`: the exact rollup re-counts every
+    window, but HLL registers built ONCE per (day, bucket) merge by a
+    plain MAX, so the trailing 7-day union costs a bounded fan-out of
+    4096-register sketches — never a re-scan of the raw events, and a
+    year of daily sketches composes into any window length after the
+    fact.  Registers use the registry's engine-portable md5 60-bit hash
+    and exact-integer rank (49 − LENGTH(BIN(w))), and the estimate
+    formula text is shared verbatim with `sketch_hll_distinct_check`,
+    so DuckDB replays the ESTIMATES bit-for-bit (round-6; the only fp
+    freedom is the ≤4096-term power sum, ~1e-11 against the grid).
+    within_error (<8 %, ~5σ) gates each window against the exact WAU.
+
+    100 TB path: per day the state is 4096 bytes-ish of registers
+    regardless of user cardinality; the merge shuffles (day, bucket, r)
+    rows with map-side MAX combine.  The exact column exists for the
+    gate only — production reads the sketch."""
+    ev = tbl(spark, sf_dir, "events")
+    from wukong_spark.queries.textops import md5_long
+
+    h = ev.select(
+        F.col("ts").cast("date").alias("d"),
+        md5_long(
+            F.concat(F.lit("wau-"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    mxd = h.agg(F.max("d")).collect()[0][0]
+    regs = (
+        h.selectExpr(
+            "d",
+            "h % 4096 AS bucket",
+            "CASE WHEN h DIV 4096 = 0 THEN 49"
+            " ELSE 49 - LENGTH(BIN(h DIV 4096)) END AS rr",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rr").alias("r"))
+    )
+    merged = (
+        regs.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("target_d"),
+            "bucket",
+            "r",
+        )
+        .filter(F.col("target_d") <= F.lit(mxd))
+        .groupBy("target_d", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = merged.groupBy("target_d").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr("POWER(2.0, -r)")).alias("s_present"),
+    )
+    fin = agg.selectExpr(
+        "target_d",
+        "(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0"
+        " / (s_present + (4096 - present) * 1.0) AS raw",
+        "4096 - present AS v",
+    ).selectExpr(
+        "target_d",
+        "CASE WHEN raw <= 2.5 * 4096.0 AND v > 0"
+        " THEN 4096.0 * LN(4096.0 / v) ELSE raw END AS e",
+    )
+    exact = (
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("target_d"),
+            "user_id",
+        )
+        .filter(F.col("target_d") <= F.lit(mxd))
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau_exact"))
+    )
+    return (
+        fin.join(exact, "target_d")
+        .select(
+            F.col("target_d").cast("timestamp_ntz").alias("target_d"),
+            "wau_exact",
+            F.round("e", 6).alias("wau_hll_6"),
+            (
+                F.abs(F.col("e") - F.col("wau_exact")) / F.col("wau_exact")
+                < 0.08
+            ).alias("within_error"),
+        )
+        .orderBy("target_d")
+    )
+
+
+@query(
     "events_ohlc_hourly",
     # OHLC bars in exact scaled ints: open/close picked by the total
     # order (ts, event_id) — event_id is unique, so first/last are
