@@ -77,10 +77,15 @@ def global_row_number(
     s, offsets = _ordered_with_offsets(
         df, order_col, n_partitions, F.count(F.lit(1))
     )
-    bc = df.sparkSession.sparkContext.broadcast(offsets)
+    return _numbered(s, offsets, df.schema.fields, out_col)
 
+
+def _numbered(s: DataFrame, offsets: dict, fields, out_col: str) -> DataFrame:
+    """Map-side numbering pass over an `_ordered_with_offsets` frame:
+    offset[pid] + local position, via mapInPandas."""
+    bc = s.sparkSession.sparkContext.broadcast(offsets)
     out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
     )
 
     def number(batches):
@@ -224,14 +229,25 @@ def rank_cut_values(
     tuples.  Returns {row_id: Row} (negative / out-of-range ids are
     simply absent).  Reference analogue: dask's sampled-quantile
     set_index divisions — boundaries come from a distributed pass,
-    never a global sort on one worker."""
+    never a global sort on one worker.
+
+    The output is K PYTHON VALUES, so the numbering pass's pinned
+    checkpoint is RELEASED before returning (the leak class ADVICE r13
+    flagged on graph_hits_check — a gate session calling this per
+    entry must not accumulate full-table checkpoints)."""
     from pyspark.sql import functions as F
+
+    from wukong_spark.session import release_checkpoint
 
     wanted = sorted({int(r) for r in row_ids if int(r) >= 0})
     if not wanted:
         return {}
-    numbered = global_row_number(df, order_col, n_partitions, "__rk")
+    s, offsets = _ordered_with_offsets(
+        df, order_col, n_partitions, F.count(F.lit(1))
+    )
+    numbered = _numbered(s, offsets, df.schema.fields, "__rk")
     rows = numbered.filter(F.col("__rk").isin(wanted)).collect()
+    release_checkpoint(s)
     return {int(r["__rk"]): r for r in rows}
 
 
