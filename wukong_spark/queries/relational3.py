@@ -1472,7 +1472,10 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str):
     # oracle (ADVICE r13).  The dim count is one scalar job on a table
     # that must be counted anyway for the bits/key budget.
     n_dim = dim.count()
-    n_bits = 1 << max(20, (10 * max(n_dim, 1)).bit_length())
+    # cap at 2^30 bits (128 MB broadcast): beyond ~100M keys a single
+    # driver-built bitmap is the wrong tool — Spark's runtime row-level
+    # bloom join (partition-local filters) is the production lever there
+    n_bits = 1 << min(30, max(20, (10 * max(n_dim, 1)).bit_length()))
     bits = bloom_build(dim, "c_custkey", n_bits=n_bits)
     n_total = o.count()
     probed = bloom_probe(o, "o_custkey", bits).filter(F.col("maybe"))
