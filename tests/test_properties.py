@@ -628,3 +628,68 @@ def test_rank_cut_family_equals_windows(spark, rows, nparts, kbuckets, seed):
         .to_numpy()
     )
     assert (got_b == want_b).all()
+
+
+@given(
+    n_left=st.integers(1, 120),
+    n_right=st.integers(0, 120),
+    seed=st.integers(0, 10_000),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 0, 3, 25]),
+)
+@settings(**SETTINGS)
+def test_merge_asof_matches_pandas(spark, n_left, n_right, seed, direction, tol):
+    """operators/asof.merge_asof (r14) must agree with pandas.merge_asof
+    for every direction and tolerance, including empty right sides,
+    by-keys with no matches, and duplicate left timestamps.  Right `on`
+    values are unique per key (pandas resolves duplicate right keys by
+    input position, which has no distributed meaning — the operator
+    docstring pins its own deterministic tie-break instead)."""
+    from wukong_spark.operators.asof import merge_asof
+
+    rng = np.random.default_rng(seed)
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_left),
+            "t": rng.integers(0, 200, n_left).astype(np.int64) * 2 + 1,
+            "lid": np.arange(n_left, dtype=np.int64),
+        }
+    )
+    # right timestamps EVEN and unique per key -> no exact-tie 'nearest'
+    # distances (odd-even gap) and no duplicate right keys
+    rp = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_right),
+                "t": rng.integers(0, 220, n_right).astype(np.int64) * 2,
+                "rv": rng.integers(-50, 50, n_right).astype(np.int64),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(lp)
+    rdf = (
+        spark.createDataFrame(rp)
+        if len(rp)
+        else spark.createDataFrame([], "k long, t long, rv long")
+    )
+    got = (
+        merge_asof(ldf, rdf, on="t", by="k", direction=direction, tolerance=tol)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tol,
+    ).sort_values("lid").reset_index(drop=True)
+    gv = got["r_rv"].astype("float64")
+    wv = want["rv"].astype("float64")
+    assert ((gv == wv) | (gv.isna() & wv.isna())).all(), (
+        pd.concat([got, want.add_prefix("w_")], axis=1)
+    )

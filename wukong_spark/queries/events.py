@@ -309,6 +309,78 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "asof_operator_tolerance_check",
+    # drives the LIBRARY operator (operators/asof.merge_asof) through
+    # the gate: purchases <- last click within 30 min, backward
+    # inclusive at equal ts (the oracle's window orders clicks BEFORE a
+    # same-ts purchase to match); only the matched TS is emitted, so
+    # multiple same-ts clicks (operator: largest-payload tie-break;
+    # oracle: MAX) cannot diverge
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc
+      FROM ce
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(
+             CASE WHEN ts - lc <= INTERVAL 30 MINUTES THEN lc END,
+             TIMESTAMP '1970-01-01'
+           ) AS last_click_ts
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def asof_operator_tolerance_check(spark: SparkSession, sf_dir: str):
+    """merge_asof AS A LIBRARY OPERATOR (r14) — the reusable
+    `operators/asof.merge_asof` (pandas/dask `merge_asof` parity:
+    backward/forward/nearest + tolerance, union-merge plan, property-
+    tested against pandas itself in tests/test_properties.py) run
+    through the correctness gate: each purchase matched to the same
+    user's most recent click within a 30-minute tolerance, unmatched
+    purchases keeping the epoch sentinel.
+
+    Plan: ONE shuffle on user_id shared by both event streams, a keyed
+    running last over (on, tag, payload) — O(n log n) per key, no range
+    join, no candidate blowup; the tolerance is a map-side interval
+    comparison after the match."""
+    from wukong_spark.operators.asof import merge_asof
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    m = merge_asof(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("r_ts"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("last_click_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "attribution_last_touch",
     # last-touch channel attribution: each purchase's revenue goes to
     # the user's most recent NON-purchase event type at or before it
