@@ -84,6 +84,15 @@ def merge_asof(
             raise ValueError(f"column {c!r} missing from left or right")
 
     r_payload_cols = [c for c in right.columns if c not in by_cols]
+    clash = [
+        c for c in left.columns
+        if c in {f"{right_prefix}{rc}" for rc in r_payload_cols}
+    ]
+    if clash:
+        raise ValueError(
+            f"left column(s) {clash} collide with prefixed right output "
+            f"columns; pass a different right_prefix"
+        )
     # right rows: payload packed into one struct (sortable tie-break +
     # single ignorenulls target); left rows carry NULL payload
     r_tagged = right.select(
