@@ -400,3 +400,53 @@ def test_kcore_bucketed_matches_plain(spark):
             for r in kcore_bucketed(df, k, table="bkt_kcore_t14").collect()
         )
         assert got == want, (k, got, want)
+
+
+def test_hits_converged_matches_dense_numpy_on_gate_graph(spark):
+    """graph_hits_converged is the registry's one oracle-less entry
+    (iterative convergence) — pin it against a dense numpy replay on
+    the ACTUAL gate graph (sf0.001 customer→supplier), not just the
+    synthetic fixture, so the driver's rows-only check is backed by a
+    value-level oracle here."""
+    import numpy as np
+
+    from wukong_spark.operators.graph import hits
+    from wukong_spark.queries.helpers import tbl
+    from tests.conftest import SF_CORRECT
+
+    o = tbl(spark, SF_CORRECT, "orders").select("o_orderkey", "o_custkey")
+    l = tbl(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = [(r.src, r.dst) for r in e.collect()]
+    got = {r.node: (r.hub, r.authority) for r in hits(e, tol=1e-9).collect()}
+
+    nodes = sorted({x for ed in edges for x in ed})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    srcs = sorted({s for s, _ in edges})
+    h = np.zeros(len(nodes))
+    for s in srcs:
+        h[idx[s]] = 1.0 / len(srcs)
+    a = np.zeros(len(nodes))
+    for _ in range(100000):
+        a_new = A.T @ h
+        a_new /= a_new.sum()
+        h_new = A @ a_new
+        h_new /= h_new.sum()
+        delta = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if delta < 1e-9:
+            break
+    assert set(got) == set(nodes)
+    max_dh = max(abs(got[v][0] - h[idx[v]]) for v in nodes)
+    max_da = max(abs(got[v][1] - a[idx[v]]) for v in nodes)
+    assert max_dh < 1e-7 and max_da < 1e-7, (max_dh, max_da)
