@@ -693,3 +693,101 @@ def test_merge_asof_matches_pandas(spark, n_left, n_right, seed, direction, tol)
     assert ((gv == wv) | (gv.isna() & wv.isna())).all(), (
         pd.concat([got, want.add_prefix("w_")], axis=1)
     )
+
+
+@given(
+    rows=st.integers(1, 300),
+    nparts=st.integers(2, 12),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_global_cummax_equals_window(spark, rows, nparts, seed):
+    """global_cummax (r14) == MAX OVER (ORDER BY) rows-unbounded-
+    preceding for any row count / partitioning, duplicates included."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_cummax
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(rows, dtype=np.int64),
+            "v": rng.integers(-1000, 1000, rows).astype(np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        global_cummax(df, "v", "k", n_partitions=nparts, out_col="m")
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select("k", F.max("v").over(w).alias("m"))
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+
+
+@given(
+    n_left=st.integers(1, 80),
+    n_right=st.integers(0, 80),
+    seed=st.integers(0, 10_000),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**SETTINGS)
+def test_merge_asof_timestamps_match_pandas(spark, n_left, n_right, seed, direction):
+    """merge_asof with TIMESTAMP `on` columns (the production type) must
+    agree with pandas.merge_asof — same odd/even-second trick to avoid
+    exact-tie nearest distances and duplicate right keys."""
+    from wukong_spark.operators.asof import merge_asof
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_left),
+            "t": base
+            + pd.to_timedelta(
+                rng.integers(0, 500, n_left) * 2 + 1, unit="s"
+            ),
+            "lid": np.arange(n_left, dtype=np.int64),
+        }
+    )
+    rp = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, n_right),
+                "t": base
+                + pd.to_timedelta(rng.integers(0, 520, n_right) * 2, unit="s"),
+                "rv": rng.integers(-50, 50, n_right).astype(np.int64),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(lp)
+    rdf = (
+        spark.createDataFrame(rp)
+        if len(rp)
+        else spark.createDataFrame([], "k long, t timestamp, rv long")
+    )
+    got = (
+        merge_asof(ldf, rdf, on="t", by="k", direction=direction)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lp.sort_values("t", kind="stable"),
+        rp.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction=direction,
+    ).sort_values("lid").reset_index(drop=True)
+    gv = got["r_rv"].astype("float64")
+    wv = want["rv"].astype("float64")
+    assert ((gv == wv) | (gv.isna() & wv.isna())).all()
