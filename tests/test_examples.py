@@ -21,6 +21,7 @@ import svd1  # noqa: E402
 import svd2  # noqa: E402
 import svc_inference  # noqa: E402
 import tree_reduction  # noqa: E402
+import warehouse_analytics  # noqa: E402
 
 ALL = {
     "array_ops": array_ops.run,
@@ -35,6 +36,7 @@ ALL = {
     "gemm": gemm.run,
     "svc_inference": svc_inference.run,
     "svd2": svd2.run,
+    "warehouse_analytics": warehouse_analytics.run,
 }
 
 
