@@ -381,6 +381,66 @@ def asof_operator_tolerance_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "asof_operator_forward_check",
+    # the operator's FORWARD direction through the gate: each purchase
+    # matched to the user's NEXT click at-or-after it (inclusive at
+    # equal ts — the oracle's window orders same-ts clicks after the
+    # purchase to match); only the matched TS is emitted so same-ts
+    # click multiplicity cannot diverge
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                        event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nc
+      FROM ce
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(nc, TIMESTAMP '2200-01-01') AS next_click_ts
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def asof_operator_forward_check(spark: SparkSession, sf_dir: str):
+    """merge_asof FORWARD direction through the gate (r14) — each
+    purchase matched to the same user's NEXT click at or after it (the
+    "what did they do next" join), far-future sentinel (2200 — inside pandas' ns range) when none.
+    Companion to `asof_operator_tolerance_check` (backward+tolerance);
+    together with the pandas property tests all three directions are
+    pinned by an independent oracle.
+
+    Same union-merge plan: one user_id exchange shared by both streams,
+    a keyed running FIRST over the forward frame — no range join."""
+    from wukong_spark.operators.asof import merge_asof
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    m = merge_asof(
+        purchases, clicks, on="ts", by="user_id", direction="forward"
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("r_ts"),
+            F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("next_click_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "attribution_last_touch",
     # last-touch channel attribution: each purchase's revenue goes to
     # the user's most recent NON-purchase event type at or before it
