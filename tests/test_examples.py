@@ -1,5 +1,6 @@
-"""Smoke the six reference-parity example workloads (SURVEY.md §5 item 4)
-on the shared test session."""
+"""Smoke the example workloads (SURVEY.md §5 item 4) — the reference's
+six canonical scripts plus this repo's beyond-reference pipelines — on
+the shared test session."""
 
 from __future__ import annotations
 
