@@ -450,3 +450,26 @@ def test_hits_converged_matches_dense_numpy_on_gate_graph(spark):
     max_dh = max(abs(got[v][0] - h[idx[v]]) for v in nodes)
     max_da = max(abs(got[v][1] - a[idx[v]]) for v in nodes)
     assert max_dh < 1e-7 and max_da < 1e-7, (max_dh, max_da)
+
+
+def test_kcore_bucketed_layout_cleanup_and_unique_names(spark):
+    """ADVICE r14 (low): the bucketed edge layout must not clobber a
+    fixed table name across sessions, and must be dropped on every exit
+    path — after a call (default name or explicit), no kcore layout
+    table survives in the catalog, and the returned plan still collects
+    (it reads the eager checkpoint, not the table)."""
+    from wukong_spark.operators.graph import kcore_bucketed
+
+    pairs = [(0, 1), (1, 2), (0, 2), (1, 0), (2, 1), (2, 0)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+
+    res = kcore_bucketed(df, 2)
+    tables = [t.name for t in spark.catalog.listTables()]
+    assert not any(t.startswith("bkt_kcore_edges") for t in tables), tables
+    # plan must survive the table drop (checkpoint-backed)
+    assert sorted(r.node for r in res.collect()) == [0, 1, 2]
+
+    # explicit table name is also dropped afterwards
+    kcore_bucketed(df, 2, table="bkt_kcore_explicit").collect()
+    tables = [t.name for t in spark.catalog.listTables()]
+    assert "bkt_kcore_explicit" not in tables, tables

@@ -791,3 +791,127 @@ def test_merge_asof_timestamps_match_pandas(spark, n_left, n_right, seed, direct
     gv = got["r_rv"].astype("float64")
     wv = want["rv"].astype("float64")
     assert ((gv == wv) | (gv.isna() & wv.isna())).all()
+
+
+def test_global_cumsum_float_multibatch(spark):
+    """ADVICE r14 (medium): float running sums must keep their fractional
+    part across Arrow batch boundaries — the old accumulator did
+    int(sum) per batch, drifting from the second batch of a partition
+    on.  Forces >1 batch per partition via the Arrow batch-size conf;
+    values are multiples of 0.25 so the float sums are exact binary and
+    the window comparison can be equality."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_cumsum
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(200, dtype=np.int64),
+                "v": rng.integers(-20, 20, 200).astype(np.float64) * 0.25,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            global_cumsum(df, "v", "k", n_partitions=4, out_col="c")
+            .toPandas()
+            .sort_values("k")["c"]
+            .to_numpy()
+        )
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = (
+            df.select("k", F.sum("v").over(w).alias("c"))
+            .toPandas()
+            .sort_values("k")["c"]
+            .to_numpy()
+        )
+        assert (got == want).all()
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_global_prefix_family_null_partitions(spark):
+    """ADVICE r14 (low): a range partition whose value column is entirely
+    NULL yields NULL agg partials — the driver prefix loops must
+    coalesce/skip them instead of raising TypeError, and NaN rows must
+    not poison the cummax running peak.  Semantics at NULL rows follow
+    pandas: cumsum emits NULL there, cummax inherits the running peak
+    (NULL until the first value); non-NULL rows match the window
+    formulations exactly."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_cummax, global_cumsum
+
+    rows = 120
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(rows, dtype=np.int64),
+            # k < 40 entirely NULL: with 8 range partitions on k, the
+            # first ~2-3 partitions carry only NULL values
+            "v": [None if i < 40 else float(i % 17) for i in range(rows)],
+        }
+    )
+    df = spark.createDataFrame(pdf, "k long, v double")
+
+    got_sum = (
+        global_cumsum(df, "v", "k", n_partitions=8, out_col="c")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got_max = (
+        global_cummax(df, "v", "k", n_partitions=8, out_col="m")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select(
+            "k",
+            F.sum("v").over(w).alias("c"),
+            F.max("v").over(w).alias("m"),
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    nn = got_sum["v"].notna()
+    assert (
+        got_sum.loc[nn, "c"].to_numpy() == want.loc[nn, "c"].to_numpy()
+    ).all()
+    # NULL rows: cumsum emits NULL (pandas semantics)
+    assert got_sum.loc[~nn, "c"].isna().all()
+    # cummax: every row ≥ first value matches the window exactly (fmax
+    # carries the peak across NaN rows); leading all-NULL prefix is NULL
+    assert (
+        got_max.loc[nn, "m"].to_numpy() == want.loc[nn, "m"].to_numpy()
+    ).all()
+    assert got_max.loc[~nn, "m"].isna().all()
+
+
+def test_merge_asof_quoted_right_column_names(spark):
+    """ADVICE r14 (low): right-side payload columns whose names need
+    backtick quoting (spaces, dashes, dots) must survive the typed-NULL
+    struct literal — the DataType must be passed as an object, not
+    round-tripped through simpleString DDL."""
+    from wukong_spark.operators.asof import merge_asof
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [5, 9, 7], "lid": [0, 1, 2]})
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 8, 20.0), (2, 6, 30.0)],
+        ["k", "t", "weird col-na.me"],
+    )
+    got = (
+        merge_asof(left, right, on="t", by="k", direction="backward")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert got["r_weird col-na.me"].tolist() == [10.0, 20.0, 30.0]

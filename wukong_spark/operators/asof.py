@@ -47,6 +47,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name so dots/spaces/dashes survive
+    `F.col` parsing (embedded backticks doubled, the Spark escape)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -96,27 +102,29 @@ def merge_asof(
     # right rows: payload packed into one struct (sortable tie-break +
     # single ignorenulls target); left rows carry NULL payload
     r_tagged = right.select(
-        *by_cols,
-        F.col(on).alias("__on"),
+        *[F.col(_q(c)) for c in by_cols],
+        F.col(_q(on)).alias("__on"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c) for c in r_payload_cols]).alias("__pay"),
+        F.struct(*[F.col(_q(c)) for c in r_payload_cols]).alias("__pay"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
-    # NULL struct literal needs the right type: build via a typed cast
-    pay_type = r_tagged.schema["__pay"].dataType.simpleString()
+    # NULL struct literal needs the right type: pass the DataType object
+    # directly — a simpleString() round-trip breaks on right column
+    # names needing backtick quoting (spaces/dashes/dots) (ADVICE r14)
+    pay_type = r_tagged.schema["__pay"].dataType
     l_tagged = left.select(
-        *by_cols,
-        F.col(on).alias("__on"),
+        *[F.col(_q(c)) for c in by_cols],
+        F.col(_q(on)).alias("__on"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(pay_type).alias("__pay"),
-        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+        *[F.col(_q(c)).alias(f"__l_{c}") for c in left.columns],
     )
     u = r_tagged.unionByName(l_tagged)
 
     # backward: right rows sort BEFORE the left row at equal __on
     # (inclusive match), larger payload wins ties → last()
     w_back = (
-        Window.partitionBy(*by_cols)
+        Window.partitionBy(*[F.col(_q(c)) for c in by_cols])
         .orderBy(F.col("__on"), F.col("__is_left"), F.col("__pay"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -125,7 +133,7 @@ def merge_asof(
     # row; with right tagged 0 they sort before, so flip the tag order
     # and take first() over the forward frame ordered the same way
     w_fwd = (
-        Window.partitionBy(*by_cols)
+        Window.partitionBy(*[F.col(_q(c)) for c in by_cols])
         .orderBy(F.col("__on"), -F.col("__is_left"), F.col("__pay"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -185,10 +193,10 @@ def merge_asof(
         )
 
     return out.select(
-        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(_q(f"__l_{c}")).alias(c) for c in left.columns],
         F.col("__m.o").alias(f"{right_prefix}{on}"),
         *[
-            F.col(f"__m.p.{c}").alias(f"{right_prefix}{c}")
+            F.col("__m").getField("p").getField(c).alias(f"{right_prefix}{c}")
             for c in r_payload_cols
             if c != on
         ],

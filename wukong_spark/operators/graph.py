@@ -566,7 +566,7 @@ def kcore_bucketed(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    table: str = "bkt_kcore_edges",
+    table: str | None = None,
     buckets: int = 8,
 ) -> DataFrame:
     """`kcore` with the DOUBLED edge set written ONCE as a bucket layout
@@ -592,57 +592,70 @@ def kcore_bucketed(
 
     100 TB path: the edge set (the 100 TB part) never moves after the
     one bucketed write; per round the shuffles are linear in nodes."""
+    import uuid
+
     from wukong_spark.layout import drop_managed_table
     from wukong_spark.session import release_checkpoint as _release
 
     spark = edges.sparkSession
+    # Per-call unique default so concurrent sessions sharing a warehouse
+    # never clobber each other's layout mid-iteration (ADVICE r14); the
+    # layout is dropped in `finally` — every exit path returns a plan
+    # over eager checkpoints (or over `edges`), never over the table.
+    if table is None:
+        table = f"bkt_kcore_edges_{uuid.uuid4().hex[:12]}"
     drop_managed_table(spark, table)
-    (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .write.mode("overwrite")
-        .bucketBy(buckets, "b")
-        .sortBy("b")
-        .saveAsTable(table)
-    )
-    adj = spark.table(table)
+    try:
+        (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "b")
+            .sortBy("b")
+            .saveAsTable(table)
+        )
+        adj = spark.table(table)
 
-    # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED column
-    # satisfies clustering straight off the scan (no exchange)
-    cur = adj.select(F.col("b").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    n_cur = cur.count()
-
-    converged = False
-    for _ in range(max_iter):
-        nxt = (
-            adj.join(cur.select(F.col("node").alias("b")), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
+        # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED
+        # column satisfies clustering straight off the scan (no exchange)
+        cur = (
+            adj.select(F.col("b").alias("node"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
-        _release(cur)
-        cur = nxt.select("node").localCheckpoint(eager=True)
-        if n_nxt == n_cur:
-            _release(cur)
-            return nxt.select("node", F.col("deg").alias("deg_in_core"))
-        _release(nxt)
-        n_cur = n_nxt
-        if n_cur == 0:
-            converged = True
-            break
+        n_cur = cur.count()
 
-    if converged:
-        _release(cur)
-        return (
-            edges.select(F.col(src).alias("a"))
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
-            .filter(F.lit(False))
+        converged = False
+        for _ in range(max_iter):
+            nxt = (
+                adj.join(cur.select(F.col("node").alias("b")), "b")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            _release(cur)
+            cur = nxt.select("node").localCheckpoint(eager=True)
+            if n_nxt == n_cur:
+                _release(cur)
+                return nxt.select("node", F.col("deg").alias("deg_in_core"))
+            _release(nxt)
+            n_cur = n_nxt
+            if n_cur == 0:
+                converged = True
+                break
+
+        if converged:
+            _release(cur)
+            return (
+                edges.select(F.col(src).alias("a"))
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+                .filter(F.lit(False))
+            )
+        raise RuntimeError(
+            f"kcore_bucketed did not stabilize within {max_iter} rounds; "
+            "raise max_iter"
         )
-    raise RuntimeError(
-        f"kcore_bucketed did not stabilize within {max_iter} rounds; "
-        "raise max_iter"
-    )
+    finally:
+        drop_managed_table(spark, table)

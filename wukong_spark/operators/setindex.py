@@ -133,7 +133,12 @@ def _ordered_with_offsets(df, order_col, n_partitions: int, partial_aggs):
     acc = [0] * len(aggs)
     for pid in sorted(partials):
         offsets[pid] = tuple(acc)
-        acc = [a + p for a, p in zip(acc, partials[pid])]
+        # A partition whose agg input is entirely NULL yields a NULL
+        # partial (e.g. F.sum over an all-NULL range) — coalesce to 0
+        # so the prefix accumulation never does None + int (ADVICE r14).
+        acc = [
+            a + (0 if p is None else p) for a, p in zip(acc, partials[pid])
+        ]
     return s, offsets
 
 
@@ -190,7 +195,13 @@ def global_cumsum(
                 pos = part[1] if len(part) > 1 else 0
             pdf = pdf.drop(columns=["__pid"])
             pdf[out_col] = pdf[value_col].cumsum() + run
-            run += int(pdf[value_col].sum())
+            # int() only for integral dtypes (keeps int64 exact past
+            # 2^53); float columns must keep their fractional part or a
+            # partition spanning >1 Arrow batch drifts (ADVICE r14).
+            inc = pdf[value_col].sum()
+            run += (
+                int(inc) if pdf[value_col].dtype.kind in "iu" else float(inc)
+            )
             if row_col is not None:
                 pdf[row_col] = range(pos, pos + len(pdf))
                 pos += len(pdf)
@@ -285,7 +296,11 @@ def global_cummax(
     run = None
     for pid in sorted(partials):
         prefix[pid] = run
-        run = partials[pid] if run is None else max(run, partials[pid])
+        # An all-NULL partition yields a NULL MAX partial — skip it so
+        # the running peak never does max(x, None) (ADVICE r14).
+        p = partials[pid]
+        if p is not None:
+            run = p if run is None else max(run, p)
     bc = df.sparkSession.sparkContext.broadcast(prefix)
     out_type = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -304,9 +319,15 @@ def global_cummax(
                 seed = bc.value[int(pdf["__pid"].iloc[0])]
                 seeded = True
             pdf = pdf.drop(columns=["__pid"])
-            m = np.maximum.accumulate(pdf[value_col].to_numpy())
+            arr = pdf[value_col].to_numpy()
+            # fmax ignores NaN (NULL/NaN rows inherit the running peak
+            # instead of poisoning every later row — ADVICE r14); object
+            # dtypes (strings, decimals) keep strict maximum and require
+            # non-null values, matching the partial-agg contract.
+            op = np.fmax if arr.dtype.kind == "f" else np.maximum
+            m = op.accumulate(arr)
             if seed is not None:
-                m = np.maximum(m, seed)
+                m = op(m, seed)
             pdf[out_col] = m
             seed = m[-1]
             yield pdf
