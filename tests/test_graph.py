@@ -403,10 +403,10 @@ def test_kcore_bucketed_matches_plain(spark):
 
 
 def test_hits_converged_matches_dense_numpy_on_gate_graph(spark):
-    """graph_hits_converged is the registry's one oracle-less entry
-    (iterative convergence) — pin it against a dense numpy replay on
-    the ACTUAL gate graph (sf0.001 customer→supplier), not just the
-    synthetic fixture, so the driver's rows-only check is backed by a
+    """graph_hits_converged's certificate row (r15) attests convergence;
+    this test pins the converged VALUES against a dense numpy replay on
+    the ACTUAL gate graph (sf0.01 customer→supplier), not just the
+    synthetic fixture, so the certificate booleans are backed by a
     value-level oracle here."""
     import numpy as np
 
