@@ -441,6 +441,134 @@ def asof_operator_forward_check(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "asof_operator_global_check",
+    # the KEYLESS operator (operators/asof.merge_asof_global, r15)
+    # through the gate: each purchase matched to the globally most
+    # recent click by ANY user at-or-before it — the bare ordered-index
+    # alignment with no by-key.  Only the matched TS is emitted, so
+    # same-ts click multiplicity cannot diverge.  The oracle's window
+    # has NO PARTITION BY (fine single-node in DuckDB; the operator
+    # replaces it with a range exchange + boundary-seed pass).
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               ORDER BY ts,
+                        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc
+      FROM ce
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(lc, TIMESTAMP '1970-01-01') AS last_any_click_ts
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def asof_operator_global_check(spark: SparkSession, sf_dir: str):
+    """KEYLESS merge_asof through the gate (r15, VERDICT r14 item 3) —
+    `operators/asof.merge_asof_global`: each purchase matched to the
+    most recent click by ANY user (a market-wide "state of the world
+    as-of this event" lookup, the dask ordered-index alignment shape,
+    reference `test_collections.py:132-149`).  Epoch sentinel when no
+    prior click exists.
+
+    Plan: one range exchange on ts over the tagged union (equal keys
+    never straddle), per-partition pandas.merge_asof, and a boundary
+    exchange of ≤ n_partitions single rows — NEVER an unpartitioned
+    window (the 1pw scale-killer this operator exists to avoid)."""
+    from wukong_spark.operators.asof import merge_asof_global
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.col("event_id").alias("click_id")
+    )
+    m = merge_asof_global(
+        purchases, clicks, on="ts", direction="backward", n_partitions=16
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("r_ts"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("last_any_click_ts"),
+    ).orderBy("event_id")
+
+
+@query(
+    "asof_operator_exactfalse_check",
+    # allow_exact_matches=False through the gate (r15): most recent
+    # click STRICTLY before each purchase — the oracle excludes equal-ts
+    # clicks by sorting them after the purchase inside the preceding
+    # frame; only the matched TS is emitted
+    oracle="""
+    WITH ce AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc
+      FROM ce
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(lc, TIMESTAMP '1970-01-01') AS prev_click_ts
+    FROM w WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def asof_operator_exactfalse_check(spark: SparkSession, sf_dir: str):
+    """merge_asof(allow_exact_matches=False) through the gate (r15,
+    VERDICT r14 item 6) — each purchase matched to the same user's most
+    recent click STRICTLY before it (a same-instant click must not
+    count as "prior"), epoch sentinel when none.  The pandas parameter
+    matrix (direction × exact) is property-tested in
+    tests/test_properties.py; this pins the exclusive backward path on
+    real data through the DuckDB gate.
+
+    Same union-merge plan as the inclusive entries: the parameter only
+    swaps the equal-ts tag order inside the one keyed window."""
+    from wukong_spark.operators.asof import merge_asof
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    m = merge_asof(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=False,
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("r_ts"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("prev_click_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "attribution_last_touch",
     # last-touch channel attribution: each purchase's revenue goes to
     # the user's most recent NON-purchase event type at or before it
