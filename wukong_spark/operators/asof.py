@@ -306,7 +306,9 @@ def merge_asof_global(
     # range exchange on __on ONLY (equal keys co-located); local order
     # (__on, payload) makes duplicate right keys resolve by position
     # exactly as the keyed operator's struct tie-break documents
-    s = (
+    from wukong_spark.session import register_result_checkpoint
+
+    s = register_result_checkpoint(
         u.repartitionByRange(n_partitions, "__on")
         .sortWithinPartitions(
             "__on", *[F.col(_q(f"__r_{c}")) for c in r_payload_cols]
@@ -415,12 +417,7 @@ def merge_asof_global(
         out.columns = out_cols
         yield out
 
-    from wukong_spark.session import release_checkpoint
-
-    result = s.mapInPandas(asof_partition, out_schema)
-    # the caller's plan reads the pinned union layout; hand them the
-    # release hook via the frame itself (gate entries collect then the
-    # harness purges) — the checkpoint is bounded by left+right size
-    result._asof_checkpoint = s  # noqa: SLF001 (release handle)
-    _ = release_checkpoint  # imported for callers' convenience
-    return result
+    # the returned plan reads the pinned union layout; the checkpoint is
+    # registered (register_result_checkpoint above) so a harness frees
+    # it via release_pending() after consuming the result
+    return s.mapInPandas(asof_partition, out_schema)

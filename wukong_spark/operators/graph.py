@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wukong_spark.session import register_result_checkpoint as _register
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
@@ -84,7 +86,8 @@ def connected_components(
             f"connected_components did not converge within {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"
         )
-    return labels
+    # checkpoint-backed result: freed by the harness via release_pending()
+    return _register(labels)
 
 
 def connected_components_bucketed(
@@ -172,7 +175,8 @@ def connected_components_bucketed(
             f"connected_components_bucketed did not converge within {max_iter} "
             "rounds (graph diameter exceeds max_iter); raise max_iter"
         )
-    return labels
+    # checkpoint-backed result: freed by the harness via release_pending()
+    return _register(labels)
 
 
 def pagerank_bucketed(
@@ -292,7 +296,7 @@ def pagerank_bucketed(
             ranks = new_ranks
             if delta is not None and float(delta) < tol:
                 break
-        return ranks
+        return _register(ranks)
 
     # directed graph with sinks: the node universe is src ∪ dst, and the
     # dangling set (no out-edges) is computed once up front
@@ -359,7 +363,7 @@ def pagerank_bucketed(
             ranks = new_ranks
     _release(nodes)
     _release(dangling)
-    return ranks
+    return _register(ranks)
 
 
 def kcore(
@@ -417,7 +421,7 @@ def kcore(
             # set — they ARE the core degrees
             _release(cur)
             both.unpersist()
-            return nxt.select("node", F.col("deg").alias("deg_in_core"))
+            return _register(nxt).select("node", F.col("deg").alias("deg_in_core"))
         _release(nxt)
         n_cur = n_nxt
         if n_cur == 0:
@@ -540,6 +544,10 @@ def hits(
             _release(a_prev_ckpt)
         if delta < tol:
             e.unpersist()
+            # both final iterates' checkpoints back the returned plan:
+            # registered for harness release after the result is consumed
+            _register(h_ckpt)
+            _register(a_ckpt)
             return (
                 h.select("node", F.col("s").alias("hub"))
                 .join(
@@ -638,7 +646,9 @@ def kcore_bucketed(
             cur = nxt.select("node").localCheckpoint(eager=True)
             if n_nxt == n_cur:
                 _release(cur)
-                return nxt.select("node", F.col("deg").alias("deg_in_core"))
+                return _register(nxt).select(
+                    "node", F.col("deg").alias("deg_in_core")
+                )
             _release(nxt)
             n_cur = n_nxt
             if n_cur == 0:

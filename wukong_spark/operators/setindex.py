@@ -118,11 +118,15 @@ def _ordered_with_offsets(df, order_col, n_partitions: int, partial_aggs):
     appear in the dict (they contribute 0 and are never looked up)."""
     from pyspark.sql import functions as F
 
+    from wukong_spark.session import register_result_checkpoint
+
     aggs = partial_aggs if isinstance(partial_aggs, list) else [partial_aggs]
     s = set_index(df, order_col, n_partitions).withColumn(
         "__pid", F.spark_partition_id()
     )
-    s = s.localCheckpoint(eager=True)
+    # the checkpoint backs the caller's returned plan: registered so a
+    # harness can free it after consuming the result (leak audit r15)
+    s = register_result_checkpoint(s.localCheckpoint(eager=True))
     partials = {
         r["__pid"]: tuple(r[f"v{i}"] for i in range(len(aggs)))
         for r in s.groupBy("__pid")
@@ -284,10 +288,12 @@ def global_cummax(
 
     import numpy as np
 
+    from wukong_spark.session import register_result_checkpoint
+
     s = set_index(df, order_col, n_partitions).withColumn(
         "__pid", F.spark_partition_id()
     )
-    s = s.localCheckpoint(eager=True)
+    s = register_result_checkpoint(s.localCheckpoint(eager=True))
     partials = {
         r["__pid"]: r["v"]
         for r in s.groupBy("__pid").agg(F.max(value_col).alias("v")).collect()
@@ -330,6 +336,125 @@ def global_cummax(
                 m = op(m, seed)
             pdf[out_col] = m
             seed = m[-1]
+            yield pdf
+
+    return s.mapInPandas(accumulate, f"{out_fields}, {out_col} {out_type}")
+
+
+_SCAN_OPS = {
+    # op -> (spark partial agg, numpy combine ufunc, float identity)
+    "sum": ("sum", "add", 0.0),
+    "max": ("max", "fmax", float("-inf")),
+    "min": ("min", "fmin", float("inf")),
+    "prod": ("product", "multiply", 1.0),
+}
+
+
+def global_scan(
+    df: DataFrame,
+    value_col: str,
+    order_col,
+    op: str = "sum",
+    n_partitions: int = 32,
+    out_col: str = "scan",
+) -> DataFrame:
+    """Running ANY-associative-aggregate of `value_col` in global
+    `order_col` order WITHOUT a single-partition sort (r15, VERDICT r14
+    item 7) — the distributed form of
+    ``<AGG>(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` for
+    op ∈ {sum, max, min, prod}, generalizing the offsets pattern
+    `global_cumsum`/`global_cummax` derived so future ordered-prefix
+    needs never re-derive it:
+
+    1. range-partition + locally sort on `order_col` (one range
+       exchange — the set_index machinery);
+    2. ONE tiny job computes each partition's partial aggregate
+       (n_partitions values to the driver);
+    3. fold the partials into broadcast EXCLUSIVE prefixes (associative
+       combine; all-NULL partitions contribute nothing);
+    4. map-side: numpy ``ufunc.accumulate`` per batch, combined with
+       the running seed — the seed update ``seed = m[-1]`` is the same
+       expression for every associative op.
+
+    NULL/NaN value rows follow pandas cum* semantics: the row's output
+    is NULL and the running value carries past it unchanged.  Integer
+    inputs stay exact (int64 ufunc paths, python-int driver folds);
+    deterministic whenever `order_col` is a total order.  `prod` over
+    int64 can overflow exactly as SQL would.
+
+    100 TB: identical cost shape to `global_cumsum` — one keyed range
+    exchange, O(n_partitions) driver traffic, map-side second pass."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    if op not in _SCAN_OPS:
+        raise ValueError(f"op must be one of {sorted(_SCAN_OPS)}, got {op!r}")
+    agg_name, ufunc_name, f_ident = _SCAN_OPS[op]
+    partial = getattr(F, agg_name)(value_col)
+
+    # same pinned layout as _ordered_with_offsets, but fold the partials
+    # with the op's own combine instead of that helper's +-only fold
+    from wukong_spark.session import register_result_checkpoint
+
+    s = set_index(df, order_col, n_partitions).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    s = register_result_checkpoint(s.localCheckpoint(eager=True))
+    partials = {
+        r["__pid"]: r["v0"]
+        for r in s.groupBy("__pid").agg(partial.alias("v0")).collect()
+    }
+    prefix = {}
+    run = None
+    for pid in sorted(partials):
+        prefix[pid] = run
+        p = partials[pid]
+        if p is not None:
+            if run is None:
+                run = p
+            elif op == "sum":
+                run = run + p
+            elif op == "prod":
+                run = run * p
+            elif op == "max":
+                run = max(run, p)
+            else:
+                run = min(run, p)
+    bc = df.sparkSession.sparkContext.broadcast(prefix)
+    out_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[value_col]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def accumulate(batches):
+        ufunc = getattr(np, ufunc_name)
+        seeded = False
+        seed = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not seeded:
+                seed = bc.value[int(pdf["__pid"].iloc[0])]
+                seeded = True
+            pdf = pdf.drop(columns=["__pid"])
+            arr = pdf[value_col].to_numpy()
+            if arr.dtype.kind == "f":
+                mask = np.isnan(arr)
+                clean = np.where(mask, f_ident, arr)
+            else:
+                mask = None
+                clean = arr
+            m = ufunc.accumulate(clean)
+            if seed is not None:
+                m = ufunc(m, seed)
+            nxt = m[-1]
+            if mask is not None and mask.any():
+                m = np.where(mask, np.nan, m)
+            pdf[out_col] = m
+            seed = nxt
             yield pdf
 
     return s.mapInPandas(accumulate, f"{out_fields}, {out_col} {out_type}")

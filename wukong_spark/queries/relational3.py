@@ -913,7 +913,10 @@ def set_index_orders(spark: SparkSession, sf_dir: str):
     # SinglePartition windows (r14 plan-audit 1pw rule).  Pairwise is
     # also STRONGER than adjacent-only: an empty middle partition can't
     # hide an out-of-order pair behind a pid gap.
-    stats = stats.localCheckpoint(eager=True)  # probe once, join twice
+    from wukong_spark.session import register_result_checkpoint
+
+    # probe once, join twice; backs the returned plan (harness-released)
+    stats = register_result_checkpoint(stats.localCheckpoint(eager=True))
     lo = stats.select(F.col("pid").alias("p1"), F.col("mx").alias("mx1"))
     hi = stats.select(F.col("pid").alias("p2"), F.col("mn").alias("mn2"))
     # STRICT <: range partitioning never splits equal keys, so an
@@ -1196,9 +1199,13 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str):
         )
         .withColumn("__negf", -F.col("frequency"))
         .withColumn("__negm", -F.col("monetary"))
-        # pinned: reused by three numbering scans + the classify pass
+        # pinned: reused by three numbering scans + the classify pass,
+        # and backs the returned plan (harness-released)
         .localCheckpoint(eager=True)
     )
+    from wukong_spark.session import register_result_checkpoint
+
+    rfm = register_result_checkpoint(rfm)
     n = rfm.count()
     bounds = ntile_boundaries(n, 3)
 

@@ -217,12 +217,17 @@ def graph_pagerank_check(spark: SparkSession, sf_dir: str):
     # reports unknown partitioning, so each iteration still exchanges
     # the 16-byte edge keys — the deliberate trade vs re-deriving the
     # join; at scale bucketed edge storage removes both costs.)
-    edges = (
-        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+    from wukong_spark.session import register_result_checkpoint
+
+    edges = register_result_checkpoint(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
-        eager=True
+    deg = register_result_checkpoint(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     n = deg.count()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
@@ -363,7 +368,10 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
     round (the CC lineage rule); bucketed edge storage would make the
     edge side exchange-free per round exactly as
     graph_pagerank_bucketed_check demonstrates."""
-    from wukong_spark.session import release_checkpoint
+    from wukong_spark.session import (
+        register_result_checkpoint,
+        release_checkpoint,
+    )
 
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -393,7 +401,8 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
         release_checkpoint(labels)
         labels = new_labels
     release_checkpoint(edges)
-    return labels.orderBy("node")
+    # final checkpoint backs the returned plan: harness-released
+    return register_result_checkpoint(labels).orderBy("node")
 
 
 @query(
@@ -608,8 +617,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    n_edges = e.count()
+    from wukong_spark.session import release_checkpoint as _rel
+
+    _rel(e)
     return spark.createDataFrame(
-        [(e.count(), tri)], "n_edges bigint, n_triangles bigint"
+        [(n_edges, tri)], "n_edges bigint, n_triangles bigint"
     )
 
 
@@ -773,7 +786,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
     (node, dist) pairs; weights ride the edge set, which a bucketed
     layout would pin exchange-free exactly as the pagerank/CC bucketed
     entries demonstrate."""
-    from wukong_spark.session import release_checkpoint
+    from wukong_spark.session import (
+        register_result_checkpoint,
+        release_checkpoint,
+    )
 
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = tbl(spark, sf_dir, "lineitem").select(
@@ -807,7 +823,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         release_checkpoint(labels)
         labels = new_labels
     release_checkpoint(edges)
-    return labels.orderBy("node")
+    # final checkpoint backs the returned plan: harness-released
+    return register_result_checkpoint(labels).orderBy("node")
 
 
 @query(
@@ -875,7 +892,10 @@ def graph_power_iteration_check(spark: SparkSession, sf_dir: str):
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    from wukong_spark.session import release_checkpoint
+    from wukong_spark.session import (
+        register_result_checkpoint,
+        release_checkpoint,
+    )
 
     x = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("x")
@@ -892,7 +912,7 @@ def graph_power_iteration_check(spark: SparkSession, sf_dir: str):
         if prev is not None:
             release_checkpoint(prev)
         prev, x = x, nxt
-    ray = (
+    rr = (
         prev.alias("a")
         .join(x.alias("b"), F.col("b.node") == F.col("a.node"))
         .agg(
@@ -903,13 +923,17 @@ def graph_power_iteration_check(spark: SparkSession, sf_dir: str):
                 F.col("a.x").cast("double") * F.col("a.x").cast("double")
             ).alias("den"),
         )
+        .collect()[0]
     )
-    out = x.crossJoin(F.broadcast(ray)).selectExpr(
+    # two scalars to the driver; edges/prev released eagerly, the final
+    # iterate (which backs the returned plan) registered for the harness
+    release_checkpoint(edges)
+    release_checkpoint(prev)
+    return register_result_checkpoint(x).select(
         "node",
-        "x AS walks_4",
-        "ROUND(num / den, 6) AS lambda_6",
+        F.col("x").alias("walks_4"),
+        F.round(F.lit(rr["num"]) / F.lit(rr["den"]), 6).alias("lambda_6"),
     ).orderBy("node")
-    return out
 
 
 @query(
@@ -1193,7 +1217,10 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    from wukong_spark.session import release_checkpoint
+    from wukong_spark.session import (
+        register_result_checkpoint,
+        release_checkpoint,
+    )
 
     h = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("s")
@@ -1223,10 +1250,11 @@ def graph_hits_check(spark: SparkSession, sf_dir: str):
             release_checkpoint(prev_a)
         prev_a, prev_h = a, h
 
-    hubs = h.select(
+    # both final iterates back the returned plan: harness-released
+    hubs = register_result_checkpoint(h).select(
         "node", F.col("s").alias("hub_2"), F.lit(None).cast("long").alias("auth_2")
     )
-    auths = a.select(
+    auths = register_result_checkpoint(a).select(
         "node", F.lit(None).cast("long").alias("hub_2"), F.col("s").alias("auth_2")
     )
     out = hubs.unionByName(auths).orderBy(
@@ -1287,7 +1315,10 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
     pass reuses the persisted edge set; only five scalars reach the
     driver."""
     from wukong_spark.operators.graph import hits
-    from wukong_spark.session import release_checkpoint
+    from wukong_spark.session import (
+        register_result_checkpoint,
+        release_checkpoint,
+    )
 
     tol = 1e-7
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
