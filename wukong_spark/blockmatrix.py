@@ -2814,7 +2814,13 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
         )
         _release(prev)
 
+    # the last trailing checkpoint is not part of L — free it now; the
+    # panel checkpoints BACK the returned factor, so register them for
+    # harness release after the caller consumes L (leak audit r15)
+    _release(remaining)
+    from wukong_spark.session import register_result_checkpoint
+
     out = spark.createDataFrame(diag_blocks, BLOCK_SCHEMA)
     for p in panels:
-        out = out.unionByName(p)
+        out = out.unionByName(register_result_checkpoint(p))
     return BlockMatrix(out, n, n, bs, bs)

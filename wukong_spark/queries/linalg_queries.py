@@ -308,7 +308,8 @@ def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
     # svd_compressed defaults to n_power_iter=0 and svd2.py uses the
     # default (two fewer full passes over A; svd_compressed's own default
     # stays 1 for a tighter HMT envelope on unknown spectra)
-    _, s, _ = a.svd_compressed(k=5, seed=2, n_iter=0)
+    u, s, _ = a.svd_compressed(k=5, seed=2, n_iter=0)
+    u.release()  # σ is driver-side; free the sketch's persisted stage
     return _sigma_rows(spark, s)
 
 
@@ -360,6 +361,7 @@ def la_qr_square(spark: SparkSession, sf_dir: str):
         .max_abs()
     )
     qs.df.unpersist()
+    q.release()  # frees qr()'s internal persisted stage (leak audit r15)
     a.df.unpersist()
     # full-rank contract: the seeded input's min |diag(R)| is 0.1258 — the
     # 1e-3 gate is 100× below it, robust to BLAS summation-order drift
@@ -475,6 +477,7 @@ def la_svd_compressed_check(spark: SparkSession, sf_dir: str):
     s_exact = np.sqrt(np.clip(np.sort(np.linalg.eigvalsh(g))[::-1], 0, None))
     u, s, _ = a.svd_compressed(k=5, seed=1)
     orth_err = float(np.abs(u.gramian() - np.eye(5)).max())
+    u.release()  # verdict scalars are on the driver; free U's backing stage
     return spark.createDataFrame(
         [
             (
@@ -857,7 +860,8 @@ def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
     """Compressed/randomized SVD k=5 (README.md:227-248, svd2.py:44-45) on
     a seeded 2000×1000 matrix, 500-blocks (scaled-down 10000×10000)."""
     a = BlockMatrix.random(spark, 2000, 1000, 500, 500, seed=13)
-    _, s, _ = a.svd_compressed(k=5, seed=1)
+    u, s, _ = a.svd_compressed(k=5, seed=1)
+    u.release()  # σ is driver-side; free the sketch's persisted stage
     return _sigma_rows(spark, s)
 
 

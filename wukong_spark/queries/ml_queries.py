@@ -709,6 +709,11 @@ def ml_als_check(spark: SparkSession, sf_dir: str):
     )
     got_users, got_items = int(counts[0]["n"]), int(counts[1]["n"])
     ratings.unpersist()
+    from wukong_spark.session import release_checkpoint
+
+    # only scalars leave; both factor checkpoints are done (leak audit r15)
+    release_checkpoint(u_df)
+    release_checkpoint(v_df)
     return spark.createDataFrame(
         [
             (

@@ -1474,7 +1474,11 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str):
     # eager localCheckpoint: decode+hash run ONCE and both sides of the
     # self-join read the materialized (media_id, dhash, bands) rows — no
     # persist handle left dangling after the query returns
-    hashed = dhash_images(_gen_dhash_media(spark)).localCheckpoint(eager=True)
+    from wukong_spark.session import register_result_checkpoint
+
+    hashed = register_result_checkpoint(
+        dhash_images(_gen_dhash_media(spark)).localCheckpoint(eager=True)
+    )
 
     def blk(i: int):  # byte block i of the 64-bit hash (JVM-side exprs)
         return F.expr(f"CAST((dhash >> {8 * i}) & 255 AS INT)")
@@ -1878,9 +1882,13 @@ def crossmodal_neardup_pipeline(spark: SparkSession, sf_dir: str):
                 rows.append((int(key), signed, fp))
             yield pd.DataFrame(rows, columns=cols)
 
-    hashed = samples.mapInPandas(
-        fps, "doc_id long, dhash long, audio_fp long"
-    ).localCheckpoint(eager=True)
+    from wukong_spark.session import register_result_checkpoint
+
+    hashed = register_result_checkpoint(
+        samples.mapInPandas(
+            fps, "doc_id long, dhash long, audio_fp long"
+        ).localCheckpoint(eager=True)
+    )
 
     def blk(i: int):
         return F.expr(f"CAST((dhash >> {8 * i}) & 255 AS INT)")
@@ -1969,9 +1977,13 @@ def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str):
         ),
         F.col("fields"),
     ).localCheckpoint(eager=True)  # packed twice + fingerprinted: one decode
+    from wukong_spark.session import register_result_checkpoint
 
-    shards = write_webdataset_shards(samples, n_shards=3).localCheckpoint(
-        eager=True
+    samples = register_result_checkpoint(samples)
+    shards = register_result_checkpoint(
+        write_webdataset_shards(samples, n_shards=3).localCheckpoint(
+            eager=True
+        )
     )
     back = group_webdataset_samples(
         explode_tar(

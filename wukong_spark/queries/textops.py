@@ -1502,6 +1502,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("syms"),
     ).localCheckpoint(eager=True)
+    from wukong_spark.session import release_checkpoint
 
     out = []
     for step in range(10):
@@ -1525,6 +1526,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
         merged = l + r
         out.append((step, l, r, merged, n))
         # symbols are [a-d]+ by construction — safe to inline in SQL text
+        prev = words
         words = words.withColumn(
             "syms",
             F.expr(
@@ -1535,6 +1537,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
                 f"ELSE concat(acc, array(x)) END)"
             ),
         ).localCheckpoint(eager=True)
+        # release the superseded iterate (the CC lesson — without this
+        # the loop leaks one checkpoint per merge step; leak audit r15)
+        release_checkpoint(prev)
+    release_checkpoint(words)
     return spark.createDataFrame(
         out,
         "step int, left_sym string, right_sym string, merged string,"

@@ -666,7 +666,9 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)
     )
     e.unpersist()
-    return out
+    from wukong_spark.session import register_result_checkpoint
+
+    return register_result_checkpoint(out)
 
 
 SEMDEDUP_COS = 0.4
@@ -722,6 +724,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
         norm(F.col("x")).alias("nn"),
     ).localCheckpoint(eager=True)
     e.unpersist()
+    from wukong_spark.session import register_result_checkpoint
+
+    # backs the returned pair-join plan: harness-released
+    asg = register_result_checkpoint(asg)
     a = asg.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
