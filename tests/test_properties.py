@@ -1052,3 +1052,46 @@ def test_merge_asof_keyed_exact_false_matches_pandas(
     assert ((gv == wv) | (gv.isna() & wv.isna())).all(), (
         pd.concat([got, want.add_prefix("w_")], axis=1)
     )
+
+
+@given(
+    rows=st.integers(1, 300),
+    nparts=st.integers(2, 12),
+    seed=st.integers(0, 10_000),
+    op=st.sampled_from(["sum", "max", "min", "prod"]),
+)
+@settings(**SETTINGS)
+def test_global_scan_equals_windows(spark, rows, nparts, seed, op):
+    """global_scan (r15, VERDICT r14 item 7) must equal the window
+    formulation of every associative op for any row count/partitioning —
+    prod over ±1 values (stays exactly representable), others over
+    small ints."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_scan
+
+    rng = np.random.default_rng(seed)
+    if op == "prod":
+        v = rng.choice([-1, 1], rows).astype(np.int64)
+    else:
+        v = rng.integers(-1000, 1000, rows).astype(np.int64)
+    pdf = pd.DataFrame({"k": np.arange(rows, dtype=np.int64), "v": v})
+    df = spark.createDataFrame(pdf)
+    got = (
+        global_scan(df, "v", "k", op=op, n_partitions=nparts, out_col="m")
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    agg = {"sum": F.sum, "max": F.max, "min": F.min}.get(op)
+    if agg is not None:
+        want = (
+            df.select("k", agg("v").over(w).alias("m"))
+            .toPandas()
+            .sort_values("k")["m"]
+            .to_numpy()
+        )
+    else:
+        want = np.cumprod(pdf["v"].to_numpy())
+    assert (got == want).all(), (op, got[:10], want[:10])

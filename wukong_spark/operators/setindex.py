@@ -278,67 +278,14 @@ def global_cummax(
     ``MAX(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``, the
     running-peak primitive under drawdown / high-watermark analytics.
 
-    Same shape as `global_cumsum`, with max-combine instead of addition:
-    range exchange on `order_col`, per-partition MAX partials in one
-    tiny job, broadcast EXCLUSIVE prefix maxima (None for the first
-    nonempty partition), then a map-side running max seeded by the
-    prefix.  Exact for any ordered type pandas can accumulate;
-    deterministic whenever `order_col` is a total order."""
-    from pyspark.sql import functions as F
-
-    import numpy as np
-
-    from wukong_spark.session import register_result_checkpoint
-
-    s = set_index(df, order_col, n_partitions).withColumn(
-        "__pid", F.spark_partition_id()
+    r15: a thin alias of ``global_scan(op="max")`` — the offsets pattern
+    is derived once in the generalized scan (VERDICT r14 item 7).
+    NULL/NaN rows follow pandas cummax semantics (row emits NULL, the
+    running peak carries past it)."""
+    return global_scan(
+        df, value_col, order_col, op="max",
+        n_partitions=n_partitions, out_col=out_col,
     )
-    s = register_result_checkpoint(s.localCheckpoint(eager=True))
-    partials = {
-        r["__pid"]: r["v"]
-        for r in s.groupBy("__pid").agg(F.max(value_col).alias("v")).collect()
-    }
-    prefix = {}
-    run = None
-    for pid in sorted(partials):
-        prefix[pid] = run
-        # An all-NULL partition yields a NULL MAX partial — skip it so
-        # the running peak never does max(x, None) (ADVICE r14).
-        p = partials[pid]
-        if p is not None:
-            run = p if run is None else max(run, p)
-    bc = df.sparkSession.sparkContext.broadcast(prefix)
-    out_type = dict(
-        (f.name, f.dataType.simpleString()) for f in df.schema.fields
-    )[value_col]
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-
-    def accumulate(batches):
-        seeded = False
-        seed = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if not seeded:
-                seed = bc.value[int(pdf["__pid"].iloc[0])]
-                seeded = True
-            pdf = pdf.drop(columns=["__pid"])
-            arr = pdf[value_col].to_numpy()
-            # fmax ignores NaN (NULL/NaN rows inherit the running peak
-            # instead of poisoning every later row — ADVICE r14); object
-            # dtypes (strings, decimals) keep strict maximum and require
-            # non-null values, matching the partial-agg contract.
-            op = np.fmax if arr.dtype.kind == "f" else np.maximum
-            m = op.accumulate(arr)
-            if seed is not None:
-                m = op(m, seed)
-            pdf[out_col] = m
-            seed = m[-1]
-            yield pdf
-
-    return s.mapInPandas(accumulate, f"{out_fields}, {out_col} {out_type}")
 
 
 _SCAN_OPS = {

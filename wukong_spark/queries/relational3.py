@@ -1707,3 +1707,54 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str):
         )
         .orderBy("cls")
     )
+
+
+@query(
+    "running_alltime_low_orders",
+    # all-time-low records: rows whose price equals the running MIN over
+    # the (o_orderdate, o_orderkey) total order — exact cents, small
+    # deterministic output
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+             MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS low_c
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderdate, price_c, low_c
+    FROM w WHERE price_c = low_c ORDER BY o_orderkey
+    """,
+)
+def running_alltime_low_orders(spark: SparkSession, sf_dir: str):
+    """GENERALIZED ORDERED-PREFIX SCAN through the gate (r15, VERDICT
+    r14 item 6/7): `operators.setindex.global_scan(op="min")` — the
+    running all-time-low price in order-date order, emitting the rows
+    that set a record low.  The oracle is the unpartitioned
+    ``MIN OVER (ORDER BY …)`` window this operator replaces: DuckDB can
+    run it single-node; at 100 TB the scan's range exchange +
+    O(n_partitions) broadcast prefix is the plan that survives.
+
+    One consumer of the r15 `global_scan` generalization — `max` (via
+    global_cummax/events_max_drawdown), `sum` (global_cumsum family)
+    and now `min` all share the same derived offsets machinery."""
+    from wukong_spark.operators.setindex import global_scan
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        cents("o_totalprice").alias("price_c"),
+    )
+    scanned = global_scan(
+        o,
+        "price_c",
+        ["o_orderdate", "o_orderkey"],
+        op="min",
+        n_partitions=32,
+        out_col="low_c",
+    )
+    return scanned.filter(F.col("price_c") == F.col("low_c")).select(
+        "o_orderkey", "o_orderdate", "price_c", "low_c"
+    ).orderBy("o_orderkey")
