@@ -44,7 +44,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from wukong_spark.queries import load_all
-from wukong_spark.session import get_spark
+from wukong_spark.session import get_spark, release_pending
 
 HEAVY_THRESHOLD_S = 5.0
 WARMUP_UNCOUNTED = {"la_gemm_ref"}  # r14: retire the 1.5-2x cold first pass
@@ -205,6 +205,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             spark.catalog.clearCache()
+            release_pending()
             _new_stage_rows(spark, seen_stages)  # absorb warmup stages
         passes: list[float] = []
         for i in range(4):
@@ -219,8 +220,11 @@ def main() -> None:
                 # stage attribution window = first pass only (deterministic)
                 stage_rows[name] = _new_stage_rows(spark, seen_stages)
             # caches a query persisted internally must not bleed into the
-            # next measurement (or the next pass)
+            # next measurement (or the next pass) — clearCache for SQL
+            # caches, release_pending for result-backing localCheckpoint
+            # RDDs (the r14 kcore-113s session-state class, leak audit r15)
             spark.catalog.clearCache()
+            release_pending()
             if dt > PATHOLOGICAL_S:
                 break  # pathological pass — don't double down on wall-clock
             if i == 1 and passes[0] <= HEAVY_THRESHOLD_S:

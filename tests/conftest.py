@@ -29,3 +29,17 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(autouse=True)
+def _release_result_checkpoints():
+    """Free result-backing checkpoints operators registered during the
+    test (leak audit r15) — keeps the session-scoped SparkSession's
+    storage flat across the suite, as a long-lived gate session would."""
+    yield
+    try:
+        from wukong_spark.session import release_pending
+
+        release_pending()
+    except Exception:
+        pass

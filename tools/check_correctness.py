@@ -19,7 +19,11 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 from wukong_spark.queries import load_all  # noqa: E402
-from wukong_spark.session import TABLES, get_spark  # noqa: E402
+from wukong_spark.session import (  # noqa: E402
+    TABLES,
+    get_spark,
+    release_pending,
+)
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -105,6 +109,9 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # free result-backing checkpoints between entries (r15)
+            release_pending()
         if spec.oracle is None:
             print(f"SKIP {name}: no oracle (rows={len(spark_pdf)}) [{time.time()-t0:.1f}s]")
             n_skip += 1

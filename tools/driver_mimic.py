@@ -31,6 +31,17 @@ TABLES = [
 ]
 
 
+def _release_pending() -> None:
+    """Free result-backing checkpoints between entries (leak audit r15) —
+    exactly what a long-lived gate session should do."""
+    try:
+        from wukong_spark.session import release_pending
+
+        release_pending()
+    except Exception:
+        pass
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -99,7 +110,9 @@ def main() -> None:
         t0 = time.time()
         try:
             got = qs[name](spark, SF).toPandas()
+            _release_pending()
         except Exception as e:
+            _release_pending()
             print(f"FAIL {name}: spark error {e}")
             results[name] = {"status": "fail", "err": f"spark error {e}"[:300]}
             nfail += 1

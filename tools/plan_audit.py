@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from wukong_spark import plans  # noqa: E402
 from wukong_spark.queries import load_all  # noqa: E402
-from wukong_spark.session import get_spark  # noqa: E402
+from wukong_spark.session import get_spark, release_pending  # noqa: E402
 
 
 def main() -> int:
@@ -49,6 +49,10 @@ def main() -> int:
             print(f"{n:36s} ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
             bad += 1
             continue
+        finally:
+            # some entries materialize during construction; free their
+            # result-backing checkpoints between audits (leak audit r15)
+            release_pending()
         rows, arrow = plans.python_eval_count(plan)
         spw = plans.single_partition_window_count(plan)
         flags = []
