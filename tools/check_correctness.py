@@ -125,6 +125,16 @@ def main() -> int:
             )
             n_skip += 1
             continue
+        if spec.oracle_max_sf is not None and sf_val > spec.oracle_max_sf + 1e-12:
+            # transitive-closure RECURSIVE oracles grind past the gate sf
+            # (O(N·labels) enumeration); the Spark side still ran above —
+            # record the rows-only result
+            print(
+                f"SKIP {name}: oracle tractable to sf={spec.oracle_max_sf} "
+                f"(rows={len(spark_pdf)}) [{time.time()-t0:.1f}s]"
+            )
+            n_skip += 1
+            continue
         try:
             duck_pdf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001

@@ -36,6 +36,12 @@ class QuerySpec:
     #: reporting a spurious FAIL.  The driver's gate always runs at
     #: 0.01, where every oracle below is valid.
     oracle_sf: float | None = None
+    #: largest sf the oracle is TRACTABLE at, or None for every sf.
+    #: Transitive-closure RECURSIVE CTEs enumerate O(N·labels) rows and
+    #: grind for >40 min at sf0.1 (r5 audit, re-hit r15) — the SPARK side
+    #: converges at any scale; only the SQL referee is bounded.  sf-aware
+    #: checkers fall back to a rows-only check above this.
+    oracle_max_sf: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -46,6 +52,7 @@ def query(
     oracle: str | None = None,
     headline: bool = False,
     oracle_sf: float | None = None,
+    oracle_max_sf: float | None = None,
 ):
     """Decorator registering a query implementation."""
 
@@ -57,6 +64,7 @@ def query(
             headline=headline,
             doc=fn.__doc__ or "",
             oracle_sf=oracle_sf,
+            oracle_max_sf=oracle_max_sf,
         )
         return fn
 

@@ -98,6 +98,7 @@ def linear_chain_pipeline(spark: SparkSession, sf_dir: str):
 
 @query(
     "graph_connected_components",
+    oracle_max_sf=0.01,
     # transitive-closure RECURSIVE CTE (same pattern as the near-dup
     # clusters oracle): component = MIN reachable node id.  The
     # `r.label < b.src` prune is lossless — a relayed label larger than
@@ -407,6 +408,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
 
 @query(
     "graph_cc_bucketed_check",
+    oracle_max_sf=0.01,
     # identical oracle to graph_connected_components: the bucketed edge
     # layout may change ONLY the physical plan, never a label
     oracle="""

@@ -647,6 +647,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str):
 
 @query(
     "dedup_neardup_clusters",
+    oracle_max_sf=0.01,
     oracle=_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + """
     , pairs AS (
