@@ -51,6 +51,10 @@ def ml_predict_embeddings(spark: SparkSession, sf_dir: str):
 @query(
     "ml_predict_ref",
     headline=True,
+    # literal counts are the sf<0.1 branch's — above it the entry runs the
+    # reference 800k dims no literal can match (tagged r15 after the sf0.1
+    # sweep reported the by-design mismatch as a FAIL)
+    oracle_sf=0.01,
     # literal oracle (VERDICT r2 #1): generation (per-partition PCG64) and
     # the perceptron fit are fully deterministic, so the sf=0.01 confusion
     # counts are fixed integers; the closest sample to the decision boundary
