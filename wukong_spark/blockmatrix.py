@@ -757,8 +757,14 @@ class BlockMatrix:
             # (measured 2× at the reference 10,000²/1,000 GEMM: 13 s vs
             # 24 s steady-state; 100 fine tasks balance better than 25 and
             # an 8 MB accumulator stays cache-resident vs 32 MB tiles).
-            # Regen-vs-dgemm share is ~c_gen·rate/(f·bs) — grid-independent
-            # and small at real block sizes, so f=1 holds at any grid.
+            # Regen-vs-dgemm share is ~c_gen·rate/(f·bs) — grid-independent,
+            # and roughly EQUAL to the dgemm time at bs=1000 on this host
+            # (r15 floor measurement: 0.125 s/block-gen vs 0.226 s/dgemm
+            # single-thread).  f=2 would halve regen but drops the ref
+            # grid to 25 tasks on 32 cores (one 78%-utilized wave) — the
+            # r5 measurement and the r15 wave math agree it nets ≈0;
+            # f=1 keeps the finer 100-task balance.  See ROUND_NOTES r15
+            # "GEMM floor" for the full core-seconds budget.
             f = 1
         else:
             f = _gemm_tile_factor(gi, gj, br, bc, par)
