@@ -731,3 +731,72 @@ def sample_bottomk_per_key(spark: SparkSession, sf_dir: str):
         .select("event_type", "rk", "event_id", "hx")
         .orderBy("event_type", "rk")
     )
+
+
+@query(
+    "sample_source_cap",
+    # per-source frequency cap: keep ≤ cap docs per source chosen by a
+    # salted content-address rank (md5, doc_id tiebreak — a total
+    # order); emit per-source audit rows with exact integer measures
+    # plus an id-sum fingerprint of the kept set so the CAP SELECTION
+    # (not just the counts) hash-matches
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('srccap-' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 120 THEN doc_id END) AS BIGINT)
+             AS kept_id_sum,
+           CAST(SUM(CASE WHEN rk <= 120 THEN n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str):
+    """PER-SOURCE FREQUENCY CAP (r15) — the Dolma/RefinedWeb-style
+    domain-capping step: no source (domain) may contribute more than
+    `cap` documents to the corpus, the survivors chosen by a salted
+    content-address rank (md5 over the salted id, doc_id tiebreak — a
+    total order, so the kept set is deterministic and engine-identical)
+    rather than arrival order, which would bias toward early crawl
+    segments.  Emits a per-source audit row: total docs, kept docs, an
+    exact id-sum fingerprint of the kept set (pins WHICH docs survived,
+    not just how many) and kept chars for mixture accounting.
+
+    Plan: one rank window PARTITIONED BY source (keyed exchange —
+    millions of independent domains at 100 TB, never a global sort; the
+    1pw audit rule stays zero) + one keyed agg.  Catalyst pushes the
+    rank ≤ cap filter below the exchange as WindowGroupLimit, so each
+    map task forwards at most cap rows per source — the same
+    distributed-reservoir property the per-key sampler uses."""
+    from pyspark.sql.window import Window
+
+    cap = 120
+    d = tbl(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("srccap-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    r = d.select("source", "doc_id", "n_chars").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept = F.col("rk") <= cap
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).cast("long").alias(
+                "kept_id_sum"
+            ),
+            F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
