@@ -671,3 +671,30 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert snapshot({b2}) == before
     got = {row["k"]: row["n"] for row in state.read().collect()}
     assert got[9999] == 2 and len(got) == 401
+
+
+def test_bucketed_upsert_read_prunes_partitions(spark, tmp_path):
+    """The BucketedUpsertState layout contract: __bkt is a real partition
+    column, so the merge path's touched-bucket filter reaches the scan
+    as a PartitionFilter — untouched bucket directories are pruned at
+    PLAN time, not row-filtered after a full read."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    state = BucketedUpsertState(
+        spark, str(tmp_path / "state"), "k", n_buckets=8
+    )
+    state.merge(
+        spark.range(0, 200).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    )
+    plan = (
+        spark.read.parquet(state.state_dir)
+        .filter(F.col("__bkt").isin([3]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "__bkt" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan[:800]
