@@ -1095,3 +1095,21 @@ def test_global_scan_equals_windows(spark, rows, nparts, seed, op):
     else:
         want = np.cumprod(pdf["v"].to_numpy())
     assert (got == want).all(), (op, got[:10], want[:10])
+
+
+def test_merge_asof_global_empty_sides(spark):
+    """merge_asof_global edge contract: empty left → empty result with
+    the full output schema; empty right → every left row kept with NULL
+    match columns (left-join semantics), any direction."""
+    from wukong_spark.operators.asof import merge_asof_global
+
+    l0 = spark.createDataFrame([], "t long, lid long")
+    r1 = spark.createDataFrame([(1, 5.0)], "t long, px double")
+    out = merge_asof_global(l0, r1, on="t")
+    assert out.columns == ["t", "lid", "r_t", "r_px"] and out.count() == 0
+
+    l1 = spark.createDataFrame([(3, 0)], "t long, lid long")
+    r0 = spark.createDataFrame([], "t long, px double")
+    for direction in ("backward", "forward", "nearest"):
+        row = merge_asof_global(l1, r0, on="t", direction=direction).collect()
+        assert [tuple(r) for r in row] == [(3, 0, None, None)], (direction, row)

@@ -210,7 +210,14 @@ def register_result_checkpoint(df: DataFrame) -> DataFrame:
 def release_pending() -> int:
     """Release every registered result-backing checkpoint (harness hook:
     call after collecting an entry's result).  Returns how many frames
-    were released."""
+    were released.
+
+    Single-consumer assumption: the registry is session-global, so a
+    harness running entries CONCURRENTLY on one SparkSession must not
+    call this mid-flight (it would free another entry's still-unread
+    result).  Every shipped harness (driver_mimic, check_correctness,
+    plan_audit, bench, the pytest autouse fixture) runs entries
+    sequentially and releases between them."""
     n = 0
     while _PENDING_RESULT_CHECKPOINTS:
         df = _PENDING_RESULT_CHECKPOINTS.pop()
