@@ -822,3 +822,26 @@ def test_seasonal_naive_uses_join_not_lag_window(spark):
     plan = _plan(spark, "events_seasonal_naive_error")
     assert "Window" not in plan, plan
     assert "Join" in plan
+
+
+def test_set_index_feeds_keyed_window_without_reexchange(spark):
+    """The set_index contract's downstream payoff (module docstring):
+    RangePartitioning(k) satisfies a keyed window's ClusteredDistribution,
+    so per-key work AFTER set_index reuses the one range exchange —
+    exactly why dask users set_index before repeated key-wise work.  The
+    whole plan must contain exactly ONE exchange (the range one)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import set_index
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    )
+    s = set_index(df, "k", 8)
+    out = s.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan, plan
