@@ -1113,3 +1113,37 @@ def test_merge_asof_global_empty_sides(spark):
     for direction in ("backward", "forward", "nearest"):
         row = merge_asof_global(l1, r0, on="t", direction=direction).collect()
         assert [tuple(r) for r in row] == [(3, 0, None, None)], (direction, row)
+
+
+def test_global_scan_timestamp_running_max(spark):
+    """global_scan over a TIMESTAMP value column (running latest-seen
+    event time — the watermark/bookkeeping shape): datetime64 takes the
+    strict maximum.accumulate path and the prefix fold compares
+    datetimes on the driver; output dtype preserved."""
+    from pyspark.sql.window import Window
+
+    from wukong_spark.operators.setindex import global_scan
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-05-01")
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(150, dtype=np.int64),
+            "ev": base + pd.to_timedelta(rng.integers(0, 9000, 150), "s"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        global_scan(df, "ev", "k", op="max", n_partitions=6, out_col="m")
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select("k", F.max("ev").over(w).alias("m"))
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    assert (got == want).all()

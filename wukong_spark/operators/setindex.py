@@ -377,7 +377,9 @@ def global_scan(
     )
 
     def accumulate(batches):
-        ufunc = getattr(np, ufunc_name)
+        # fmax/fmin (NaN-ignoring) only exist for floats; every other
+        # dtype (ints, datetimes, objects) takes the strict ufunc
+        strict = {"fmax": "maximum", "fmin": "minimum"}
         seeded = False
         seed = None
         for pdf in batches:
@@ -389,14 +391,22 @@ def global_scan(
             pdf = pdf.drop(columns=["__pid"])
             arr = pdf[value_col].to_numpy()
             if arr.dtype.kind == "f":
+                ufunc = getattr(np, ufunc_name)
                 mask = np.isnan(arr)
                 clean = np.where(mask, f_ident, arr)
             else:
+                ufunc = getattr(np, strict.get(ufunc_name, ufunc_name))
                 mask = None
                 clean = arr
             m = ufunc.accumulate(clean)
             if seed is not None:
-                m = ufunc(m, seed)
+                s_val = seed
+                if arr.dtype.kind in "mM" and not isinstance(
+                    s_val, np.generic
+                ):
+                    # driver partials arrive as python datetimes
+                    s_val = np.asarray(s_val, dtype=arr.dtype)[()]
+                m = ufunc(m, s_val)
             nxt = m[-1]
             if mask is not None and mask.any():
                 m = np.where(mask, np.nan, m)
