@@ -2552,3 +2552,96 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str):
         "ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
         " AS oov_rate_6",
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_containment",
+    # containment = |A∩B| / min(|A|,|B|): the ASYMMETRIC near-dup signal —
+    # a short doc embedded in a long one scores ~1.0 here while its
+    # Jaccard stays tiny (the gate data has such a pair: containment
+    # 0.27 with Jaccard 0.036).  Threshold as an exact INTEGER
+    # comparison (4·inter ≥ min) — no float in the cut; the reported
+    # score is one shared-formula division rounded to 4dp
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ), shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, array_length(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks
+      ) u
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b, p.inter,
+           LEAST(sa.n, sb.n) AS n_small,
+           ROUND(p.inter * 1.0 / LEAST(sa.n, sb.n), 4) AS containment_4
+    FROM pair_inter p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * 4 >= LEAST(sa.n, sb.n)
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str):
+    """CONTAINMENT near-dup detection (r15) — the asymmetric companion
+    to `dedup_ngram_jaccard`: containment = |A∩B| / min(|A|, |B|)
+    flags a document EMBEDDED in another (quote farms, boilerplate
+    wrappers, prompt+completion supersets) that symmetric Jaccard
+    misses — a short doc fully contained in a long one has containment
+    1.0 but Jaccard ≈ |A|/|B|.  The dedup literature's standard second
+    signal next to Jaccard; word-3-grams, containment ≥ 0.25 as the
+    exact integer cut 4·inter ≥ min(|A|,|B|).
+
+    Shape: the SAME shingle → self-join → pair-intersection pipeline as
+    the Jaccard entry (doc_id<200 slice bounds the candidate blowup);
+    only the final scoring changes.  At 100 TB the scale path is
+    identical too: banded MinHash candidates first, then exact
+    containment verified per candidate pair — never all-pairs."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.col("text"))
+    sh = F.when(F.size(toks) >= 3, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        d.select("doc_id", F.explode(sh).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    n_small = F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(F.col("inter") * 4 >= n_small)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            n_small.alias("n_small"),
+            r4(F.col("inter") * F.lit(1.0) / n_small).alias("containment_4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
