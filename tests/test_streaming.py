@@ -698,3 +698,50 @@ def test_bucketed_upsert_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "__bkt" in plan.split(
         "PartitionFilters", 1
     )[1][:200], plan[:800]
+
+
+def test_bucketed_upsert_latest_mode_is_order_associative(spark, tmp_path):
+    """mode='latest' (r15): matched keys keep the row with the larger
+    order value — and because the combine is an argmax it is
+    ASSOCIATIVE: applying deltas out of event order converges to the
+    same state as a global argmax.  Untouched buckets still never
+    rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    state = BucketedUpsertState(
+        spark, str(tmp_path / "st"), "k", n_buckets=4,
+        mode="latest", order_col="ord",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k long, ord long, v long")
+    state.merge(mk([(1, 10, 100), (2, 10, 200)]))
+    # OUT-OF-ORDER delta: older ord for k=1 must NOT overwrite; newer
+    # for k=2 must; new key 3 inserts
+    state.merge(mk([(1, 5, 111), (2, 20, 222), (3, 1, 333)]))
+    got = {r["k"]: (r["ord"], r["v"]) for r in state.read().collect()}
+    assert got == {1: (10, 100), 2: (20, 222), 3: (1, 333)}, got
+    # tie → delta wins
+    state.merge(mk([(1, 10, 150)]))
+    got = {r["k"]: (r["ord"], r["v"]) for r in state.read().collect()}
+    assert got[1] == (10, 150), got
+
+    def snapshot(skip):
+        files = {}
+        for root, _, names in os.walk(state.state_dir):
+            if any(f"__bkt={b}" in root for b in skip):
+                continue
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    delta = mk([(3, 9, 999)])
+    b = delta.select(F.pmod(F.hash("k"), F.lit(4)).alias("b")).collect()[0]["b"]
+    before = snapshot({b})
+    r = state.merge(delta)
+    assert r["touched"] == [b]
+    assert snapshot({b}) == before

@@ -2622,6 +2622,109 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "stream_upsert_latest_sink",
+    # last-write-wins BY EVENT TIME: the converged state must equal the
+    # global per-user argmax over (ts, event_id) no matter how events
+    # were split across micro-batches — the combine is an associative
+    # argmax, which is exactly what makes it SQL-checkable
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS value_4,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rk
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id, value_4
+    FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def stream_upsert_latest_sink(spark: SparkSession, sf_dir: str):
+    """STREAMING LATEST-STATE SINK (r15) — the other half of lakehouse
+    MERGE next to the accumulate sink: last-write-wins BY EVENT TIME
+    (CDC latest-state / SCD-1).  Each micro-batch reduces to one row
+    per user (argmax over the (ts, event_id) total order), then
+    `BucketedUpsertState(mode="latest", order_col=struct(ts,event_id))`
+    keeps whichever of {state, delta} carries the larger order value.
+    Because the combine is an associative argmax, OUT-OF-ORDER
+    micro-batches converge to the same state as a global argmax — which
+    is what lets a SQL oracle check a streaming sink at all.  The
+    source is the events table split into 4 files streamed one per
+    trigger, so ≥4 real merge rounds run.
+
+    100 TB path: identical to the accumulate sink — delta broadcasts,
+    only touched bucket partitions are read and swapped; state bytes
+    per batch ∝ touched buckets (pinned in tests/test_streaming.py for
+    the shared class)."""
+    import tempfile
+    import uuid
+
+    from wukong_spark.streaming import (
+        BucketedUpsertState,
+        read_events_dir_stream,
+        restore_stream_conf,
+        run_foreach_batch,
+        snapshot_stream_conf,
+    )
+
+    prev_conf = snapshot_stream_conf(spark)
+    work = tempfile.mkdtemp(prefix=f"stream_latest_{uuid.uuid4().hex[:8]}-")
+    src = f"{work}/src"
+    state = BucketedUpsertState(
+        spark, f"{work}/state", "user_id", n_buckets=8,
+        mode="latest", order_col="ord",
+    )
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(4).write.parquet(src)
+
+        stream = read_events_dir_stream(spark, src, max_files_per_trigger=1)
+
+        def merge(bdf, epoch_id):
+            state.merge(
+                bdf.groupBy("user_id").agg(
+                    F.max(
+                        F.struct(
+                            F.col("ts").alias("ts"),
+                            F.col("event_id").alias("event_id"),
+                        )
+                    ).alias("ord"),
+                    F.max_by(
+                        F.round(F.col("value") * 10000).cast("long"),
+                        F.struct(F.col("ts"), F.col("event_id")),
+                    ).alias("value_4"),
+                )
+            )
+
+        epochs = run_foreach_batch(
+            stream.select("user_id", "ts", "event_id", "value"), merge
+        )
+        assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
+        rows = (
+            state.read()
+            .select(
+                "user_id",
+                F.col("ord.ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("ord.event_id").alias("last_event_id"),
+                "value_4",
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "user_id long, last_ts timestamp_ntz, last_event_id long,"
+            " value_4 long",
+        ).orderBy("user_id")
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        restore_stream_conf(spark, prev_conf)
+
+
+@query(
     "events_transition_matrix",
     # per-user event-type bigrams in ts order (event_id breaks ts ties —
     # both engines order identically), integer counts + round-6 rows

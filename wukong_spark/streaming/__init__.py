@@ -755,12 +755,26 @@ class BucketedUpsertState:
 
     def __init__(
         self, spark: SparkSession, state_dir: str, key_col: str,
-        n_buckets: int = 8,
+        n_buckets: int = 8, mode: str = "sum", order_col: str | None = None,
     ) -> None:
+        """`mode="sum"`: non-key numeric columns accumulate (+) on match.
+        `mode="latest"`: LAST-WRITE-WINS BY EVENT ORDER — on match the
+        whole row with the larger `order_col` value survives (ties →
+        delta).  `order_col` may be any comparable type including a
+        STRUCT column (e.g. ``struct(ts, event_id)`` for a total
+        order), which makes the combine ASSOCIATIVE: out-of-order
+        micro-batches converge to the same state as a global argmax —
+        the CDC latest-state MERGE shape."""
+        if mode not in ("sum", "latest"):
+            raise ValueError(f"mode must be 'sum' or 'latest', got {mode!r}")
+        if mode == "latest" and not order_col:
+            raise ValueError("mode='latest' requires order_col")
         self.spark = spark
         self.state_dir = state_dir
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.order_col = order_col
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -812,22 +826,38 @@ class BucketedUpsertState:
         # back to it so later deltas with wider literals can't fork the
         # parquet types bucket-by-bucket
         state_types = {f.name: f.dataType for f in cur.schema.fields}
-        merged = self._bucketed(
-            cur.alias("c")
-            .join(F.broadcast(d).alias("d"), self.key_col, "full_outer")
-            .select(
-                self.key_col,
-                *[
-                    (
-                        F.coalesce(F.col(f"c.{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-                    )
-                    .cast(state_types[c])
-                    .alias(c)
-                    for c in val_cols
-                ],
-            )
+        joined = cur.alias("c").join(
+            F.broadcast(d).alias("d"), self.key_col, "full_outer"
         )
+        if self.mode == "latest":
+            # delta wins iff the state row is absent or not newer —
+            # associative in order_col, so micro-batch arrival order
+            # cannot change the converged state
+            d_wins = F.col(f"c.{self.order_col}").isNull() | (
+                F.col(f"d.{self.order_col}").isNotNull()
+                & (
+                    F.col(f"d.{self.order_col}")
+                    >= F.col(f"c.{self.order_col}")
+                )
+            )
+            cols = [
+                F.when(d_wins, F.col(f"d.{c}"))
+                .otherwise(F.col(f"c.{c}"))
+                .cast(state_types[c])
+                .alias(c)
+                for c in val_cols
+            ]
+        else:
+            cols = [
+                (
+                    F.coalesce(F.col(f"c.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                )
+                .cast(state_types[c])
+                .alias(c)
+                for c in val_cols
+            ]
+        merged = self._bucketed(joined.select(self.key_col, *cols))
         stage = f"{self.state_dir}__stage"
         merged.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
         for b in touched:
