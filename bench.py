@@ -265,6 +265,15 @@ def main() -> None:
         ]
         rnd = (max(rounds) + 1) if rounds else 0
     sidecar = os.path.join(here, f"BENCH_STAGES_r{rnd:02d}.json")
+    # never clobber an existing (committed) sidecar unless the caller
+    # explicitly pinned the round via SPARK_GRAFT_ROUND (VERDICT r15
+    # wrong #1: the driver's run overwrote the committed quiet-host
+    # artifact).  Unpinned re-runs land on a pid-suffixed path, which the
+    # canary-history scan deliberately ignores (non-digit round field).
+    if os.path.exists(sidecar) and not rnd_env.isdigit():
+        sidecar = os.path.join(
+            here, f"BENCH_STAGES_r{rnd:02d}-{os.getpid()}.json"
+        )
     try:
         with open(sidecar, "w") as f:
             json.dump({"passes": pass_log, "stages": stages_out, "sf": float(sf)}, f)

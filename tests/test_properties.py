@@ -1097,6 +1097,44 @@ def test_global_scan_equals_windows(spark, rows, nparts, seed, op):
     assert (got == want).all(), (op, got[:10], want[:10])
 
 
+@given(
+    rows=st.integers(1, 200),
+    nparts=st.integers(2, 10),
+    seed=st.integers(0, 10_000),
+    op=st.sampled_from(["sum", "max", "min", "prod"]),
+)
+@settings(**SETTINGS)
+def test_global_scan_nan_float(spark, rows, nparts, seed, op):
+    """ADVICE r15 regression: a NaN anywhere in a float column must NOT
+    poison the broadcast prefix — partials are computed NaN-safely, so
+    the scan keeps pandas cum* semantics (NaN row emits NaN, the running
+    value carries past) even when whole partitions sit after a NaN.
+    Values are exact-in-float64 (small ints / ±1) so the partition-fold
+    association can't introduce rounding drift."""
+    from wukong_spark.operators.setindex import global_scan
+
+    rng = np.random.default_rng(seed)
+    if op == "prod":
+        v = rng.choice([-1.0, 1.0], rows)
+    else:
+        v = rng.integers(-1000, 1000, rows).astype(np.float64)
+    v[rng.random(rows) < 0.3] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(rows, dtype=np.int64), "v": v})
+    df = spark.createDataFrame(pdf)
+    got = (
+        global_scan(df, "v", "k", op=op, n_partitions=nparts, out_col="m")
+        .toPandas()
+        .sort_values("k")["m"]
+        .to_numpy()
+    )
+    want = getattr(
+        pdf["v"], {"sum": "cumsum", "max": "cummax", "min": "cummin",
+                   "prod": "cumprod"}[op]
+    )().to_numpy()
+    ok = (got == want) | (np.isnan(got) & np.isnan(want))
+    assert ok.all(), (op, np.flatnonzero(~ok)[:5], got[:10], want[:10])
+
+
 def test_merge_asof_global_empty_sides(spark):
     """merge_asof_global edge contract: empty left → empty result with
     the full output schema; empty right → every left row kept with NULL

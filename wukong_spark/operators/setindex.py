@@ -338,7 +338,20 @@ def global_scan(
     if op not in _SCAN_OPS:
         raise ValueError(f"op must be one of {sorted(_SCAN_OPS)}, got {op!r}")
     agg_name, ufunc_name, f_ident = _SCAN_OPS[op]
-    partial = getattr(F, agg_name)(value_col)
+    vtype = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[value_col]
+    if vtype in ("float", "double"):
+        # NaN-safe partials (ADVICE r15): Spark's sum/product over a float
+        # column containing NaN return NaN, and max/min rank NaN largest —
+        # any of those would poison the broadcast prefix for every later
+        # partition.  The scan's documented semantics (pandas cum*: NaN row
+        # emits NULL, running value carries past) require partials over the
+        # non-NaN values only.
+        c = F.col(value_col)
+        partial = getattr(F, agg_name)(F.when(~F.isnan(c), c))
+    else:
+        partial = getattr(F, agg_name)(value_col)
 
     # same pinned layout as _ordered_with_offsets, but fold the partials
     # with the op's own combine instead of that helper's +-only fold
@@ -357,6 +370,12 @@ def global_scan(
     for pid in sorted(partials):
         prefix[pid] = run
         p = partials[pid]
+        # skip NaN partials exactly like None ones (belt-and-braces with
+        # the NaN-guarded Spark aggregate above): a float partial can only
+        # be NaN if the partition held NaN rows, which the scan semantics
+        # say carry no contribution
+        if isinstance(p, float) and p != p:
+            p = None
         if p is not None:
             if run is None:
                 run = p

@@ -85,6 +85,8 @@ def ml_predict_ref(spark: SparkSession, sf_dir: str):
 
     from wukong_spark.mlops import make_classification_blocks
 
+    from wukong_spark.session import register_result_checkpoint
+
     sf = _sf(sf_dir)
     n = 800_000 if sf >= 0.1 else 80_000
     df = make_classification_blocks(spark, n, 20, 20, seed=17)
@@ -92,23 +94,23 @@ def ml_predict_ref(spark: SparkSession, sf_dir: str):
     x0 = rng.standard_normal((min(n // 20, 5000), 20))
     y0 = (x0 @ np.random.default_rng(17).standard_normal(20) >= 0).astype(np.int32)
     model = LinearModel.fit(x0, y0)
-    pred = predict_broadcast(df, model, id_cols=("sample_id", "label"))
-    conf = pred.groupBy("label", "prediction").agg(F.count("*").alias("n"))
-    # min |decision margin| computed JVM-side (zip_with dot product) — the
-    # boundary-distance contract behind the literal confusion counts
-    w_arr = F.array(*[F.lit(float(v)) for v in model.weights])
-    margin = df.select(
-        F.abs(
-            F.aggregate(
-                F.zip_with(F.col("features"), w_arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            + F.lit(float(model.bias))
-        ).alias("am")
-    ).agg(F.min("am").alias("min_margin"))
+    # ONE scan of the generated blocks (VERDICT r15 Next #1): the predict
+    # pass emits |decision margin| alongside the prediction, so the
+    # boundary-distance contract behind the literal confusion counts folds
+    # into the same groupBy.  The 4-row grouped result is eagerly
+    # checkpointed (trivial) so deriving the global min does not replay
+    # the generation.
+    pred = predict_broadcast(
+        df, model, id_cols=("sample_id", "label"), margin_col="am"
+    )
+    grouped = register_result_checkpoint(
+        pred.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"), F.min("am").alias("gm"))
+        .localCheckpoint(eager=True)
+    )
+    margin = grouped.agg(F.min("gm").alias("min_margin"))
     return (
-        conf.crossJoin(F.broadcast(margin))
+        grouped.crossJoin(F.broadcast(margin))
         .select(
             "label",
             "prediction",
