@@ -745,3 +745,106 @@ def test_bucketed_upsert_latest_mode_is_order_associative(spark, tmp_path):
     r = state.merge(delta)
     assert r["touched"] == [b]
     assert snapshot({b}) == before
+
+
+def test_bucketed_upsert_tombstone_deletes(spark, tmp_path):
+    """delete_col (r16, VERDICT r15 Next #6): a winning tombstone hides
+    the key from read() but is RETAINED in state, so a late-arriving
+    OLDER update cannot resurrect the key (associative argmax) while a
+    genuinely newer update can re-insert it.  Untouched buckets still
+    never rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    state = BucketedUpsertState(
+        spark, str(tmp_path / "st"), "k", n_buckets=4,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ord long, v long, dead boolean"
+    )
+    state.merge(mk([(1, 10, 100, False), (2, 10, 200, False)]))
+    # delete k=1 at ord 20
+    state.merge(mk([(1, 20, 100, True)]))
+    got = {r["k"]: (r["ord"], r["v"]) for r in state.read().collect()}
+    assert got == {2: (10, 200)}, got
+    # tombstone retained: visible with include_tombstones
+    full = {r["k"]: r["dead"] for r in state.read(True).collect()}
+    assert full == {1: True, 2: False}, full
+    # LATE older update (ord 15 < 20) must NOT resurrect k=1
+    state.merge(mk([(1, 15, 111, False)]))
+    got = {r["k"] for r in state.read().collect()}
+    assert got == {2}, got
+    # newer update (ord 30) re-inserts
+    state.merge(mk([(1, 30, 300, False)]))
+    got = {r["k"]: (r["ord"], r["v"]) for r in state.read().collect()}
+    assert got == {1: (30, 300), 2: (10, 200)}, got
+
+    # untouched-bucket byte identity extends to the delete path
+    def snapshot(skip):
+        files = {}
+        for root, _, names in os.walk(state.state_dir):
+            if any(f"__bkt={b}" in root for b in skip):
+                continue
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[p] = (st.st_size, st.st_mtime_ns)
+        return files
+
+    delta = mk([(2, 40, 200, True)])
+    b = delta.select(F.pmod(F.hash("k"), F.lit(4)).alias("b")).collect()[0]["b"]
+    before = snapshot({b})
+    r = state.merge(delta)
+    assert r["touched"] == [b]
+    assert snapshot({b}) == before
+    assert {r["k"] for r in state.read().collect()} == {1}
+
+
+def test_bucketed_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """Crash-recoverable swap (ADVICE r15): merge parks replaced buckets
+    under {state_dir}__old/ before moving staged ones in.  Simulate the
+    two crash windows by hand and assert _recover() restores a missing
+    bucket from the parked copy, and discards the parked copy when the
+    new bucket landed."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    state = BucketedUpsertState(
+        spark, str(tmp_path / "st"), "k", n_buckets=4
+    )
+    state.merge(
+        spark.range(0, 80).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    )
+    want = {r["k"]: r["n"] for r in state.read().collect()}
+    bkt = next(
+        e for e in os.listdir(state.state_dir) if e.startswith("__bkt=")
+    )
+    old_root = state.state_dir + "__old"
+
+    # crash window 1: bucket parked, staged copy never moved in
+    os.makedirs(old_root, exist_ok=True)
+    shutil.move(
+        os.path.join(state.state_dir, bkt), os.path.join(old_root, bkt)
+    )
+    assert {r["k"]: r["n"] for r in state.read().collect()} == want
+    assert not os.path.isdir(old_root)
+
+    # crash window 2: new bucket landed, parked copy left behind —
+    # recovery must keep the NEW data and drop the parked copy
+    os.makedirs(old_root, exist_ok=True)
+    shutil.copytree(
+        os.path.join(state.state_dir, bkt), os.path.join(old_root, bkt)
+    )
+    state.merge(spark.createDataFrame([(0, 1)], "k long, n long"))
+    assert not os.path.isdir(old_root)
+    got = {r["k"]: r["n"] for r in state.read().collect()}
+    want[0] = want[0] + 1
+    assert got == want

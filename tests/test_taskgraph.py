@@ -658,3 +658,24 @@ def test_executor_listener_pruned_after_resolve(client):
     while cf._attempt_listeners and time.time() < deadline:
         time.sleep(0.05)  # chain's _unlisten runs in the done-callback
     assert cf._attempt_listeners == []
+
+
+def test_release_pending_token_scoping(spark):
+    """checkpoint_token / release_pending(since=...) (ADVICE r15): a
+    scoped release frees only registrations made at-or-after the token —
+    an earlier consumer's checkpoint-backed result stays readable."""
+    from wukong_spark.session import (
+        checkpoint_token,
+        register_result_checkpoint,
+        release_pending,
+    )
+
+    early = register_result_checkpoint(
+        spark.range(50).localCheckpoint(eager=True)
+    )
+    t = checkpoint_token()
+    register_result_checkpoint(spark.range(9).localCheckpoint(eager=True))
+    assert release_pending(since=t) == 1
+    # the earlier result must still be collectible (its checkpoint lives)
+    assert early.count() == 50
+    assert release_pending() == 1  # now the early one goes

@@ -260,7 +260,15 @@ def merge_asof_global(
 
     100 TB: one range exchange over left+right, O(n_partitions) driver
     traffic, per-partition memory = one range slice (size via
-    `n_partitions`); no global sort, no all-pairs."""
+    `n_partitions`); no global sort, no all-pairs.
+
+    Memory note (ADVICE r15): step 4 concatenates every Arrow batch of
+    a range partition into ONE pandas frame before merging, so peak
+    per-task memory is the partition's full left+right slice — not one
+    batch.  `n_partitions` is therefore the real sizing knob: size it so
+    (rows_left + rows_right) / n_partitions fits a task comfortably, and
+    raise it for skewed ranges (the range partitioner splits by quantile,
+    so heavy key ranges spread across more partitions as it grows)."""
     import datetime as _dt
 
     import pandas as pd

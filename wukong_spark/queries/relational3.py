@@ -1330,13 +1330,45 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "cdc_apply_changelog",
-    # the changelog derives from orders by SQL-replayable rules (update
-    # every %3 key, then delete every %6 key — a strict subset, proving
-    # LAST-WINS; insert a shifted copy of every %1000 key); prices stay
-    # integer cents so every cell is exact
-    oracle="""
+def _cdc_base_and_log(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the CDC entries: (base snapshot, changelog).
+
+    The changelog updates every %3 key (seq 1), deletes every %6 key
+    (seq 2 — a strict subset of the updates, proving LAST-WINS), and
+    inserts a shifted copy of every %1000 key.  The insert shift is
+    MAX(base key) — derived from the data identically in both engines
+    (ADVICE r13: a fixed offset collides with real o_orderkey at
+    SF≥~2), so inserted keys land strictly above every base key at ANY
+    scale factor.  Prices stay integer cents so every cell is exact."""
+    base = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    upd = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"), "status",
+        (F.col("price_c") + 100).alias("price_c"),
+    )
+    dels = base.filter(F.col("k") % 6 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("D").alias("op"), "status", "price_c"
+    )
+    # insert offset derived from the data (one scalar job) — inserted
+    # keys sit strictly above every base key at any SF, never colliding
+    mx = int(base.agg(F.max("k")).collect()[0][0])
+    ins = base.filter(F.col("k") % 1000 == 0).select(
+        (F.col("k") + F.lit(mx)).alias("k"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"), "status", "price_c",
+    )
+    return base, upd.unionByName(dels).unionByName(ins)
+
+
+# the changelog derives from orders by SQL-replayable rules (update
+# every %3 key, then delete every %6 key — a strict subset, proving
+# LAST-WINS; insert a shifted copy of every %1000 key); prices stay
+# integer cents so every cell is exact.  Shared by the batch apply and
+# the streaming sink entry (stream_cdc_apply_check) — both must converge
+# to the same snapshot.
+_CDC_SNAPSHOT_ORACLE = """
     WITH base AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
@@ -1366,8 +1398,10 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str):
     UNION ALL
     SELECT k, status, price_c FROM applied
     ORDER BY k
-    """,
-)
+    """
+
+
+@query("cdc_apply_changelog", oracle=_CDC_SNAPSHOT_ORACLE)
 def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
     """CDC CHANGELOG APPLY (r13) — the replication/lakehouse primitive
     under every Debezium/binlog consumer: given a base snapshot and an
@@ -1392,26 +1426,7 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
     emulates — here as the one-shot batch form."""
     from pyspark.sql.window import Window
 
-    base = tbl(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        cents(F.col("o_totalprice")).alias("price_c"),
-    )
-    upd = base.filter(F.col("k") % 3 == 0).select(
-        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"), "status",
-        (F.col("price_c") + 100).alias("price_c"),
-    )
-    dels = base.filter(F.col("k") % 6 == 0).select(
-        "k", F.lit(2).alias("seq"), F.lit("D").alias("op"), "status", "price_c"
-    )
-    # insert offset derived from the data (one scalar job) — inserted
-    # keys sit strictly above every base key at any SF, never colliding
-    mx = int(base.agg(F.max("k")).collect()[0][0])
-    ins = base.filter(F.col("k") % 1000 == 0).select(
-        (F.col("k") + F.lit(mx)).alias("k"),
-        F.lit(1).alias("seq"), F.lit("I").alias("op"), "status", "price_c",
-    )
-    log = upd.unionByName(dels).unionByName(ins)
+    base, log = _cdc_base_and_log(spark, sf_dir)
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     last = (
         log.withColumn("rn", F.row_number().over(w))
@@ -1421,6 +1436,74 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str):
     untouched = base.join(last.select("k"), "k", "left_anti")
     applied = last.filter(F.col("op") != "D").select("k", "status", "price_c")
     return untouched.unionByName(applied).orderBy("k")
+
+
+@query("stream_cdc_apply_check", oracle=_CDC_SNAPSHOT_ORACLE)
+def stream_cdc_apply_check(spark: SparkSession, sf_dir: str):
+    """STREAMING CDC APPLY WITH DELETES (r16, VERDICT r15 Next #6) —
+    the same changelog as `cdc_apply_changelog`, but applied through the
+    bucketed streaming sink: the base snapshot seeds
+    `BucketedUpsertState(mode="latest", delete_col=...)`, then the
+    changelog streams in ≥4 micro-batches (file-per-trigger, keys split
+    arbitrarily across batches) and each batch MERGEs via foreachBatch.
+    op='D' rows become TOMBSTONES: a winning tombstone is retained in
+    state with its seq (so the combine stays an associative argmax and a
+    late-arriving older update can't resurrect the key) and filtered on
+    read.  The final snapshot must hash-match the one-shot batch apply —
+    delete/update/insert convergence under arbitrary batch splits.
+
+    100 TB path: per batch the delta pre-reduces to one row per key
+    (keyed argmax over seq), broadcasts into the touched buckets, and
+    only those bucket partitions are rewritten — MERGE INTO with deletes
+    on plain parquet."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.streaming import BucketedUpsertState, run_foreach_batch
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"stream_cdc_{uuid.uuid4().hex[:8]}-")
+    state = BucketedUpsertState(
+        spark, f"{work}/state", "k", n_buckets=8,
+        mode="latest", order_col="seq", delete_col="deleted",
+    )
+    try:
+        src = f"{work}/src"
+        log.repartition(4).write.parquet(src)
+
+        def reduce_batch(df):
+            # ≤1 row per key per merge: argmax over seq (per-key seqs are
+            # distinct by construction, so max_by is deterministic)
+            return df.groupBy("k").agg(
+                F.max("seq").alias("seq"),
+                F.max_by("status", "seq").alias("status"),
+                F.max_by("price_c", "seq").alias("price_c"),
+                F.max_by(F.col("op") == F.lit("D"), "seq").alias("deleted"),
+            )
+
+        # seed: the base snapshot is seq-0 upserts (no tombstones)
+        state.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        stream = (
+            spark.readStream.schema(log.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        epochs = run_foreach_batch(
+            stream, lambda bdf, _eid: state.merge(reduce_batch(bdf))
+        )
+        assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
+        rows = state.read().select("k", "status", "price_c").collect()
+        return spark.createDataFrame(
+            rows, "k long, status string, price_c long"
+        ).orderBy("k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

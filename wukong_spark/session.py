@@ -196,35 +196,62 @@ def release_checkpoint(df: DataFrame) -> None:
 # each entry's result.  tools/leak_audit.py asserts that, after that call,
 # zero persistent RDDs created by the entry survive — registry-wide.
 
-_PENDING_RESULT_CHECKPOINTS: list = []
+_PENDING_RESULT_CHECKPOINTS: list = []  # [(token, DataFrame)]
+_NEXT_CHECKPOINT_TOKEN: int = 0
+
+
+def checkpoint_token() -> int:
+    """Scope marker for `release_pending(since=...)`: every registration
+    from now on gets a token ≥ the returned value.  Take one BEFORE
+    running an operator, and pass it to `release_pending(since=token)`
+    after consuming its result — frames another consumer registered
+    earlier stay alive (ADVICE r15: the bare-release contract could free
+    a result a library caller was still holding)."""
+    return _NEXT_CHECKPOINT_TOKEN
 
 
 def register_result_checkpoint(df: DataFrame) -> DataFrame:
-    """Mark `df` (checkpoint/persist-backed) as a result-backing frame to be
-    freed by the next `release_pending()` once the caller has consumed the
-    returned plan.  Returns `df` for chaining."""
-    _PENDING_RESULT_CHECKPOINTS.append(df)
+    """Mark `df` (checkpoint/persist-backed) as a result-backing frame to
+    be freed by a later `release_pending()` once the caller has consumed
+    the returned plan.  Returns `df` for chaining.
+
+    CONTRACT for library consumers: the registry is session-global, and
+    a released frame is an EAGER localCheckpoint whose lineage is gone —
+    a plan that still references it fails with 'checkpoint block not
+    found' after release.  So never hold an operator result across a
+    bare `release_pending()`; if you must interleave consumers, scope
+    releases with `checkpoint_token()` / `release_pending(since=token)`
+    so releasing one entry's result cannot free another's.  (See
+    MIGRATING.md §result lifetime.)"""
+    global _NEXT_CHECKPOINT_TOKEN
+    _PENDING_RESULT_CHECKPOINTS.append((_NEXT_CHECKPOINT_TOKEN, df))
+    _NEXT_CHECKPOINT_TOKEN += 1
     return df
 
 
-def release_pending() -> int:
-    """Release every registered result-backing checkpoint (harness hook:
-    call after collecting an entry's result).  Returns how many frames
-    were released.
+def release_pending(since: int | None = None) -> int:
+    """Release registered result-backing checkpoints (harness hook: call
+    after collecting an entry's result).  Returns how many frames were
+    released.
 
-    Single-consumer assumption: the registry is session-global, so a
-    harness running entries CONCURRENTLY on one SparkSession must not
-    call this mid-flight (it would free another entry's still-unread
-    result).  Every shipped harness (driver_mimic, check_correctness,
-    plan_audit, bench, the pytest autouse fixture) runs entries
-    sequentially and releases between them."""
+    `since=None` releases EVERYTHING — the single-consumer harness mode
+    (driver_mimic, check_correctness, plan_audit, bench, the pytest
+    autouse fixture all run entries sequentially and release between
+    them).  Passing a `checkpoint_token()` taken before an entry ran
+    releases only that entry's registrations, leaving earlier consumers'
+    still-unread results alive."""
+    global _PENDING_RESULT_CHECKPOINTS
     n = 0
-    while _PENDING_RESULT_CHECKPOINTS:
-        df = _PENDING_RESULT_CHECKPOINTS.pop()
+    keep: list = []
+    for tok, df in _PENDING_RESULT_CHECKPOINTS:
+        if since is not None and tok < since:
+            keep.append((tok, df))
+            continue
         release_checkpoint(df)
         try:
             df.unpersist()
         except Exception:
             pass
         n += 1
+    _PENDING_RESULT_CHECKPOINTS = keep
     return n

@@ -756,6 +756,7 @@ class BucketedUpsertState:
     def __init__(
         self, spark: SparkSession, state_dir: str, key_col: str,
         n_buckets: int = 8, mode: str = "sum", order_col: str | None = None,
+        delete_col: str | None = None,
     ) -> None:
         """`mode="sum"`: non-key numeric columns accumulate (+) on match.
         `mode="latest"`: LAST-WRITE-WINS BY EVENT ORDER — on match the
@@ -764,17 +765,28 @@ class BucketedUpsertState:
         STRUCT column (e.g. ``struct(ts, event_id)`` for a total
         order), which makes the combine ASSOCIATIVE: out-of-order
         micro-batches converge to the same state as a global argmax —
-        the CDC latest-state MERGE shape."""
+        the CDC latest-state MERGE shape.
+
+        `delete_col` (mode="latest" only, r16): name of a BOOLEAN delta
+        column marking CDC TOMBSTONES.  A winning tombstone row is
+        RETAINED in state (with its order value) rather than physically
+        dropped — that keeps the combine associative, so a late-arriving
+        older update cannot resurrect a deleted key; `read()` filters
+        tombstones out.  This is the op='D' half of MERGE INTO on the
+        bucketed layout."""
         if mode not in ("sum", "latest"):
             raise ValueError(f"mode must be 'sum' or 'latest', got {mode!r}")
         if mode == "latest" and not order_col:
             raise ValueError("mode='latest' requires order_col")
+        if delete_col and mode != "latest":
+            raise ValueError("delete_col requires mode='latest'")
         self.spark = spark
         self.state_dir = state_dir
         self.key_col = key_col
         self.n_buckets = n_buckets
         self.mode = mode
         self.order_col = order_col
+        self.delete_col = delete_col
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -782,15 +794,45 @@ class BucketedUpsertState:
             F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets)),
         )
 
+    @property
+    def _old_root(self) -> str:
+        return f"{self.state_dir}__old"
+
+    def _recover(self) -> None:
+        """Finish (or roll back) an interrupted bucket swap (ADVICE r15):
+        `merge` parks each replaced bucket dir under `{state_dir}__old/`
+        BEFORE moving the staged one in, so after a crash either the new
+        bucket is in place (parked copy is garbage) or it is missing
+        (parked copy is the authoritative pre-merge state — restore it).
+        Idempotent; called before every read/merge."""
+        import os
+        import shutil
+
+        root = self._old_root
+        if not os.path.isdir(root):
+            return
+        for e in os.listdir(root):
+            dst = os.path.join(self.state_dir, e)
+            if not os.path.isdir(dst):
+                shutil.move(os.path.join(root, e), dst)
+        shutil.rmtree(root, ignore_errors=True)
+
     def exists(self) -> bool:
         import os
 
+        self._recover()
         return os.path.isdir(self.state_dir) and any(
             e.startswith("__bkt=") for e in os.listdir(self.state_dir)
         )
 
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_dir).drop("__bkt")
+    def read(self, include_tombstones: bool = False) -> DataFrame:
+        self._recover()
+        out = self.spark.read.parquet(self.state_dir).drop("__bkt")
+        if self.delete_col and not include_tombstones:
+            out = out.filter(
+                ~F.coalesce(F.col(self.delete_col), F.lit(False))
+            ).drop(self.delete_col)
+        return out
 
     def merge(self, delta: DataFrame) -> dict:
         """Upsert-accumulate `delta` (≤1 row per key; non-key numeric
@@ -801,6 +843,7 @@ class BucketedUpsertState:
 
         from wukong_spark.session import release_checkpoint
 
+        self._recover()
         # the delta is read twice (touched-bucket probe + merge join):
         # pin it so both passes see identical rows
         d = self._bucketed(delta).localCheckpoint(eager=True)
@@ -860,13 +903,22 @@ class BucketedUpsertState:
         merged = self._bucketed(joined.select(self.key_col, *cols))
         stage = f"{self.state_dir}__stage"
         merged.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
+        # recoverable swap (ADVICE r15): park the replaced bucket under
+        # __old/ BEFORE moving the staged one in — a crash at any point
+        # leaves either the old or the new bucket reachable, and
+        # `_recover()` finishes the job on the next read/merge.  (Still
+        # single-writer: there is no commit log arbitrating concurrent
+        # mergers.)
+        old_root = self._old_root
+        os.makedirs(old_root, exist_ok=True)
         for b in touched:
             src = os.path.join(stage, f"__bkt={b}")
             dst = os.path.join(self.state_dir, f"__bkt={b}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                shutil.move(dst, os.path.join(old_root, f"__bkt={b}"))
             if os.path.isdir(src):
                 shutil.move(src, dst)
+        shutil.rmtree(old_root, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         release_checkpoint(d)
         return {"touched": touched}
