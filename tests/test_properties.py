@@ -1135,6 +1135,69 @@ def test_global_scan_nan_float(spark, rows, nparts, seed, op):
     assert ok.all(), (op, np.flatnonzero(~ok)[:5], got[:10], want[:10])
 
 
+@given(
+    rows_l=st.integers(1, 80),
+    rows_r=st.integers(0, 80),
+    seed=st.integers(0, 10_000),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    exact=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_keyed_asof_constant_key_equals_global(
+    spark, rows_l, rows_r, seed, direction, exact
+):
+    """VERDICT r15 Next #7: keyed merge_asof on a CONSTANT by-key and
+    merge_asof_global share every tie-break/tolerance/exact-match
+    contract, so on identical data they must agree row-for-row — one
+    property pins seed-row regressions in either implementation."""
+    from wukong_spark.operators.asof import merge_asof, merge_asof_global
+
+    rng = np.random.default_rng(seed)
+    lp = pd.DataFrame(
+        {
+            "t": np.sort(rng.integers(0, 50, rows_l)).astype(np.int64),
+            "lid": np.arange(rows_l, dtype=np.int64),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "t": np.sort(rng.integers(0, 50, rows_r)).astype(np.int64),
+            "rv": rng.integers(0, 1000, rows_r).astype(np.int64),
+        }
+    )
+    ldf = spark.createDataFrame(lp)
+    rdf = (
+        spark.createDataFrame(rp)
+        if rows_r
+        else spark.createDataFrame([], "t long, rv long")
+    )
+    got_g = (
+        merge_asof_global(
+            ldf, rdf, on="t", direction=direction,
+            allow_exact_matches=exact, n_partitions=5,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    got_k = (
+        merge_asof(
+            ldf.withColumn("k", F.lit(1)),
+            rdf.withColumn("k", F.lit(1)),
+            on="t", by="k", direction=direction, allow_exact_matches=exact,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    for c in ("r_t", "r_rv"):
+        gv = got_g[c].astype("float64")
+        kv = got_k[c].astype("float64")
+        assert ((gv == kv) | (gv.isna() & kv.isna())).all(), (
+            c, pd.concat([got_g, got_k.add_prefix("k_")], axis=1)
+        )
+
+
 def test_merge_asof_global_empty_sides(spark):
     """merge_asof_global edge contract: empty left → empty result with
     the full output schema; empty right → every left row kept with NULL

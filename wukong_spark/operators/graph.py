@@ -120,6 +120,7 @@ def connected_components_bucketed(
     convergence contract as `connected_components` (RuntimeError past
     max_iter; partial labels are wrong labels)."""
     from wukong_spark.layout import drop_managed_table
+    from wukong_spark.session import register_result_table
     from wukong_spark.session import release_checkpoint as _release
 
     spark = edges.sparkSession
@@ -134,6 +135,9 @@ def connected_components_bucketed(
         .sortBy("b")
         .saveAsTable(table)
     )
+    # deferred drop (VERDICT r15 Next #8): the layout dies with the
+    # result at release_pending(), so gate runs leave no warehouse litter
+    register_result_table(spark, table)
     adj = spark.table(table)
 
     # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED column
@@ -241,6 +245,7 @@ def pagerank_bucketed(
     checks are scalar-only driver traffic.
     """
     from wukong_spark.layout import drop_managed_table
+    from wukong_spark.session import register_result_table
     from wukong_spark.session import release_checkpoint as _release
 
     # validate BEFORE the expensive bucketed write — an invalid call must
@@ -262,6 +267,10 @@ def pagerank_bucketed(
         .sortBy("src")
         .saveAsTable(table)
     )
+    # deferred drop (VERDICT r15 Next #8): the fixed-iteration branch
+    # returns a plan that still SCANS this table, so the drop must wait
+    # for release_pending() — same lifetime as the result checkpoints
+    register_result_table(spark, table)
     adj = spark.table(table)
 
     if not handle_dangling:

@@ -1553,6 +1553,11 @@ def partitioned_scan_prune_check(spark: SparkSession, sf_dir: str):
 
     path = warehouse_uri(spark, "evt_by_type_tmp")
     fs_delete(spark, path)
+    # deferred cleanup (VERDICT r15 Next #8): the layout dies with the
+    # result at release_pending(), so gate runs leave no warehouse litter
+    from wukong_spark.session import register_result_path
+
+    register_result_path(spark, path)
     tbl(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(path)
@@ -1840,8 +1845,11 @@ def compaction_small_files_check(spark: SparkSession, sf_dir: str):
 
     small_dir = warehouse_uri(spark, "evt_small_tmp")
     big_dir = warehouse_uri(spark, "evt_compact_tmp")
+    from wukong_spark.session import register_result_path
+
     for p in (small_dir, big_dir):
         fs_delete(spark, p)
+        register_result_path(spark, p)  # dropped at release_pending()
     e = tbl(spark, sf_dir, "events")
     e.repartition(64).write.mode("overwrite").parquet(small_dir)
 
@@ -2019,6 +2027,9 @@ def schema_evolution_check(spark: SparkSession, sf_dir: str):
 
     path = warehouse_uri(spark, "orders_evolved_tmp")
     fs_delete(spark, path)
+    from wukong_spark.session import register_result_path
+
+    register_result_path(spark, path)  # dropped at release_pending()
     o = tbl(spark, sf_dir, "orders")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -2073,8 +2084,11 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
     csv_dir = warehouse_uri(spark, "evt_csv_tmp")
     json_dir = warehouse_uri(spark, "evt_json_tmp")
     orc_dir = warehouse_uri(spark, "evt_orc_tmp")
+    from wukong_spark.session import register_result_path
+
     for p in (csv_dir, json_dir, orc_dir):
         fs_delete(spark, p)
+        register_result_path(spark, p)  # dropped at release_pending()
     e = tbl(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -2166,6 +2180,9 @@ def csv_malformed_ingest_check(spark: SparkSession, sf_dir: str):
 
     path = warehouse_uri(spark, "csv_malformed_tmp")
     fs_delete(spark, path)
+    from wukong_spark.session import register_result_path
+
+    register_result_path(spark, path)  # dropped at release_pending()
     n = 2000
     lines = spark.range(0, n, 1, 4).select(
         F.when(

@@ -577,8 +577,13 @@ def bucketed_join_check(spark: SparkSession, sf_dir: str):
     # Hadoop-FS cleanup (layout.py — object-store-safe): DROP TABLE only
     # clears this session's in-memory catalog; the leftover managed-table
     # location would fail the next saveAsTable with LOCATION_ALREADY_EXISTS
+    from wukong_spark.session import register_result_table
+
     for t in ("bkt_orders_tmp", "bkt_lineitem_tmp"):
         drop_managed_table(spark, t)
+        # deferred drop (VERDICT r15 Next #8): the returned plan scans
+        # these tables, so the drop waits for release_pending()
+        register_result_table(spark, t)
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
@@ -654,6 +659,9 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
 
     path = warehouse_uri(spark, "li_rowgroup_tmp")
     fs_delete(spark, path)
+    from wukong_spark.session import register_result_path
+
+    register_result_path(spark, path)  # dropped at release_pending()
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.to_date("l_shipdate").alias("ship_date"),
@@ -782,6 +790,9 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
 
     path = warehouse_uri(spark, "li_zorder_tmp")
     fs_delete(spark, path)
+    from wukong_spark.session import register_result_path
+
+    register_result_path(spark, path)  # dropped at release_pending()
     l = tbl(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
     )

@@ -197,6 +197,7 @@ def release_checkpoint(df: DataFrame) -> None:
 # zero persistent RDDs created by the entry survive — registry-wide.
 
 _PENDING_RESULT_CHECKPOINTS: list = []  # [(token, DataFrame)]
+_PENDING_RESULT_TABLES: list = []  # [(token, SparkSession, table name)]
 _NEXT_CHECKPOINT_TOKEN: int = 0
 
 
@@ -229,6 +230,30 @@ def register_result_checkpoint(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_result_table(spark: SparkSession, table: str) -> str:
+    """Mark a warehouse layout table (bucketed saveAsTable) as backing a
+    still-unconsumed result, to be DROPPED by a later `release_pending()`
+    (VERDICT r15 Next #8: gate runs were accumulating `bkt_*` layouts in
+    spark-warehouse/ forever).  Same lifetime contract as
+    `register_result_checkpoint`: after release, a plan that still scans
+    the table fails — consume first, then release.  Returns `table`."""
+    global _NEXT_CHECKPOINT_TOKEN
+    _PENDING_RESULT_TABLES.append((_NEXT_CHECKPOINT_TOKEN, spark, table))
+    _NEXT_CHECKPOINT_TOKEN += 1
+    return table
+
+
+def register_result_path(spark: SparkSession, path: str) -> str:
+    """Like `register_result_table`, but for a warehouse PATH a source
+    entry wrote (format roundtrips, compaction, row-group layouts):
+    deleted by a later `release_pending()` once the result plan scanning
+    it has been consumed.  Returns `path`."""
+    global _NEXT_CHECKPOINT_TOKEN
+    _PENDING_RESULT_TABLES.append((_NEXT_CHECKPOINT_TOKEN, spark, ("path", path)))
+    _NEXT_CHECKPOINT_TOKEN += 1
+    return path
+
+
 def release_pending(since: int | None = None) -> int:
     """Release registered result-backing checkpoints (harness hook: call
     after collecting an entry's result).  Returns how many frames were
@@ -240,7 +265,7 @@ def release_pending(since: int | None = None) -> int:
     them).  Passing a `checkpoint_token()` taken before an entry ran
     releases only that entry's registrations, leaving earlier consumers'
     still-unread results alive."""
-    global _PENDING_RESULT_CHECKPOINTS
+    global _PENDING_RESULT_CHECKPOINTS, _PENDING_RESULT_TABLES
     n = 0
     keep: list = []
     for tok, df in _PENDING_RESULT_CHECKPOINTS:
@@ -254,4 +279,20 @@ def release_pending(since: int | None = None) -> int:
             pass
         n += 1
     _PENDING_RESULT_CHECKPOINTS = keep
+    keep_t: list = []
+    for tok, spark, target in _PENDING_RESULT_TABLES:
+        if since is not None and tok < since:
+            keep_t.append((tok, spark, target))
+            continue
+        try:
+            from wukong_spark.layout import drop_managed_table, fs_delete
+
+            if isinstance(target, tuple) and target[0] == "path":
+                fs_delete(spark, target[1])
+            else:
+                drop_managed_table(spark, target)
+        except Exception:
+            pass  # session already stopped — warehouse dir GC'd elsewhere
+        n += 1
+    _PENDING_RESULT_TABLES = keep_t
     return n
