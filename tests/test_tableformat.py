@@ -1,0 +1,139 @@
+"""SnapshotStateTable (wukong_spark/tableformat.py, r16): manifest-based
+snapshots on plain parquet — atomic commits with optimistic concurrency,
+time travel, snapshot isolation, compaction-as-transaction, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wukong_spark.tableformat import CommitConflictError, SnapshotStateTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, n long")
+
+
+def test_merge_commits_and_time_travel(spark, tmp_path):
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    v0 = t.merge(_mk(spark, [(1, 10), (2, 20), (3, 30)]))
+    v1 = t.merge(_mk(spark, [(2, 5), (4, 40)]))
+    assert (v0, v1) == (0, 1) and t.history() == [0, 1]
+    head = {r["k"]: r["n"] for r in t.read().collect()}
+    assert head == {1: 10, 2: 25, 3: 30, 4: 40}
+    # TIME TRAVEL: v0 still reads the pre-merge state
+    old = {r["k"]: r["n"] for r in t.read(version=0).collect()}
+    assert old == {1: 10, 2: 20, 3: 30}
+
+
+def test_snapshot_isolation_pinned_reader(spark, tmp_path):
+    """A reader that resolved a snapshot BEFORE a concurrent commit must
+    see the old rows when it finally collects — manifests reference
+    immutable files, so later commits cannot bleed in."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.merge(_mk(spark, [(1, 1), (2, 2)]))
+    pinned = t.read()  # plan resolved against v0's files
+    t.merge(_mk(spark, [(1, 100)]))  # v1 lands before the read executes
+    assert {r["k"]: r["n"] for r in pinned.collect()} == {1: 1, 2: 2}
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {1: 101, 2: 2}
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: two writers staging against the same head
+    race to create the same manifest — the loser must get
+    CommitConflictError, never a silent overwrite."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    base = t.merge(_mk(spark, [(1, 1)]))
+    # the competing writer claims v1 first
+    winner = t._commit(base + 1, {0: []}, "competing-writer")
+    assert winner == 1
+    with pytest.raises(CommitConflictError):
+        # our delta was computed against v0 — its commit must CONFLICT,
+        # never silently land on top of the competing writer's v1
+        t.merge(_mk(spark, [(2, 2)]), expect_version=base)
+    # conflict left no half-visible snapshot: head is the winner's
+    assert t.current_version() == 1
+    # the associative-delta retry path: re-merge against the new head
+    assert t.merge(_mk(spark, [(2, 2)])) == 2
+
+
+def test_untouched_buckets_carry_by_reference(spark, tmp_path):
+    """A merge touching one bucket must reference every other bucket's
+    files UNCHANGED in the new manifest (zero IO on untouched data)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    t.merge(
+        spark.range(0, 400).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    )
+    m0 = t._load_manifest(0)["files"]
+    delta = _mk(spark, [(7, 5)])
+    b7 = delta.select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    t.merge(delta)
+    m1 = t._load_manifest(1)["files"]
+    for b in map(str, range(8)):
+        if int(b) == b7:
+            assert m1[b] != m0[b]
+        else:
+            assert m1[b] == m0[b]  # same file names: carried by reference
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got[7] == 6 and got[0] == 1 and len(got) == 400
+
+
+def test_compaction_is_a_transaction(spark, tmp_path):
+    """compact() rewrites many small files into one per bucket as a NEW
+    snapshot with identical rows; the pre-compaction snapshot still
+    time-travels correctly."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    for i in range(5):
+        t.merge(_mk(spark, [(i, i), (i + 100, 1)]))
+    before_v = t.current_version()
+    before = sorted(tuple(r) for r in t.read().collect())
+    n_files_before = t.file_count()
+    cv = t.compact()
+    assert cv == before_v + 1
+    assert t.file_count() < n_files_before
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert sorted(tuple(r) for r in t.read(version=before_v).collect()) == before
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    for i in range(4):
+        t.merge(_mk(spark, [(1, 1), (2 * i, 3)]))
+    t.compact()
+    head = t.current_version()
+    want = sorted(tuple(r) for r in t.read().collect())
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0
+    assert t.history() == [head]
+    assert sorted(tuple(r) for r in t.read().collect()) == want
+    # every remaining data file is referenced by the kept manifest
+    live = {
+        r
+        for fl in t._load_manifest(head)["files"].values()
+        for r in fl
+    }
+    on_disk = {e for e in os.listdir(t._data_dir) if e.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_latest_mode_tombstones_across_snapshots(spark, tmp_path):
+    """mode='latest' + delete_col on the snapshot table: tombstones hide
+    keys at head, stay visible to time travel BEFORE the delete, and a
+    late older update cannot resurrect the key."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=4,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ord long, v long, dead boolean"
+    )
+    t.merge(mk([(1, 10, 100, False), (2, 10, 200, False)]))
+    t.merge(mk([(1, 20, 100, True)]))  # delete k=1 @ ord 20
+    assert {r["k"] for r in t.read().collect()} == {2}
+    assert {r["k"] for r in t.read(version=0).collect()} == {1, 2}
+    t.merge(mk([(1, 15, 111, False)]))  # late, older than the tombstone
+    assert {r["k"] for r in t.read().collect()} == {2}

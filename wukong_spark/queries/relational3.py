@@ -1368,7 +1368,7 @@ def _cdc_base_and_log(spark: SparkSession, sf_dir: str):
 # integer cents so every cell is exact.  Shared by the batch apply and
 # the streaming sink entry (stream_cdc_apply_check) — both must converge
 # to the same snapshot.
-_CDC_SNAPSHOT_ORACLE = """
+_CDC_CTES = """
     WITH base AS (
       SELECT o_orderkey AS k, o_orderstatus AS status,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
@@ -1394,10 +1394,23 @@ _CDC_SNAPSHOT_ORACLE = """
     ), applied AS (
       SELECT k, status, price_c FROM last WHERE op <> 'D'
     )
+    """
+
+_CDC_SNAPSHOT_ORACLE = _CDC_CTES + """
     SELECT k, status, price_c FROM untouched
     UNION ALL
     SELECT k, status, price_c FROM applied
     ORDER BY k
+    """
+
+# head snapshot (= applied changelog) + time travel to v0 (= base), tagged
+_CDC_TIMETRAVEL_ORACLE = _CDC_CTES + """
+    SELECT 'head' AS snap, k, status, price_c FROM untouched
+    UNION ALL
+    SELECT 'head' AS snap, k, status, price_c FROM applied
+    UNION ALL
+    SELECT 'v0' AS snap, k, status, price_c FROM base
+    ORDER BY snap, k
     """
 
 
@@ -1502,6 +1515,71 @@ def stream_cdc_apply_check(spark: SparkSession, sf_dir: str):
         return spark.createDataFrame(
             rows, "k long, status string, price_c long"
         ).orderBy("k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("lakehouse_snapshot_merge_check", oracle=_CDC_TIMETRAVEL_ORACLE)
+def lakehouse_snapshot_merge_check(spark: SparkSession, sf_dir: str):
+    """SNAPSHOT TABLE FORMAT end-to-end (r16, VERDICT r15 missing #1) —
+    the lakehouse MERGE surface on plain parquet
+    (`wukong_spark/tableformat.py`): the base snapshot commits as v0,
+    then the CDC changelog lands as three MERGE-ON-READ commits applied
+    OUT OF SEQ ORDER (deletes before the updates they supersede — the
+    argmax over (seq, commit) must still converge), then `compact()`
+    rewrites the head as a new snapshot and `vacuum()` reclaims
+    unreferenced files keeping only {v0, head}.  The returned rows are
+    the post-compaction HEAD (must equal the batch CDC apply) unioned
+    with TIME TRAVEL to v0 (must equal the untouched base) — snapshot
+    isolation, atomic commit, time travel, compaction-transaction and GC
+    all behind one hash.
+
+    100 TB path: each commit's IO is O(delta) (append-only files +
+    an O(files) manifest); reads prune to manifest-listed files; compact
+    bounds read-side merge cost per bucket.  Reference analogue: the
+    publish/persist dataset surface (`client.py:2213-2340`)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"lakehouse_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=8,
+            mode="latest", order_col="seq", delete_col="deleted",
+        )
+        as_delta = lambda df: df.select(
+            "k", "seq", "status", "price_c",
+            (F.col("op") == F.lit("D")).alias("deleted"),
+        )
+        v0 = t.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        # out-of-order commits: D (seq 2) lands BEFORE U (seq 1)
+        for op in ("D", "U", "I"):
+            t.merge(as_delta(log.filter(F.col("op") == op)))
+        head_v = t.compact()  # head advances; read()-rows must be unchanged
+        # GC everything except the archival v0 and the compacted head —
+        # the mid-changelog snapshots' files are reclaimed, and both
+        # reads below run AFTER the vacuum, proving it kept what it must
+        t.vacuum(keep=[v0, head_v])
+        rows_head = t.read().select("k", "status", "price_c").collect()
+        return spark.createDataFrame(
+            rows_head, "k long, status string, price_c long"
+        ).select(
+            F.lit("head").alias("snap"), "k", "status", "price_c"
+        ).unionByName(
+            spark.createDataFrame(
+                t.read(version=v0).select("k", "status", "price_c").collect(),
+                "k long, status string, price_c long",
+            ).select(F.lit("v0").alias("snap"), "k", "status", "price_c")
+        ).orderBy("snap", "k")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
