@@ -137,3 +137,29 @@ def test_latest_mode_tombstones_across_snapshots(spark, tmp_path):
     assert {r["k"] for r in t.read(version=0).collect()} == {1, 2}
     t.merge(mk([(1, 15, 111, False)]))  # late, older than the tombstone
     assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_read_keys_prunes_to_touched_bucket_files(spark, tmp_path):
+    """read_keys must (a) equal a filtered full read and (b) list ONLY
+    the touched buckets' files in its scan — the point-lookup path that
+    keeps MERGE INTO source lookups O(touched buckets) at any size."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    t.merge(
+        spark.range(0, 400).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    )
+    t.merge(_mk(spark, [(7, 5)]))
+    got = {r["k"]: r["n"] for r in t.read_keys([7, 0]).collect()}
+    assert got == {7: 6, 0: 1}
+    b_touched = {
+        r["b"]
+        for r in spark.createDataFrame([(7,), (0,)], "k long")
+        .select(F.pmod(F.hash("k"), F.lit(8)).alias("b"))
+        .collect()
+    }
+    infiles = {
+        os.path.basename(p) for p in t.read_keys([7, 0]).inputFiles()
+    }
+    m = t._load_manifest(t.current_version())["files"]
+    for b, fl in m.items():
+        for rel in fl:
+            assert (rel in infiles) == (int(b) in b_touched), (b, rel)

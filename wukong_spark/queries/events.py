@@ -2639,6 +2639,74 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "stream_lakehouse_commit_sink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_lakehouse_commit_sink(spark: SparkSession, sf_dir: str):
+    """STREAMING SINK INTO THE SNAPSHOT TABLE FORMAT (r16): each
+    micro-batch's per-user aggregates land as ONE atomic MERGE-ON-READ
+    commit on `tableformat.SnapshotStateTable` via foreachBatch — the
+    foreachBatch→Delta-MERGE idiom on the jar-less table format.  The
+    events table streams as ≥4 file-per-trigger batches, so ≥5 snapshots
+    commit (base none — first batch creates v0) and a reader between any
+    two commits sees a consistent snapshot (manifest isolation, pinned in
+    tests/test_tableformat.py); the HEAD must equal the batch aggregation.
+
+    100 TB path: per batch the commit writes O(delta) files + one
+    manifest; read-side merge cost is bounded by the closing compact()
+    (exactly a streaming ingest pipeline's compactor cadence)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.streaming import (
+        read_events_dir_stream,
+        restore_stream_conf,
+        run_foreach_batch,
+        snapshot_stream_conf,
+    )
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    prev_conf = snapshot_stream_conf(spark)
+    work = tempfile.mkdtemp(prefix=f"stream_lake_{uuid.uuid4().hex[:8]}-")
+    src = f"{work}/src"
+    t = SnapshotStateTable(spark, f"{work}/t", "user_id", n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(4).write.parquet(src)
+
+        stream = read_events_dir_stream(spark, src, max_files_per_trigger=1)
+
+        def commit(bdf, epoch_id):
+            t.merge(
+                bdf.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 10000).cast("long")
+                    ).alias("sum_value_4"),
+                )
+            )
+
+        epochs = run_foreach_batch(stream.select("user_id", "value"), commit)
+        assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
+        assert len(t.history()) >= 4, t.history()
+        t.compact()  # the ingest compactor step; rows must be unchanged
+        rows = t.read().collect()
+        return spark.createDataFrame(
+            rows, "user_id long, n_events long, sum_value_4 long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        restore_stream_conf(spark, prev_conf)
+
+
+@query(
     "stream_upsert_latest_sink",
     # last-write-wins BY EVENT TIME: the converged state must equal the
     # global per-user argmax over (ts, event_id) no matter how events

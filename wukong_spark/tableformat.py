@@ -263,6 +263,41 @@ class SnapshotStateTable:
             ).drop(self.delete_col)
         return out
 
+    def read_keys(
+        self, keys: list, version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point/batch lookup: read ONLY the bucket file lists the given
+        keys hash to — the scan opens O(touched buckets) files however
+        large the table is (the MERGE INTO source-lookup shape).  Key
+        hashing reuses the exact bucketing expression, so results equal
+        ``read().filter(key ∈ keys)``."""
+        v = self.current_version() if version is None else version
+        if v is None or not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"no committed snapshot {version!r}")
+        m = self._load_manifest(v)
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], f"{self.key_col} {'string' if isinstance(keys[0], str) else 'long'}"
+        )
+        buckets = {
+            r["__bkt"] for r in self._bucketed(kdf).select("__bkt").distinct().collect()
+        }
+        rels = [
+            r for b, fl in m["files"].items() if int(b) in buckets for r in fl
+        ]
+        if not rels:
+            return self.read(version=v, include_tombstones=include_tombstones).filter(
+                F.col(self.key_col).isin(list(keys))
+            ).limit(0)
+        out = self._reduce(self._read_files(rels)).drop("__commit").filter(
+            F.col(self.key_col).isin(list(keys))
+        )
+        if self.delete_col and not include_tombstones:
+            out = out.filter(
+                ~F.coalesce(F.col(self.delete_col), F.lit(False))
+            ).drop(self.delete_col)
+        return out
+
     def merge(self, delta: DataFrame, expect_version: int | None = None) -> int:
         """MERGE-ON-READ commit: append `delta`'s rows as new files in the
         buckets they touch (IO = O(delta)); untouched buckets carry by
