@@ -163,3 +163,69 @@ def test_read_keys_prunes_to_touched_bucket_files(spark, tmp_path):
     for b, fl in m.items():
         for rel in fl:
             assert (rel in infiles) == (int(b) in b_touched), (b, rel)
+
+
+def test_latest_mode_multirow_delta_reduced_on_write(spark, tmp_path):
+    """mode='latest' merges collapse a multi-row-per-key delta to its
+    per-key argmax ON WRITE (r16 watch item b) — the one-row invariant
+    is enforced instead of documented."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=4,
+        mode="latest", order_col="ord",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k long, ord long, v long")
+    t.merge(mk([(1, 10, 100), (1, 30, 300), (1, 20, 200), (2, 1, 7)]))
+    got = {r["k"]: (r["ord"], r["v"]) for r in t.read().collect()}
+    assert got == {1: (30, 300), 2: (1, 7)}
+    # and the stored files hold ONE row for k=1 (reduced before staging)
+    raw = t._read_files(
+        [r for fl in t._load_manifest(0)["files"].values() for r in fl]
+    )
+    assert raw.filter(F.col("k") == 1).count() == 1
+
+
+def test_compact_expires_old_tombstones(spark, tmp_path):
+    """compact(expire_tombstones_below=h) physically drops tombstones
+    older than the horizon; newer tombstones survive and keep guarding
+    against resurrection."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=2,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ord long, v long, dead boolean"
+    )
+    t.merge(mk([(1, 10, 1, False), (2, 10, 2, False), (3, 10, 3, False)]))
+    t.merge(mk([(1, 20, 1, True)]))    # old tombstone (ord 20)
+    t.merge(mk([(2, 90, 2, True)]))    # recent tombstone (ord 90)
+    t.compact(expire_tombstones_below=50)
+    full = {r["k"]: r["dead"] for r in t.read(include_tombstones=True).collect()}
+    assert full == {2: True, 3: False}, full  # k=1's tombstone expired
+    assert {r["k"] for r in t.read().collect()} == {3}
+    # the surviving tombstone still wins over an older straggler
+    t.merge(mk([(2, 50, 22, False)]))
+    assert {r["k"] for r in t.read().collect()} == {3}
+
+
+def test_read_changes_is_the_commit_delta(spark, tmp_path):
+    """Change data feed: read_changes(a, b) returns exactly the rows
+    committed in (a, b] with their commit versions, reading only the
+    appended files; a compaction inside the range raises."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.merge(_mk(spark, [(1, 10), (2, 20)]))          # v0
+    t.merge(_mk(spark, [(1, 5)]))                    # v1
+    t.merge(_mk(spark, [(3, 30)]))                   # v2
+    ch = sorted(
+        (r["k"], r["n"], r["__commit"])
+        for r in t.read_changes(0, 2).collect()
+    )
+    assert ch == [(1, 5, 1), (3, 30, 2)]
+    # cost pin: only the two appended files are scanned
+    assert len(t.read_changes(0, 2).inputFiles()) == 2
+    t.compact()                                      # v3
+    with pytest.raises(ValueError, match="compaction"):
+        t.read_changes(0, 3)
+    # reading forward from the compacted snapshot works again
+    t.merge(_mk(spark, [(4, 4)]))                    # v4
+    ch2 = [(r["k"], r["n"], r["__commit"]) for r in t.read_changes(3, 4).collect()]
+    assert ch2 == [(4, 4, 4)]

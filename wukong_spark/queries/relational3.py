@@ -1403,6 +1403,16 @@ _CDC_SNAPSHOT_ORACLE = _CDC_CTES + """
     ORDER BY k
     """
 
+# the change feed between v0 and head is exactly the changelog, tagged with
+# the commit each op landed in (commit order in the entry: D=1, U=2, I=3)
+_CDC_CHANGEFEED_ORACLE = _CDC_CTES + """
+    SELECT k, seq, status, price_c,
+           (op = 'D') AS deleted,
+           CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END AS commit_v
+    FROM log
+    ORDER BY commit_v, k
+    """
+
 # head snapshot (= applied changelog) + time travel to v0 (= base), tagged
 _CDC_TIMETRAVEL_ORACLE = _CDC_CTES + """
     SELECT 'head' AS snap, k, status, price_c FROM untouched
@@ -1580,6 +1590,64 @@ def lakehouse_snapshot_merge_check(spark: SparkSession, sf_dir: str):
                 "k long, status string, price_c long",
             ).select(F.lit("v0").alias("snap"), "k", "status", "price_c")
         ).orderBy("snap", "k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("lakehouse_change_feed_check", oracle=_CDC_CHANGEFEED_ORACLE)
+def lakehouse_change_feed_check(spark: SparkSession, sf_dir: str):
+    """CHANGE DATA FEED out of the snapshot table (r16) — the other
+    direction of the lakehouse loop: after the base commits as v0 and
+    the changelog lands as three merge commits (D, U, I in that order),
+    `read_changes(v0, head)` must return EXACTLY the changelog rows,
+    each tagged with the commit version it landed in — what a downstream
+    incremental consumer applies to follow the table without rescanning
+    it.  The read touches only the files those commits appended
+    (manifest set difference; inputFiles-pinned in
+    tests/test_tableformat.py), so feed cost is O(changes).
+
+    Reference analogue: publish/republish of evolving datasets
+    (`client.py:2213-2340`) — here consumers pull precise diffs instead
+    of whole republished frames."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"lakefeed_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=8,
+            mode="latest", order_col="seq", delete_col="deleted",
+        )
+        as_delta = lambda df: df.select(
+            "k", "seq", "status", "price_c",
+            (F.col("op") == F.lit("D")).alias("deleted"),
+        )
+        v0 = t.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        head = v0
+        for op in ("D", "U", "I"):
+            head = t.merge(as_delta(log.filter(F.col("op") == op)))
+        rows = (
+            t.read_changes(v0, head)
+            .select(
+                "k", "seq", "status", "price_c", "deleted",
+                F.col("__commit").alias("commit_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "k long, seq int, status string, price_c long, deleted boolean,"
+            " commit_v long",
+        ).orderBy("commit_v", "k")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

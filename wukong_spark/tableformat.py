@@ -313,6 +313,22 @@ class SnapshotStateTable:
         target = 0 if head is None else head + 1
         if head is not None:
             delta = self._enforce_schema(delta, head)
+        if self.mode == "latest":
+            # enforce the one-row-per-key invariant ON WRITE: collapse the
+            # delta to its per-key argmax over order_col (rows tying on
+            # order_col within one delta have no commit tie-break — the
+            # caller owns making order_col total per key)
+            val_cols = [c for c in delta.columns if c != self.key_col]
+            packed = delta.groupBy(self.key_col).agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in val_cols]),
+                    F.col(self.order_col),
+                ).alias("__w")
+            )
+            delta = packed.select(
+                self.key_col,
+                *[F.col(f"__w.{c}").alias(c) for c in val_cols],
+            )
         d = self._bucketed(
             delta.withColumn("__commit", F.lit(target).cast("long"))
         )
@@ -326,28 +342,85 @@ class SnapshotStateTable:
             files[b] = files.get(b, []) + rels
         return self._commit(target, files, "merge", schema_json)
 
-    def compact(self) -> int:
+    def compact(self, expire_tombstones_below=None) -> int:
         """Pre-apply the read reduction per bucket and commit the result
         as a NEW snapshot with identical read()-rows — the OPTIMIZE
-        transaction that bounds merge-on-read cost.  Tombstones are
-        RETAINED (dropping them would let an older straggler resurrect a
-        deleted key); use `vacuum` + an application-level horizon to
-        expire them."""
+        transaction that bounds merge-on-read cost.
+
+        Tombstones are RETAINED by default (dropping one would let an
+        older straggler resurrect a deleted key).  Pass
+        `expire_tombstones_below=<order value>` to physically drop
+        tombstones whose `order_col` is below that horizon — SAFE ONLY
+        under the application's guarantee that no future delta carries an
+        order older than the horizon (the standard watermark/retention
+        contract every CDC compactor imposes)."""
         head = self.current_version()
         if head is None:
             raise ValueError("nothing to compact")
+        if expire_tombstones_below is not None and not self.delete_col:
+            raise ValueError("tombstone expiry requires delete_col")
         m = self._load_manifest(head)
         prev = {int(k): v for k, v in m["files"].items()}
         files: dict[int, list[str]] = {}
         for b, rels in prev.items():
-            if len(rels) <= 1:
+            if len(rels) <= 1 and expire_tombstones_below is None:
                 files[b] = rels  # already compact: carry by reference
                 continue
-            reduced = self._bucketed(
-                self._reduce(self._read_files(rels))
-            ).coalesce(1)
-            files[b] = self._stage_files(reduced).get(b, [])
+            reduced = self._reduce(self._read_files(rels))
+            if expire_tombstones_below is not None:
+                reduced = reduced.filter(
+                    ~(
+                        F.coalesce(F.col(self.delete_col), F.lit(False))
+                        & (F.col(self.order_col) < F.lit(expire_tombstones_below))
+                    )
+                )
+            files[b] = self._stage_files(
+                self._bucketed(reduced).coalesce(1)
+            ).get(b, [])
         return self._commit(head + 1, files, "compact", m["schema"])
+
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """CHANGE DATA FEED: the delta rows committed in
+        (from_version, to_version] — each with its `__commit` version —
+        i.e. what a downstream consumer must apply to go from snapshot
+        `from_version` to `to_version`.  Reads ONLY the files those
+        commits appended (manifest set difference), so the cost is
+        O(changes), never a table scan.
+
+        Valid only across pure merge commits: a compact() in the range
+        rewrites history (its files are reductions, not changes) and
+        raises."""
+        h = self.history()
+        if from_version not in h or to_version not in h:
+            raise ValueError(f"unknown versions {from_version}..{to_version}")
+        if not from_version < to_version:
+            raise ValueError("from_version must be < to_version")
+        for v in h:
+            if from_version < v <= to_version:
+                if self._load_manifest(v).get("note") == "compact":
+                    raise ValueError(
+                        f"snapshot {v} is a compaction — the change feed "
+                        "is undefined across it; read from the compacted "
+                        "snapshot forward instead"
+                    )
+        old = {
+            r
+            for fl in self._load_manifest(from_version)["files"].values()
+            for r in fl
+        }
+        new = [
+            r
+            for fl in self._load_manifest(to_version)["files"].values()
+            for r in fl
+            if r not in old
+        ]
+        if not new:
+            df = self.read(version=to_version, include_tombstones=True)
+            return df.limit(0).withColumn("__commit", F.lit(0).cast("long"))
+        return self._read_files(new).filter(
+            (F.col("__commit") > F.lit(from_version))
+            & (F.col("__commit") <= F.lit(to_version))
+        )
 
     def vacuum(
         self, keep_versions: int = 2, keep: list[int] | None = None
