@@ -1,0 +1,97 @@
+"""Lakehouse tour on the manifest-based snapshot table format (r16) —
+what a CDC/ingest pipeline does with a versioned table, end to end, on
+plain parquet (`wukong_spark/tableformat.py`):
+
+1. commit a base snapshot, stream updates/deletes in as MERGE-on-read
+   commits (each atomic: an O_EXCL manifest is THE commit point);
+2. read the head, time-travel to any earlier snapshot, and point-look-up
+   keys through bucket-pruned file lists;
+3. follow the table incrementally via the change data feed
+   (read_changes = exactly the rows each commit appended);
+4. run the compactor (identical-rows OPTIMIZE transaction, expiring
+   tombstones older than the retention horizon) and vacuum the files no
+   kept snapshot references.
+
+Every primitive used here is driver-gated in the registry
+(lakehouse_snapshot_merge_check, lakehouse_change_feed_check,
+stream_lakehouse_commit_sink); this example wires them into the
+operational loop a real table lives in.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+
+def run(spark) -> bool:
+    from pyspark.sql import functions as F
+
+    from wukong_spark.tableformat import CommitConflictError, SnapshotStateTable
+
+    work = tempfile.mkdtemp(prefix=f"lakehouse_ex_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=4,
+            mode="latest", order_col="seq", delete_col="deleted",
+        )
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, seq long, v long, deleted boolean"
+        )
+        # 1. base + two CDC commits (the second deletes a key)
+        v0 = t.merge(mk([(k, 0, k * 10, False) for k in range(1, 6)]))
+        v1 = t.merge(mk([(2, 1, 999, False), (6, 1, 60, False)]))
+        v2 = t.merge(mk([(3, 2, 30, True)]))  # tombstone k=3
+        if [v0, v1, v2] != [0, 1, 2]:
+            return False
+
+        # 2. head vs time travel vs point lookup
+        head = {r["k"]: r["v"] for r in t.read().collect()}
+        if head != {1: 10, 2: 999, 4: 40, 5: 50, 6: 60}:
+            return False
+        if {r["k"] for r in t.read(version=v0).collect()} != {1, 2, 3, 4, 5}:
+            return False
+        if {r["k"]: r["v"] for r in t.read_keys([2, 4]).collect()} != {
+            2: 999, 4: 40,
+        }:
+            return False
+
+        # 3. incremental consumer: the change feed is the two commits
+        feed = sorted(
+            (r["k"], r["__commit"], r["deleted"])
+            for r in t.read_changes(v0, v2).collect()
+        )
+        if feed != [(2, 1, False), (3, 2, True), (6, 1, False)]:
+            return False
+
+        # optimistic concurrency: a stale writer (its delta computed
+        # against v1, but v2 already landed) must conflict, not clobber
+        try:
+            t.merge(mk([(9, 9, 9, False)]), expect_version=v1)
+            return False
+        except CommitConflictError:
+            pass
+        v3 = t.merge(mk([(9, 9, 90, False)]))  # retry against real head
+
+        # 4. compactor + GC: identical rows (k=3's old tombstone expires
+        #    under the seq<10 retention horizon), then vacuum leaves only
+        #    files the kept snapshot references
+        before = sorted(tuple(r) for r in t.read().collect())
+        cv = t.compact(expire_tombstones_below=9)
+        if sorted(tuple(r) for r in t.read().collect()) != before:
+            return False
+        t.vacuum(keep=[cv])
+        if t.history() != [cv]:
+            return False
+        return sorted(tuple(r) for r in t.read().collect()) == before and (
+            v3 == cv - 1
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    from _common import get_session
+
+    print("lakehouse_pipeline:", "OK" if run(get_session()) else "FAILED")

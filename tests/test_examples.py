@@ -16,6 +16,7 @@ import curation_pipeline  # noqa: E402
 import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
 import gemm  # noqa: E402
+import lakehouse_pipeline  # noqa: E402
 import linear_dag  # noqa: E402
 import multimodal_pipeline  # noqa: E402
 import single_node  # noqa: E402
@@ -31,6 +32,7 @@ ALL = {
     "curation_pipeline": curation_pipeline.run,
     "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
+    "lakehouse_pipeline": lakehouse_pipeline.run,
     "linear_dag": linear_dag.run,
     "multimodal_pipeline": multimodal_pipeline.run,
     "fan_in": fan_in.run,

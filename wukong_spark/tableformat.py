@@ -311,6 +311,12 @@ class SnapshotStateTable:
         head+1 behavior is fine)."""
         head = self.current_version() if expect_version is None else expect_version
         target = 0 if head is None else head + 1
+        # fast-path conflict check before paying the staging write; the
+        # O_EXCL manifest create in _commit remains the authoritative one
+        if os.path.exists(self._manifest_path(target)):
+            raise CommitConflictError(
+                f"version {target} already exists; reload and retry"
+            )
         if head is not None:
             delta = self._enforce_schema(delta, head)
         if self.mode == "latest":
