@@ -272,6 +272,8 @@ class SnapshotStateTable:
         large the table is (the MERGE INTO source-lookup shape).  Key
         hashing reuses the exact bucketing expression, so results equal
         ``read().filter(key ∈ keys)``."""
+        if not keys:
+            raise ValueError("read_keys requires at least one key")
         v = self.current_version() if version is None else version
         if v is None or not os.path.exists(self._manifest_path(v)):
             raise ValueError(f"no committed snapshot {version!r}")
