@@ -229,3 +229,85 @@ def test_read_changes_is_the_commit_delta(spark, tmp_path):
     t.merge(_mk(spark, [(4, 4)]))                    # v4
     ch2 = [(r["k"], r["n"], r["__commit"]) for r in t.read_changes(3, 4).collect()]
     assert ch2 == [(4, 4, 4)]
+
+
+def test_snapshot_table_equals_bucketed_sink(spark, tmp_path):
+    """The two state sinks share merge_column_exprs — pin the shared
+    semantics END TO END: the same delta sequence through
+    SnapshotStateTable (merge-on-read) and BucketedUpsertState (merge-on-
+    write) must produce identical state, in both modes."""
+    import numpy as np
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    rng = np.random.default_rng(7)
+
+    def deltas_sum():
+        out = []
+        for _ in range(4):
+            ks = rng.choice(30, size=rng.integers(1, 12), replace=False)
+            out.append([(int(k), int(rng.integers(-5, 9))) for k in ks])
+        return out
+
+    # sum mode
+    snap = SnapshotStateTable(spark, str(tmp_path / "s"), "k", n_buckets=4)
+    bkt = BucketedUpsertState(spark, str(tmp_path / "b"), "k", n_buckets=4)
+    for d in deltas_sum():
+        df = spark.createDataFrame(d, "k long, n long")
+        snap.merge(df)
+        bkt.merge(df)
+    a = {r["k"]: r["n"] for r in snap.read().collect()}
+    b = {r["k"]: r["n"] for r in bkt.read().collect()}
+    assert a == b, (a, b)
+
+    # latest mode with tombstones
+    snap2 = SnapshotStateTable(
+        spark, str(tmp_path / "s2"), "k", n_buckets=4,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    bkt2 = BucketedUpsertState(
+        spark, str(tmp_path / "b2"), "k", n_buckets=4,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    for _ in range(4):
+        ks = rng.choice(20, size=rng.integers(1, 8), replace=False)
+        rows = [
+            (int(k), int(rng.integers(0, 50)), int(rng.integers(0, 100)),
+             bool(rng.random() < 0.25))
+            for k in ks
+        ]
+        df = spark.createDataFrame(rows, "k long, ord long, v long, dead boolean")
+        snap2.merge(df)
+        bkt2.merge(df)
+    a2 = {r["k"]: (r["ord"], r["v"]) for r in snap2.read().collect()}
+    b2 = {r["k"]: (r["ord"], r["v"]) for r in bkt2.read().collect()}
+    assert a2 == b2, (a2, b2)
+
+
+def test_snapshot_table_commit_order_invariance(spark, tmp_path):
+    """Associativity pin: in mode='latest' (argmax over (ord, commit)
+    with per-key-unique ords), applying the same delta set in ANY
+    commit order converges to the same head read."""
+    import itertools
+
+    deltas = [
+        [(1, 10, 100, False), (2, 11, 200, False)],
+        [(1, 30, 300, True), (3, 5, 50, False)],
+        [(1, 20, 222, False), (2, 40, 444, False)],
+    ]
+    results = []
+    for i, perm in enumerate(itertools.permutations(range(3))):
+        t = SnapshotStateTable(
+            spark, str(tmp_path / f"p{i}"), "k", n_buckets=2,
+            mode="latest", order_col="ord", delete_col="dead",
+        )
+        for j in perm:
+            t.merge(
+                spark.createDataFrame(
+                    deltas[j], "k long, ord long, v long, dead boolean"
+                )
+            )
+        results.append(
+            sorted(tuple(r) for r in t.read(include_tombstones=True).collect())
+        )
+    assert all(r == results[0] for r in results), results
