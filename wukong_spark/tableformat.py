@@ -66,8 +66,10 @@ class SnapshotStateTable:
 
     `mode`/`order_col`/`delete_col` follow `streaming.BucketedUpsertState`
     (sum-accumulate, or associative last-write-wins with retained
-    tombstones); deltas keep the ≤1-row-per-key-per-merge contract in
-    mode='latest' (equal (order, commit) pairs would tie arbitrarily)."""
+    tombstones).  In mode='latest' a multi-row-per-key delta is collapsed
+    to its per-key argmax over `order_col` ON WRITE; rows of one delta
+    that tie on `order_col` have no commit tie-break, so the caller owns
+    making `order_col` total per key WITHIN a delta."""
 
     def __init__(
         self, spark: SparkSession, table_dir: str, key_col: str,
