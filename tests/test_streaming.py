@@ -848,3 +848,30 @@ def test_bucketed_upsert_recovers_interrupted_swap(spark, tmp_path):
     got = {r["k"]: r["n"] for r in state.read().collect()}
     want[0] = want[0] + 1
     assert got == want
+
+
+def test_bucketed_upsert_merge_expires_old_tombstones(spark, tmp_path):
+    """merge(expire_tombstones_below=h) drops horizon-expired tombstones
+    in the buckets it rewrites anyway (zero extra IO); newer tombstones
+    survive and keep guarding against resurrection."""
+    from pyspark.sql import functions as F
+
+    from wukong_spark.streaming import BucketedUpsertState
+
+    state = BucketedUpsertState(
+        spark, str(tmp_path / "st"), "k", n_buckets=1,
+        mode="latest", order_col="ord", delete_col="dead",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, ord long, v long, dead boolean"
+    )
+    state.merge(mk([(1, 10, 1, False), (2, 10, 2, False), (3, 10, 3, False)]))
+    state.merge(mk([(1, 20, 1, True)]))   # old tombstone (ord 20)
+    state.merge(mk([(2, 90, 2, True)]))   # recent tombstone (ord 90)
+    # a later merge with the watermark at 50 expires k=1's tombstone
+    state.merge(mk([(4, 95, 4, False)]), expire_tombstones_below=50)
+    full = {r["k"]: r["dead"] for r in state.read(True).collect()}
+    assert full == {2: True, 3: False, 4: False}, full
+    # the surviving tombstone still wins over an older straggler
+    state.merge(mk([(2, 60, 22, False)]))
+    assert {r["k"] for r in state.read().collect()} == {3, 4}

@@ -870,10 +870,22 @@ class BucketedUpsertState:
             ).drop(self.delete_col)
         return out
 
-    def merge(self, delta: DataFrame) -> dict:
+    def merge(
+        self, delta: DataFrame, expire_tombstones_below=None
+    ) -> dict:
         """Upsert-accumulate `delta` (≤1 row per key; non-key numeric
         columns combine by +) into the state table.  Returns
-        ``{"touched": [bucket ids rewritten]}``."""
+        ``{"touched": [bucket ids rewritten]}``.
+
+        `expire_tombstones_below` (mode='latest' + delete_col, r16):
+        while rewriting the touched buckets anyway, drop tombstones whose
+        `order_col` is below the horizon — zero extra IO, gradual expiry.
+        SAFE ONLY under the application's guarantee that no future delta
+        carries an order older than the horizon (the watermark/retention
+        contract every CDC compactor imposes); untouched buckets keep
+        their tombstones until a merge next touches them."""
+        if expire_tombstones_below is not None and not self.delete_col:
+            raise ValueError("tombstone expiry requires delete_col")
         import os
         import shutil
 
@@ -912,6 +924,13 @@ class BucketedUpsertState:
             val_cols, state_types, self.mode, self.order_col
         )
         merged = self._bucketed(joined.select(self.key_col, *cols))
+        if expire_tombstones_below is not None:
+            merged = merged.filter(
+                ~(
+                    F.coalesce(F.col(self.delete_col), F.lit(False))
+                    & (F.col(self.order_col) < F.lit(expire_tombstones_below))
+                )
+            )
         stage = f"{self.state_dir}__stage"
         merged.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
         # recoverable swap (ADVICE r15): park the replaced bucket under
