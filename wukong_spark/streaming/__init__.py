@@ -835,23 +835,59 @@ class BucketedUpsertState:
         return f"{self.state_dir}__old"
 
     def _recover(self) -> None:
-        """Finish (or roll back) an interrupted bucket swap (ADVICE r15):
-        `merge` parks each replaced bucket dir under `{state_dir}__old/`
-        BEFORE moving the staged one in, so after a crash either the new
-        bucket is in place (parked copy is garbage) or it is missing
-        (parked copy is the authoritative pre-merge state — restore it).
+        """Roll an interrupted bucket swap BACK to the pre-merge state
+        (ADVICE r17, superseding the r15 roll-forward): `merge` journals
+        the touched-bucket list under ``{state_dir}__old/__JOURNAL.json``
+        and parks each replaced bucket dir there BEFORE moving the staged
+        one in; a ``__DONE`` marker lands only after EVERY touched bucket
+        swapped.  On crash:
+
+        - marker present → the swap completed; the parked copies are
+          garbage (drop them) — the merge is applied atomically;
+        - marker absent → the swap was TORN (some buckets new, some old).
+          Restore every parked bucket over its destination and REMOVE
+          destinations for journaled buckets with no parked copy (those
+          were inserts of brand-new buckets) — the consistent pre-merge
+          state, since merge() never reported success.
+
+        The r15 code committed forward per bucket, which a mid-loop crash
+        turned into silently-torn state with the rollback copies deleted.
         Idempotent; called before every read/merge."""
+        import json
         import os
         import shutil
 
         root = self._old_root
         if not os.path.isdir(root):
             return
-        for e in os.listdir(root):
-            dst = os.path.join(self.state_dir, e)
-            if not os.path.isdir(dst):
-                shutil.move(os.path.join(root, e), dst)
+        done = os.path.exists(os.path.join(root, "__DONE"))
+        journal_path = os.path.join(root, "__JOURNAL.json")
+        if not done and os.path.exists(journal_path):
+            with open(journal_path) as f:
+                j = json.load(f)
+            new_buckets = set(j.get("new", []))
+            for b in j["touched"]:
+                parked = os.path.join(root, f"__bkt={b}")
+                dst = os.path.join(self.state_dir, f"__bkt={b}")
+                if os.path.isdir(parked):
+                    # park happened → dst (absent or new data) is undone
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(parked, dst)
+                elif b in new_buckets:
+                    # bucket did not exist pre-merge: its swap-in (if it
+                    # happened) must be undone
+                    shutil.rmtree(dst, ignore_errors=True)
+                # else: crash before this bucket was parked — dst still
+                # holds the pre-merge data; keep it
+        elif not done:
+            # legacy pre-journal layout (written by r15/r16 code): the old
+            # roll-forward contract — keep new when present, else restore
+            for e in os.listdir(root):
+                dst = os.path.join(self.state_dir, e)
+                if not os.path.isdir(dst):
+                    shutil.move(os.path.join(root, e), dst)
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(f"{self.state_dir}__stage", ignore_errors=True)
 
     def exists(self) -> bool:
         import os
@@ -933,14 +969,32 @@ class BucketedUpsertState:
             )
         stage = f"{self.state_dir}__stage"
         merged.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
-        # recoverable swap (ADVICE r15): park the replaced bucket under
-        # __old/ BEFORE moving the staged one in — a crash at any point
-        # leaves either the old or the new bucket reachable, and
-        # `_recover()` finishes the job on the next read/merge.  (Still
-        # single-writer: there is no commit log arbitrating concurrent
-        # mergers.)
+        # recoverable swap (ADVICE r15, rollback semantics r17): journal
+        # the touched buckets, park each replaced bucket under __old/
+        # BEFORE moving the staged one in, and write the __DONE marker
+        # only after EVERY bucket swapped.  A crash anywhere in the loop
+        # rolls BACK at the next read/merge (`_recover()`): without the
+        # marker the parked copies are the authoritative pre-merge state
+        # — never torn half-applied state.  (Still single-writer: there
+        # is no commit log arbitrating concurrent mergers.)
+        import json as _json
+
         old_root = self._old_root
         os.makedirs(old_root, exist_ok=True)
+        # record which touched buckets are INSERTS (no pre-merge dir):
+        # rollback must delete those if swapped in, but must never touch
+        # a pre-existing bucket the crash happened to leave unparked
+        new_buckets = [
+            int(b)
+            for b in touched
+            if not os.path.isdir(os.path.join(self.state_dir, f"__bkt={b}"))
+        ]
+        with open(os.path.join(old_root, "__JOURNAL.json"), "w") as jf:
+            _json.dump(
+                {"touched": [int(b) for b in touched], "new": new_buckets}, jf
+            )
+            jf.flush()
+            os.fsync(jf.fileno())
         for b in touched:
             src = os.path.join(stage, f"__bkt={b}")
             dst = os.path.join(self.state_dir, f"__bkt={b}")
@@ -948,6 +1002,8 @@ class BucketedUpsertState:
                 shutil.move(dst, os.path.join(old_root, f"__bkt={b}"))
             if os.path.isdir(src):
                 shutil.move(src, dst)
+        with open(os.path.join(old_root, "__DONE"), "w"):
+            pass
         shutil.rmtree(old_root, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         release_checkpoint(d)
