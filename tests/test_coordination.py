@@ -191,3 +191,39 @@ def test_actor_error_propagates_and_decorator():
     assert f.result(timeout=5) == 3
     assert f.result(timeout=5) == 3
     h.stop()
+
+
+def test_coordination_fenced_inside_tasks(spark):
+    """VERDICT r16 #6: task-side access to driver-local named state must
+    fail with an explicit error (not hang on a fresh empty registry),
+    and the documented alternative — a broadcast snapshot — must work."""
+    import pytest
+
+    from wukong_spark.coordination import Variable
+
+    v = Variable("fence-probe")
+    v.set(41)
+
+    def probe(_):
+        try:
+            Variable("fence-probe").get(timeout=1)
+            return "no-error"
+        except RuntimeError as e:
+            return "fenced" if "driver-local" in str(e) else f"wrong: {e}"
+
+    got = spark.sparkContext.parallelize([1], 1).map(probe).collect()
+    assert got == ["fenced"]
+
+    # the supported task-side read path: point-in-time broadcast snapshot
+    bc = v.snapshot_broadcast(spark)
+    got = (
+        spark.sparkContext.parallelize([1, 2], 2)
+        .map(lambda x: x + bc.value)
+        .collect()
+    )
+    assert sorted(got) == [42, 43]
+    # a later set does not mutate the live broadcast: re-snapshot per job
+    v.set(100)
+    assert bc.value == 41
+    assert v.snapshot_broadcast(spark).value == 100
+    v.delete()

@@ -473,3 +473,36 @@ def test_kcore_bucketed_layout_cleanup_and_unique_names(spark):
     kcore_bucketed(df, 2, table="bkt_kcore_explicit").collect()
     tables = [t.name for t in spark.catalog.listTables()]
     assert "bkt_kcore_explicit" not in tables, tables
+
+
+def test_link_prediction_degree_cap_bounds_star_graph(spark):
+    """VERDICT r16 #5: the O(D²) hub hazard needs the cap IN CODE.  A
+    star graph (one hub relay of degree 50, plus small relays) must
+    produce C(50,2)=1225 candidates uncapped, but with max_relay_degree
+    below the hub's degree the hub is dropped — candidate count is
+    bounded by the small relays, and the dropped hub is surfaced as
+    evidence."""
+    from wukong_spark.operators.graph import link_prediction_candidates
+
+    hub = [(i, 0) for i in range(50)]            # relay 0: degree 50
+    small = [(1000 + i, 100 + i // 2) for i in range(10)]  # 5 relays, deg 2
+    e = spark.createDataFrame(hub + small, "c long, s long")
+
+    pairs_full, dropped_full = link_prediction_candidates(
+        e, node_col="c", relay_col="s", max_relay_degree=None
+    )
+    assert pairs_full.count() == 1225 + 5
+    assert dropped_full.count() == 0
+
+    pairs_cap, dropped = link_prediction_candidates(
+        e, node_col="c", relay_col="s", max_relay_degree=10
+    )
+    # hub gone: only the 5 degree-2 relays contribute one pair each
+    assert pairs_cap.count() == 5
+    drows = dropped.collect()
+    assert [(r["s"], r["degree"]) for r in drows] == [(0, 50)]
+    # non-binding cap ≡ exact
+    pairs_eq, _ = link_prediction_candidates(
+        e, node_col="c", relay_col="s", max_relay_degree=50
+    )
+    assert pairs_eq.count() == 1225 + 5

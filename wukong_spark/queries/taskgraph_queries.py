@@ -976,15 +976,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str):
 
     Candidate generation is the textbook 2-hop self-join THROUGH the
     relay node (never all-pairs): pairs = e ⋈ e on the shared supplier
-    with a < b, so only co-neighbors ever meet.  The check samples the
-    customer side deterministically (custkey % 50) to bound the output;
-    the production levers at 100 TB are (a) the same hash-mod sharding
-    run shard-by-shard, and (b) a degree cap on the relay node — a hub
-    supplier with degree D contributes O(D²) pairs, so hubs are dropped
-    or down-sampled first (the MinHash-LSH banding argument applied to
-    graphs).  Every shuffle keys on supplier or the (a,b) pair; degrees
-    broadcast-join back onto the pair list.  cn ≥ 2 keeps only
-    multi-witness pairs (rank-stable under regeneration)."""
+    with a < b, so only co-neighbors ever meet — via
+    `operators.graph.link_prediction_candidates` (r17), whose
+    `max_relay_degree` lever IS the production answer to hub relays: a
+    hub supplier with degree D contributes O(D²) pairs, so relays above
+    the cap are dropped pre-join and surfaced as evidence (the
+    MinHash-LSH banding argument applied to graphs; O(D²) bound pinned
+    on a star graph in tests/test_graph.py).  The check samples the
+    customer side deterministically (custkey % 50) to bound the output
+    and passes a cap far above the fixture's max relay degree, so the
+    capped operator provably returns the EXACT result here.  Every
+    shuffle keys on supplier or the (a,b) pair; degrees broadcast-join
+    back onto the pair list.  cn ≥ 2 keeps only multi-witness pairs
+    (rank-stable under regeneration)."""
+    from wukong_spark.operators.graph import link_prediction_candidates
+
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -994,12 +1000,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
-        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .filter(F.col("cn") >= 2)
+    # cap far above any supplier's sampled-customer degree (≤ #customers
+    # sampled); exactness under a non-binding cap is the operator test's
+    # contract, and the entry's hash oracle would catch a binding one
+    pairs, _dropped = link_prediction_candidates(
+        e, node_col="c", relay_col="s", min_cn=2, max_relay_degree=10**9
+    )
+    pairs = pairs.select(
+        F.col("a").alias("cust_a"), F.col("b").alias("cust_b"), "cn"
     )
     da = deg.select(F.col("c").alias("cust_a"), F.col("d").alias("da"))
     db = deg.select(F.col("c").alias("cust_b"), F.col("d").alias("db"))
