@@ -850,3 +850,92 @@ def test_tsqr_check_matches_composition(spark, rng):
     r3, o3, c3 = m2.tsqr_check()
     assert np.allclose(r3, r, atol=1e-12)
     assert abs(o3 - orth) < 1e-12 and abs(c3 - recon) < 1e-12
+
+
+def test_lu_blocked_matches_numpy(spark, rng):
+    """Unpivoted blocked LU (r17, da.linalg.lu parity): L·U reconstructs
+    A, L is unit-lower, U upper — on a ragged grid with a diagonally
+    dominant input (the unpivoted contract)."""
+    from wukong_spark.blockmatrix import lu_blocked
+
+    n, bs = 157, 48
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    l_bm, u_bm = lu_blocked(BlockMatrix.from_numpy(spark, a, bs, bs))
+    l, u = l_bm.to_numpy(), u_bm.to_numpy()
+    assert np.allclose(l @ u, a, atol=1e-8 * n)
+    assert np.allclose(np.triu(l, 1), 0) and np.allclose(np.diag(l), 1)
+    assert np.allclose(np.tril(u, -1), 0)
+
+
+def test_lu_solve_and_inv(spark, rng):
+    from wukong_spark.blockmatrix import inv_blocked, lu_solve
+
+    n, bs = 100, 32
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    bm = BlockMatrix.from_numpy(spark, a, bs, bs)
+    b = rng.standard_normal((n, 3))
+    x = lu_solve(bm, b)
+    assert np.allclose(a @ x, b, atol=1e-8 * n)
+    inv = inv_blocked(bm)
+    assert np.allclose(a @ inv, np.eye(n), atol=1e-8 * n)
+
+
+def test_lu_blocked_rejects_zero_pivot(spark):
+    from wukong_spark.blockmatrix import lu_blocked
+
+    a = np.zeros((40, 40))
+    a[0, 1] = 1.0
+    a[1, 0] = 1.0  # nonsingular but leading 1x1 minor is zero
+    a[np.arange(2, 40), np.arange(2, 40)] = 1.0
+    with pytest.raises(np.linalg.LinAlgError, match="pivot|singular"):
+        lu_blocked(BlockMatrix.from_numpy(spark, a, 16, 16))
+
+
+def test_take_rows_and_compress_rows(spark, rng):
+    """Fancy/boolean row indexing (r17, da slicing parity): arbitrary
+    order, repeats, runs across ragged blocks."""
+    a = rng.standard_normal((37, 11))
+    bm = BlockMatrix.from_numpy(spark, a, 10, 4)
+    idx = [5, 5, 30, 0, 1, 2, 36, 9, 10, 11]
+    got = bm.take_rows(idx).to_numpy()
+    assert np.array_equal(got, a[idx])
+    mask = (np.arange(37) % 3 == 0) | (np.arange(37) > 30)
+    got = bm.compress_rows(mask).to_numpy()
+    assert np.array_equal(got, a[mask])
+    with pytest.raises(IndexError):
+        bm.take_rows([37])
+    with pytest.raises(ValueError):
+        bm.compress_rows(np.zeros(37, dtype=bool))
+
+
+def test_concat_blocks_and_block_grid(spark, rng):
+    """N-ary concatenate + da.block grid assembly (r17): one shuffle,
+    bitwise-equal to the numpy composition, mixed blockings allowed."""
+    from wukong_spark.blockmatrix import block_grid, concat_blocks
+
+    a = rng.standard_normal((20, 8))
+    b = rng.standard_normal((13, 8))
+    c = rng.standard_normal((7, 8))
+    bms = [
+        BlockMatrix.from_numpy(spark, x, br, bc)
+        for x, (br, bc) in zip((a, b, c), [(6, 8), (13, 3), (4, 5)])
+    ]
+    got = concat_blocks(bms, axis=0).to_numpy()
+    assert np.array_equal(got, np.concatenate([a, b, c], axis=0))
+    at = [x.T.copy() for x in (a, b, c)]
+    bmt = [BlockMatrix.from_numpy(spark, x, 5, 7) for x in at]
+    got = concat_blocks(bmt, axis=1).to_numpy()
+    assert np.array_equal(got, np.concatenate(at, axis=1))
+
+    tl = rng.standard_normal((9, 4))
+    tr = rng.standard_normal((9, 6))
+    bl = rng.standard_normal((5, 4))
+    br_ = rng.standard_normal((5, 6))
+    grid = [
+        [BlockMatrix.from_numpy(spark, tl, 4, 4), BlockMatrix.from_numpy(spark, tr, 3, 3)],
+        [BlockMatrix.from_numpy(spark, bl, 5, 2), BlockMatrix.from_numpy(spark, br_, 2, 6)],
+    ]
+    got = block_grid(grid).to_numpy()
+    assert np.array_equal(got, np.block([[tl, tr], [bl, br_]]))
+    with pytest.raises(ValueError, match="heights"):
+        block_grid([[grid[0][0], grid[1][0]]])
