@@ -65,14 +65,27 @@ def run(spark) -> bool:
         if feed != [(2, 1, False), (3, 2, True), (6, 1, False)]:
             return False
 
-        # optimistic concurrency: a stale writer (its delta computed
-        # against v1, but v2 already landed) must conflict, not clobber
+        # optimistic concurrency, both halves (r17): a stale writer whose
+        # delta's buckets OVERLAP an intervening commit's write set must
+        # conflict, not clobber — k=3 collides with v2's tombstone commit
         try:
-            t.merge(mk([(9, 9, 9, False)]), expect_version=v1)
+            t.merge(mk([(3, 9, 9, False)]), expect_version=v1)
             return False
         except CommitConflictError:
             pass
-        v3 = t.merge(mk([(9, 9, 90, False)]))  # retry against real head
+        # ...while a stale writer whose buckets are DISJOINT from every
+        # intervening commit auto-rebases and lands (strict mode stays
+        # available via auto_rebase=False)
+        try:
+            t.merge(
+                mk([(9, 9, 9, False)]), expect_version=v1, auto_rebase=False
+            )
+            return False
+        except CommitConflictError:
+            pass
+        v3 = t.merge(mk([(9, 9, 90, False)]), expect_version=v1)
+        if v3 != v2 + 1:
+            return False
 
         # 4. compactor + GC: identical rows (k=3's old tombstone expires
         #    under the seq<10 retention horizon), then vacuum leaves only
