@@ -939,3 +939,14 @@ def test_concat_blocks_and_block_grid(spark, rng):
     assert np.array_equal(got, np.block([[tl, tr], [bl, br_]]))
     with pytest.raises(ValueError, match="heights"):
         block_grid([[grid[0][0], grid[1][0]]])
+
+
+def test_take_cols_and_compress_cols(spark, rng):
+    a = rng.standard_normal((18, 23))
+    bm = BlockMatrix.from_numpy(spark, a, 5, 7)
+    idx = [22, 0, 0, 7, 8, 9, 14]
+    assert np.array_equal(bm.take_cols(idx).to_numpy(), a[:, idx])
+    mask = np.arange(23) % 2 == 1
+    assert np.array_equal(bm.compress_cols(mask).to_numpy(), a[:, mask])
+    with pytest.raises(ValueError):
+        bm.compress_cols(np.zeros(23, dtype=bool))

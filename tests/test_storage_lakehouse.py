@@ -341,3 +341,92 @@ def test_upsert_state_new_bucket_insert_rolls_back(spark, tmp_path):
         os.path.join(sd, f"__bkt={bmap[new_key]}")
     )
     assert {r["k"]: r["n"] for r in st.read().collect()} == before
+
+
+def test_lost_round_staged_files_are_dropped(spark, tmp_path):
+    """A lost commit round's staged data files bake a version someone
+    else claimed — merge() must GC them on the spot (raise path AND
+    rebase restage path), not lean on vacuum's age gate (r17 watch
+    item b)."""
+    keys_a, keys_b = _disjoint_key_split(spark)
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    t.merge(_mk(spark, [(k, 1) for k in keys_a + keys_b]))   # v0
+    t.merge(_mk(spark, [(keys_a[0], 10)]), expect_version=0)  # v1
+
+    def unreferenced():
+        live = {
+            r
+            for v in t.history()
+            for fl in t._load_manifest(v)["files"].values()
+            for r in fl
+        }
+        return [e for e in t.storage.list("data") if e not in live]
+
+    # overlap → raise: the loser's staged files must be gone
+    with pytest.raises(CommitConflictError):
+        t.merge(_mk(spark, [(keys_a[0], 100)]), expect_version=0)
+    assert unreferenced() == []
+    # disjoint → rebase: the pre-rebase staging round is GC'd too
+    v = t.merge(_mk(spark, [(keys_b[0], 7)]), expect_version=0)
+    assert v == 2
+    assert unreferenced() == []
+
+
+def test_four_threaded_writers_all_land_with_rebase(spark, tmp_path):
+    """REAL concurrency (not sequential simulation): four driver threads
+    race bucket-disjoint merges against the same snapshot through the
+    conditional-put commit path.  Every writer must eventually land via
+    auto-rebase (write sets are disjoint), versions must be a contiguous
+    1..4, and the converged table must hold every delta — the
+    multi-writer contract end-to-end under true interleaving."""
+    import threading
+
+    bmap = _buckets_of(spark, list(range(400)), 8)
+    by_bucket: dict[int, list[int]] = {}
+    for k, b in bmap.items():
+        by_bucket.setdefault(b, []).append(k)
+    # four writers, two exclusive buckets each
+    groups = [
+        by_bucket[0][:3] + by_bucket[1][:3],
+        by_bucket[2][:3] + by_bucket[3][:3],
+        by_bucket[4][:3] + by_bucket[5][:3],
+        by_bucket[6][:3] + by_bucket[7][:3],
+    ]
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    t.merge(_mk(spark, [(k, 1) for g in groups for k in g]))  # v0
+    results: dict[int, int | Exception] = {}
+    barrier = threading.Barrier(4)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            results[i] = t.merge(
+                _mk(spark, [(k, 100 + i) for k in groups[i]]),
+                expect_version=0,
+                max_rebase_retries=8,
+            )
+        except Exception as e:  # surfaced below
+            results[i] = e
+        finally:
+            from wukong_spark.session import release_pending  # noqa: F401
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    errs = {i: r for i, r in results.items() if isinstance(r, Exception)}
+    assert not errs, f"writers failed: {errs}"
+    assert sorted(results.values()) == [1, 2, 3, 4]
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    for i, g in enumerate(groups):
+        for k in g:
+            assert got[k] == 101 + i, (i, k, got[k])
+    # no orphaned staging survived the lost rounds
+    live = {
+        r
+        for v in t.history()
+        for fl in t._load_manifest(v)["files"].values()
+        for r in fl
+    }
+    assert [e for e in t.storage.list("data") if e not in live] == []

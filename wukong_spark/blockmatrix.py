@@ -1789,6 +1789,25 @@ class BlockMatrix:
             raise ValueError("mask selects zero rows")
         return self.take_rows(np.flatnonzero(mk))
 
+    def take_cols(self, indices) -> "BlockMatrix":
+        """Fancy COLUMN indexing ``a[:, idx_list]`` (r17) — the transpose
+        composition: transpose → take_rows → transpose.  Three shuffles
+        where a native column analog would cost one; fine for the
+        parity tier (column selections are usually narrow), and the
+        composition inherits take_rows' run compression."""
+        return self.transpose().take_rows(indices).transpose()
+
+    def compress_cols(self, mask) -> "BlockMatrix":
+        """Boolean COLUMN masking ``a[:, mask]`` (r17) — see take_cols."""
+        mk = np.asarray(list(mask), dtype=bool)
+        if mk.shape != (self.n_cols,):
+            raise ValueError(
+                f"mask length {mk.shape} must equal n_cols {self.n_cols}"
+            )
+        if not mk.any():
+            raise ValueError("mask selects zero columns")
+        return self.take_cols(np.flatnonzero(mk))
+
     def cumsum_rows(self) -> "BlockMatrix":
         """Cumulative sum down each column (``da.cumsum(axis=0)`` parity)
         — the classic two-phase distributed prefix sum:

@@ -418,6 +418,7 @@ class SnapshotStateTable:
             schema_json = json.dumps(d.drop("__bkt").schema.jsonValue())
             staged = self._stage_files(d)
             if head != base and not self._rebase_ok(set(staged), base, head):
+                self._drop_staged(staged)
                 raise CommitConflictError(
                     f"head moved {base}→{head} with commits touching this "
                     "delta's buckets; reload and re-derive the delta"
@@ -434,6 +435,12 @@ class SnapshotStateTable:
             try:
                 return self._commit(target, files, note, schema_json)
             except CommitConflictError:
+                # this round's staged files can never be referenced (the
+                # version they bake is claimed by someone else): drop them
+                # now instead of leaning on vacuum's age gate (r17 watch
+                # item b — high-contention writers would otherwise shed
+                # one orphaned delta copy per lost round)
+                self._drop_staged(staged)
                 if not auto_rebase:
                     raise
                 new_head = self.current_version()
@@ -441,11 +448,18 @@ class SnapshotStateTable:
                     raise
                 # loop: restage with the corrected __commit (the baked
                 # version must match the landed one for the argmax
-                # tie-break and the change feed); this round's staged
-                # files stay unreferenced garbage for vacuum()
+                # tie-break and the change feed)
         raise CommitConflictError(
             f"merge lost {max_rebase_retries + 1} commit races; giving up"
         )
+
+    def _drop_staged(self, staged: dict[int, list[str]]) -> None:
+        """GC the published-but-never-committed data files of a lost
+        commit round — they bake a version someone else claimed, so no
+        future manifest can reference them (deletes are idempotent)."""
+        for rels in staged.values():
+            for r in rels:
+                self.storage.delete(f"data/{r}")
 
     def _rebase_ok(
         self, my_buckets: set[int], base: int | None, new_head: int | None
