@@ -1592,45 +1592,44 @@ def _gen_fuzzy_vocab(spark: SparkSession):
 
 @query(
     "fuzzy_join_edit1",
-    # literal oracle: the vocabulary is seeded-generated and Levenshtein
-    # is integer, so the 66 distance-1 pairs (40 planted variants plus
-    # accidental base-base neighbors like sumi/suvi) are pinned exactly
+    # COMPUTED oracle on a literal-INPUT vocabulary: the 134 distinct
+    # seeded-generated words are embedded as VALUES (DuckDB cannot
+    # regenerate PCG64) and DuckDB brute-forces ALL pairs with its own
+    # levenshtein() — independently verifying both the SymSpell
+    # neighborhood's recall (no distance-1 pair missed) and the
+    # distance values, instead of pinning the answer
     oracle="""
-    SELECT * FROM (VALUES
-      ('asu', 'kasu', 1), ('asu', 'nsu', 1),
-      ('asu', 'tasu', 1), ('casuvi', 'kasuvi', 1),
-      ('cmirelo', 'mirelo', 1), ('crelo', 'relo', 1),
-      ('fkasu', 'kasu', 1), ('gkasuka', 'kasuka', 1),
-      ('gomi', 'lomi', 1), ('husumi', 'susumi', 1),
-      ('iomilo', 'nomilo', 1), ('jsumi', 'sumi', 1),
-      ('kakaka', 'kataka', 1), ('kalo', 'kano', 1),
-      ('kalo', 'klo', 1), ('kalono', 'klono', 1),
-      ('kamfsu', 'kamisu', 1), ('kami', 'khmi', 1),
-      ('kamisa', 'kamisu', 1), ('kano', 'tano', 1),
-      ('kanota', 'kanotba', 1), ('kareaka', 'kareka', 1),
-      ('kasu', 'tasu', 1), ('kasumi', 'kasuvi', 1),
-      ('kavido', 'kavino', 1), ('laovino', 'lovino', 1),
-      ('loiino', 'lovino', 1), ('lokaka', 'lokata', 1),
-      ('lolo', 'nolo', 1), ('miasu', 'mikasu', 1),
-      ('miasu', 'misu', 1), ('micino', 'mivino', 1),
-      ('mika', 'mikas', 1), ('mika', 'tika', 1),
-      ('mikas', 'mikasu', 1), ('mimi', 'mivi', 1),
-      ('mimi', 'vimi', 1), ('mirelo', 'virelo', 1),
-      ('mivilo', 'mivino', 1), ('nosu', 'nsu', 1),
-      ('rea', 'reka', 1), ('rea', 'reta', 1),
-      ('redlo', 'relo', 1), ('rejo', 'relo', 1),
-      ('rejo', 'reno', 1), ('reka', 'reta', 1),
-      ('relo', 'reno', 1), ('remiv', 'remivi', 1),
-      ('rere', 'rhere', 1), ('suai', 'sumi', 1),
-      ('suai', 'suvi', 1), ('suasu', 'sukasu', 1),
-      ('sukalo', 'sukano', 1), ('sulo', 'suno', 1),
-      ('sumi', 'suvi', 1), ('taa', 'taka', 1),
-      ('taa', 'tata', 1), ('tadita', 'tamita', 1),
-      ('taeka', 'taka', 1), ('taka', 'tata', 1),
-      ('taka', 'tika', 1), ('tamifa', 'tamita', 1),
-      ('vctaka', 'vitaka', 1), ('vilo', 'vino', 1),
-      ('vino', 'vno', 1), ('vitaea', 'vitaka', 1))
-      AS t(word_a, word_b, dist)
+    WITH vocab(word) AS (VALUES
+      ('asu'), ('casuvi'), ('cmirelo'), ('crelo'), ('fkasu'),
+      ('gkasuka'), ('gomi'), ('husumi'), ('iomilo'), ('jsumi'),
+      ('kakaka'), ('kalo'), ('kalono'), ('kalore'), ('kamfsu'),
+      ('kami'), ('kamisa'), ('kamisu'), ('kano'), ('kanota'),
+      ('kanotba'), ('kare'), ('kareaka'), ('kareka'), ('karesu'),
+      ('kasu'), ('kasuka'), ('kasumi'), ('kasuvi'), ('kataka'),
+      ('kavido'), ('kavino'), ('khmi'), ('klo'), ('klono'),
+      ('laovino'), ('loiino'), ('loka'), ('lokaka'), ('lokata'),
+      ('lolo'), ('lomi'), ('lonoka'), ('lonolo'), ('lore'), ('loreka'),
+      ('loreno'), ('lovino'), ('miasu'), ('micino'), ('mika'),
+      ('mikas'), ('mikasu'), ('milore'), ('mimi'), ('mimika'),
+      ('mireka'), ('mirelo'), ('mirevi'), ('misu'), ('misure'),
+      ('mivi'), ('mivilo'), ('mivimi'), ('mivino'), ('nolo'),
+      ('nomilo'), ('noresu'), ('nosu'), ('nosulo'), ('nosusu'),
+      ('notano'), ('nsu'), ('rea'), ('redlo'), ('rejo'), ('reka'),
+      ('relo'), ('reloka'), ('remilo'), ('remiv'), ('remivi'),
+      ('reno'), ('renosu'), ('rere'), ('reresu'), ('reta'), ('retami'),
+      ('rhere'), ('suai'), ('suasu'), ('sukalo'), ('sukano'),
+      ('sukasu'), ('sulo'), ('sumi'), ('suno'), ('sure'), ('susumi'),
+      ('suta'), ('suvi'), ('taa'), ('tadita'), ('taeka'), ('taka'),
+      ('talosu'), ('tamifa'), ('tamire'), ('tamita'), ('tano'),
+      ('tanomi'), ('taremi'), ('tarere'), ('tasu'), ('tasuta'),
+      ('tata'), ('tavi'), ('tika'), ('vctaka'), ('vikami'), ('vilo'),
+      ('vimi'), ('vimire'), ('vimisu'), ('vino'), ('vire'), ('virelo'),
+      ('viremi'), ('visuvi'), ('vita'), ('vitaea'), ('vitaka'),
+      ('vitalo'), ('vno'))
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+    FROM vocab a JOIN vocab b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 1
     ORDER BY word_a, word_b
     """,
 )
