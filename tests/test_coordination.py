@@ -227,3 +227,98 @@ def test_coordination_fenced_inside_tasks(spark):
     assert bc.value == 41
     assert v.snapshot_broadcast(spark).value == 100
     v.delete()
+
+
+# ---------------------------------------------------------------------------
+# Executor-visible coordination channel (VERDICT r16 #6 option (a)):
+# the driver-hosted request server + picklable task-side client.
+# ---------------------------------------------------------------------------
+
+
+def test_channel_task_reads_and_writes_variable(spark):
+    from wukong_spark.coordination import Variable, coordination_client
+
+    v = Variable("chan-var")
+    v.set(7)
+    client = coordination_client(spark)
+
+    def read(_):
+        return client.variable_get("chan-var", timeout=10)
+
+    assert spark.sparkContext.parallelize([1], 1).map(read).collect() == [7]
+
+    # write FROM a task, observe on the driver — the half snapshot_broadcast
+    # cannot do
+    def write(x):
+        client.variable_set("chan-var", x * 6)
+        return x
+
+    spark.sparkContext.parallelize([7], 1).map(write).collect()
+    assert v.get(timeout=10) == 42
+    v.delete()
+
+
+def test_channel_queue_producer_tasks(spark):
+    from wukong_spark.coordination import Queue, coordination_client
+
+    client = coordination_client(spark)
+    q = Queue("chan-q")
+
+    def produce(pid, it):
+        n = sum(1 for _ in it)
+        client.queue_put("chan-q", (pid, n), timeout=30)
+        return iter([n])
+
+    spark.sparkContext.parallelize(range(40), 4).mapPartitionsWithIndex(
+        produce
+    ).collect()
+    got = sorted(q.get(timeout=10, batch=4))
+    assert got == [(0, 10), (1, 10), (2, 10), (3, 10)]
+    assert q.qsize() == 0
+    q.delete()
+
+
+def test_channel_lock_serializes_read_modify_write(spark):
+    """N concurrent tasks each do an unprotected-unless-locked
+    read-modify-write on a shared Variable; the channel Lock must
+    serialize them (final value == N) across task/process boundaries."""
+    from wukong_spark.coordination import Variable, coordination_client
+
+    v = Variable("chan-counter")
+    v.set(0)
+    client = coordination_client(spark)
+
+    def bump(_):
+        assert client.lock_acquire("chan-lock", timeout=60)
+        try:
+            cur = client.variable_get("chan-counter", timeout=10)
+            time.sleep(0.02)  # widen the race window sans lock
+            client.variable_set("chan-counter", cur + 1)
+        finally:
+            client.lock_release("chan-lock")
+        return 1
+
+    n = 16
+    spark.sparkContext.parallelize(range(n), n).map(bump).collect()
+    assert v.get(timeout=10) == n
+    v.delete()
+
+
+def test_channel_errors_and_auth():
+    from wukong_spark.coordination import CoordinationClient, CoordinationServer
+
+    srv = CoordinationServer().start()
+    try:
+        client = srv.client()
+        # semantic timeout from the server, as the matching exception type
+        with pytest.raises(TimeoutError):
+            client.variable_get("chan-never-set", timeout=0.2)
+        # unknown op propagates the server-side exception
+        with pytest.raises(ValueError, match="unknown coordination op"):
+            client._call({"op": "nope"}, 5.0)
+        # wrong token: server drops the connection without unpickling
+        bad = CoordinationClient("127.0.0.1", srv.port, b"x" * 16)
+        with pytest.raises((ConnectionError, OSError)):
+            bad.variable_get("chan-never-set", timeout=0.2)
+    finally:
+        srv.stop()

@@ -27,12 +27,28 @@ mailbox thread only serializes METHOD DISPATCH, never cluster work.
 
 from __future__ import annotations
 
+import os
+import pickle
 import queue as _queue
+import secrets
+import socket
+import socketserver
+import struct
 import threading
 import time
 from typing import Any, Callable
 
-__all__ = ["Variable", "Queue", "Lock", "Pub", "Sub", "ActorHandle", "actor"]
+__all__ = [
+    "Variable",
+    "Queue",
+    "Lock",
+    "Pub",
+    "Sub",
+    "ActorHandle",
+    "actor",
+    "CoordinationServer",
+    "coordination_client",
+]
 
 _registry_lock = threading.Lock()
 _variables: dict[str, dict] = {}
@@ -55,7 +71,9 @@ def _fence_task(what: str) -> None:
     worker-visible (`wukong/variable.py`, `queues.py`), so a user porting
     worker-side code must be told at the call site, not by a timeout.
     Task-side READS of a point-in-time value: `Variable.snapshot_broadcast`.
-    Task-side coordination with the driver: `taskgraph.worker_client`."""
+    Task-side live reads AND writes: `coordination_client(spark)` — ship
+    the returned handle in the closure (the driver-hosted channel below).
+    Driver-thread coordination: `taskgraph.worker_client`."""
     from pyspark import TaskContext
 
     if TaskContext.get() is not None:
@@ -63,8 +81,9 @@ def _fence_task(what: str) -> None:
             f"{what} is driver-local named state and cannot be used inside "
             "a Spark task: the executor's Python worker holds a fresh, "
             "empty registry, so this call could never see the driver's "
-            "value. For task-side reads take a Variable.snapshot_broadcast "
-            "before launching the job; for driver-side coordination use "
+            "value. Ship a coordination_client(spark) handle in the closure "
+            "for live task-side reads/writes, take a "
+            "Variable.snapshot_broadcast for point-in-time reads, or use "
             "taskgraph.worker_client from driver threads (see MIGRATING.md "
             "§coordination)."
         )
@@ -324,3 +343,232 @@ def actor(cls: type) -> Callable[..., ActorHandle]:
         return ActorHandle(cls, *args, **kwargs)
 
     return construct
+
+
+# ---------------------------------------------------------------------------
+# Executor-visible coordination channel (VERDICT r16 #6 option (a), write
+# half).  The reference's Variable/Queue/Lock are worker-visible because
+# every worker holds a comm to the scheduler (`wukong/variable.py`,
+# `queues.py` route through scheduler extensions).  Spark's analogue of
+# "every worker can reach the scheduler" is that every executor can reach
+# the DRIVER host (broadcast/RPC already depend on it), so the rebuild is a
+# driver-hosted request server executing against the driver-local registry
+# above, plus a picklable client handle that task code ships in closures.
+#
+# Delivery contract (same as the reference's): operations are applied when
+# the request executes on the driver, so a RETRIED task re-applies its
+# side effects — at-least-once, exactly like a dask worker re-running a
+# task that published to a Queue.  Idempotent ops (Variable.set to the
+# same value, Lock probes) are retry-safe; counting consumers should
+# dedup on a task-unique key (TaskContext partitionId + attemptNumber).
+# ---------------------------------------------------------------------------
+
+_LEN = struct.Struct(">I")
+
+
+def _send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_LEN.pack(len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("coordination peer closed mid-message")
+        buf += chunk
+    return buf
+
+
+def _recv_msg(sock: socket.socket) -> bytes:
+    (n,) = _LEN.unpack(_recv_exact(sock, _LEN.size))
+    if n > 64 << 20:
+        raise ValueError(f"coordination message too large ({n} bytes)")
+    return _recv_exact(sock, n)
+
+
+class CoordinationServer:
+    """Driver-hosted coordination endpoint.
+
+    Start ONE per driver (`CoordinationServer().start()`); hand
+    `server.client(spark)` into task closures.  Requests authenticate
+    with a per-server random token (checked before unpickling — the
+    port must not deserialize bytes from arbitrary peers), execute
+    against the driver-local named registry, and return the result or
+    the raised exception.  Blocking semantics (Variable.get wait,
+    Queue.get timeout, Lock.acquire) run on the per-connection handler
+    thread, so a parked getter never stalls other clients."""
+
+    def __init__(self, host: str = "0.0.0.0"):
+        self._bind_host = host
+        self._token = secrets.token_bytes(16)
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.port: int | None = None
+
+    # -- driver-side dispatch ------------------------------------------------
+    @staticmethod
+    def _dispatch(req: dict) -> Any:
+        op, name = req["op"], req.get("name")
+        if op == "variable_set":
+            Variable(name).set(req["value"])
+        elif op == "variable_get":
+            return Variable(name).get(timeout=req.get("timeout"))
+        elif op == "variable_delete":
+            Variable(name).delete()
+        elif op == "queue_put":
+            Queue(name).put(req["value"], timeout=req.get("timeout"))
+        elif op == "queue_get":
+            return Queue(name).get(
+                timeout=req.get("timeout"), batch=req.get("batch", False)
+            )
+        elif op == "queue_qsize":
+            return Queue(name).qsize()
+        elif op == "lock_acquire":
+            return Lock(name).acquire(
+                blocking=req.get("blocking", True), timeout=req.get("timeout")
+            )
+        elif op == "lock_release":
+            Lock(name).release()
+        elif op == "pub_put":
+            Pub(name).put(req["value"])
+        else:
+            raise ValueError(f"unknown coordination op {op!r}")
+        return None
+
+    def start(self) -> "CoordinationServer":
+        token = self._token
+        dispatch = self._dispatch
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:  # one connection = one request
+                try:
+                    got = _recv_exact(self.request, len(token))
+                    if not secrets.compare_digest(got, token):
+                        return  # silent drop: never unpickle unauthenticated bytes
+                    req = pickle.loads(_recv_msg(self.request))
+                    try:
+                        resp = (True, dispatch(req))
+                    except BaseException as e:  # noqa: BLE001 — ship to caller
+                        resp = (False, e)
+                    _send_msg(self.request, pickle.dumps(resp))
+                except (ConnectionError, OSError):
+                    pass  # client vanished (task killed/retried) — nothing to do
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = Server((self._bind_host, 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def client(self, spark=None) -> "CoordinationClient":
+        """Picklable handle for task closures.  The advertised host is the
+        driver's RPC address (`spark.driver.host`) — the one address every
+        executor can already reach; local mode falls back to loopback."""
+        if self.port is None:
+            raise RuntimeError("CoordinationServer not started")
+        host = "127.0.0.1"
+        if spark is not None:
+            host = spark.conf.get("spark.driver.host", None) or host
+        return CoordinationClient(host, self.port, self._token)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+class CoordinationClient:
+    """Picklable executor-side handle: each operation opens one
+    connection to the driver's CoordinationServer (connection-per-op —
+    robust across Python-worker reuse and task retries; these are
+    control-plane calls, not a data path)."""
+
+    def __init__(self, host: str, port: int, token: bytes):
+        self.host, self.port, self.token = host, port, token
+
+    def _call(self, req: dict, timeout: float | None) -> Any:
+        # socket deadline = semantic timeout + margin so the server's own
+        # TimeoutError (the meaningful one) wins the race; None blocks.
+        deadline = None if timeout is None else timeout + 30.0
+        with socket.create_connection((self.host, self.port), timeout=30.0) as s:
+            s.settimeout(deadline)
+            s.sendall(self.token)
+            _send_msg(s, pickle.dumps(req))
+            ok, value = pickle.loads(_recv_msg(s))
+        if not ok:
+            raise value
+        return value
+
+    # Variable ---------------------------------------------------------------
+    def variable_set(self, name: str, value: Any) -> None:
+        self._call({"op": "variable_set", "name": name, "value": value}, 60.0)
+
+    def variable_get(self, name: str, timeout: float | None = None) -> Any:
+        return self._call(
+            {"op": "variable_get", "name": name, "timeout": timeout}, timeout
+        )
+
+    def variable_delete(self, name: str) -> None:
+        self._call({"op": "variable_delete", "name": name}, 60.0)
+
+    # Queue ------------------------------------------------------------------
+    def queue_put(self, name: str, value: Any, timeout: float | None = None) -> None:
+        self._call(
+            {"op": "queue_put", "name": name, "value": value, "timeout": timeout},
+            timeout,
+        )
+
+    def queue_get(
+        self, name: str, timeout: float | None = None, batch: bool | int = False
+    ) -> Any:
+        return self._call(
+            {"op": "queue_get", "name": name, "timeout": timeout, "batch": batch},
+            timeout,
+        )
+
+    def queue_qsize(self, name: str) -> int:
+        return self._call({"op": "queue_qsize", "name": name}, 60.0)
+
+    # Lock -------------------------------------------------------------------
+    def lock_acquire(
+        self, name: str, blocking: bool = True, timeout: float | None = None
+    ) -> bool:
+        return self._call(
+            {
+                "op": "lock_acquire",
+                "name": name,
+                "blocking": blocking,
+                "timeout": timeout,
+            },
+            timeout,
+        )
+
+    def lock_release(self, name: str) -> None:
+        self._call({"op": "lock_release", "name": name}, 60.0)
+
+    # Pub --------------------------------------------------------------------
+    def pub_put(self, name: str, msg: Any) -> None:
+        self._call({"op": "pub_put", "name": name, "value": msg}, 60.0)
+
+
+_default_server_lock = threading.Lock()
+_default_server: CoordinationServer | None = None
+
+
+def coordination_client(spark=None) -> CoordinationClient:
+    """Process-wide default channel: lazily start one CoordinationServer
+    on this driver and return a task-shippable client for it (the
+    one-liner mirroring the reference's implicit worker→scheduler comm)."""
+    global _default_server
+    with _default_server_lock:
+        if _default_server is None:
+            _default_server = CoordinationServer().start()
+    return _default_server.client(spark)

@@ -158,23 +158,71 @@ def windowed_counts(
     )
 
 
+class _scoped_state_partitions:
+    """Pin `spark.sql.shuffle.partitions` around a streaming query START.
+
+    A streaming query bakes its state-store partition count from this
+    conf at .start() (it persists in the checkpoint thereafter), and
+    every stateful operator pays per-partition store init/commit on
+    EVERY micro-batch — on a 200-partition default session a two-store
+    stream-stream join burns ~25 s of pure state-store latency at any
+    data size.  Size it to the STATE volume, not the session default:
+    the availableNow verification default is the local core count;
+    production jobs with large keyed state pass their own value (or
+    None to inherit the session conf untouched)."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get(self.KEY, None)
+            self.spark.conf.set(self.KEY, str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            if self.prev is None:
+                self.spark.conf.unset(self.KEY)
+            else:
+                self.spark.conf.set(self.KEY, self.prev)
+        return False
+
+
+def default_state_partitions(spark: SparkSession) -> int:
+    """Local core count — the availableNow gate default for state stores."""
+    return spark.sparkContext.defaultParallelism
+
+
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, complete: bool = True, mode: str | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    complete: bool = True,
+    mode: str | None = None,
+    state_partitions: int | None = 0,
 ) -> DataFrame:
     """Execute a streaming plan with trigger=availableNow into an in-memory
     sink, block until done, return the result table (test/verification
     harness; production sinks are kafka/parquet/delta via the same API).
     `mode` overrides the complete/append switch (e.g. "update" for
-    applyInPandasWithState operators)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode or ("complete" if complete else "append"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    applyInPandasWithState operators).  `state_partitions` sizes the
+    query's state-store partition count (0 = local core count, None =
+    inherit the session conf — see _scoped_state_partitions)."""
+    spark = stream_df.sparkSession
+    if state_partitions == 0:
+        state_partitions = default_state_partitions(spark)
+    with _scoped_state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode or ("complete" if complete else "append"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
 
 
 def dedup_stream(
@@ -222,18 +270,29 @@ def purchases_with_last_click_stream(
     ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
 
 
-def run_foreach_batch(stream_df: DataFrame, fn) -> list:
+def run_foreach_batch(
+    stream_df: DataFrame, fn, state_partitions: int | None = 0
+) -> list:
     """foreachBatch sink: run `fn(batch_df, epoch_id)` per micro-batch with
     trigger=availableNow; returns the collected epoch ids (the integration
-    point for arbitrary sinks — JDBC upserts, MERGE INTO, metrics)."""
+    point for arbitrary sinks — JDBC upserts, MERGE INTO, metrics).
+    `state_partitions` as in run_to_memory (0 = local core count)."""
     epochs: list = []
 
     def handle(bdf, epoch_id):
         fn(bdf, epoch_id)
         epochs.append(epoch_id)
 
-    q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if state_partitions == 0:
+        state_partitions = default_state_partitions(spark)
+    with _scoped_state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return epochs
 
 
