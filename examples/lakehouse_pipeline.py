@@ -105,6 +105,6 @@ def run(spark) -> bool:
 
 
 if __name__ == "__main__":
-    from _common import get_session
+    from _common import session
 
-    print("lakehouse_pipeline:", "OK" if run(get_session()) else "FAILED")
+    print("lakehouse_pipeline:", "OK" if run(session()) else "FAILED")

@@ -12,6 +12,7 @@ sys.path.insert(0, "/root/repo/examples")
 
 import array_ops  # noqa: E402
 import asof_alignment  # noqa: E402
+import coordination_channel  # noqa: E402
 import curation_pipeline  # noqa: E402
 import dedup_pipeline  # noqa: E402
 import fan_in  # noqa: E402
@@ -29,6 +30,7 @@ import warehouse_analytics  # noqa: E402
 ALL = {
     "array_ops": array_ops.run,
     "asof_alignment": asof_alignment.run,
+    "coordination_channel": coordination_channel.run,
     "curation_pipeline": curation_pipeline.run,
     "dedup_pipeline": dedup_pipeline.run,
     "single_node": single_node.run,
