@@ -27,67 +27,91 @@ from pyspark.sql import functions as F
 from wukong_spark.session import register_result_checkpoint as _register
 
 
-def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
-) -> DataFrame:
-    """(src, dst) edge list → (node, component) with component = min node id
-    reachable.  Undirected: edges propagate labels both ways each round.
+def _cc_loop(adj, labels, max_iter: int, name: str) -> DataFrame:
+    """Shared min-label flood-fill loop over (a, b) relays.
 
-    Converges in O(graph diameter) rounds (min-label flood fill); each
-    round is two shuffles (propagate + min-agg).  Raises RuntimeError if
-    max_iter rounds pass without convergence — partial labels are wrong
-    labels, never returned silently.
-    """
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    both = both.distinct().persist()
-
-    labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    # free each superseded checkpoint's cached RDD immediately instead of
-    # waiting for driver GC + ContextCleaner
+    `labels` is an eager checkpoint of (node, component) initial labels.
+    Convergence is detected WITHOUT the
+    old-vs-new join earlier rounds paid: the old label rides THROUGH the
+    min-agg as a second aggregate (each node contributes its own-label
+    row exactly once, neighbor relays carry own = NULL which min()
+    ignores), so `changed` is a filter+count over the round's checkpoint
+    — one scan of cached partitions, no extra exchange.  Works for any
+    orderable label type (node ids may be strings)."""
     from wukong_spark.session import release_checkpoint as _release
 
+    own_t = labels.schema["component"].dataType
     converged = False
     for _ in range(max_iter):
-        # candidate labels: own label ∪ every neighbor's label
         via_nbr = (
-            both.join(labels, both.b == labels.node)
-            .select(F.col("a").alias("node"), "component")
+            adj.join(labels, adj.b == labels.node)
+            .select(
+                F.col("a").alias("node"),
+                "component",
+                F.lit(None).cast(own_t).alias("own"),
+            )
         )
         new_labels = (
-            labels.select("node", "component")
-            .union(via_nbr)
+            labels.select("node", "component", F.col("component").alias("own"))
+            .unionByName(via_nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("own").alias("own"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("component") != F.col("own")).count()
         _release(labels)
         labels = new_labels
         if changed == 0:
             converged = True
             break
 
-    both.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge within {max_iter} rounds "
+            f"{name} did not converge within {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"
         )
     # checkpoint-backed result: freed by the harness via release_pending()
-    return _register(labels)
+    return _register(labels).select("node", "component")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    iteration_partitions: int | None = None,
+) -> DataFrame:
+    """(src, dst) edge list → (node, component) with component = min node id
+    reachable.  Undirected: edges propagate labels both ways each round.
+
+    Converges in O(graph diameter) rounds (min-label flood fill); each
+    round is two shuffles (propagate + min-agg) with convergence read off
+    the min-agg itself (see `_cc_loop`).  Raises RuntimeError if max_iter
+    rounds pass without convergence — partial labels are wrong labels,
+    never returned silently.
+
+    `iteration_partitions` pins the loop's exchange width (the label set
+    is O(nodes), far smaller than the edge scan the session default is
+    sized for); None inherits the session conf.  See
+    `session.scoped_shuffle_partitions`."""
+    from wukong_spark.session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(edges.sparkSession, iteration_partitions):
+        both = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        both = both.distinct().persist()
+
+        labels = (
+            both.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            return _cc_loop(both, labels, max_iter, "connected_components")
+        finally:
+            both.unpersist()
 
 
 def connected_components_bucketed(
@@ -97,6 +121,7 @@ def connected_components_bucketed(
     max_iter: int = 50,
     table: str = "bkt_cc_edges",
     buckets: int = 8,
+    iteration_partitions: int | None = None,
 ) -> DataFrame:
     """`connected_components` with the DOUBLED edge set written ONCE as a
     bucket layout on the join column (VERDICT r11 #1: the
@@ -118,10 +143,14 @@ def connected_components_bucketed(
     linear in nodes — plus the relay output's min-agg; the edge set (the
     100 TB part) never moves again after the one bucketed write.  Same
     convergence contract as `connected_components` (RuntimeError past
-    max_iter; partial labels are wrong labels)."""
+    max_iter; partial labels are wrong labels).
+
+    `iteration_partitions` defaults to `buckets` here: the label-side
+    exchange that feeds the bucketed sort-merge join runs at bucket
+    width regardless, so sizing the min-agg to match keeps every loop
+    stage at the layout's width instead of the session's scan default."""
     from wukong_spark.layout import drop_managed_table
-    from wukong_spark.session import register_result_table
-    from wukong_spark.session import release_checkpoint as _release
+    from wukong_spark.session import register_result_table, scoped_shuffle_partitions
 
     spark = edges.sparkSession
     drop_managed_table(spark, table)
@@ -140,47 +169,18 @@ def connected_components_bucketed(
     register_result_table(spark, table)
     adj = spark.table(table)
 
-    # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED column
-    # satisfies clustering straight off the scan (no exchange)
-    labels = (
-        adj.select(F.col("b").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    converged = False
-    for _ in range(max_iter):
-        via_nbr = (
-            adj.join(labels, adj.b == labels.node)
-            .select(F.col("a").alias("node"), "component")
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .union(via_nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    with scoped_shuffle_partitions(
+        spark, buckets if iteration_partitions is None else iteration_partitions
+    ):
+        # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED column
+        # satisfies clustering straight off the scan (no exchange)
+        labels = (
+            adj.select(F.col("b").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        _release(labels)
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_bucketed did not converge within {max_iter} "
-            "rounds (graph diameter exceeds max_iter); raise max_iter"
-        )
-    # checkpoint-backed result: freed by the harness via release_pending()
-    return _register(labels)
+        return _cc_loop(adj, labels, max_iter, "connected_components_bucketed")
 
 
 def pagerank_bucketed(
@@ -381,6 +381,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    iteration_partitions: int | None = None,
 ) -> DataFrame:
     """k-CORE DECOMPOSITION by iterative peeling (r13): repeatedly remove
     nodes of degree < k until the survivor set is stable; return
@@ -402,42 +403,48 @@ def kcore(
     connected_components_bucketed one-time bucketed layout is the same
     lever if rounds are many).  Peeling cascades are shallow in
     practice (degree distributions are heavy-tailed), so the loop runs
-    O(cascade depth) rounds, not O(diameter)."""
+    O(cascade depth) rounds, not O(diameter).  `iteration_partitions`
+    pins the loop's exchange width to the survivor-set volume (None
+    inherits the session conf; see session.scoped_shuffle_partitions)."""
     from wukong_spark.session import release_checkpoint as _release
+    from wukong_spark.session import scoped_shuffle_partitions
 
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    cur = both.select(F.col("a").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    n_cur = cur.count()
-
-    converged = False
-    for _ in range(max_iter):
-        nxt = (
-            both.join(cur.select(F.col("node").alias("a")), "a")
-            .join(cur.select(F.col("node").alias("b")), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .localCheckpoint(eager=True)
+    with scoped_shuffle_partitions(edges.sparkSession, iteration_partitions):
+        both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+        cur = both.select(F.col("a").alias("node")).distinct().localCheckpoint(
+            eager=True
         )
-        n_nxt = nxt.count()
-        _release(cur)
-        cur = nxt.select("node").localCheckpoint(eager=True)
-        if n_nxt == n_cur:
-            # survivor sets shrink monotonically: equal COUNT == equal SET,
-            # and this round's degrees were computed within that stable
-            # set — they ARE the core degrees
-            _release(cur)
-            both.unpersist()
-            return _register(nxt).select("node", F.col("deg").alias("deg_in_core"))
-        _release(nxt)
-        n_cur = n_nxt
-        if n_cur == 0:
-            converged = True
-            break
+        n_cur = cur.count()
 
-    both.unpersist()
+        converged = False
+        for _ in range(max_iter):
+            nxt = (
+                both.join(cur.select(F.col("node").alias("a")), "a")
+                .join(cur.select(F.col("node").alias("b")), "b")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            _release(cur)
+            cur = nxt.select("node").localCheckpoint(eager=True)
+            if n_nxt == n_cur:
+                # survivor sets shrink monotonically: equal COUNT == equal
+                # SET, and this round's degrees were computed within that
+                # stable set — they ARE the core degrees
+                _release(cur)
+                both.unpersist()
+                return _register(nxt).select(
+                    "node", F.col("deg").alias("deg_in_core")
+                )
+            _release(nxt)
+            n_cur = n_nxt
+            if n_cur == 0:
+                converged = True
+                break
+
+        both.unpersist()
     if converged:
         # empty core: derive the empty frame from the COMPUTED plan so the
         # schema (incl. the node column's actual type — the operator is
@@ -461,6 +468,7 @@ def hits(
     max_iter: int = 50,
     src: str = "src",
     dst: str = "dst",
+    iteration_partitions: int | None = None,
 ) -> DataFrame:
     """HITS (hubs & authorities) as a CONVERGENCE-STOPPED operator (r14,
     VERDICT r13 item 2 of "What's missing"): Kleinberg's alternating
@@ -485,9 +493,15 @@ def hits(
     localCheckpoint'ed (truncating the exponentially-growing loop plan)
     and RELEASED as soon as its successor is materialized — only the
     final h/a checkpoints, which back the returned plan, stay resident
-    (ADVICE r13: graph_hits_check leaked every intermediate)."""
+    (ADVICE r13: graph_hits_check leaked every intermediate).
+    `iteration_partitions` pins the loop's exchange width to the score-set
+    volume (None inherits the session conf; see
+    session.scoped_shuffle_partitions) — the returned JOINED plan executes
+    at the caller's conf, only the per-iteration checkpoints are scoped."""
     from wukong_spark.session import release_checkpoint as _release
+    from wukong_spark.session import scoped_shuffle_partitions
 
+    _ipscope = scoped_shuffle_partitions(edges.sparkSession, iteration_partitions)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
 
     def _normalized(scores: DataFrame) -> DataFrame:
@@ -502,79 +516,83 @@ def hits(
     a = None
     h_ckpt = a_ckpt = None  # the checkpoints currently backing h / a
 
-    for _ in range(max_iter):
-        a_new = (
-            e.join(h.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("s").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        # the PREVIOUS a's checkpoint still backs a_prev until the delta
-        # join below reads it — release it only after (a released
-        # localCheckpoint is GONE, not recomputable)
-        a_prev, a_prev_ckpt = a, a_ckpt
-        a = _normalized(a_new)
-        a_ckpt = a_new
+    _ipscope.__enter__()
+    try:
+        for _ in range(max_iter):
+            a_new = (
+                e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("s").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+            # the PREVIOUS a's checkpoint still backs a_prev until the delta
+            # join below reads it — release it only after (a released
+            # localCheckpoint is GONE, not recomputable)
+            a_prev, a_prev_ckpt = a, a_ckpt
+            a = _normalized(a_new)
+            a_ckpt = a_new
 
-        h_new = (
-            e.join(a.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("s").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        h_prev, h_prev_ckpt = h, h_ckpt
-        h = _normalized(h_new)
-        h_ckpt = h_new
+            h_new = (
+                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("s").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+            h_prev, h_prev_ckpt = h, h_ckpt
+            h = _normalized(h_new)
+            h_ckpt = h_new
 
-        # L1 delta of both iterates (full outer: support can only grow,
-        # but be defensive) — one keyed join + scalar agg each
-        def _l1(cur: DataFrame, prev: DataFrame | None) -> float:
-            if prev is None:
-                return float("inf")
-            d = (
-                cur.withColumnRenamed("s", "x")
-                .join(prev.withColumnRenamed("s", "y"), "node", "full")
-                .agg(
-                    F.sum(
-                        F.abs(
-                            F.coalesce(F.col("x"), F.lit(0.0))
-                            - F.coalesce(F.col("y"), F.lit(0.0))
+            # L1 delta of both iterates (full outer: support can only grow,
+            # but be defensive) — one keyed join + scalar agg each
+            def _l1(cur: DataFrame, prev: DataFrame | None) -> float:
+                if prev is None:
+                    return float("inf")
+                d = (
+                    cur.withColumnRenamed("s", "x")
+                    .join(prev.withColumnRenamed("s", "y"), "node", "full")
+                    .agg(
+                        F.sum(
+                            F.abs(
+                                F.coalesce(F.col("x"), F.lit(0.0))
+                                - F.coalesce(F.col("y"), F.lit(0.0))
+                            )
                         )
                     )
+                    .collect()[0][0]
                 )
-                .collect()[0][0]
-            )
-            return float(d) if d is not None else 0.0
+                return float(d) if d is not None else 0.0
 
-        delta = _l1(h, h_prev) + _l1(a, a_prev)
-        if h_prev_ckpt is not None:
-            _release(h_prev_ckpt)
-        if a_prev_ckpt is not None:
-            _release(a_prev_ckpt)
-        if delta < tol:
-            e.unpersist()
-            # both final iterates' checkpoints back the returned plan:
-            # registered for harness release after the result is consumed
-            _register(h_ckpt)
-            _register(a_ckpt)
-            return (
-                h.select("node", F.col("s").alias("hub"))
-                .join(
-                    a.select("node", F.col("s").alias("authority")),
-                    "node",
-                    "full",
+            delta = _l1(h, h_prev) + _l1(a, a_prev)
+            if h_prev_ckpt is not None:
+                _release(h_prev_ckpt)
+            if a_prev_ckpt is not None:
+                _release(a_prev_ckpt)
+            if delta < tol:
+                e.unpersist()
+                # both final iterates' checkpoints back the returned plan:
+                # registered for harness release after the result is consumed
+                _register(h_ckpt)
+                _register(a_ckpt)
+                return (
+                    h.select("node", F.col("s").alias("hub"))
+                    .join(
+                        a.select("node", F.col("s").alias("authority")),
+                        "node",
+                        "full",
+                    )
+                    .select(
+                        "node",
+                        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+                    )
                 )
-                .select(
-                    "node",
-                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
-                    F.coalesce("authority", F.lit(0.0)).alias("authority"),
-                )
-            )
 
-    e.unpersist()
-    raise RuntimeError(
-        f"hits did not converge to tol={tol} within {max_iter} iterations"
-    )
+        e.unpersist()
+        raise RuntimeError(
+            f"hits did not converge to tol={tol} within {max_iter} iterations"
+        )
+    finally:
+        _ipscope.__exit__(None, None, None)
 
 
 def kcore_bucketed(
@@ -585,6 +603,7 @@ def kcore_bucketed(
     max_iter: int = 50,
     table: str | None = None,
     buckets: int = 8,
+    iteration_partitions: int | None = None,
 ) -> DataFrame:
     """`kcore` with the DOUBLED edge set written ONCE as a bucket layout
     (r14, the VERDICT r13 stretch item — connected_components_bucketed's
@@ -608,11 +627,15 @@ def kcore_bucketed(
     bit-identical results — pinned in tests/test_graph.py.
 
     100 TB path: the edge set (the 100 TB part) never moves after the
-    one bucketed write; per round the shuffles are linear in nodes."""
+    one bucketed write; per round the shuffles are linear in nodes.
+    `iteration_partitions` defaults to `buckets` (the
+    connected_components_bucketed rationale: every loop stage runs at
+    the layout's width, not the session's scan default)."""
     import uuid
 
     from wukong_spark.layout import drop_managed_table
     from wukong_spark.session import release_checkpoint as _release
+    from wukong_spark.session import scoped_shuffle_partitions
 
     spark = edges.sparkSession
     # Per-call unique default so concurrent sessions sharing a warehouse
@@ -632,50 +655,53 @@ def kcore_bucketed(
         )
         adj = spark.table(table)
 
-        # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED
-        # column satisfies clustering straight off the scan (no exchange)
-        cur = (
-            adj.select(F.col("b").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_cur = cur.count()
-
-        converged = False
-        for _ in range(max_iter):
-            nxt = (
-                adj.join(cur.select(F.col("node").alias("b")), "b")
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= k)
+        with scoped_shuffle_partitions(
+            spark, buckets if iteration_partitions is None else iteration_partitions
+        ):
+            # doubled edges ⇒ set(a) == set(b); distinct over the BUCKETED
+            # column satisfies clustering straight off the scan (no exchange)
+            cur = (
+                adj.select(F.col("b").alias("node"))
+                .distinct()
                 .localCheckpoint(eager=True)
             )
-            n_nxt = nxt.count()
-            _release(cur)
-            cur = nxt.select("node").localCheckpoint(eager=True)
-            if n_nxt == n_cur:
-                _release(cur)
-                return _register(nxt).select(
-                    "node", F.col("deg").alias("deg_in_core")
-                )
-            _release(nxt)
-            n_cur = n_nxt
-            if n_cur == 0:
-                converged = True
-                break
+            n_cur = cur.count()
 
-        if converged:
-            _release(cur)
-            return (
-                edges.select(F.col(src).alias("a"))
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
-                .filter(F.lit(False))
+            converged = False
+            for _ in range(max_iter):
+                nxt = (
+                    adj.join(cur.select(F.col("node").alias("b")), "b")
+                    .groupBy(F.col("a").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= k)
+                    .localCheckpoint(eager=True)
+                )
+                n_nxt = nxt.count()
+                _release(cur)
+                cur = nxt.select("node").localCheckpoint(eager=True)
+                if n_nxt == n_cur:
+                    _release(cur)
+                    return _register(nxt).select(
+                        "node", F.col("deg").alias("deg_in_core")
+                    )
+                _release(nxt)
+                n_cur = n_nxt
+                if n_cur == 0:
+                    converged = True
+                    break
+
+            if converged:
+                _release(cur)
+                return (
+                    edges.select(F.col(src).alias("a"))
+                    .groupBy(F.col("a").alias("node"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+                    .filter(F.lit(False))
+                )
+            raise RuntimeError(
+                f"kcore_bucketed did not stabilize within {max_iter} rounds; "
+                "raise max_iter"
             )
-        raise RuntimeError(
-            f"kcore_bucketed did not stabilize within {max_iter} rounds; "
-            "raise max_iter"
-        )
     finally:
         drop_managed_table(spark, table)
 

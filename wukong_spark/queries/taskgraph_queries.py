@@ -146,7 +146,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    labels = connected_components(edges)
+    labels = connected_components(
+        edges, iteration_partitions=spark.sparkContext.defaultParallelism
+    )
     return labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -1103,7 +1105,9 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str):
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return kcore(edges, k=25).orderBy("node")
+    return kcore(
+        edges, k=25, iteration_partitions=spark.sparkContext.defaultParallelism
+    ).orderBy("node")
 
 
 @query(
@@ -1346,7 +1350,10 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    res = hits(e, tol=tol, max_iter=100).localCheckpoint(eager=True)
+    res = hits(
+        e, tol=tol, max_iter=100,
+        iteration_partitions=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=True)
 
     # independent pass: one more alternation from the returned scores
     a_raw = (

@@ -694,7 +694,10 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str):
     from wukong_spark.operators.graph import connected_components
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = connected_components(
+        pairs, "doc_a", "doc_b",
+        iteration_partitions=spark.sparkContext.defaultParallelism,
+    )
     return cc.groupBy(F.col("component").cast("long").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").cast("long").alias("max_doc"),

@@ -825,7 +825,10 @@ def dedup_semantic_verdict(spark: SparkSession, sf_dir: str):
     pairs = dedup_semantic_clusters(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = connected_components(
+        pairs, "doc_a", "doc_b",
+        iteration_partitions=spark.sparkContext.defaultParallelism,
+    )
     all_ids = tbl(spark, sf_dir, "embeddings").select("vec_id")
     canonical = F.coalesce(F.col("component"), F.col("vec_id"))
     verdicts = all_ids.join(cc, all_ids.vec_id == cc.node, "left").select(

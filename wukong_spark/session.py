@@ -167,6 +167,45 @@ class PlanCache:
         self._cache.clear()
 
 
+class scoped_shuffle_partitions:
+    """Pin `spark.sql.shuffle.partitions` for a code block, restoring the
+    session value (or its absence) on exit.
+
+    Iterative operators (connected components, k-core, HITS, ALS) run a
+    driver loop of SMALL keyed exchanges — (node, label) pairs, linear in
+    nodes — that each materialize via an eager localCheckpoint.  The
+    checkpoint severs the plan, so AQE never sees the loop as one query
+    and every round pays the SESSION'S exchange width in task-launch
+    latency: on a default 200-partition session a 10-round loop burns
+    thousands of near-empty tasks regardless of data size.  Size the
+    loop's exchanges to the per-iteration STATE (the label/survivor set),
+    not to the edge-scan default — same discipline as the streaming
+    state-store pin (`streaming._scoped_state_partitions`), which sizes
+    by state volume at stream start.
+
+    Session confs are session-global: don't run concurrent queries on
+    other threads of the same session inside the scope."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get(self.KEY, None)
+            self.spark.conf.set(self.KEY, str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            if self.prev is None:
+                self.spark.conf.unset(self.KEY)
+            else:
+                self.spark.conf.set(self.KEY, self.prev)
+        return False
+
+
 def release_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint's persisted RDD immediately instead of waiting
     for driver GC + ContextCleaner.
