@@ -42,6 +42,15 @@ class QuerySpec:
     #: converges at any scale; only the SQL referee is bounded.  sf-aware
     #: checkers fall back to a rows-only check above this.
     oracle_max_sf: float | None = None
+    #: True for entries whose exchanges carry OPERATOR STATE (matrix
+    #: blocks, factor panels) rather than table data: their width should
+    #: track the cluster's core count, not the session's data-sized
+    #: shuffle default.  The registry wraps these in
+    #: `session.scoped_shuffle_partitions(spark, defaultParallelism)`
+    #: during entry construction — eager checkpoints inside driver-loop
+    #: operators sever the plan, so AQE cannot coalesce the hundreds of
+    #: near-empty tasks a 200-partition default pays per step.
+    state_sized: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -53,18 +62,33 @@ def query(
     headline: bool = False,
     oracle_sf: float | None = None,
     oracle_max_sf: float | None = None,
+    state_sized: bool = False,
 ):
     """Decorator registering a query implementation."""
 
     def deco(fn):
+        run = fn
+        if state_sized:
+            import functools
+
+            @functools.wraps(fn)
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                from wukong_spark.session import scoped_shuffle_partitions
+
+                with scoped_shuffle_partitions(
+                    spark, spark.sparkContext.defaultParallelism
+                ):
+                    return fn(spark, sf_dir)
+
         REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=run,
             oracle=oracle,
             headline=headline,
             doc=fn.__doc__ or "",
             oracle_sf=oracle_sf,
             oracle_max_sf=oracle_max_sf,
+            state_sized=state_sized,
         )
         return fn
 

@@ -36,6 +36,7 @@ from wukong_spark.queries.helpers import tbl
 
 @query(
     "embed_gramian",
+    state_sized=True,
     oracle="""
     WITH ex AS (
       SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS x
@@ -131,6 +132,7 @@ def _block_fro(c: BlockMatrix):
 
 @query(
     "la_gemm_block_norms",
+    state_sized=True,
     headline=True,
     # literal VALUES capture of the seeded-input result (generated input —
     # driver testdata regeneration can't move it); values verified ≥ 0.098
@@ -165,6 +167,7 @@ def la_gemm_block_norms(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_gemm_ref",
+    state_sized=True,
     headline=True,
     # literal capture of the sf<0.1 branch (2000²/500 — the only branch the
     # sf=0.01 gate runs); margins ≥ 0.020 from rounding boundaries
@@ -197,6 +200,7 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_tsqr_ref",
+    state_sized=True,
     headline=True,
     # deterministic contract: booleans are sf-invariant (the residual bounds
     # hold at every scale), rank is the column count of the sf<0.1 branch —
@@ -228,6 +232,7 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_ts_ref",
+    state_sized=True,
     headline=True,
     # sf<0.1 branch capture at scale 800 (milli-scale put σ₃·1000 within
     # 3e-5 of a boundary; at 800 the min margin is 0.031)
@@ -257,6 +262,7 @@ def la_svd_ts_ref(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_ts_docs",
+    state_sized=True,
     headline=True,
     # sf<0.1 branch capture (20000×50 seed 43), min boundary margin 0.013
     oracle=(
@@ -286,6 +292,7 @@ def la_svd_ts_docs(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_compressed_ref",
+    state_sized=True,
     headline=True,
     # sf<0.1 branch capture (2500×1250/625 seed 41, sketch seed 2),
     # min boundary margin 0.093
@@ -315,6 +322,7 @@ def la_svd_compressed_ref(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_tsqr_factors",
+    state_sized=True,
     headline=True,
     oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, 32 AS rank",
 )
@@ -336,6 +344,7 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_qr_square",
+    state_sized=True,
     oracle="SELECT TRUE AS orthonormal, TRUE AS reconstructs, TRUE AS full_rank",
 )
 def la_qr_square(spark: SparkSession, sf_dir: str):
@@ -390,6 +399,7 @@ def la_qr_square(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_gemm_check",
+    state_sized=True,
     oracle="SELECT TRUE AS matvec_identity, 16 AS blocks",
 )
 def la_gemm_check(spark: SparkSession, sf_dir: str):
@@ -423,6 +433,7 @@ def la_gemm_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_ts_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS u_orthonormal, TRUE AS reconstructs,"
         " TRUE AS sigma_sorted, 16 AS rank"
@@ -457,6 +468,7 @@ def la_svd_ts_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_compressed_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS u_orthonormal, TRUE AS sigma_sorted,"
         " TRUE AS top_sigma_close, 5 AS k"
@@ -493,6 +505,7 @@ def la_svd_compressed_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_sparse_colsums",
+    state_sized=True,
     # nnz of the seeded masked input is a fixed integer (computed from the
     # same per-block PCG64 streams the generator uses); the booleans are the
     # in-plan sparse-vs-dense cross-checks
@@ -534,6 +547,7 @@ def la_sparse_colsums(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_sparse_matmul_check",
+    state_sized=True,
     # literals are legal here: inputs are SEEDED-GENERATED (per-block
     # PCG64 — independent of sf and of any table the driver regenerates)
     # and integer-exact (masked values are integers 1..9, so every
@@ -607,6 +621,7 @@ def la_sparse_matmul_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_rechunk_check",
+    state_sized=True,
     oracle="SELECT TRUE AS roundtrip_exact, TRUE AS colsums_match, 16 AS blocks",
 )
 def la_rechunk_check(spark: SparkSession, sf_dir: str):
@@ -636,6 +651,7 @@ def la_rechunk_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_concat_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS fro_additive_v, TRUE AS rowsums_match,"
         " TRUE AS fro_additive_h, 21 AS v_blocks, 16 AS h_blocks"
@@ -681,6 +697,7 @@ def la_concat_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_lstsq_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS qr_ne_agree, TRUE AS residual_orthogonal, 16 AS n_cols"
     ),
@@ -713,6 +730,7 @@ def la_lstsq_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_cumsum_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS last_row_matches_colsums, TRUE AS diff_reconstructs,"
         " 40 AS blocks"
@@ -751,6 +769,7 @@ def la_cumsum_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_solve_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS residual_small, TRUE AS matches_dense, 4 AS blocks"
     ),
@@ -787,6 +806,7 @@ def la_solve_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_probe_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS gram_diag_matches, TRUE AS rowsum_matches,"
         " TRUE AS argmax_is_max, 160 AS diag_len"
@@ -830,6 +850,7 @@ def la_probe_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_tall_skinny_sigma",
+    state_sized=True,
     headline=True,
     # no sf branch — values identical at every scale; min margin 0.029
     oracle=(
@@ -849,6 +870,7 @@ def la_svd_tall_skinny_sigma(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_svd_compressed_sigma",
+    state_sized=True,
     headline=True,
     # no sf branch — values identical at every scale; min margin 0.146
     oracle=(
@@ -867,6 +889,7 @@ def la_svd_compressed_sigma(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_cholesky_check",
+    state_sized=True,
     headline=True,
     # 4 = grid count of the sf<0.1 branch (100² / 25-blocks), the branch the
     # sf=0.01 correctness gate runs; the boolean residual bound is sf-invariant
@@ -910,6 +933,7 @@ def la_cholesky_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_overlap_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS stencil_matches, TRUE AS interior_nonzero, 32 AS blocks"
     ),
@@ -954,6 +978,7 @@ def la_overlap_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_lu_inv_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS reconstructs, TRUE AS triangular,"
         " TRUE AS solve_matches_dense, TRUE AS inv_residual_small,"
@@ -1020,6 +1045,7 @@ def la_lu_inv_check(spark: SparkSession, sf_dir: str):
 
 @query(
     "la_indexing_block_check",
+    state_sized=True,
     oracle=(
         "SELECT TRUE AS take_matches, TRUE AS mask_matches,"
         " TRUE AS concat_matches, TRUE AS block_matches,"
