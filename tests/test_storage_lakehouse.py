@@ -188,7 +188,7 @@ def test_vacuum_spares_infly_staged_files(spark, tmp_path):
         t.merge(_mk(spark, [(1, 1), (2 * i, 3)]))
     t.compact()
     # simulate an in-flight merge: staged+published but not yet committed
-    staged = t._stage_files(
+    staged, _ = t._stage_files(
         t._bucketed(_mk(spark, [(9, 9)]).withColumn("__commit", F.lit(99)))
     )
     infly = [r for rels in staged.values() for r in rels]
@@ -430,3 +430,100 @@ def test_four_threaded_writers_all_land_with_rebase(spark, tmp_path):
         for r in fl
     }
     assert [e for e in t.storage.list("data") if e not in live] == []
+
+
+# -- data skipping (file-level key stats) ------------------------------------
+
+def test_key_range_skipping_prunes_disjoint_commit_files(spark, tmp_path):
+    """Files whose footer key min/max can't intersect the requested range
+    are never opened: two merges with disjoint key windows (the
+    time-ordered-ingest shape) → a range read keeps only the second
+    commit's files, and the result still matches the full-scan filter."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    t.merge(_mk(spark, [(i, i * 10) for i in range(10)]).repartition(1))
+    t.merge(_mk(spark, [(i, 7) for i in range(100, 110)]).repartition(1))
+
+    kept, total = t.prune_info((100, 109))
+    assert total == 4 and kept == 2, (kept, total)  # 2 buckets × 2 commits
+    kept, total = t.prune_info((0, 9))
+    assert kept == 2
+    kept, total = t.prune_info((5, 105))  # straddles both windows
+    assert kept == 4
+
+    got = {r["k"]: r["n"] for r in t.read(key_range=(100, 109)).collect()}
+    assert got == {k: 7 for k in range(100, 110)}
+    # open-ended ranges
+    got = {r["k"] for r in t.read(key_range=(None, 9)).collect()}
+    assert got == set(range(10))
+    got = {r["k"] for r in t.read(key_range=(100, None)).collect()}
+    assert got == set(range(100, 110))
+
+
+def test_key_range_equals_full_scan_filter_with_updates(spark, tmp_path):
+    """Skipping must be invisible to semantics: a key-range read over a
+    table with cross-commit updates to the same keys (sum mode) equals
+    the unpruned read + filter."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.merge(_mk(spark, [(i, 1) for i in range(20)]).repartition(1))
+    t.merge(_mk(spark, [(i, 100) for i in range(15, 25)]).repartition(1))
+    want = {
+        r["k"]: r["n"]
+        for r in t.read().filter(F.col("k").between(12, 22)).collect()
+    }
+    got = {r["k"]: r["n"] for r in t.read(key_range=(12, 22)).collect()}
+    assert got == want and got[15] == 101 and got[12] == 1
+
+
+def test_read_keys_stats_prune_and_correctness(spark, tmp_path):
+    """read_keys' second pruning stage (after the bucket cut) drops files
+    whose key window excludes every probe key, without changing results;
+    files with no stats are kept (conservative default)."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=2,
+        mode="latest", order_col="ts",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k long, ts long, v string")
+    t.merge(mk([(1, 1, "a"), (2, 1, "b")]).repartition(1))
+    t.merge(mk([(101, 2, "x"), (102, 2, "y"), (1, 2, "a2")]).repartition(1))
+
+    m = t._load_manifest(t.current_version())
+    sts = m.get("stats", {})
+    assert sts, "stats missing from manifest"
+    # the first commit's files exclude key 101
+    first = [r for fl in m["files"].values() for r in fl if "-0000" in r]
+    excl = [r for r in sts if not t._stats_keep(sts.get(r), values=[101])]
+    assert excl, "no file pruned for point lookup"
+    got = {r["k"]: r["v"] for r in t.read_keys([1, 101]).collect()}
+    assert got == {1: "a2", 101: "x"}
+    # conservative default: no stats → keep
+    assert t._stats_keep(None, values=[101])
+    assert t._stats_keep({}, lo=0, hi=1)
+
+
+def test_stats_carry_through_merge_compact_and_objstore(spark, tmp_path):
+    """Skipping stats ride the manifest like the file lists: carried by
+    reference across merges, regenerated by compact for its rewritten
+    files, and present on the rename-free simulated object store."""
+    store = SimulatedObjectStore(str(tmp_path / "remote"))
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=2, storage=store
+    )
+    t.merge(_mk(spark, [(i, 1) for i in range(5)]).repartition(1))
+    t.merge(_mk(spark, [(i, 2) for i in range(200, 205)]).repartition(1))
+    m = t._load_manifest(t.current_version())
+    rels = {r for fl in m["files"].values() for r in fl}
+    assert set(m["stats"]) == rels, "every listed file carries stats"
+    v_compact = t.compact()
+    m2 = t._load_manifest(v_compact)
+    rels2 = {r for fl in m2["files"].values() for r in fl}
+    assert set(m2["stats"]) == rels2
+    # post-compact each bucket is one file spanning both windows → a
+    # narrow range keeps everything (documented: compaction widens
+    # per-file windows; skipping pays off on the un-compacted tail)
+    kept, total = t.prune_info((0, 4), version=v_compact)
+    assert (kept, total) == (total, total)
+    # pre-compact version still prunes
+    kept, total = t.prune_info((0, 4), version=v_compact - 1)
+    assert kept < total
+    got = {r["k"]: r["n"] for r in t.read(key_range=(200, 204)).collect()}
+    assert got == {k: 2 for k in range(200, 205)}

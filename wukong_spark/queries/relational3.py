@@ -2181,3 +2181,87 @@ def running_alltime_low_orders(spark: SparkSession, sf_dir: str):
     return scanned.filter(F.col("price_c") == F.col("low_c")).select(
         "o_orderkey", "o_orderdate", "price_c", "low_c"
     ).orderBy("o_orderkey")
+
+
+_KEY_SKIPPING_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+), cuts AS (
+  SELECT lo + (hi - lo) // 3 AS c1, lo + 2 * ((hi - lo) // 3) AS c2 FROM b
+), w2 AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders, cuts WHERE o_orderkey > c1 AND o_orderkey <= c2
+)
+SELECT
+  COUNT(*) AS n_keys,
+  CAST(SUM(v) + COUNT(*) AS BIGINT) AS sum_v,
+  TRUE AS prune_effective,
+  TRUE AS prune_exact
+FROM w2
+"""
+
+
+@query("lakehouse_key_skipping_check", oracle=_KEY_SKIPPING_ORACLE)
+def lakehouse_key_skipping_check(spark: SparkSession, sf_dir: str):
+    """FILE-LEVEL DATA SKIPPING on the snapshot table (r17) — the
+    Delta/Iceberg stats-pruning contract: every staged parquet file's
+    footer min/max/null-count is harvested into the manifest at commit
+    time (`tableformat._footer_stats` — no data pages read; the writer
+    already paid for the statistics), and `read(key_range=...)` opens
+    ONLY files whose key window can intersect the range.  Skipping is
+    offered on the KEY column alone: on a merge-on-read table the key
+    determines the reduce group, so pruning key-disjoint files is
+    invisible to sums/argmaxes, while a value-column predicate could not
+    drop a file without corrupting them — the documented boundary.
+
+    The fixture is the shape skipping exists for — time-ordered ingest:
+    orders lands as three key-window commits (thirds of the orderkey
+    domain) plus a fourth update commit back into the middle window
+    (+1 cent per key, proving pruned reads still merge); the middle-
+    window range read must (a) match the full-scan oracle and (b)
+    PROVE pruning: `prune_info` keeps exactly the files the two
+    middle-window commits staged — every other commit's files are
+    skipped without being opened, however Spark split them.
+
+    100 TB path: the manifest is O(files) and the prune is a driver-side
+    stats scan — a range read over a petabyte table opens only the
+    commits whose ingest window overlaps, exactly Delta's per-AddFile
+    stats pruning."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("v")
+    )
+    lo, hi = o.agg(F.min("k"), F.max("k")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    work = tempfile.mkdtemp(prefix=f"lakehouse_skip_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(spark, f"{work}/t", "k", n_buckets=4)
+        t.merge(o.filter(F.col("k") <= c1))                          # v0
+        t.merge(o.filter((F.col("k") > c1) & (F.col("k") <= c2)))    # v1
+        t.merge(o.filter(F.col("k") > c2))                           # v2
+        t.merge(                                                     # v3
+            o.filter((F.col("k") > c1) & (F.col("k") <= c2))
+            .withColumn("v", F.lit(1).cast("long"))
+        )
+        kept, total = t.prune_info((c1 + 1, c2))
+        # exactly the two middle-window commits' files survive the prune
+        head = t.current_version()
+        files_at = lambda v: {
+            r for fl in t._load_manifest(v)["files"].values() for r in fl
+        }
+        mid_files = (files_at(1) - files_at(0)) | (files_at(3) - files_at(2))
+        res = t.read(key_range=(c1 + 1, c2)).agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("v").alias("sum_v"),
+        ).first()
+        return spark.createDataFrame(
+            [(res["n_keys"], res["sum_v"], kept < total, kept == len(mid_files))],
+            "n_keys long, sum_v long, prune_effective boolean, prune_exact boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

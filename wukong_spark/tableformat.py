@@ -37,6 +37,14 @@ uses (Delta's JSON log, Iceberg's manifests, Hudi's merge-on-read):
   last-write-wins argmax with the commit version as the tie-break) —
   exactly the associative semantics of `streaming.BucketedUpsertState`,
   which is what makes read-time merging correct under ANY interleaving.
+- **File-level data skipping (r17).**  Every staged file's parquet
+  FOOTER stats (per-column min/max/null-count) are harvested into the
+  manifest at commit time; `read(key_range=...)` and `read_keys` prune
+  files whose key window provably can't match — Delta's per-AddFile
+  stats pruning.  Offered on the KEY column only: on a merge-on-read
+  table the key determines the reduce group, so key-disjoint files are
+  droppable, while value-column predicates could not prune a file
+  without changing sums/argmaxes.
 - **Compaction is a transaction.**  `compact()` pre-applies the read
   reduction per bucket and commits the result as a NEW snapshot whose
   read()-rows are identical — the OPTIMIZE step that bounds read cost;
@@ -144,6 +152,7 @@ class SnapshotStateTable:
     def _commit(
         self, version: int, files_by_bucket: dict, note: str,
         schema_json: str | None = None, data_unchanged: bool = False,
+        stats: dict | None = None,
     ) -> int:
         """Atomic put-if-absent of the manifest — THE commit point.  A
         competing writer that claimed `version` first makes the
@@ -159,6 +168,10 @@ class SnapshotStateTable:
             "schema": schema_json,
             "data_unchanged": data_unchanged,
             "committed_at": time.time(),
+            # per-file column min/max/null-count (parquet footer stats,
+            # harvested at stage time) — the data-skipping index.  Keyed
+            # by data filename; a file absent here is simply unprunable.
+            "stats": stats or {},
         }
         data = json.dumps(manifest).encode()
         if not self.storage.put_if_absent(self._manifest_key(version), data):
@@ -207,15 +220,79 @@ class SnapshotStateTable:
             F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets)),
         )
 
-    def _stage_files(self, bucketed: DataFrame) -> dict[int, list[str]]:
+    @staticmethod
+    def _footer_stats(local_path: str) -> dict:
+        """Per-file column stats from the parquet FOOTER of a just-staged
+        local file — no data pages are read; the writer already paid for
+        the statistics.  Records min/max/null-count for columns whose
+        values JSON-round-trip with their ordering intact (ints, floats,
+        strings, bools); other types are simply absent (= unprunable on
+        that column).  The same harvesting trick Delta uses for its
+        per-AddFile stats."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local_path).metadata
+        cols: dict[str, dict] = {}
+        ok = True
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name or name in ("__bkt",):
+                    continue  # nested leaf / partition scratch
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    cols.pop(name, None)
+                    cols[name] = {"unprunable": True}
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except Exception:
+                        cols[name] = {"unprunable": True}
+                        continue
+                if not (
+                    isinstance(lo, (int, float, str, bool))
+                    and isinstance(hi, (int, float, str, bool))
+                ) or (
+                    isinstance(lo, float) and not math.isfinite(lo)
+                ) or (
+                    isinstance(hi, float) and not math.isfinite(hi)
+                ):
+                    cols[name] = {"unprunable": True}
+                    continue
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = {
+                        "min": lo, "max": hi,
+                        "nulls": st.null_count or 0,
+                    }
+                elif "unprunable" not in prev:
+                    prev["min"] = min(prev["min"], lo)
+                    prev["max"] = max(prev["max"], hi)
+                    prev["nulls"] = (prev["nulls"] or 0) + (st.null_count or 0)
+        return {
+            "rows": md.num_rows,
+            "cols": {k: v for k, v in cols.items() if "unprunable" not in v},
+        }
+
+    def _stage_files(
+        self, bucketed: DataFrame
+    ) -> tuple[dict[int, list[str]], dict[str, dict]]:
         """Write `bucketed` (has __bkt) to local staging scratch, then
         PUBLISH each part to a final immutable name under ``data/``
         (storage upload — never a store-side rename); returns
-        {bucket: [filename, ...]}.  Published-but-uncommitted files are
-        invisible garbage until a manifest references them."""
+        ({bucket: [filename, ...]}, {filename: footer stats}).
+        Published-but-uncommitted files are invisible garbage until a
+        manifest references them."""
         stage = os.path.join(self.table_dir, f"stage-{uuid.uuid4().hex[:12]}")
         bucketed.write.partitionBy("__bkt").mode("overwrite").parquet(stage)
         out: dict[int, list[str]] = {}
+        stats: dict[str, dict] = {}
         tag = uuid.uuid4().hex[:12]
         for e in os.listdir(stage):
             if not e.startswith("__bkt="):
@@ -228,12 +305,15 @@ class SnapshotStateTable:
                 )
             ):
                 rel = f"b{b:05d}-{tag}-{i:04d}.parquet"
-                self.storage.publish_file(
-                    os.path.join(stage, e, fn), f"data/{rel}"
-                )
+                local = os.path.join(stage, e, fn)
+                try:
+                    stats[rel] = self._footer_stats(local)
+                except Exception:
+                    pass  # stats are an optimization, never a gate
+                self.storage.publish_file(local, f"data/{rel}")
                 out.setdefault(b, []).append(rel)
         shutil.rmtree(stage, ignore_errors=True)
-        return out
+        return out, stats
 
     def _read_files(self, rels: list[str]) -> DataFrame:
         paths = [self.storage.spark_path(f"data/{r}") for r in rels]
@@ -267,29 +347,104 @@ class SnapshotStateTable:
             *[F.col(f"__w.{c}").alias(c) for c in val_cols + ["__commit"]],
         )
 
+    # -- data skipping -------------------------------------------------------
+    @staticmethod
+    def _kinds_comparable(a, b) -> bool:
+        num = (int, float)  # bool is an int subclass — same order kind
+        if isinstance(a, num) and isinstance(b, num):
+            return True
+        return isinstance(a, str) and isinstance(b, str)
+
+    def _stats_keep(self, st: dict | None, lo=None, hi=None, values=None) -> bool:
+        """File-keep decision from its KEY-column footer stats: False only
+        when the stats PROVE no requested key can be in the file.  A file
+        with no stats (pre-stats manifest, unprunable type, failed
+        harvest) is always kept — skipping is an optimization with a
+        conservative default, never a correctness gate."""
+        if not st:
+            return True
+        col = (st.get("cols") or {}).get(self.key_col)
+        if not col:
+            return True
+        fmin, fmax = col["min"], col["max"]
+        if values is not None:
+            for v in values:
+                if v is None or not self._kinds_comparable(v, fmin):
+                    return True  # can't bound this key — keep
+                if fmin <= v <= fmax:
+                    return True
+            return False
+        if lo is not None and self._kinds_comparable(lo, fmax) and fmax < lo:
+            return False
+        if hi is not None and self._kinds_comparable(hi, fmin) and fmin > hi:
+            return False
+        return True
+
+    def prune_info(
+        self, key_range: tuple, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files_kept, files_total) a `read(key_range=...)` at `version`
+        would open — the data-skipping effectiveness probe."""
+        v = self.current_version() if version is None else version
+        m = self._load_manifest(v)
+        sts = m.get("stats", {})
+        lo, hi = key_range
+        rels = [r for fl in m["files"].values() for r in fl]
+        kept = [r for r in rels if self._stats_keep(sts.get(r), lo, hi)]
+        return len(kept), len(rels)
+
     # -- public surface ------------------------------------------------------
     def read(
-        self, version: int | None = None, include_tombstones: bool = False
+        self, version: int | None = None, include_tombstones: bool = False,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read with the merge applied.  `version=None` → head;
         otherwise TIME TRAVEL to that committed snapshot (concurrent
         commits never affect a pinned read — manifest files are
         immutable).  A pinned read stays valid only while its version
-        survives `vacuum` (see there)."""
+        survives `vacuum` (see there).
+
+        `key_range=(lo, hi)` (either end None for open) returns only rows
+        with lo <= key <= hi, and DATA-SKIPS: files whose footer-harvested
+        key min/max can't intersect the range are never opened (the
+        Delta/Iceberg stats-pruning contract).  Skipping is sound ONLY on
+        the key column of a merge-on-read table — the key determines the
+        reduce group, so a pruned file holds no rows of any surviving
+        group; a VALUE-column predicate cannot prune files without
+        changing sums/argmaxes and is deliberately not offered.  Useful
+        when commits arrive key-clustered (time-ordered ingest): each
+        delta's files bound a narrow key window, so old files prune.  On
+        a table whose keys hash evenly into every file, stats cover the
+        whole domain and nothing prunes — that's what `compact()` +
+        bucket pruning (`read_keys`) are for."""
         v = self.current_version() if version is None else version
         if v is None or not self.storage.exists(self._manifest_key(v)):
             raise ValueError(f"no committed snapshot {version!r}")
         m = self._load_manifest(v)
         rels = [r for fl in m["files"].values() for r in fl]
+        if key_range is not None:
+            lo, hi = key_range
+            sts = m.get("stats", {})
+            rels = [r for r in rels if self._stats_keep(sts.get(r), lo, hi)]
         if not rels:
             # a legitimately empty snapshot (e.g. an expiring compaction
-            # dropped every row): empty frame with the committed schema
+            # dropped every row, or the key range pruned every file):
+            # empty frame with the committed schema
             stored = self._table_schema(v)
             if stored is None:
                 raise ValueError(f"snapshot {v} is empty")
             out = self.spark.createDataFrame([], stored).drop("__commit")
         else:
-            out = self._reduce(self._read_files(rels)).drop("__commit")
+            raw = self._read_files(rels)
+            if key_range is not None:
+                # residual predicate BEFORE the reduce (sound on the key
+                # column: filtering keys == filtering whole groups)
+                lo, hi = key_range
+                if lo is not None:
+                    raw = raw.filter(F.col(self.key_col) >= F.lit(lo))
+                if hi is not None:
+                    raw = raw.filter(F.col(self.key_col) <= F.lit(hi))
+            out = self._reduce(raw).drop("__commit")
         if self.delete_col and not include_tombstones:
             out = out.filter(
                 ~F.coalesce(F.col(self.delete_col), F.lit(False))
@@ -328,6 +483,11 @@ class SnapshotStateTable:
         rels = [
             r for b, fl in m["files"].items() if int(b) in buckets for r in fl
         ]
+        # second pruning stage after the bucket cut: a file whose key
+        # min/max excludes EVERY probe key is never opened (sound for the
+        # same reason as read(key_range=...) — keys define reduce groups)
+        sts = m.get("stats", {})
+        rels = [r for r in rels if self._stats_keep(sts.get(r), values=keys)]
         if not rels:
             return self.read(version=v, include_tombstones=include_tombstones).filter(
                 F.col(self.key_col).isin(list(keys))
@@ -416,7 +576,7 @@ class SnapshotStateTable:
                 delta.withColumn("__commit", F.lit(target).cast("long"))
             )
             schema_json = json.dumps(d.drop("__bkt").schema.jsonValue())
-            staged = self._stage_files(d)
+            staged, sstats = self._stage_files(d)
             if head != base and not self._rebase_ok(set(staged), base, head):
                 self._drop_staged(staged)
                 raise CommitConflictError(
@@ -425,15 +585,25 @@ class SnapshotStateTable:
                 )
             if head is None:
                 files: dict[int, list[str]] = dict(staged)
+                stats = sstats
                 note = "initial"
             else:
                 m = self._load_manifest(head)
                 files = {int(k): list(v) for k, v in m["files"].items()}
                 for b, rels in staged.items():
                     files[b] = files.get(b, []) + rels
+                # carried files keep their skipping stats by reference,
+                # exactly like the file lists themselves (pruned to the
+                # files this manifest actually lists)
+                live = {r for fl in files.values() for r in fl}
+                stats = {
+                    r: s
+                    for r, s in {**m.get("stats", {}), **sstats}.items()
+                    if r in live
+                }
                 note = "merge"
             try:
-                return self._commit(target, files, note, schema_json)
+                return self._commit(target, files, note, schema_json, stats=stats)
             except CommitConflictError:
                 # this round's staged files can never be referenced (the
                 # version they bake is claimed by someone else): drop them
@@ -504,7 +674,9 @@ class SnapshotStateTable:
             raise ValueError("tombstone expiry requires delete_col")
         m = self._load_manifest(head)
         prev = {int(k): v for k, v in m["files"].items()}
+        prev_stats = m.get("stats", {})
         files: dict[int, list[str]] = {}
+        stats: dict[str, dict] = {}
         for b, rels in prev.items():
             if not rels:
                 # a prior expiring compaction emptied this bucket
@@ -513,6 +685,9 @@ class SnapshotStateTable:
                 continue
             if len(rels) <= 1 and expire_tombstones_below is None:
                 files[b] = rels  # already compact: carry by reference
+                stats.update(
+                    {r: prev_stats[r] for r in rels if r in prev_stats}
+                )
                 continue
             reduced = self._reduce(self._read_files(rels))
             if expire_tombstones_below is not None:
@@ -522,11 +697,12 @@ class SnapshotStateTable:
                         & (F.col(self.order_col) < F.lit(expire_tombstones_below))
                     )
                 )
-            files[b] = self._stage_files(
-                self._bucketed(reduced).coalesce(1)
-            ).get(b, [])
+            brels, bstats = self._stage_files(self._bucketed(reduced).coalesce(1))
+            files[b] = brels.get(b, [])
+            stats.update({r: bstats[r] for r in files[b] if r in bstats})
         return self._commit(
-            head + 1, files, "compact", m["schema"], data_unchanged=True
+            head + 1, files, "compact", m["schema"], data_unchanged=True,
+            stats=stats,
         )
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
