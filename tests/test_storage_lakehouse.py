@@ -527,3 +527,89 @@ def test_stats_carry_through_merge_compact_and_objstore(spark, tmp_path):
     assert kept < total
     got = {r["k"]: r["n"] for r in t.read(key_range=(200, 204)).collect()}
     assert got == {k: 2 for k in range(200, 205)}
+
+
+# -- schema evolution + key-clustered compaction ----------------------------
+
+def test_schema_evolution_widens_and_nulls_backfill(spark, tmp_path):
+    """merge(schema_evolution=True): new columns append to the table
+    schema; files written before the column existed read as NULL (every
+    read resolves files against the version's COMMITTED schema, never a
+    sampled file footer); omitted non-structural columns NULL-fill."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    t.merge(_mk(spark, [(1, 10), (2, 20)]))                       # v0
+    with pytest.raises(ValueError, match="schema_evolution"):
+        t.merge(
+            spark.createDataFrame([(3, 1, 7)], "k long, n long, extra long")
+        )
+    # a sum table only accumulates: non-numeric evolution is rejected
+    with pytest.raises(ValueError, match="non-numeric"):
+        t.merge(
+            spark.createDataFrame([(3, 1, "x")], "k long, n long, tag string"),
+            schema_evolution=True,
+        )
+    t.merge(                                                      # v1 widened
+        spark.createDataFrame([(2, 5, 7)], "k long, n long, extra long"),
+        schema_evolution=True,
+    )
+    got = {r["k"]: (r["n"], r["extra"]) for r in t.read().collect()}
+    # n accumulates; extra is NULL for keys with no post-widening rows
+    # (sum of an all-null group), 7 where the new delta contributed
+    assert got[1] == (10, None) and got[2] == (25, 7)
+    # a delta omitting n NULL-fills it (sum ignores nulls)
+    t.merge(
+        spark.createDataFrame([(1, 3)], "k long, extra long"),
+        schema_evolution=True,
+    )
+    got = {r["k"]: (r["n"], r["extra"]) for r in t.read().collect()}
+    assert got == {1: (10, 3), 2: (25, 7)}
+    # structural columns are not evolvable
+    with pytest.raises(ValueError, match="required"):
+        t.merge(
+            spark.createDataFrame([(5,)], "extra long"),
+            schema_evolution=True,
+        )
+
+
+def test_schema_evolution_latest_mode_and_change_feed(spark, tmp_path):
+    """Evolution under mode='latest': the argmax carries the widened
+    payload; the change feed across the widening commit reads old files
+    under the newest schema in range (schemas only widen)."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=2,
+        mode="latest", order_col="ts",
+    )
+    t.merge(spark.createDataFrame([(1, 1, "a")], "k long, ts long, v string"))
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "b", 99)], "k long, ts long, v string, score long"
+        ),
+        schema_evolution=True,
+    )
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("b", 99)}
+    ch = {(r["k"], r["__commit"], r["score"]) for r in t.read_changes(0, 1).collect()}
+    assert ch == {(1, 1, 99)}
+    # time travel BEFORE the widening shows the narrow schema
+    assert "score" not in t.read(version=0).columns
+
+
+def test_clustered_compaction_preserves_skipping(spark, tmp_path):
+    """compact(files_per_bucket=N) range-splits each bucket's rewrite by
+    key (1-D OPTIMIZE ZORDER): post-compaction files bound narrow key
+    windows, so key-range reads keep pruning — the default single wide
+    file per bucket cannot."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    for lo in (0, 100, 200, 300):
+        t.merge(
+            _mk(spark, [(lo + i, 1) for i in range(100)]).repartition(1)
+        )
+    v = t.compact(files_per_bucket=4)
+    m = t._load_manifest(v)
+    assert all(len(fl) == 4 for fl in m["files"].values())
+    kept, total = t.prune_info((0, 40), version=v)
+    assert total == 8 and kept <= total // 2, (kept, total)
+    got = {r["k"] for r in t.read(key_range=(0, 40), version=v).collect()}
+    assert got == set(range(41))
+    # read()-rows identical across the clustered compaction
+    assert t.read(version=v).count() == 400

@@ -162,9 +162,15 @@ def test_read_keys_prunes_to_touched_bucket_files(spark, tmp_path):
         os.path.basename(p) for p in t.read_keys([7, 0]).inputFiles()
     }
     m = t._load_manifest(t.current_version())["files"]
+    # every scanned file lies in a touched bucket (the bucket cut), and
+    # sts pruning may drop MORE — files whose key window excludes every
+    # probe key (r17 stats skipping) — but never a file that matters:
+    # the result equality above already proved sufficiency
     for b, fl in m.items():
         for rel in fl:
-            assert (rel in infiles) == (int(b) in b_touched), (b, rel)
+            if rel in infiles:
+                assert int(b) in b_touched, (b, rel)
+    assert infiles, "scan pruned to nothing"
 
 
 def test_latest_mode_multirow_delta_reduced_on_write(spark, tmp_path):

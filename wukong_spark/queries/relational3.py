@@ -2265,3 +2265,89 @@ def lakehouse_key_skipping_check(spark: SparkSession, sf_dir: str):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH head AS (
+  SELECT
+    o_orderkey AS k,
+    CASE WHEN o_orderkey % 7 = 0 THEN LOWER(o_orderstatus)
+         ELSE o_orderstatus END AS status,
+    CASE WHEN o_orderkey % 7 = 0
+         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS price_c
+  FROM orders
+)
+SELECT
+  status,
+  COUNT(*) AS n,
+  COUNT(price_c) AS n_priced,
+  CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS sum_price_c
+FROM head GROUP BY status ORDER BY status
+"""
+
+
+@query("lakehouse_schema_evolution_check", oracle=_SCHEMA_EVOLUTION_ORACLE)
+def lakehouse_schema_evolution_check(spark: SparkSession, sf_dir: str):
+    """SCHEMA EVOLUTION on the snapshot table (r17) — Delta's mergeSchema
+    contract: `merge(delta, schema_evolution=True)` widens the table with
+    the delta's new columns; the commit's manifest records the widened
+    schema, and every read resolves data files against the VERSION'S
+    committed schema, so files written before a column existed surface it
+    as NULL (never whichever schema the parquet reader samples).  Without
+    the flag a mismatched delta still raises — enforcement stays the
+    default.
+
+    Fixture: orders commits as v0 (k, seq, status); the multiples-of-7
+    subset then commits with a NEW price_c column and a lowered status at
+    seq=1 (mode='latest', so the argmax carries the widened payload).
+    The head groups by status: evolved keys show lowercase status and a
+    price, un-evolved keys keep the original status with price_c NULL —
+    the NULL-backfill read path under the aggregate.  Time travel to v0
+    must NOT show the column (pinned in tests).
+
+    100 TB path: widening is a metadata-only change for existing data —
+    no file is rewritten; old files read as-is under the new schema."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    o = tbl(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix=f"lakehouse_evo_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=4,
+            mode="latest", order_col="seq",
+        )
+        t.merge(
+            o.select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(0).cast("long").alias("seq"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+        t.merge(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lower("o_orderstatus").alias("status"),
+                cents("o_totalprice").alias("price_c"),
+            ),
+            schema_evolution=True,
+        )
+        rows = (
+            t.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("price_c").alias("n_priced"),
+                F.coalesce(F.sum("price_c"), F.lit(0)).alias("sum_price_c"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "status string, n long, n_priced long, sum_price_c long"
+        ).orderBy("status")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

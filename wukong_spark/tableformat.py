@@ -45,6 +45,12 @@ uses (Delta's JSON log, Iceberg's manifests, Hudi's merge-on-read):
   table the key determines the reduce group, so key-disjoint files are
   droppable, while value-column predicates could not prune a file
   without changing sums/argmaxes.
+- **Schema evolution (r17).**  `merge(delta, schema_evolution=True)`
+  widens the table with the delta's new columns (Delta's mergeSchema):
+  the commit's manifest records the widened schema, reads resolve every
+  file against the VERSION'S committed schema (older files surface new
+  columns as NULL), and omitted non-structural columns NULL-fill; the
+  key/order/delete columns stay required.
 - **Compaction is a transaction.**  `compact()` pre-applies the read
   reduction per bucket and commits the result as a NEW snapshot whose
   read()-rows are identical — the OPTIMIZE step that bounds read cost;
@@ -192,11 +198,21 @@ class SnapshotStateTable:
                 return StructType.fromJson(json.loads(raw))
         return None
 
-    def _enforce_schema(self, delta: DataFrame, head: int) -> DataFrame:
+    def _enforce_schema(
+        self, delta: DataFrame, head: int, evolve: bool = False
+    ) -> DataFrame:
         """Schema enforcement (every table format's write-side contract):
         cast the delta to the schema the table committed at creation, so
         data files never fork physical parquet types (an int literal in
-        one delta vs a long in another would poison mixed-file reads)."""
+        one delta vs a long in another would poison mixed-file reads).
+
+        With `evolve` (Delta's mergeSchema): the delta's EXTRA columns
+        append to the table schema — the commit's manifest records the
+        widened schema and older files read as NULL for the new columns
+        — and columns the delta omits are NULL-filled, EXCEPT the
+        structural ones (key / order / delete), which stay required:
+        a delta that can't say which key it touches, or where it sits in
+        the merge order, has no meaning to evolve around."""
         stored = self._table_schema(head)
         if stored is None:
             return delta
@@ -204,14 +220,43 @@ class SnapshotStateTable:
         want_names = {f.name for f in want}
         extra = [c for c in delta.columns if c not in want_names]
         missing = [f.name for f in want if f.name not in delta.columns]
-        if extra or missing:
+        if (extra or missing) and not evolve:
             raise ValueError(
                 f"delta schema mismatch: extra={extra} missing={missing} "
-                f"(table columns: {sorted(want_names)})"
+                f"(table columns: {sorted(want_names)}); pass "
+                "schema_evolution=True to widen the table"
             )
-        return delta.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want]
-        )
+        required = {self.key_col, self.order_col, self.delete_col} - {None}
+        still_missing = sorted(set(missing) & required)
+        if still_missing:
+            raise ValueError(
+                f"delta omits required column(s) {still_missing} "
+                "(key/order/delete are not evolvable)"
+            )
+        if extra and self.mode == "sum":
+            from pyspark.sql.types import NumericType
+
+            bad = [
+                c for c in extra
+                if not isinstance(delta.schema[c].dataType, NumericType)
+            ]
+            if bad:
+                raise ValueError(
+                    f"cannot evolve non-numeric column(s) {sorted(bad)} into "
+                    "a mode='sum' table (every value column accumulates); "
+                    "use mode='latest' for typed payloads"
+                )
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in delta.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want
+        ]
+        # new columns append AFTER the established ones, in delta order,
+        # keeping the delta's own types — the widened schema this commit's
+        # manifest will record
+        cols += [F.col(c) for c in extra]
+        return delta.select(*cols)
 
     # -- plumbing ----------------------------------------------------------
     def _bucketed(self, df: DataFrame) -> DataFrame:
@@ -315,9 +360,17 @@ class SnapshotStateTable:
         shutil.rmtree(stage, ignore_errors=True)
         return out, stats
 
-    def _read_files(self, rels: list[str]) -> DataFrame:
+    def _read_files(self, rels: list[str], schema=None) -> DataFrame:
+        """Open manifest-listed data files.  `schema` (the version's
+        committed StructType, __commit included) makes mixed-generation
+        reads well-defined under schema evolution: files written before a
+        column existed surface it as NULL instead of whichever file the
+        parquet reader happens to sample schema from."""
         paths = [self.storage.spark_path(f"data/{r}") for r in rels]
-        return self.spark.read.parquet(*paths)
+        rd = self.spark.read
+        if schema is not None:
+            rd = rd.schema(schema)
+        return rd.parquet(*paths)
 
     def _reduce(self, df: DataFrame) -> DataFrame:
         """The read-time combine: collapse appended delta rows to one row
@@ -435,7 +488,7 @@ class SnapshotStateTable:
                 raise ValueError(f"snapshot {v} is empty")
             out = self.spark.createDataFrame([], stored).drop("__commit")
         else:
-            raw = self._read_files(rels)
+            raw = self._read_files(rels, schema=self._table_schema(v))
             if key_range is not None:
                 # residual predicate BEFORE the reduce (sound on the key
                 # column: filtering keys == filtering whole groups)
@@ -492,7 +545,9 @@ class SnapshotStateTable:
             return self.read(version=v, include_tombstones=include_tombstones).filter(
                 F.col(self.key_col).isin(list(keys))
             ).limit(0)
-        out = self._reduce(self._read_files(rels)).drop("__commit").filter(
+        out = self._reduce(
+            self._read_files(rels, schema=self._table_schema(v))
+        ).drop("__commit").filter(
             F.col(self.key_col).isin(list(keys))
         )
         if self.delete_col and not include_tombstones:
@@ -516,6 +571,7 @@ class SnapshotStateTable:
     def merge(
         self, delta: DataFrame, expect_version: int | None = None,
         auto_rebase: bool = True, max_rebase_retries: int = 5,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE-ON-READ commit: append `delta`'s rows as new files in the
         buckets they touch (IO = O(delta)); untouched buckets carry by
@@ -546,7 +602,7 @@ class SnapshotStateTable:
                 "reload and retry"
             )
         if base is not None:
-            delta = self._enforce_schema(delta, base)
+            delta = self._enforce_schema(delta, base, evolve=schema_evolution)
         if self.mode == "latest":
             # enforce the one-row-per-key invariant ON WRITE: collapse the
             # delta to its per-key argmax over order_col (rows tying on
@@ -651,7 +707,9 @@ class SnapshotStateTable:
                     return False
         return True
 
-    def compact(self, expire_tombstones_below=None) -> int:
+    def compact(
+        self, expire_tombstones_below=None, files_per_bucket: int = 1,
+    ) -> int:
         """Pre-apply the read reduction per bucket and commit the result
         as a NEW snapshot with identical read()-rows — the OPTIMIZE
         transaction that bounds merge-on-read cost.  The commit is
@@ -666,7 +724,16 @@ class SnapshotStateTable:
         tombstones whose `order_col` is below that horizon — SAFE ONLY
         under the application's guarantee that no future delta carries an
         order older than the horizon (the standard watermark/retention
-        contract every CDC compactor imposes)."""
+        contract every CDC compactor imposes).
+
+        `files_per_bucket > 1` KEY-CLUSTERS the rewrite (the 1-D form of
+        Delta's OPTIMIZE ZORDER): each bucket's rows are range-split by
+        key into that many files, so every output file bounds a NARROW
+        key window and `read(key_range=...)` keeps pruning after the
+        compaction — the default single wide file per bucket spans the
+        whole key domain and defeats stats skipping.  Size it so file
+        count stays O(files) for the manifest while file key-windows
+        match the table's typical probe range."""
         head = self.current_version()
         if head is None:
             raise ValueError("nothing to compact")
@@ -683,13 +750,19 @@ class SnapshotStateTable:
                 # (ADVICE r17: zero-path spark.read.parquet raises)
                 files[b] = []
                 continue
-            if len(rels) <= 1 and expire_tombstones_below is None:
+            if (
+                len(rels) <= 1
+                and expire_tombstones_below is None
+                and files_per_bucket == 1
+            ):
                 files[b] = rels  # already compact: carry by reference
                 stats.update(
                     {r: prev_stats[r] for r in rels if r in prev_stats}
                 )
                 continue
-            reduced = self._reduce(self._read_files(rels))
+            reduced = self._reduce(
+                self._read_files(rels, schema=self._table_schema(head))
+            )
             if expire_tombstones_below is not None:
                 reduced = reduced.filter(
                     ~(
@@ -697,7 +770,17 @@ class SnapshotStateTable:
                         & (F.col(self.order_col) < F.lit(expire_tombstones_below))
                     )
                 )
-            brels, bstats = self._stage_files(self._bucketed(reduced).coalesce(1))
+            if files_per_bucket > 1:
+                # key-clustered rewrite: contiguous key ranges per file,
+                # so each file's footer min/max bounds a narrow window
+                shaped = (
+                    self._bucketed(reduced)
+                    .repartitionByRange(files_per_bucket, F.col(self.key_col))
+                    .sortWithinPartitions(self.key_col)
+                )
+            else:
+                shaped = self._bucketed(reduced).coalesce(1)
+            brels, bstats = self._stage_files(shaped)
             files[b] = brels.get(b, [])
             stats.update({r: bstats[r] for r in files[b] if r in bstats})
         return self._commit(
@@ -757,7 +840,9 @@ class SnapshotStateTable:
         if not new:
             df = self.read(version=to_version, include_tombstones=True)
             return df.limit(0).withColumn("__commit", F.lit(0).cast("long"))
-        return self._read_files(new).filter(
+        return self._read_files(
+            new, schema=self._table_schema(to_version)
+        ).filter(
             (F.col("__commit") > F.lit(from_version))
             & (F.col("__commit") <= F.lit(to_version))
         )
