@@ -613,3 +613,66 @@ def test_clustered_compaction_preserves_skipping(spark, tmp_path):
     assert got == set(range(41))
     # read()-rows identical across the clustered compaction
     assert t.read(version=v).count() == 400
+
+
+# -- bucket-count evolution (rebucket) --------------------------------------
+
+def test_rebucket_reshards_and_versions_keep_their_count(spark, tmp_path):
+    """rebucket(N) rewrites the head under a new bucket count as one
+    data_unchanged transaction; every snapshot's probes hash with ITS
+    OWN manifest's count, so read_keys stays correct before and after,
+    merges land under the new sharding, and the change feed skips the
+    rebucket like a compaction."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    t.merge(_mk(spark, [(i, i) for i in range(40)]))              # v0
+    t.merge(_mk(spark, [(7, 100)]))                               # v1
+    v2 = t.rebucket(5)
+    m = t._load_manifest(v2)
+    assert m["n_buckets"] == 5 and m["data_unchanged"]
+    assert set(map(int, m["files"])) == set(range(5))
+    # rows identical, merge-on-read combine intact
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got[7] == 107 and len(got) == 40
+    # point probes on head (5-way hash) and time travel (2-way hash)
+    assert {r["k"]: r["n"] for r in t.read_keys([7, 13]).collect()} == {
+        7: 107, 13: 13,
+    }
+    assert {r["k"]: r["n"] for r in t.read_keys([7], version=1).collect()} == {
+        7: 107,
+    }
+    # a merge after the rebucket lands under the NEW count
+    t.merge(_mk(spark, [(41, 41)]))                               # v3
+    assert t._load_manifest(3)["n_buckets"] == 5
+    assert {r["k"] for r in t.read_keys([41]).collect()} == {41}
+    # the feed across the rebucket carries only real row changes
+    ch = sorted((r["k"], r["__commit"]) for r in t.read_changes(0, 3).collect())
+    assert ch == [(7, 1), (41, 3)]
+
+
+def test_constructor_bucket_mismatch_is_harmless(spark, tmp_path):
+    """A session opening an existing table with the WRONG constructor
+    n_buckets still probes correctly — the manifest's recorded count
+    wins (pre-r17 this silently returned no rows for existing keys)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=7)
+    t.merge(_mk(spark, [(i, i) for i in range(30)]))
+    t2 = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=3)
+    assert {r["k"]: r["n"] for r in t2.read_keys([5, 29]).collect()} == {
+        5: 5, 29: 29,
+    }
+    # and its merges keep the TABLE'S sharding, not the constructor's
+    t2.merge(_mk(spark, [(5, 100)]))
+    assert t2._load_manifest(t2.current_version())["n_buckets"] == 7
+    assert {r["k"]: r["n"] for r in t.read_keys([5]).collect()} == {5: 105}
+
+
+def test_merge_race_against_rebucket_raises(spark, tmp_path):
+    """A rebucket's write set is the whole table: a merge computed
+    against the pre-rebucket snapshot must NOT auto-rebase."""
+    t = SnapshotStateTable(spark, str(tmp_path / "t"), "k", n_buckets=2)
+    t.merge(_mk(spark, [(1, 1), (2, 2)]))                         # v0
+    t.rebucket(4)                                                 # v1
+    with pytest.raises(CommitConflictError):
+        t.merge(_mk(spark, [(3, 3)]), expect_version=0)
+    # re-derived against the new head it lands fine
+    t.merge(_mk(spark, [(3, 3)]))
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}

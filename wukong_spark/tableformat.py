@@ -158,7 +158,7 @@ class SnapshotStateTable:
     def _commit(
         self, version: int, files_by_bucket: dict, note: str,
         schema_json: str | None = None, data_unchanged: bool = False,
-        stats: dict | None = None,
+        stats: dict | None = None, n_buckets: int | None = None,
     ) -> int:
         """Atomic put-if-absent of the manifest — THE commit point.  A
         competing writer that claimed `version` first makes the
@@ -178,6 +178,9 @@ class SnapshotStateTable:
             # harvested at stage time) — the data-skipping index.  Keyed
             # by data filename; a file absent here is simply unprunable.
             "stats": stats or {},
+            # the bucket count this snapshot's files were hashed with
+            # (readers resolve it per version; see _bucket_count)
+            "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
         }
         data = json.dumps(manifest).encode()
         if not self.storage.put_if_absent(self._manifest_key(version), data):
@@ -259,11 +262,27 @@ class SnapshotStateTable:
         return delta.select(*cols)
 
     # -- plumbing ----------------------------------------------------------
-    def _bucketed(self, df: DataFrame) -> DataFrame:
+    def _bucketed(self, df: DataFrame, n: int | None = None) -> DataFrame:
         return df.withColumn(
             "__bkt",
-            F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets)),
+            F.pmod(
+                F.hash(F.col(self.key_col)),
+                F.lit(self.n_buckets if n is None else n),
+            ),
         )
+
+    def _bucket_count(self, version: int | None) -> int:
+        """The bucket count snapshot `version` was WRITTEN with.  Recorded
+        in the manifest since r17 — the constructor's `n_buckets` is only
+        the initial-commit value, so a session opening an existing table
+        with a different constructor argument still probes the right
+        buckets (the read_keys silent-miss hazard), and `rebucket` can
+        re-shard as the table grows.  Pre-r17 manifests lack the field →
+        fall back to the constructor."""
+        if version is None:
+            return self.n_buckets
+        n = self._load_manifest(version).get("n_buckets")
+        return self.n_buckets if n is None else int(n)
 
     @staticmethod
     def _footer_stats(local_path: str) -> dict:
@@ -531,7 +550,9 @@ class SnapshotStateTable:
                 F.col(self.key_col).cast(stored[self.key_col].dataType)
             )
         buckets = {
-            r["__bkt"] for r in self._bucketed(kdf).select("__bkt").distinct().collect()
+            r["__bkt"]
+            for r in self._bucketed(kdf, n=self._bucket_count(v))
+            .select("__bkt").distinct().collect()
         }
         rels = [
             r for b, fl in m["files"].items() if int(b) in buckets for r in fl
@@ -628,8 +649,9 @@ class SnapshotStateTable:
             if base is not None and head is not None and head < base:
                 head = base  # expect_version ahead of visible history
             target = 0 if head is None else head + 1
+            nb = self._bucket_count(head)
             d = self._bucketed(
-                delta.withColumn("__commit", F.lit(target).cast("long"))
+                delta.withColumn("__commit", F.lit(target).cast("long")), n=nb
             )
             schema_json = json.dumps(d.drop("__bkt").schema.jsonValue())
             staged, sstats = self._stage_files(d)
@@ -659,7 +681,9 @@ class SnapshotStateTable:
                 }
                 note = "merge"
             try:
-                return self._commit(target, files, note, schema_json, stats=stats)
+                return self._commit(
+                    target, files, note, schema_json, stats=stats, n_buckets=nb
+                )
             except CommitConflictError:
                 # this round's staged files can never be referenced (the
                 # version they bake is claimed by someone else): drop them
@@ -701,7 +725,7 @@ class SnapshotStateTable:
         for v in self.history():
             if lo < v <= new_head:
                 m = self._load_manifest(v)
-                if m.get("note") == "compact":
+                if m.get("note") in ("compact", "rebucket"):
                     return False
                 if self._touched_buckets(v) & my_buckets:
                     return False
@@ -740,6 +764,7 @@ class SnapshotStateTable:
         if expire_tombstones_below is not None and not self.delete_col:
             raise ValueError("tombstone expiry requires delete_col")
         m = self._load_manifest(head)
+        nb = self._bucket_count(head)
         prev = {int(k): v for k, v in m["files"].items()}
         prev_stats = m.get("stats", {})
         files: dict[int, list[str]] = {}
@@ -774,18 +799,54 @@ class SnapshotStateTable:
                 # key-clustered rewrite: contiguous key ranges per file,
                 # so each file's footer min/max bounds a narrow window
                 shaped = (
-                    self._bucketed(reduced)
+                    self._bucketed(reduced, n=nb)
                     .repartitionByRange(files_per_bucket, F.col(self.key_col))
                     .sortWithinPartitions(self.key_col)
                 )
             else:
-                shaped = self._bucketed(reduced).coalesce(1)
+                shaped = self._bucketed(reduced, n=nb).coalesce(1)
             brels, bstats = self._stage_files(shaped)
             files[b] = brels.get(b, [])
             stats.update({r: bstats[r] for r in files[b] if r in bstats})
         return self._commit(
             head + 1, files, "compact", m["schema"], data_unchanged=True,
-            stats=stats,
+            stats=stats, n_buckets=nb,
+        )
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Re-shard the table to `new_n_buckets` as one transaction — the
+        partition-evolution step for a table whose day-1 bucket count no
+        longer fits its size (Iceberg evolves partition specs; Delta
+        re-clusters on OPTIMIZE).  Rewrites the head's RAW rows (commit
+        versions preserved, no reduce applied — time travel and the
+        argmax tie-break stay exact) hashed with the new count, and
+        commits with ``data_unchanged`` so the change feed skips it like
+        a compaction.  Readers resolve EVERY snapshot's bucket count from
+        its own manifest, so probes against pre-rebucket versions keep
+        hashing with the old count.  Concurrent merges lose their race
+        against a rebucket and re-derive (its write set is the whole
+        table — same as compaction).
+
+        Cost: one full rewrite — O(table), the unavoidable price of
+        re-hashing; schedule it like OPTIMIZE."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        head = self.current_version()
+        if head is None:
+            raise ValueError("nothing to rebucket")
+        m = self._load_manifest(head)
+        rels = [r for fl in m["files"].values() for r in fl]
+        if not rels:
+            files: dict[int, list[str]] = {b: [] for b in range(new_n_buckets)}
+            stats: dict[str, dict] = {}
+        else:
+            raw = self._read_files(rels, schema=self._table_schema(head))
+            shaped = self._bucketed(raw, n=new_n_buckets)
+            staged, stats = self._stage_files(shaped)
+            files = {b: staged.get(b, []) for b in range(new_n_buckets)}
+        return self._commit(
+            head + 1, files, "rebucket", m["schema"], data_unchanged=True,
+            stats=stats, n_buckets=new_n_buckets,
         )
 
     def read_changes(self, from_version: int, to_version: int) -> DataFrame:
