@@ -2351,3 +2351,73 @@ def lakehouse_schema_evolution_check(spark: SparkSession, sf_dir: str):
         ).orderBy("status")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_REBUCKET_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         * (CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END) AS v
+  FROM orders
+)
+SELECT
+  COUNT(*) AS n_keys,
+  CAST(SUM(v) AS BIGINT) AS sum_v,
+  TRUE AS resharded,
+  TRUE AS history_intact
+FROM merged
+"""
+
+
+@query("lakehouse_rebucket_check", oracle=_REBUCKET_ORACLE)
+def lakehouse_rebucket_check(spark: SparkSession, sf_dir: str):
+    """BUCKET-COUNT EVOLUTION (r17) — Iceberg's partition-spec evolution
+    analogue on the snapshot table: `rebucket(N)` re-shards the head
+    under a new bucket count as ONE data_unchanged transaction (raw rows
+    rewritten with their commit versions preserved), and every snapshot
+    resolves its bucket count from its OWN manifest, so point probes stay
+    correct on both sides of the re-shard and later merges land under the
+    new sharding.
+
+    Fixture: orders commits under 4 buckets, rebuckets to 9, then the
+    multiples-of-5 subset merges a second copy of its price (sum-mode
+    doubling) — a write AFTER the re-shard, proving the new layout
+    accepts deltas.  Output: total keys + the doubled-subset sum, plus
+    two evidence booleans (head manifest carries the new count with all
+    9 buckets populated; a point probe against the PRE-rebucket version
+    still answers — per-version count resolution).
+
+    100 TB path: the one O(table) re-hash is the unavoidable price of
+    changing hash width; everything else (probes, merges, feed) is
+    metadata-resolved per version."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix=f"lakehouse_rb_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(spark, f"{work}/t", "k", n_buckets=4)
+        t.merge(o)                                               # v0
+        v1 = t.rebucket(9)
+        t.merge(o.filter(F.col("k") % 5 == 0))                   # v2: doubles
+        m = t._load_manifest(t.current_version())
+        resharded = (
+            m["n_buckets"] == 9 and set(map(int, m["files"])) == set(range(9))
+        )
+        probe = o.limit(1).first()["k"]
+        pre = t.read_keys([probe], version=v1 - 1).first()
+        history_intact = pre is not None and pre["k"] == probe
+        res = t.read().agg(
+            F.count(F.lit(1)).alias("n_keys"), F.sum("v").alias("sum_v")
+        ).first()
+        return spark.createDataFrame(
+            [(res["n_keys"], res["sum_v"], resharded, history_intact)],
+            "n_keys long, sum_v long, resharded boolean, history_intact boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
