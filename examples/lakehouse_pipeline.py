@@ -10,12 +10,18 @@ plain parquet (`wukong_spark/tableformat.py`):
    (read_changes = exactly the rows each commit appended);
 4. run the compactor (identical-rows OPTIMIZE transaction, expiring
    tombstones older than the retention horizon) and vacuum the files no
-   kept snapshot references.
+   kept snapshot references;
+5. evolve the table as it grows (r17): widen the schema with
+   `schema_evolution=True` (old files read the new column as NULL),
+   range-read with file-level data skipping (`read(key_range=...)`
+   opens only files whose footer key window can match), and re-shard
+   with `rebucket(N)` when the day-1 bucket count no longer fits.
 
 Every primitive used here is driver-gated in the registry
 (lakehouse_snapshot_merge_check, lakehouse_change_feed_check,
-stream_lakehouse_commit_sink); this example wires them into the
-operational loop a real table lives in.
+stream_lakehouse_commit_sink, lakehouse_key_skipping_check,
+lakehouse_schema_evolution_check, lakehouse_rebucket_check); this
+example wires them into the operational loop a real table lives in.
 """
 
 from __future__ import annotations
@@ -97,9 +103,34 @@ def run(spark) -> bool:
         t.vacuum(keep=[cv])
         if t.history() != [cv]:
             return False
-        return sorted(tuple(r) for r in t.read().collect()) == before and (
-            v3 == cv - 1
+        if sorted(tuple(r) for r in t.read().collect()) != before or (
+            v3 != cv - 1
+        ):
+            return False
+
+        # 5. growth path: widen the schema (old rows read NULL for the
+        #    new column), range-read with data skipping, then re-shard
+        ev = t.merge(
+            spark.createDataFrame(
+                [(2, 10, 1000, False, "gold")],
+                "k long, seq long, v long, deleted boolean, tier string",
+            ),
+            schema_evolution=True,
         )
+        tiers = {r["k"]: r["tier"] for r in t.read().collect()}
+        if tiers[2] != "gold" or tiers[1] is not None:
+            return False
+        kept, total = t.prune_info((1, 4), version=ev)
+        if not (kept <= total):  # skipping is advisory; range read exact
+            return False
+        if {r["k"] for r in t.read(key_range=(1, 4)).collect()} != {1, 2, 4}:
+            return False
+        rb = t.rebucket(8)
+        if t._load_manifest(rb)["n_buckets"] != 8:
+            return False
+        return {r["k"]: r["tier"] for r in t.read_keys([2]).collect()} == {
+            2: "gold"
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
