@@ -676,3 +676,51 @@ def test_merge_race_against_rebucket_raises(spark, tmp_path):
     # re-derived against the new head it lands fine
     t.merge(_mk(spark, [(3, 3)]))
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+
+# -- DML surface (DELETE FROM / UPDATE WHERE) -------------------------------
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    """DELETE/UPDATE ... WHERE compile to single MERGE commits: deletes
+    tombstone the matching live keys, updates re-emit them with the set
+    expressions applied; both are O(matching) writes and flow through
+    the normal commit protocol (visible in the change feed, subject to
+    OCC)."""
+    t = SnapshotStateTable(
+        spark, str(tmp_path / "t"), "k", n_buckets=2,
+        mode="latest", order_col="seq", delete_col="gone",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, seq long, status string, price long, gone boolean"
+    )
+    t.merge(mk([(i, 0, "open", i * 10, False) for i in range(1, 7)]))  # v0
+    v1 = t.delete_where(F.col("price") >= 50, order=1)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+    v2 = t.update_where(
+        F.col("k") <= 2, {"status": "closed", "price": F.col("price") + 1},
+        order=2,
+    )
+    got = {r["k"]: (r["status"], r["price"]) for r in t.read().collect()}
+    assert got == {
+        1: ("closed", 11), 2: ("closed", 21),
+        3: ("open", 30), 4: ("open", 40),
+    }
+    # both ops are ordinary commits: feed shows tombstones then updates
+    ch = sorted(
+        (r["k"], r["__commit"], r["gone"]) for r in t.read_changes(0, v2).collect()
+    )
+    assert ch == [
+        (1, 2, False), (2, 2, False), (5, 1, True), (6, 1, True),
+    ]
+    # a deleted key does not resurrect via update (matches live rows only)
+    t.update_where(F.col("k") == 5, {"status": "zombie"}, order=3)
+    assert 5 not in {r["k"] for r in t.read().collect()}
+    # guards
+    with pytest.raises(ValueError, match="structural"):
+        t.update_where(F.lit(True), {"seq": 9}, order=4)
+    tsum = SnapshotStateTable(spark, str(tmp_path / "s"), "k", n_buckets=2)
+    tsum.merge(_mk(spark, [(1, 1)]))
+    with pytest.raises(ValueError, match="delete_col"):
+        tsum.delete_where(F.lit(True), order=1)
+    with pytest.raises(ValueError, match="latest"):
+        tsum.update_where(F.lit(True), {"n": 0}, order=1)

@@ -2421,3 +2421,75 @@ def lakehouse_rebucket_check(spark: SparkSession, sf_dir: str):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_DML_ORACLE = """
+WITH live AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) > 20000000
+              THEN 'premium' ELSE o_orderstatus END AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT status, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+FROM live GROUP BY status ORDER BY status
+"""
+
+
+@query("lakehouse_dml_check", oracle=_DML_ORACLE)
+def lakehouse_dml_check(spark: SparkSession, sf_dir: str):
+    """DML ON THE SNAPSHOT TABLE (r17) — DELETE FROM / UPDATE ... WHERE
+    compiled to single MERGE commits (`tableformat.delete_where` /
+    `update_where`): deletes tombstone the matching live keys, updates
+    re-emit them with the set expressions applied at the next order
+    value; both are O(matching-rows) writes through the ordinary commit
+    protocol (OCC, change feed, time travel all see them as normal
+    commits).  Exactly Delta's DELETE/UPDATE shape: scan to find the
+    matching rows, write only what changed — less, in fact, since
+    tombstones and updates APPEND under merge-on-read instead of
+    rewriting files.
+
+    Fixture: orders commits as v0; `delete_where(status = 'F')` drops
+    the fulfilled tier; `update_where(price_c > $200k, status →
+    'premium')` re-tiers the expensive tail.  The grouped head must
+    match the SQL expressing both statements declaratively.
+
+    100 TB path: the scan is merge-on-read + any key-range skipping the
+    predicate admits; the write is O(matching); nothing rewrites."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    o = tbl(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix=f"lakehouse_dml_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(
+            spark, f"{work}/t", "k", n_buckets=4,
+            mode="latest", order_col="seq", delete_col="gone",
+        )
+        t.merge(
+            o.select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(0).cast("long").alias("seq"),
+                F.col("o_orderstatus").alias("status"),
+                cents("o_totalprice").alias("price_c"),
+                F.lit(False).alias("gone"),
+            )
+        )
+        t.delete_where(F.col("status") == "F", order=1)
+        t.update_where(
+            F.col("price_c") > 20_000_000, {"status": "premium"}, order=2
+        )
+        rows = (
+            t.read()
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("sum_price_c"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "status string, n long, sum_price_c long"
+        ).orderBy("status")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

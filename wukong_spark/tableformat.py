@@ -813,6 +813,72 @@ class SnapshotStateTable:
             stats=stats, n_buckets=nb,
         )
 
+    def delete_where(self, condition, order) -> int:
+        """DELETE FROM ... WHERE as one MERGE commit: every live row
+        matching `condition` gets a TOMBSTONE at order value `order`
+        (which the caller must place above the rows being deleted —
+        the same total-order contract every delta carries).  Requires
+        mode='latest' with `delete_col`: a sum table has no notion of
+        removing a key, only of adding to it.
+
+        Cost: one merge-on-read scan to find the matching keys (with
+        key-column skipping if `condition` permits pushing a range —
+        pass `read(key_range=...)`-shaped conditions through
+        update/delete yourself for that) + an O(matching) tombstone
+        write.  Exactly Delta's DELETE: scan, rewrite only what
+        changed — here even less, since tombstones append."""
+        if not (self.mode == "latest" and self.delete_col):
+            raise ValueError(
+                "delete_where requires mode='latest' with delete_col "
+                "(a sum table only accumulates)"
+            )
+        live = self.read().filter(condition)
+        stored = self._table_schema(self.current_version())
+        cols = []
+        for f in stored.fields:
+            if f.name == "__commit":
+                continue
+            if f.name == self.key_col:
+                cols.append(F.col(self.key_col))
+            elif f.name == self.order_col:
+                cols.append(F.lit(order).cast(f.dataType).alias(f.name))
+            elif f.name == self.delete_col:
+                cols.append(F.lit(True).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return self.merge(live.select(*cols))
+
+    def update_where(self, condition, set: dict, order) -> int:
+        """UPDATE ... SET ... WHERE as one MERGE commit: live rows
+        matching `condition` are re-emitted with the `set` expressions
+        applied (column name → Column/literal) at order value `order`.
+        mode='latest' only — the argmax makes the new row the winner.
+        Cost: one merge-on-read scan + an O(matching) write."""
+        if self.mode != "latest":
+            raise ValueError("update_where requires mode='latest'")
+        bad = sorted(
+            set.keys() & {self.key_col, self.order_col, self.delete_col} - {None}
+        ) if isinstance(set, dict) else []
+        if bad:
+            raise ValueError(f"cannot update structural column(s) {bad}")
+        live = self.read().filter(condition)
+        stored = self._table_schema(self.current_version())
+        cols = []
+        for f in stored.fields:
+            if f.name == "__commit":
+                continue
+            if f.name == self.order_col:
+                cols.append(F.lit(order).cast(f.dataType).alias(f.name))
+            elif f.name == self.delete_col:
+                cols.append(F.lit(False).alias(f.name))
+            elif f.name in set:
+                v = set[f.name]
+                c = v if hasattr(v, "cast") else F.lit(v)
+                cols.append(c.cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return self.merge(live.select(*cols))
+
     def rebucket(self, new_n_buckets: int) -> int:
         """Re-shard the table to `new_n_buckets` as one transaction — the
         partition-evolution step for a table whose day-1 bucket count no
