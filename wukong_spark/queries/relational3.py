@@ -2493,3 +2493,66 @@ def lakehouse_dml_check(spark: SparkSession, sf_dir: str):
         ).orderBy("status")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_CDF_SOURCE_ORACLE = """
+SELECT
+  o_orderkey % 3 AS v,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM orders GROUP BY o_orderkey % 3 ORDER BY v
+"""
+
+
+@query("stream_snapshot_cdf_source_check", oracle=_CDF_SOURCE_ORACLE)
+def stream_snapshot_cdf_source_check(spark: SparkSession, sf_dir: str):
+    """CHANGE FEED AS A STRUCTURED STREAMING SOURCE (r17) — the snapshot
+    table followed through Spark 4's Python Data Source API
+    (`streaming/snapshot_source.py`, format 'snapshot_changes'):
+    MANIFEST VERSIONS are the stream's offsets, so micro-batches cover
+    exact version ranges, checkpoints resume at version boundaries with
+    zero reprocessing, and replay is bit-stable because manifests and
+    data files are immutable (exactly-once until vacuum drops the range,
+    which fails loud).  `partitions()` is a driver-side manifest diff —
+    O(appended files), no data IO — and each appended file streams as
+    one executor-side Arrow read.
+
+    Fixture: orders lands as three residue-class commits (o_orderkey %
+    3, in order, so commit version == residue); the streamed feed,
+    grouped by its __commit tag, must reproduce each commit's row count
+    and cents sum — proving the source covers every commit exactly once
+    with true version attribution.  Compaction-skip, checkpoint-resume,
+    schema-evolution null-fill and the vacuum error are pinned in
+    tests/test_snapshot_source.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wukong_spark.streaming import run_to_memory
+    from wukong_spark.streaming.snapshot_source import register
+    from wukong_spark.tableformat import SnapshotStateTable
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("c")
+    )
+    work = tempfile.mkdtemp(prefix=f"cdf_src_{uuid.uuid4().hex[:8]}-")
+    try:
+        t = SnapshotStateTable(spark, f"{work}/t", "k", n_buckets=4)
+        for r in (0, 1, 2):
+            t.merge(o.filter(F.col("k") % 3 == r))
+        register(spark)
+        feed = run_to_memory(
+            spark.readStream.format("snapshot_changes")
+            .option("path", f"{work}/t").load(),
+            f"cdf_src_{uuid.uuid4().hex[:8]}", complete=False,
+        )
+        rows = (
+            feed.groupBy(F.col("__commit").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "v long, n long, sum_c long"
+        ).orderBy("v")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
