@@ -3703,3 +3703,239 @@ def events_twap_by_type(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gap_fill_interp",
+    # identical spine + identical prev/next IGNORE-NULLS windows over
+    # integer row positions in both engines; fraction computed in DOUBLE
+    # and rounded to 4dp (established repo-wide double contract)
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp(
+               (CAST(floor(epoch(ts) / 3600) AS BIGINT)) * 3600 * 1000000
+             ) AS bucket,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v4
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, bucket, CAST(SUM(v4) AS BIGINT) AS sv4 FROM b
+      GROUP BY event_type, bucket
+    ),
+    bounds AS (SELECT MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg),
+    spine AS (
+      SELECT t.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+      ) s
+    ),
+    joined AS (
+      SELECT sp.event_type, sp.bucket, a.sv4,
+             ROW_NUMBER() OVER (
+               PARTITION BY sp.event_type ORDER BY sp.bucket
+             ) AS t
+      FROM spine sp LEFT JOIN agg a
+        ON a.event_type = sp.event_type AND a.bucket = sp.bucket
+    ),
+    ctx AS (
+      SELECT event_type, bucket, sv4, t,
+             last_value(sv4 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS pv,
+             last_value(CASE WHEN sv4 IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (
+                 PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pt,
+             first_value(sv4 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS nv,
+             first_value(CASE WHEN sv4 IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (
+                 PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS nt
+      FROM joined
+    )
+    SELECT event_type, bucket,
+           ROUND(CASE
+             WHEN sv4 IS NOT NULL THEN CAST(sv4 AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / (nt - pt))
+           END, 4) AS filled_v4,
+           (sv4 IS NULL) AS was_gap
+    FROM ctx ORDER BY event_type, bucket
+    """,
+)
+def events_gap_fill_interp(spark: SparkSession, sf_dir: str):
+    """GAP FILL with LINEAR INTERPOLATION (r17) — pandas
+    `Series.interpolate` semantics next to `events_gap_fill_locf`'s
+    forward fill: an empty (event_type, hour) bucket takes
+    prev + (next − prev) · Δt/Δspan between its nearest observed
+    neighbors; leading gaps take the first observation, trailing gaps
+    carry the last (pandas' limit_direction='both' edge rule).
+
+    Plan: the LOCF spine (bucket agg + sequence-exploded hourly grid),
+    then ONE ordered pass per series computing four IGNORE-NULLS
+    windows — prev/next value and their integer row positions (the
+    uniform hourly grid makes row position ≡ time, so no NTZ epoch
+    arithmetic is ever needed).  Each window partitions by event_type:
+    no global sort, no single partition, and the fraction is one DOUBLE
+    expression rounded to 4dp in both engines.  100 TB shape: identical
+    to LOCF — everything keys on (event_type), the series axis."""
+    from pyspark.sql.window import Window
+
+    et = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    agg = et.groupBy("event_type", "bucket").agg(F.sum("v4").alias("sv4"))
+    bounds = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    spine = (
+        et.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(bounds).select(
+                F.explode(
+                    F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+                ).alias("bucket")
+            )
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    joined = (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .withColumn("t", F.row_number().over(wo))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("sv4").isNotNull(), F.col("t"))
+    ctx = joined.select(
+        "event_type",
+        "bucket",
+        "sv4",
+        "t",
+        F.last("sv4", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("sv4", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    filled = (
+        F.when(F.col("sv4").isNotNull(), F.col("sv4").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("t") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "bucket",
+        F.round(filled, 4).alias("filled_v4"),
+        F.col("sv4").isNull().alias("was_gap"),
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "events_ewma_hourly",
+    # the recurrence is evaluated with the IDENTICAL expression tree in
+    # both engines (s' = 0.2*x + 0.8*s over float64, same op order), so
+    # the round-4 compare is far above any residual ulp; the recursive
+    # referee rebuilds each series step by step
+    oracle="""
+    WITH RECURSIVE agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY make_timestamp(
+                 (CAST(floor(epoch(ts)/3600) AS BIGINT))*3600*1000000)
+             ) - 1 AS t
+      FROM events
+      GROUP BY event_type, make_timestamp(
+        (CAST(floor(epoch(ts)/3600) AS BIGINT))*3600*1000000)
+    ),
+    r AS (
+      SELECT event_type, t, x AS s FROM agg WHERE t = 0
+      UNION ALL
+      SELECT a.event_type, a.t, 0.2 * a.x + 0.8 * r.s
+      FROM agg a JOIN r ON a.event_type = r.event_type AND a.t = r.t + 1
+    )
+    SELECT event_type, COUNT(*) AS n_hours,
+           ROUND(MAX(CASE WHEN t = mx THEN s END), 4) AS ewma_last
+    FROM (SELECT *, MAX(t) OVER (PARTITION BY event_type) AS mx FROM r)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str):
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE per series (r17) — the
+    smoothing recurrence s_t = α·x_t + (1−α)·s_{t−1} (α = 0.2,
+    s_0 = x_0; pandas `ewm(alpha, adjust=False)` semantics) over each
+    event type's hourly means.  A linear recurrence is the canonical
+    NON-window-expressible analytic: no frame can weight by (1−α)^{t−i}
+    with t varying per row, so this is the driver-contract category the
+    iterative operators live in — here solved per SERIES, the natural
+    parallel unit.
+
+    Plan: one keyed hourly aggregation (exact BIGINT sum, one double
+    division), then ONE `applyInPandas` per event_type evaluating the
+    recurrence with the same float64 expression the DuckDB RECURSIVE
+    referee uses — series are independent, so the scale axis is #series
+    (keyed exchange), never time.  100 TB shape: a series too long for
+    one task would chunk via the global_scan prefix machinery
+    (operators/setindex.py) — the associative form of this recurrence
+    is s_t = A_t·s_0 + B_t with (A, B) composing left-to-right, exactly
+    the scan-combine shape."""
+    import pandas as pd
+
+    et = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    agg = (
+        et.groupBy("event_type", "bucket")
+        .agg((F.sum("v4").cast("double") / F.lit(10000.0)).alias("x"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        s = None
+        for x in pdf["x"]:
+            s = float(x) if s is None else 0.2 * float(x) + 0.8 * s
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "ewma_raw": [s],
+            }
+        )
+
+    # round JVM-side: F.round is half-away like DuckDB's ROUND (Python's
+    # round() is banker's — a .00005 tie would diverge)
+    return (
+        agg.groupBy("event_type")
+        .applyInPandas(ewma, "event_type string, n_hours long, ewma_raw double")
+        .select(
+            "event_type", "n_hours", F.round("ewma_raw", 4).alias("ewma_last")
+        )
+        .orderBy("event_type")
+    )
