@@ -506,3 +506,20 @@ def test_link_prediction_degree_cap_bounds_star_graph(spark):
         e, node_col="c", relay_col="s", max_relay_degree=50
     )
     assert pairs_eq.count() == 1225 + 5
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 has 4 triangles and transitivity 1; a star has none; duplicate
+    and reversed edges canonicalize away."""
+    from wukong_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4 + [(1, 0), (2, 1)], "src long, dst long")
+    r = triangle_stats(df).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering_4"] == 1.0
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = triangle_stats(star).first()
+    assert r["n_triangles"] == 0 and r["clustering_4"] == 0.0

@@ -770,3 +770,68 @@ def link_prediction_candidates(
         .filter(F.col("cn") >= min_cn)
     )
     return pairs, dropped
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """TRIANGLE COUNT + global clustering coefficient over an undirected
+    simple graph given as an edge list (either orientation, duplicates
+    tolerated).  Returns one row: (n_nodes, n_edges, n_triangles,
+    clustering_4) with clustering = 3·triangles / wedges rounded to 4dp
+    (wedges = Σ_v C(deg v, 2) — the standard transitivity ratio).
+
+    Plan — the node-iterator join, the shape every distributed triangle
+    counter uses: canonicalize each edge to (a < b), then
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two keyed equi-joins whose intermediate
+    is the WEDGE set.  The a<b<c orientation counts each triangle
+    exactly once and keeps the wedge fan-out at Σ C(deg,2) instead of
+    6× that.  At 100 TB the wedge explosion on hub nodes is the hazard
+    (Σ C(deg,2) is quadratic in hub degree); the production mitigation
+    is degree-ordered orientation (point each edge toward the
+    higher-degree endpoint, bounding per-node fan-out by arboricity) —
+    the a<b ordering here is its id-ordered special case, and the
+    `link_prediction_candidates` degree-cap lever applies unchanged if
+    a real hub cap is needed.  No driver-side iteration: one job, three
+    scans of the deduped edge set."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()  # also materializes the persist for the joins
+    nodes = e.select(F.col("a").alias("v")).union(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
+    wedges_row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    ).first()
+    wedges = int(wedges_row["w"] or 0)
+
+    e_ab = e
+    e_bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e_ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e_ab.join(e_bc, "b")
+        .join(
+            e_ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .count()
+    )
+    e.unpersist()
+    spark = edges.sparkSession
+    raw = 3.0 * tri / wedges if wedges else 0.0
+    # round JVM-side: F.round is half-away like SQL ROUND (Python's
+    # round() is banker's)
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, tri, raw)],
+        "n_nodes long, n_edges long, n_triangles long, clustering_4 double",
+    ).select(
+        "n_nodes", "n_edges", "n_triangles",
+        F.round("clustering_4", 4).alias("clustering_4"),
+    )

@@ -3939,3 +3939,75 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_autocorr_hourly",
+    # CORR over identically-built lag pairs; round-4 doubles (the
+    # stats_corr_covar contract — co-moment accumulation drift is
+    # orders below the rounding grid)
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             make_timestamp(
+               (CAST(floor(epoch(ts)/3600) AS BIGINT))*3600*1000000
+             ) AS bucket,
+             CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             LAG(x, 1) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS x1,
+             LAG(x, 24) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS x24
+      FROM agg
+    )
+    SELECT event_type,
+           ROUND(CORR(x, x1), 4) AS acf_1,
+           ROUND(CORR(x, x24), 4) AS acf_24,
+           COUNT(*) AS n_hours
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_autocorr_hourly(spark: SparkSession, sf_dir: str):
+    """AUTOCORRELATION per series (r17) — lag-1 and lag-24 (daily
+    seasonality probe) Pearson correlation of each event type's hourly
+    means: the standard seasonality/persistence diagnostic a metrics
+    pipeline runs before choosing window sizes or alerting baselines.
+
+    Plan: one keyed hourly aggregation, two LAG windows partitioned by
+    event_type (each series sorts independently — no global sort), one
+    CORR aggregate per lag.  corr's null-pair handling (leading rows
+    with no lag) matches across engines; co-moment accumulation drift
+    is ~1e-12 against a 1e-4 rounding grid (the stats_corr_covar
+    contract).  100 TB shape: everything keys on the series axis."""
+    from pyspark.sql.window import Window
+
+    agg = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.window("ts", "1 hour").getField("start").alias("bucket"),
+            F.round(F.col("value") * 10000).cast("long").alias("v4"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg((F.sum("v4").cast("double") / F.lit(10000.0)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = agg.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 24).over(w).alias("x24"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.round(F.corr("x", "x1"), 4).alias("acf_1"),
+            F.round(F.corr("x", "x24"), 4).alias("acf_24"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )

@@ -1411,3 +1411,55 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
         "residual_below_tol boolean, hub_l1_one boolean, auth_l1_one boolean,"
         " n_nodes long, n_hub_nodes long, n_auth_nodes long",
     )
+
+
+@query(
+    "graph_triangle_count",
+    # the referee rebuilds the co-supplier graph and the a<b<c
+    # three-way join declaratively; wedges from the degree sum;
+    # clustering = one double division rounded 4dp in both engines
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+        LEAST(l1.l_suppkey, l2.l_suppkey) AS a,
+        GREATEST(l1.l_suppkey, l2.l_suppkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT
+      (SELECT COUNT(*) FROM deg) AS n_nodes,
+      (SELECT COUNT(*) FROM e) AS n_edges,
+      (SELECT t FROM tri) AS n_triangles,
+      ROUND(3.0 * (SELECT t FROM tri)
+            / (SELECT SUM(d * (d - 1) / 2) FROM deg), 4) AS clustering_4
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str):
+    """TRIANGLE COUNT + transitivity (r17) — the clustering-coefficient
+    primitive (community density, spam-graph triage) over the
+    CO-SUPPLIER graph: suppliers sharing an order are adjacent.  Runs
+    `operators.graph.triangle_stats` — canonical a<b edges, then the
+    node-iterator join e(a,b)⋈e(b,c)⋈e(a,c) counting each triangle
+    once; wedges from the degree sum; see the operator docstring for
+    the hub-degree hazard and its degree-ordered-orientation
+    mitigation at scale."""
+    from wukong_spark.operators.graph import triangle_stats
+
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = l.join(
+        l2, (l.l_orderkey == l2.o2) & (l.l_suppkey < l2.s2)
+    ).select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    return triangle_stats(pairs)
