@@ -1414,7 +1414,7 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
 
 
 @query(
-    "graph_triangle_count",
+    "graph_transitivity_check",
     # the referee rebuilds the co-supplier graph and the a<b<c
     # three-way join declaratively; wedges from the degree sum;
     # clustering = one double division rounded 4dp in both engines
@@ -1444,10 +1444,11 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
             / (SELECT SUM(d * (d - 1) / 2) FROM deg), 4) AS clustering_4
     """,
 )
-def graph_triangle_count(spark: SparkSession, sf_dir: str):
-    """TRIANGLE COUNT + transitivity (r17) — the clustering-coefficient
-    primitive (community density, spam-graph triage) over the
-    CO-SUPPLIER graph: suppliers sharing an order are adjacent.  Runs
+def graph_transitivity_check(spark: SparkSession, sf_dir: str):
+    """GLOBAL TRANSITIVITY over a REAL fixture graph (r17) — companion
+    to `graph_triangle_count` (which counts on a rule-constructed Z_97
+    graph): clustering coefficient = 3·triangles / wedges over the
+    CO-SUPPLIER graph, suppliers sharing an order adjacent.  Runs
     `operators.graph.triangle_stats` — canonical a<b edges, then the
     node-iterator join e(a,b)⋈e(b,c)⋈e(a,c) counting each triangle
     once; wedges from the degree sum; see the operator docstring for
