@@ -31,6 +31,22 @@ def test_random_deterministic_roundtrip(spark):
     assert not np.array_equal(a1, a3)
 
 
+def test_gen_block_chunked_fill_bitwise_identical():
+    """_gen_block's chunked fill (r17 optimization: large one-shot rng
+    allocations pay a pathological first-touch fault cost on some
+    hosts) must stay bitwise identical to the one-shot stream — fusion
+    correctness across every consumer depends on it."""
+    from wukong_spark.blockmatrix import _gen_block
+
+    for r, c, seed, bid in [
+        (6250, 1000, 37, 3),  # > chunk threshold (50 MB block)
+        (1024, 513, 41, 7),  # > threshold, non-divisible tail
+        (100, 50, 5, 0),  # small-block one-shot path
+    ]:
+        ref = np.random.default_rng(seed + bid).random((r, c))
+        assert np.array_equal(ref, _gen_block(seed, bid, r, c))
+
+
 def test_from_to_numpy_roundtrip(spark, rng):
     a = rng.random((37, 23))
     m = BlockMatrix.from_numpy(spark, a, 10, 10)

@@ -14,6 +14,10 @@ Layers (SURVEY.md §7):
   plans        — physical-plan introspection (the 100 TB discipline checks)
 """
 
+from wukong_spark._alloc import tune_malloc
+
+tune_malloc()  # before any numpy work or JVM launch (see _alloc.py)
+
 from wukong_spark.session import PlanCache, TABLES, get_spark, load_table
 from wukong_spark.taskgraph import (
     ClientExecutor,

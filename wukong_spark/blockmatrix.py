@@ -64,8 +64,26 @@ def _gen_block(seed: int, bid: int, r: int, c: int) -> "np.ndarray":
     zips) and :meth:`BlockMatrix.random` itself MUST generate through this
     one function — fusion correctness is bitwise identity with random(),
     and a drifting inlined copy would silently produce wrong fused
-    results.  bid = bi * grid_cols + bj."""
-    return np.random.default_rng(seed + bid).random((r, c))
+    results.  bid = bi * grid_cols + bj.
+
+    The fill is CHUNKED through the generator (bitwise identical to a
+    one-shot ``rng.random((r, c))`` — the PCG64 double stream is
+    sequential, so call boundaries don't change the values): a one-shot
+    fill of a multi-MB block makes glibc mmap a fresh buffer whose
+    first-touch faults dominate generation on slow-fault hosts
+    (_alloc.py; measured 1-22 s vs 0.06 s for a 50 MB block), while
+    4 MB chunks come from reused arena memory and the calloc'd
+    destination takes streaming writes."""
+    n = r * c
+    step = 1 << 19  # 512k doubles = 4 MB per chunk
+    if n <= step:
+        return np.random.default_rng(seed + bid).random((r, c))
+    rng = np.random.default_rng(seed + bid)
+    out = np.zeros(n)
+    for i in range(0, n, step):
+        m = min(step, n - i)
+        out[i : i + m] = rng.random(m)
+    return out.reshape(r, c)
 
 
 def _grid(n: int, bs: int) -> int:

@@ -3860,7 +3860,7 @@ def events_gap_fill_interp(spark: SparkSession, sf_dir: str):
     # the round-4 compare is far above any residual ulp; the recursive
     # referee rebuilds each series step by step
     oracle="""
-    WITH RECURSIVE agg AS (
+    WITH RECURSIVE agg AS MATERIALIZED (
       SELECT event_type,
              CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
                / 10000.0 AS x,

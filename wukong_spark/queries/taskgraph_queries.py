@@ -105,10 +105,10 @@ def linear_chain_pipeline(spark: SparkSession, sf_dir: str):
     # the relay node can never be any node's minimum, because the relay
     # node's own (smaller) label travels the same path
     oracle="""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ), bi AS (
+    ), bi AS MATERIALIZED (
       SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
     ), reach(node, label) AS (
       SELECT src AS node, src AS label FROM bi
@@ -414,10 +414,10 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
     # identical oracle to graph_connected_components: the bucketed edge
     # layout may change ONLY the physical plan, never a label
     oracle="""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ), bi AS (
+    ), bi AS MATERIALIZED (
       SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
     ), reach(node, label) AS (
       SELECT src AS node, src AS label FROM bi

@@ -74,6 +74,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Python workers must inherit the large-alloc malloc thresholds
+        # (wukong_spark/_alloc.py): local mode inherits our env through
+        # the JVM, but on a real cluster only executorEnv reaches the
+        # worker daemons.
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ.get("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ.get("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
