@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import r4, tbl
+from wukong_spark.queries.helpers import local_frame, r4, tbl
 
 
 @query(
@@ -981,7 +981,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str):
             "window_start timestamp_ntz, event_type string,"
             " n_events long, sum_value_4 long"
         )
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
         # read_events_stream pins UTC + nanosAsLong for watermark/scan
@@ -1087,7 +1087,7 @@ def stream_ohlc_hourly_check(spark: SparkSession, sf_dir: str):
             "window_start timestamp_ntz, open_4 long, high_4 long,"
             " low_4 long, close_4 long, n_events long, volume_4 long"
         )
-        return spark.createDataFrame(rows, schema).orderBy("window_start")
+        return local_frame(spark, rows, schema).orderBy("window_start")
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -1152,7 +1152,7 @@ def stream_sessionize_30m(spark: SparkSession, sf_dir: str):
             "user_id long, session_start timestamp_ntz,"
             " n_events long, sum_value_4 long"
         )
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -1213,7 +1213,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str):
         ).select("user_id", "event_type", "value_4")
         # dedup emits rows as they arrive → append-mode sink
         rows = run_to_memory(d, sink, complete=False).collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "user_id long, event_type string, value_4 long"
         )
     finally:
@@ -1262,7 +1262,7 @@ def stream_bloom_dedup_check(spark: SparkSession, sf_dir: str):
         ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
         d = bloom_dedup_stream(ev, ["user_id", "event_type"])
         rows = run_to_memory(d, sink, mode="update").collect()
-        return spark.createDataFrame(rows, "user_id long, event_type string")
+        return local_frame(spark, rows, "user_id long, event_type string")
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -1328,7 +1328,7 @@ def stream_bloom_rotating_check(spark: SparkSession, sf_dir: str):
             epoch=F.datediff(F.to_date("ts"), F.lit("1970-01-01")),
         )
         rows = run_to_memory(d, sink, mode="update").collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "user_id long, event_type string, epoch long"
         )
     finally:
@@ -1398,7 +1398,7 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str):
             "purchase_id long, user_id long, purchase_ts timestamp_ntz,"
             " click_id long, click_ts timestamp_ntz, purchase_value_4 long"
         )
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -1455,7 +1455,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str):
         )
         st = stateful_user_totals(ev)
         rows = run_to_memory(st, sink, mode="update").collect()
-        emitted = spark.createDataFrame(
+        emitted = local_frame(spark,
             rows, "user_id long, n_events long, sum_value double"
         )
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -1522,7 +1522,7 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str):
             "window_start timestamp_ntz, event_type string,"
             " n_events long, sum_value_4 long"
         )
-        return spark.createDataFrame(rows, schema)
+        return local_frame(spark, rows, schema)
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -1629,7 +1629,7 @@ def funnel_click_signup_purchase(spark: SparkSession, sf_dir: str):
         .agg(F.min("ts").alias("t3"))
     )
     counts = [c.count(), s.count(), p.count()]
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (1, "click", counts[0]),
             (2, "signup", counts[1]),
@@ -1870,7 +1870,7 @@ def compaction_small_files_check(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("sum_value_4"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 int(out["n_rows"]),
@@ -1945,7 +1945,7 @@ def stream_countmin_merge_check(spark: SparkSession, sf_dir: str):
         batch_cms = countmin_build(e, "user_id", width, depth)
         truth = e.groupBy("user_id").count().toPandas()
         ests = countmin_estimate(batch_cms, truth["user_id"], integral=True)
-        return spark.createDataFrame(
+        return local_frame(spark,
             [
                 (
                     bool(np.array_equal(streamed, batch_cms)),
@@ -2132,7 +2132,7 @@ def format_roundtrip_check(spark: SparkSession, sf_dir: str):
         F.sum("v4").alias("s"),
         F.countDistinct("user_id").alias("u"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 int(stats["n"]), int(stats["s"]), int(stats["u"]),
@@ -2214,7 +2214,7 @@ def csv_malformed_ingest_check(spark: SparkSession, sf_dir: str):
     preserved = bad.filter(~F.col("_corrupt").startswith("broken|")).count()
     n_bad = bad.count()
     df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(int(stats["n_good"]), int(n_bad), int(stats["sum_v"]), preserved == 0)],
         "n_good bigint, n_corrupt bigint, sum_v_good bigint,"
         " corrupt_rows_preserved boolean",
@@ -2267,7 +2267,7 @@ def stream_cms_heavy_hitters_check(spark: SparkSession, sf_dir: str):
             ev, ["user_id", "event_type"], threshold=18, width=8192
         )
         rows = run_to_memory(d, sink, mode="update").collect()
-        return spark.createDataFrame(rows, "user_id long, event_type string")
+        return local_frame(spark, rows, "user_id long, event_type string")
     finally:
         spark.catalog.dropTempView(sink)
         restore_stream_conf(spark, prev_conf)
@@ -2316,7 +2316,7 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str):
     )
     numbered = global_row_number(v, "value_4", n_partitions=32, out_col="rid")
     n = v.count()
-    spec = spark.createDataFrame(
+    spec = local_frame(spark,
         [(p, (n - 1) * p // 100) for p in (25, 50, 75, 90, 99)],
         "p_pct int, rid long",
     )
@@ -2381,7 +2381,7 @@ def stream_static_enrich_check(spark: SparkSession, sf_dir: str):
             )
         )
         rows = run_to_memory(joined, sink, complete=True).collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows,
             "nationkey long, event_type string, n_events long, sum_value_4 long",
         )
@@ -2628,7 +2628,7 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str):
         )
         assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
         rows = state.read().collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "user_id long, n_events long, sum_value_4 long"
         )
     finally:
@@ -2698,7 +2698,7 @@ def stream_lakehouse_commit_sink(spark: SparkSession, sf_dir: str):
         assert len(t.history()) >= 4, t.history()
         t.compact()  # the ingest compactor step; rows must be unchanged
         rows = t.read().collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "user_id long, n_events long, sum_value_4 long"
         )
     finally:
@@ -2797,7 +2797,7 @@ def stream_upsert_latest_sink(spark: SparkSession, sf_dir: str):
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows,
             "user_id long, last_ts timestamp_ntz, last_event_id long,"
             " value_4 long",
@@ -3510,7 +3510,7 @@ def stream_quantile_hist_check(spark: SparkSession, sf_dir: str):
             k = int(np.floor(q * (n - 1))) + 1
             b = int(np.searchsorted(cum, k, side="left"))
             rows.append((q, identical, in_domain, b, b * W, int(cum[b]), n))
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows,
             "q double, sketches_identical boolean, in_domain boolean,"
             " bucket_id long, bucket_lo long, n_le long, n_rows long",

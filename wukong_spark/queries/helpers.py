@@ -55,3 +55,73 @@ def split_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFr
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def local_frame(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Drop-in for ``spark.createDataFrame(rows, schema)`` on SMALL local
+    verdict/summary results (r17 optimization).
+
+    createDataFrame routes even a one-row local result through a
+    defaultParallelism-sliced *pickled Python* RDD: the terminal
+    noop/collect then runs 32 near-empty Python-worker tasks, measured
+    ~0.5 s per entry on the bench host vs ~0.07 s for a JVM-local
+    relation — pure per-entry latency for the ~60 registry entries whose
+    output is a scalar verdict or a small literal summary.
+
+    Builds the frame JVM-side (range(1) × literal columns; multi-row via
+    one exploded literal struct array), each column CAST to the declared
+    type and kept nullable (a when() guard on the range column keeps
+    analysis from proving non-null), so schema AND values are exactly
+    what createDataFrame produced — pinned in tests/test_queries_oracle.
+
+    Falls back to the real createDataFrame for anything non-scalar
+    (arrays/structs/dicts, Row objects, non-string schemas) — callers
+    never need to care.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    def _scalar(v):
+        if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+            try:
+                return v.item()  # numpy scalar -> python scalar
+            except Exception:
+                return v
+        return v
+
+    ok = (
+        isinstance(schema, str)
+        and isinstance(rows, list)
+        and 1 <= len(rows) <= 64
+        and all(isinstance(r, tuple) for r in rows)
+    )
+    if ok:
+        vals = [tuple(_scalar(v) for v in r) for r in rows]
+        ok = all(
+            v is None or isinstance(v, (bool, int, float, str))
+            for r in vals
+            for v in r
+        )
+    if not ok:
+        return spark.createDataFrame(rows, schema)
+
+    st = _parse_datatype_string(schema)
+
+    def nullable_lit(v, f):
+        # guard on the (always-true) range column so analysis cannot
+        # prove non-null: the schema comes out nullable, IDENTICAL to
+        # what createDataFrame(rows, schema) built
+        return F.when(F.col("id") >= 0, F.lit(v).cast(f.dataType)).alias(f.name)
+
+    if len(vals) == 1:
+        cols = [nullable_lit(v, f) for v, f in zip(vals[0], st.fields)]
+        return spark.range(1).select(*cols)
+    structs = [
+        F.struct(*[nullable_lit(v, f) for v, f in zip(row, st.fields)])
+        for row in vals
+    ]
+    ex = F.explode(F.array(*structs)).alias("s")
+    return (
+        spark.range(1)
+        .select(ex)
+        .select(*[F.col("s")[f.name].alias(f.name) for f in st.fields])
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from wukong_spark.blockmatrix import BlockMatrix, cholesky_blocked, solve_spd
 from wukong_spark.sparse import SparseBlockMatrix
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import tbl
+from wukong_spark.queries.helpers import local_frame, tbl
 
 
 @query(
@@ -91,7 +91,7 @@ def _sigma_rows(spark: SparkSession, s, scale: float = 1000.0):
     `scale` is chosen per query so no value sits near an x.5 boundary
     (verified margins ≥ 0.013 at capture time; default 1000, 800 where a
     milli-scaled value landed within 3e-5 of a boundary)."""
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(i, int(np.floor(float(v) * scale + 0.5))) for i, v in enumerate(s)],
         "rank int, sigma_i bigint",
     )
@@ -224,7 +224,7 @@ def la_tsqr_ref(spark: SparkSession, sf_dir: str):
     # persisted.  Replaced the 4-job persist+gramian+subtract composition
     # (its 256 MB cache-read recon pass alone cost 77 s executor time).
     _, orth_err, recon_err = a.tsqr_check()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, c)],
         "orthonormal boolean, reconstructs boolean, rank int",
     )
@@ -336,7 +336,7 @@ def la_tsqr_factors(spark: SparkSession, sf_dir: str):
     # tsqr_check (r7): fused two-stage factor + verify, Q never
     # materialized (see la_tsqr_ref)
     _, orth_err, recon_err = a.tsqr_check()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(round(orth_err, 10) < 1e-8, round(recon_err, 10) < 1e-8, 32)],
         "orthonormal boolean, reconstructs boolean, rank int",
     )
@@ -374,7 +374,7 @@ def la_qr_square(spark: SparkSession, sf_dir: str):
     a.df.unpersist()
     # full-rank contract: the seeded input's min |diag(R)| is 0.1258 — the
     # 1e-3 gate is 100× below it, robust to BLAS summation-order drift
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 round(orth_err, 12) < 1e-9,
@@ -425,7 +425,7 @@ def la_gemm_check(spark: SparkSession, sf_dir: str):
     # absolute gate has 4 orders of margin on both sides
     err = lhs.subtract(rhs).max_abs()
     x.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(err < 1e-6), c.grid_rows * c.grid_cols)],
         "matvec_identity boolean, blocks int",
     )
@@ -453,7 +453,7 @@ def la_svd_ts_check(spark: SparkSession, sf_dir: str):
     recon_err = u._map_blocks(lambda blk, _m=svt: blk @ _m).subtract(a).max_abs()
     u.df.unpersist()
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 orth_err < 1e-8,
@@ -490,7 +490,7 @@ def la_svd_compressed_check(spark: SparkSession, sf_dir: str):
     u, s, _ = a.svd_compressed(k=5, seed=1)
     orth_err = float(np.abs(u.gramian() - np.eye(5)).max())
     u.release()  # verdict scalars are on the driver; free U's backing stage
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 orth_err < 1e-6,
@@ -533,7 +533,7 @@ def la_sparse_colsums(spark: SparkSession, sf_dir: str):
     rt_err = s.to_dense().subtract(masked).max_abs()
     s.df.unpersist()
     masked.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 nnz,
@@ -613,7 +613,7 @@ def la_sparse_matmul_check(spark: SparkSession, sf_dir: str):
     ma.df.unpersist()
     mb.df.unpersist()
     matches = bool(err == 0.0) and nnz == nnz_dense and int(total) == total_dense
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(int(nnz), int(total), matches)],
         "nnz bigint, total_sum bigint, matches_dense boolean",
     )
@@ -643,7 +643,7 @@ def la_rechunk_check(spark: SparkSession, sf_dir: str):
     blocks = b.grid_rows * b.grid_cols
     b.df.unpersist()
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(rt_err == 0.0), bool(cs_err < 1e-9), blocks)],
         "roundtrip_exact boolean, colsums_match boolean, blocks int",
     )
@@ -688,7 +688,7 @@ def la_concat_check(spark: SparkSession, sf_dir: str):
     v.df.unpersist()
     b.df.unpersist()
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(fro_v_ok), bool(rs_err < 1e-9), bool(fro_h_ok), v_blocks, h_blocks)],
         "fro_additive_v boolean, rowsums_match boolean, fro_additive_h boolean,"
         " v_blocks int, h_blocks int",
@@ -722,7 +722,7 @@ def la_lstsq_check(spark: SparkSession, sf_dir: str):
     orth = float(np.abs(atb - g @ x_qr).max()) / float(np.abs(atb).max())
     b.df.unpersist()
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(agree < 1e-8), bool(orth < 1e-10), a.n_cols)],
         "qr_ne_agree boolean, residual_orthogonal boolean, n_cols int",
     )
@@ -761,7 +761,7 @@ def la_cumsum_check(spark: SparkSession, sf_dir: str):
     cs.df.unpersist()
     cs.release()  # frees cumsum's internal offsets cache
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(col_err < 1e-8), bool(recon_err < 1e-9), blocks)],
         "last_row_matches_colsums boolean, diff_reconstructs boolean, blocks int",
     )
@@ -798,7 +798,7 @@ def la_solve_check(spark: SparkSession, sf_dir: str):
     matches_dense = float(np.abs(x - np.linalg.solve(spd, b)).max()) < 1e-6
     blocks = m.grid_rows
     m.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(residual_small), bool(matches_dense), blocks)],
         "residual_small boolean, matches_dense boolean, blocks int",
     )
@@ -841,7 +841,7 @@ def la_probe_check(spark: SparkSession, sf_dir: str):
     arg_ok = abs(v - a.max_abs()) < 1e-15
     dlen = len(a.diagonal())
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(gram_ok), bool(row_ok), bool(arg_ok), dlen)],
         "gram_diag_matches boolean, rowsum_matches boolean,"
         " argmax_is_max boolean, diag_len int",
@@ -925,7 +925,7 @@ def la_cholesky_check(spark: SparkSession, sf_dir: str):
     max_err = recon.subtract(m).max_abs()
     l_bm.df.unpersist()
     m.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(max_err < 1e-8), m.grid_rows)],
         "reconstructs boolean, blocks int",
     )
@@ -970,7 +970,7 @@ def la_overlap_check(spark: SparkSession, sf_dir: str):
     probe = float(np.abs(ref.slice(500, 501, 0, 200).to_numpy()).max())
     blocks = via_overlap.grid_rows * via_overlap.grid_cols
     ref.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(err < 1e-12), bool(probe > 0.1), blocks)],
         "stencil_matches boolean, interior_nonzero boolean, blocks int",
     )
@@ -1035,7 +1035,7 @@ def la_lu_inv_check(spark: SparkSession, sf_dir: str):
     l_bm.df.unpersist()
     u_bm.df.unpersist()
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(recon), bool(triangular), bool(solve_ok), bool(inv_ok), blocks)],
         "reconstructs boolean, triangular boolean,"
         " solve_matches_dense boolean, inv_residual_small boolean,"
@@ -1091,7 +1091,7 @@ def la_indexing_block_check(spark: SparkSession, sf_dir: str):
     )
     n_masked = masked.n_rows
     a.df.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(take_ok), bool(mask_ok), bool(concat_ok), bool(block_ok), n_masked)],
         "take_matches boolean, mask_matches boolean, concat_matches boolean,"
         " block_matches boolean, masked_rows int",

@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 
 from wukong_spark.mlops import LinearModel, predict_broadcast
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import tbl
+from wukong_spark.queries.helpers import local_frame, tbl
 
 #: deterministic 64-dim weights, reproducible in SQL: w_i = ((7i+3) mod 13 − 6)/10
 FIXED_W = [(((7 * i + 3) % 13) - 6) / 10.0 for i in range(64)]
@@ -394,7 +394,8 @@ def ml_linreg_check(spark: SparkSession, sf_dir: str):
     # scale ‖Xᵀ(y−ȳ)‖ ≈ n — max(1, n) keeps the gate relative and unitful
     grad_rel = float(np.abs(grad - 1e-6 * w).max()) / max(1.0, float(n))
     sse_mean = syy - sy * sy / n
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(bool(grad_rel < 1e-8), bool(sse < sse_mean), d)],
         "gradient_zero boolean, beats_mean_baseline boolean, n_features int",
     )
@@ -464,7 +465,8 @@ def ml_logreg_check(spark: SparkSession, sf_dir: str):
     grad_rel = float(np.abs(grad - 1e-3 * w).max()) / max(1.0, float(n))
     pbar = sy / n
     ll_null = -n * (pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), d)],
         "gradient_zero boolean, beats_null_logloss boolean, n_features int",
     )
@@ -545,7 +547,8 @@ def ml_softmax_check(spark: SparkSession, sf_dir: str):
     grad_rel = float(np.abs(grad).max()) / max(1.0, float(n))
     present = counts > 0
     ll_null = float(-(counts[present] * np.log(counts[present] / n)).sum())
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), w.shape[0], k)],
         "gradient_zero boolean, beats_null_logloss boolean,"
         " n_features int, n_classes int",
@@ -720,7 +723,8 @@ def ml_als_check(spark: SparkSession, sf_dir: str):
     # only scalars leave; both factor checkpoints are done (leak audit r15)
     release_checkpoint(u_df)
     release_checkpoint(v_df)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 bool(gmax < 1e-8),

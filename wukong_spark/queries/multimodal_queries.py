@@ -33,6 +33,7 @@ from wukong_spark.operators.multimodal import (
     encode_wav_pcm16,
 )
 from wukong_spark.queries import query
+from wukong_spark.queries.helpers import local_frame
 
 #: image workload dims: 16 seeded 24×18 RGB images, decoded + resized to 8×8
 N_IMG, IMG_H, IMG_W = 16, 24, 18
@@ -2010,7 +2011,7 @@ def webdataset_export_roundtrip(spark: SparkSession, sf_dir: str):
     identical = sig(shards) == sig(shards2)
     n_shards_written = shards.count()
     total = shards.agg(F.sum("n_samples")).collect()[0][0]
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(int(n_shards_written), int(total), bool(roundtrip), bool(identical))],
         "n_shards_written int, n_samples bigint, roundtrip_exact boolean,"
         " rewrite_bit_identical boolean",

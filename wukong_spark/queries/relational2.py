@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import cents, pct_units, r4, tbl
+from wukong_spark.queries.helpers import local_frame, cents, pct_units, r4, tbl
 
 
 # ---------------------------------------------------------------------------
@@ -736,7 +736,7 @@ def parquet_rowgroup_prune_check(spark: SparkSession, sf_dir: str):
         for f in _glob.glob(f"{local}/*.parquet")
     )
     vacuous = n_groups <= 2
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 int(range_agg["n"]),
@@ -835,7 +835,7 @@ def zorder_layout_prune_check(spark: SparkSession, sf_dir: str):
     p_agg = pq_.agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("s")).collect()[0]
     s_agg = sq.agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("s")).collect()[0]
     p_scanned, s_scanned = scanned_rows(pq_), scanned_rows(sq)
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 # SUM over an empty filter is NULL (e.g. the key range
@@ -987,7 +987,7 @@ def dq_expectations_check(spark: SparkSession, sf_dir: str):
         ("quantity_positive_violations", int(qty), qty == 0),
         ("event_type_vocab_violations", int(vocab), vocab == 0),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark,
         rows, "check_name string, observed bigint, passed boolean"
     ).orderBy("check_name")
 
@@ -1041,7 +1041,7 @@ def join_family_check(spark: SparkSession, sf_dir: str):
         ("anti", c.join(o, cond, "left_anti").count()),
         ("cross_dims", r.crossJoin(n).count()),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark,
         rows, "join_type string, n_rows bigint"
     ).orderBy("join_type")
 

@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import cents, pct_units, tbl
+from wukong_spark.queries.helpers import local_frame, cents, pct_units, tbl
 
 
 def _rev_c():
@@ -1522,7 +1522,7 @@ def stream_cdc_apply_check(spark: SparkSession, sf_dir: str):
         )
         assert len(epochs) >= 4, f"expected >=4 micro-batches, got {epochs}"
         rows = state.read().select("k", "status", "price_c").collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "k long, status string, price_c long"
         ).orderBy("k")
     finally:
@@ -1580,12 +1580,12 @@ def lakehouse_snapshot_merge_check(spark: SparkSession, sf_dir: str):
         # reads below run AFTER the vacuum, proving it kept what it must
         t.vacuum(keep=[v0, head_v])
         rows_head = t.read().select("k", "status", "price_c").collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows_head, "k long, status string, price_c long"
         ).select(
             F.lit("head").alias("snap"), "k", "status", "price_c"
         ).unionByName(
-            spark.createDataFrame(
+            local_frame(spark,
                 t.read(version=v0).select("k", "status", "price_c").collect(),
                 "k long, status string, price_c long",
             ).select(F.lit("v0").alias("snap"), "k", "status", "price_c")
@@ -1643,7 +1643,7 @@ def lakehouse_change_feed_check(spark: SparkSession, sf_dir: str):
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows,
             "k long, seq int, status string, price_c long, deleted boolean,"
             " commit_v long",
@@ -1721,7 +1721,7 @@ def lakehouse_change_feed_compact_check(spark: SparkSession, sf_dir: str):
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows,
             "k long, seq int, status string, price_c long, deleted boolean,"
             " commit_v long",
@@ -1774,12 +1774,12 @@ def lakehouse_objstore_merge_check(spark: SparkSession, sf_dir: str):
         head_v = t.compact()
         t.vacuum(keep=[v0, head_v], stage_retention_s=0.0)
         rows_head = t.read().select("k", "status", "price_c").collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows_head, "k long, status string, price_c long"
         ).select(
             F.lit("head").alias("snap"), "k", "status", "price_c"
         ).unionByName(
-            spark.createDataFrame(
+            local_frame(spark,
                 t.read(version=v0).select("k", "status", "price_c").collect(),
                 "k long, status string, price_c long",
             ).select(F.lit("v0").alias("snap"), "k", "status", "price_c")
@@ -1839,7 +1839,7 @@ def lakehouse_rebase_disjoint_check(spark: SparkSession, sf_dir: str):
         v2 = t.merge(delta_a, expect_version=v0)
         assert v2 == v1 + 1, f"expected rebase to land at {v1 + 1}, got {v2}"
         rows = t.read().select("k", "status", "price_c").collect()
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "k long, status string, price_c long"
         ).orderBy("k")
     finally:
@@ -1923,7 +1923,7 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("s")
     ).collect()[0]
     exact = bool(agg["n"] == plain["n"] and agg["s"] == plain["s"])
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 int(agg["n"]),
@@ -2259,7 +2259,7 @@ def lakehouse_key_skipping_check(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("v").alias("sum_v"),
         ).first()
-        return spark.createDataFrame(
+        return local_frame(spark,
             [(res["n_keys"], res["sum_v"], kept < total, kept == len(mid_files))],
             "n_keys long, sum_v long, prune_effective boolean, prune_exact boolean",
         )
@@ -2346,7 +2346,7 @@ def lakehouse_schema_evolution_check(spark: SparkSession, sf_dir: str):
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "status string, n long, n_priced long, sum_price_c long"
         ).orderBy("status")
     finally:
@@ -2415,7 +2415,7 @@ def lakehouse_rebucket_check(spark: SparkSession, sf_dir: str):
         res = t.read().agg(
             F.count(F.lit(1)).alias("n_keys"), F.sum("v").alias("sum_v")
         ).first()
-        return spark.createDataFrame(
+        return local_frame(spark,
             [(res["n_keys"], res["sum_v"], resharded, history_intact)],
             "n_keys long, sum_v long, resharded boolean, history_intact boolean",
         )
@@ -2488,7 +2488,7 @@ def lakehouse_dml_check(spark: SparkSession, sf_dir: str):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("sum_price_c"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "status string, n long, sum_price_c long"
         ).orderBy("status")
     finally:
@@ -2551,7 +2551,7 @@ def stream_snapshot_cdf_source_check(spark: SparkSession, sf_dir: str):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_frame(spark,
             rows, "v long, n long, sum_c long"
         ).orderBy("v")
     finally:

@@ -21,7 +21,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import tbl
+from wukong_spark.queries.helpers import local_frame, tbl
 
 #: 48-bit integer from the md5 hex prefix — engine-portable (same trick as
 #: textops minhash); {e} is the SQL expression to hash
@@ -297,7 +297,7 @@ def sketch_countmin_check(spark: SparkSession, sf_dir: str):
     ests = countmin_estimate(cms, truth["key"])
     true_np = truth["count"].to_numpy()
     bound = 3.0 * math.e * float(true_np.sum()) / width
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 bool((ests >= true_np).all()),
@@ -394,7 +394,7 @@ def sketch_heavy_hitters_check(spark: SparkSession, sf_dir: str):
             "est_within_bound": (hh_est - hh["count"].to_numpy()) <= bound,
         }
     ).sort_values(["user_id", "event_type"], ignore_index=True)
-    return spark.createDataFrame(
+    return local_frame(spark,
         out,
         "user_id bigint, event_type string, exact_n bigint,"
         " surfaced boolean, est_within_bound boolean",

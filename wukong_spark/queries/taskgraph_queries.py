@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import cents, tbl
+from wukong_spark.queries.helpers import local_frame, cents, tbl
 
 
 @query(
@@ -390,7 +390,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     src_node = edges.agg(F.min("src")).collect()[0][0]
-    labels = spark.createDataFrame([(int(src_node), 0)], "node long, dist int")
+    labels = local_frame(spark, [(int(src_node), 0)], "node long, dist int")
     for _ in range(4):
         nbr = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
@@ -625,7 +625,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str):
     from wukong_spark.session import release_checkpoint as _rel
 
     _rel(e)
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(n_edges, tri)], "n_edges bigint, n_triangles bigint"
     )
 
@@ -811,7 +811,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).localCheckpoint(eager=True)
     src_node = edges.agg(F.min("src")).collect()[0][0]
-    labels = spark.createDataFrame(
+    labels = local_frame(spark,
         [(int(src_node), 0)], "node long, dist long"
     )
     for _ in range(4):
@@ -1397,7 +1397,7 @@ def graph_hits_converged(spark: SparkSession, sf_dir: str):
     )
     release_checkpoint(res)
     release_checkpoint(e)
-    return spark.createDataFrame(
+    return local_frame(spark,
         [
             (
                 bool(cert["resid"] < 10 * tol),

@@ -18,7 +18,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import r4, tbl
+from wukong_spark.queries.helpers import local_frame, r4, tbl
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
@@ -1545,7 +1545,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str):
         # the loop leaks one checkpoint per merge step; leak audit r15)
         release_checkpoint(prev)
     release_checkpoint(words)
-    return spark.createDataFrame(
+    return local_frame(spark,
         out,
         "step int, left_sym string, right_sym string, merged string,"
         " pair_n bigint",
@@ -2404,7 +2404,7 @@ def text_quality_classifier_check(spark: SparkSession, sf_dir: str):
     grad_rel = float(np.abs(grad - 1e-3 * w).max()) / max(1.0, float(n))
     pbar = sy / n
     ll_null = -n * (pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(grad_rel < 1e-8), bool(ll_model < ll_null), nd, int(n))],
         "gradient_zero boolean, beats_null_logloss boolean,"
         " n_features int, n_docs long",

@@ -17,7 +17,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from wukong_spark.queries import query
-from wukong_spark.queries.helpers import r4, tbl
+from wukong_spark.queries.helpers import local_frame, r4, tbl
 
 N_QUERY_VECS = 5  # vec_id < 5 are the query set
 
@@ -1083,7 +1083,7 @@ def embed_pca_check(spark: SparkSession, sf_dir: str):
         and np.abs(pvar - evals[:k]).max() / top < 1e-8
     )
     variance_captured = abs(float(pvar.sum()) - float(evals[:k].sum())) / tot < 1e-8
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(decorrelated), variance_sorted, bool(variance_captured), k)],
         "decorrelated boolean, variance_sorted boolean,"
         " variance_captured boolean, k int",
