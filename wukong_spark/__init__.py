@@ -14,9 +14,13 @@ Layers (SURVEY.md §7):
   plans        — physical-plan introspection (the 100 TB discipline checks)
 """
 
-from wukong_spark._alloc import tune_malloc
+from wukong_spark._alloc import tune_arrow_pool, tune_blas, tune_malloc
 
-tune_malloc()  # before any numpy work or JVM launch (see _alloc.py)
+# before any numpy/pyarrow work or JVM launch (see _alloc.py): malloc
+# thresholds, single-threaded OpenBLAS, glibc-backed Arrow pool
+tune_malloc()
+tune_blas()
+tune_arrow_pool()
 
 from wukong_spark.session import PlanCache, TABLES, get_spark, load_table
 from wukong_spark.taskgraph import (

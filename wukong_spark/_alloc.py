@@ -1,4 +1,31 @@
-"""Large-allocation tuning for hosts with a slow first-touch fault path.
+"""Runtime tuning for hosts with a slow kernel memory path (r17 opt round).
+
+Three independent pathologies measured on this host, each fixed here (or
+in ``session.get_spark`` for the JVM side); every knob is standard
+practice for numeric workloads and benign on ordinary hosts:
+
+1. glibc mmap/trim thresholds (``tune_malloc`` below, landed earlier this
+   round) — large NumPy buffers otherwise re-fault every page on every
+   allocation.
+2. OpenBLAS spin-wait threads (``tune_blas``): each Python process's
+   OpenBLAS pool busy-waits in a ``sched_yield`` loop after every BLAS
+   call.  With 33 Python processes (driver + 32 workers) the yield storm
+   measured 130-400 core-seconds of pure KERNEL time per la_* bench pass
+   (kernel-stack sampling: ``do_sched_yield``; the driver process alone
+   burned 132 s sys in one 50 s pass).  One data-parallel task per core
+   is already the right parallelism — intra-task BLAS threads only
+   oversubscribe — so pin OpenBLAS to 1 thread per process.  OpenBLAS
+   dgemm results are bitwise identical across thread counts (K-loop
+   accumulation order is fixed), so seeded literal oracles are
+   unaffected (re-verified via driver_mimic after the change).
+3. PyArrow's default memory pool (``tune_arrow_pool``): jemalloc decay
+   returns batch buffers to the OS between passes, re-faulting ~0.4 GB
+   per worker set per bench pass on this host's slow fault path.
+   Routing the default pool to "system" (glibc malloc) lands Arrow
+   buffers in the same retained arenas as NumPy — measured worker
+   refaults drop to ~0.1 GB/pass.
+
+Malloc details (the original finding, kept verbatim):
 
 Measured on the r17 optimization-round host (Firecracker kernel
 6.18.5-fc): glibc's default M_MMAP_THRESHOLD (128 KB, dynamic) services
@@ -59,3 +86,67 @@ def tune_malloc() -> None:
         libc.mallopt(_M_TRIM_THRESHOLD, _THRESHOLD_BYTES)
     except Exception:
         pass  # non-glibc platform: the env vars still cover children
+
+
+_blas_done = False
+
+
+def tune_blas() -> None:
+    """Pin OpenBLAS to one thread per process (see module doc §2).
+
+    Env var covers processes that have not loaded BLAS yet (Python
+    workers unpickling our task functions import this package before
+    their first numpy import); the ctypes call covers a process where
+    numpy is already loaded (pytest, notebooks).  Honors a pre-set
+    OPENBLAS_NUM_THREADS so operators running on a dedicated many-core
+    driver can opt back into threaded BLAS."""
+    global _blas_done
+    if _blas_done:
+        return
+    _blas_done = True
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    n = os.environ["OPENBLAS_NUM_THREADS"]
+    if not n.isdigit() or "numpy" not in __import__("sys").modules:
+        return
+    try:
+        with open("/proc/self/maps") as f:
+            libs = {
+                line.split()[-1]
+                for line in f
+                if "openblas" in line and line.rstrip().endswith(".so")
+            }
+        for path in libs:
+            lib = ctypes.CDLL(path)
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(int(n))
+                    break
+    except Exception:
+        pass
+
+
+_arrow_done = False
+
+
+def tune_arrow_pool() -> None:
+    """Route PyArrow's default memory pool to glibc malloc (module doc §3).
+
+    The env var is read at pyarrow import; the runtime call covers a
+    process that already imported pyarrow.  Honors a pre-set
+    ARROW_DEFAULT_MEMORY_POOL (so jemalloc can be re-chosen where the
+    host's fault path is healthy)."""
+    global _arrow_done
+    if _arrow_done:
+        return
+    _arrow_done = True
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    if "pyarrow" not in __import__("sys").modules:
+        return
+    try:
+        import pyarrow as pa
+
+        if os.environ["ARROW_DEFAULT_MEMORY_POOL"] == "system":
+            pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass

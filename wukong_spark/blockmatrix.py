@@ -90,6 +90,20 @@ def _grid(n: int, bs: int) -> int:
     return (n + bs - 1) // bs
 
 
+_TRIU_CACHE: dict[int, tuple] = {}
+
+
+def _triu(c: int):
+    """Cached np.triu_indices(c) — one gather index pair per worker
+    process (8·c(c+1) bytes at c=1000 ≈ 8 MB, reused across every
+    gramian partial the worker emits)."""
+    ix = _TRIU_CACHE.get(c)
+    if ix is None:
+        ix = np.triu_indices(c)
+        _TRIU_CACHE[c] = ix
+    return ix
+
+
 def _pa_block_schema(pa):
     """Arrow schema matching BLOCK_SCHEMA — built inside worker closures
     (mapInArrow outputs must carry exact int32 types; from_pydict would
@@ -1007,6 +1021,17 @@ class BlockMatrix:
         ~√(n_partials)·c² doubles — at c=1000 on 32 tasks the old
         single-reducer plan read a 244 MB shuffle in one task; on a
         1,000-task cluster it would have read 8 GB.
+
+        r17 opt round (guide §2.3, shuffle fewer bytes): AᵢᵀAᵢ is
+        symmetric, so partials ship only the UPPER TRIANGLE —
+        c(c+1)/2 doubles instead of c², halving every exchange and the
+        driver transfer (c=1000: 256 MB → 128 MB through the level-1
+        shuffle).  Sums of triangles = the triangle of the sum, so the
+        reduction is unchanged; the driver mirrors the summed triangle
+        back to a full matrix.  (dgemm's [i,j]/[j,i] agree to the last
+        ulp — both are the same-order K-dot of the same columns — and
+        every consumer is a symmetric solver (eigh/eigvalsh reads one
+        triangle) or a 1e-8-gated verdict, so the mirror is safe.)
         """
         c_total = self.n_cols
         br, n = self.block_rows, self.n_rows
@@ -1036,10 +1061,11 @@ class BlockMatrix:
                     key = bi % n_groups
                     totals[key] = g if key not in totals else totals[key] + g
                 if totals:
+                    iu = _triu(c_total)
                     yield pa.RecordBatch.from_pydict(
                         {
                             "g": list(totals),
-                            "gram": [t.tobytes() for t in totals.values()],
+                            "gram": [t[iu].tobytes() for t in totals.values()],
                         },
                         schema=schema,
                     )
@@ -1066,10 +1092,11 @@ class BlockMatrix:
                     key = bi % n_groups
                     totals[key] = g if key not in totals else totals[key] + g
                 if totals:
+                    iu = _triu(c_total)
                     yield pa.RecordBatch.from_pydict(
                         {
                             "g": list(totals),
-                            "gram": [t.tobytes() for t in totals.values()],
+                            "gram": [t[iu].tobytes() for t in totals.values()],
                         },
                         schema=schema,
                     )
@@ -1085,10 +1112,8 @@ class BlockMatrix:
             )
         else:
             src = self.df.mapInArrow(part, "g int, gram binary")
-        if (
-            n_parts <= GRAMIAN_DIRECT_PARTS
-            and n_parts * c_total * c_total * 8 <= 64 << 20
-        ):
+        tri_bytes = c_total * (c_total + 1) * 4  # c(c+1)/2 doubles
+        if n_parts <= GRAMIAN_DIRECT_PARTS and n_parts * tri_bytes <= 64 << 20:
             # small-input fast path (r9): few task partials AND bounded
             # driver traffic (≤ 64 MB of c² buffers) — collecting them
             # directly keeps a 1-stage plan (no level-1 exchange), the
@@ -1102,9 +1127,12 @@ class BlockMatrix:
             # reducer ever reads more than ~√(n_partials)·c² doubles
             lvl1 = src.groupBy("g").applyInPandas(merge, "g int, gram binary")
             rows = lvl1.collect()
-        total = np.sum(
-            [np.frombuffer(row.gram) for row in rows], axis=0
-        ).reshape(c_total, c_total)
+        tri = np.sum([np.frombuffer(row.gram) for row in rows], axis=0)
+        # mirror the summed packed triangle back to a full symmetric matrix
+        iu = _triu(c_total)
+        total = np.empty((c_total, c_total))
+        total[iu] = tri
+        total.T[iu] = tri
         return total
 
     def tsqr(self) -> tuple["BlockMatrix", np.ndarray]:

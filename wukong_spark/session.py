@@ -70,10 +70,25 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # measured at the block-matrix benches: 64g is WORSE than 24g (G1
         # humongous-object churn on 8 MB binary cells); 24g + explicit
-        # per-output-block partitioning avoids sort spill instead
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # per-output-block partitioning avoids sort spill instead.
+        # r17 opt round: a SMALLER pinned heap beats both — with a
+        # growable heap G1 kept first-touching fresh regions (2-3 GB of
+        # page faults per bench pass, catastrophic on this host's slow
+        # fault path).  12g -Xms-pinned + AlwaysPreTouch pays all heap
+        # faults once at startup; G1HeapRegionSize=32m makes the 8 MB
+        # block cells ordinary (non-humongous) objects.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true "
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '12g')} "
+            "-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m",
+        )
+        # local shuffle blocks here are ~8 MB (block-matrix partials): the
+        # 2 MB default memory-maps every read and the per-pass mmap/munmap
+        # churn re-faults; stream them through pooled buffers instead
+        .config("spark.storage.memoryMapThreshold", "512m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
         # Python workers must inherit the large-alloc malloc thresholds
         # (wukong_spark/_alloc.py): local mode inherits our env through
         # the JVM, but on a real cluster only executorEnv reaches the
@@ -85,6 +100,17 @@ def get_spark(
         .config(
             "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
             os.environ.get("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+        )
+        # one BLAS thread per (data-parallel) task + glibc-backed Arrow
+        # pool in every Python worker — see _alloc.py tune_blas /
+        # tune_arrow_pool for the measured pathologies
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ.get("OPENBLAS_NUM_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+            os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "system"),
         )
     )
     for k, v in (extra_conf or {}).items():
