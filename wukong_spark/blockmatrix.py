@@ -740,7 +740,7 @@ class BlockMatrix:
         )
 
     # -- GEMM (replicate + cogroup-by-output-tile) -------------------------
-    def matmul(self, other: "BlockMatrix") -> "BlockMatrix":
+    def matmul(self, other: "BlockMatrix", emit=None):
         """C = A @ B — replicate-and-cogroup 2D block GEMM over OUTPUT
         TILES of f×f fine blocks: each A block fans out to the output-tile
         columns, each B block to the output-tile rows (JVM-side explode),
@@ -748,6 +748,19 @@ class BlockMatrix:
         zero-copy Arrow stage computes the tile — k-superchunks stitched
         and dgemm-accumulated in ascending k order — then emits C at the
         original fine blocking.
+
+        ``emit`` (r17 opt round, guide §4.1/§2.3): optional
+        ``(fields, fn)`` where ``fields`` is ``[(name, arrow_type_str)]``
+        (``int64``/``float64``/``int32``) and ``fn(block_ndarray)`` returns
+        a tuple of those per-fine-block values.  When set, matmul returns a
+        plain DataFrame ``bi, bj, *fields`` computed INSIDE the tile task —
+        the product blocks never cross the Python→JVM boundary.  Consumers
+        that reduce C to a per-block summary (the GEMM benches' Frobenius
+        norms) otherwise chain a second MapInArrow behind this one, paying
+        a full C-sized Arrow round trip (JVM↔Python both ways) and a second
+        Python worker per core for data the next node immediately folds to
+        one value per block.  fn sees exactly the values the emitted bytes
+        would have carried (same acc slice), so results are identical.
 
         The tile factor trades shuffle volume against parallelism:
         replication (= shuffle volume) is grid/f per side, parallelism is
@@ -870,9 +883,20 @@ class BlockMatrix:
         def gemm_tiles(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
             import pyarrow as pa
 
-            out_schema = pa.schema(
-                [("bi", pa.int32()), ("bj", pa.int32()), ("data", pa.binary())]
-            )
+            if emit is not None:
+                _pa_types = {
+                    "int32": pa.int32(), "int64": pa.int64(),
+                    "float64": pa.float64(),
+                }
+                emit_fields, emit_fn = emit
+                out_schema = pa.schema(
+                    [("bi", pa.int32()), ("bj", pa.int32())]
+                    + [(nm, _pa_types[tp]) for nm, tp in emit_fields]
+                )
+            else:
+                out_schema = pa.schema(
+                    [("bi", pa.int32()), ("bj", pa.int32()), ("data", pa.binary())]
+                )
             # STREAMING consumer (VERDICT r2 #2): rows arrive sorted by
             # (si, sj, k), so only the CURRENT k-superchunk's source blocks
             # are ever held — per-task memory is O(f²·bs²) + one ≤64 MB
@@ -933,7 +957,7 @@ class BlockMatrix:
 
             def emit_tile() -> "pa.RecordBatch":
                 si, sj = cur
-                rows: dict[str, list] = {"bi": [], "bj": [], "data": []}
+                rows: dict[str, list] = {nm: [] for nm in out_schema.names}
                 for bi in range(si * f, min((si + 1) * f, gi)):
                     for bj in range(sj * f, min((sj + 1) * f, gj)):
                         rr = min(br, n - bi * br)
@@ -944,7 +968,11 @@ class BlockMatrix:
                         ]
                         rows["bi"].append(bi)
                         rows["bj"].append(bj)
-                        rows["data"].append(np.ascontiguousarray(blk).tobytes())
+                        if emit is not None:
+                            for (nm, _), v in zip(emit_fields, emit_fn(blk)):
+                                rows[nm].append(v)
+                        else:
+                            rows["data"].append(np.ascontiguousarray(blk).tobytes())
                 return pa.RecordBatch.from_pydict(rows, schema=out_schema)
 
             for rb in batches:
@@ -1004,12 +1032,16 @@ class BlockMatrix:
         # scales with the cluster (≥512, ≥4 waves of cores) so a
         # 1000-executor deployment isn't pinned to 512 shuffle partitions.
         nparts = min(si_n * sj_n, max(512, 4 * par))
-        out_df = (
-            both.repartition(nparts, "si", "sj")
-            .sortWithinPartitions("si", "sj", "k", "side", "r")
-            .mapInArrow(gemm_tiles, BLOCK_SCHEMA)
+        shuffled = both.repartition(nparts, "si", "sj").sortWithinPartitions(
+            "si", "sj", "k", "side", "r"
         )
-        return BlockMatrix(out_df, n, m, br, bc)
+        if emit is not None:
+            _ddl = {"int32": "int", "int64": "bigint", "float64": "double"}
+            ddl = "bi int, bj int, " + ", ".join(
+                f"{nm} {_ddl[tp]}" for nm, tp in emit[0]
+            )
+            return shuffled.mapInArrow(gemm_tiles, ddl)
+        return BlockMatrix(shuffled.mapInArrow(gemm_tiles, BLOCK_SCHEMA), n, m, br, bc)
 
     # -- factorizations ---------------------------------------------------
     def gramian(self) -> np.ndarray:

@@ -130,6 +130,21 @@ def _block_fro(c: BlockMatrix):
     return c.df.mapInArrow(fro, "bi int, bj int, fro_i bigint")
 
 
+def _fro_emit():
+    """matmul ``emit`` spec computing _block_fro's summary INSIDE the GEMM
+    tile task (r17 opt round, guide §4.1): the chained
+    gemm_tiles→MapInArrow(fro) pair shipped the full product C (800 MB at
+    the reference dims) Python→JVM→Python just to fold each block to one
+    integer.  Same floats, same flatten order, same ``v @ v`` BLAS dot and
+    floor(x+.5) rounding as _block_fro — identical output values."""
+
+    def fro_of_block(blk: np.ndarray):
+        v = blk.ravel()
+        return (int(np.floor(np.sqrt(v @ v) + 0.5)),)
+
+    return ([("fro_i", "int64")], fro_of_block)
+
+
 @query(
     "la_gemm_block_norms",
     state_sized=True,
@@ -154,7 +169,7 @@ def la_gemm_block_norms(spark: SparkSession, sf_dir: str):
     repeated runs hash identically."""
     a = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=11)
     b = BlockMatrix.random(spark, 1024, 1024, 256, 256, seed=22)
-    return _block_fro(a.matmul(b))
+    return a.matmul(b, emit=_fro_emit())
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +209,9 @@ def la_gemm_ref(spark: SparkSession, sf_dir: str):
     # regenerated from its seed post-sort (blockmatrix.py matmul).  The r4
     # variant persisted both operands DISK_ONLY (~16 GB write + ~8 GB
     # shuffle); fusion removes all of that I/O — at 100× scale the operand
-    # materialization WAS the job.
-    return _block_fro(a.matmul(b))
+    # materialization WAS the job.  The Frobenius summary is likewise fused
+    # into the tile stage (emit): C itself never leaves Python.
+    return a.matmul(b, emit=_fro_emit())
 
 
 @query(

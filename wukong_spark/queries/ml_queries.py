@@ -81,15 +81,17 @@ def ml_predict_ref(spark: SparkSession, sf_dir: str):
     pattern: sklearn fit is local, only predict distributes), then the
     summary is a label×prediction confusion count — 4 deterministic rows.
     """
-    from pyspark.sql import functions as F
+    from typing import Iterator
 
-    from wukong_spark.mlops import make_classification_blocks
+    import pandas as pd
+    from pyspark.sql import functions as F
 
     from wukong_spark.session import register_result_checkpoint
 
     sf = _sf(sf_dir)
     n = 800_000 if sf >= 0.1 else 80_000
-    df = make_classification_blocks(spark, n, 20, 20, seed=17)
+    n_parts = n_features = 20
+    seed = 17
     rng = np.random.default_rng(17)
     x0 = rng.standard_normal((min(n // 20, 5000), 20))
     y0 = (x0 @ np.random.default_rng(17).standard_normal(20) >= 0).astype(np.int32)
@@ -97,15 +99,55 @@ def ml_predict_ref(spark: SparkSession, sf_dir: str):
     # ONE scan of the generated blocks (VERDICT r15 Next #1): the predict
     # pass emits |decision margin| alongside the prediction, so the
     # boundary-distance contract behind the literal confusion counts folds
-    # into the same groupBy.  The 4-row grouped result is eagerly
-    # checkpointed (trivial) so deriving the global min does not replay
-    # the generation.
-    pred = predict_broadcast(
-        df, model, id_cols=("sample_id", "label"), margin_col="am"
+    # into the same groupBy.  r17 opt round (guide §4.1/§2.3): generation,
+    # predict AND the per-partition partial confusion counts are FUSED
+    # into a single Python pass — the old make_classification_blocks →
+    # predict_broadcast chain ran TWO chained MapInPandas nodes in one
+    # stage (two Python workers per core; the 800k×20 features crossed
+    # Python→JVM→Python as Arrow list<double>, ~128 MB each way) and then
+    # shipped 800k rows into the JVM groupBy.  The fused pass generates
+    # each partition's block exactly as make_classification_blocks does
+    # (same rng streams, bitwise-identical x/label), predicts in place,
+    # and emits ≤4 partial rows per partition: (label, prediction,
+    # partial count, partial min |margin|).  Counts sum and mins min —
+    # exact associative merges — so the 4-row grouped result is
+    # value-identical to the unfused plan's.  The 4-row grouped result is
+    # eagerly checkpointed (trivial) so deriving the global min does not
+    # replay the generation.
+    bc = spark.sparkContext.broadcast(model)
+    per = (n + n_parts - 1) // n_parts
+
+    def gen_predict_partials(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        m = bc.value
+        for pdf in batches:
+            for pid in pdf["id"]:
+                prng = np.random.default_rng(seed + int(pid))
+                nn = min(per, n - int(pid) * per)
+                if nn <= 0:
+                    continue
+                # identical streams to make_classification_blocks: w from
+                # a fresh rng(seed), x from rng(seed + pid)
+                w = np.random.default_rng(seed).standard_normal(n_features)
+                x = prng.standard_normal((nn, n_features))
+                y = (x @ w >= 0).astype(np.int32)
+                margin = m.decision_function(x)
+                p = (margin >= 0).astype(np.int32)  # == m.predict(x)
+                am = np.abs(np.asarray(margin, dtype=np.float64))
+                part = pd.DataFrame({"label": y, "prediction": p, "am": am})
+                yield (
+                    part.groupby(["label", "prediction"], as_index=False)
+                    .agg(n=("am", "size"), gm=("am", "min"))
+                    .astype({"n": np.int64})
+                )
+
+    partials = spark.range(0, n_parts, 1, n_parts).mapInPandas(
+        gen_predict_partials, "label int, prediction int, n long, gm double"
     )
     grouped = register_result_checkpoint(
-        pred.groupBy("label", "prediction")
-        .agg(F.count("*").alias("n"), F.min("am").alias("gm"))
+        partials.groupBy("label", "prediction")
+        .agg(F.sum("n").alias("n"), F.min("gm").alias("gm"))
         .localCheckpoint(eager=True)
     )
     margin = grouped.agg(F.min("gm").alias("min_margin"))
@@ -696,27 +738,35 @@ def ml_als_check(spark: SparkSession, sf_dir: str):
         sse = float(((r - vs @ u) ** 2).sum())
         return pd.DataFrame({"g": [float(np.abs(g).max())], "sse": [sse]})
 
-    agg = (
+    # r17 opt round (guide §1.2: job-count-bound entry): the four
+    # verification legs — gradient/SSE agg, ratings mean-baseline stats,
+    # and both factor counts — are all 1-row aggregates, so crossJoin
+    # them into ONE collect job (4 driver round-trips → 1; each leg is
+    # still its own distributed stage under that job, same exchanges,
+    # same values)
+    grad_leg = (
         joined.groupBy("user_id")
         .applyInPandas(user_grad, "g double, sse double")
         .agg(F.max("g").alias("gmax"), F.sum("sse").alias("sse"))
-        .collect()[0]
     )
-    gmax, sse_final = float(agg["gmax"]), float(agg["sse"])
-    # mean-baseline SSE without a window: Σr² − (Σr)²/n
-    stats = ratings.agg(
+    stats_leg = ratings.agg(
         F.sum(F.col("rating") * F.col("rating")).alias("srr"),
         F.sum("rating").alias("sr"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    sse_mean = float(stats["srr"]) - float(stats["sr"]) ** 2 / float(stats["n"])
-    monotonic = all(b <= a + 1e-9 for a, b in zip(objs, objs[1:]))
-    counts = (
-        u_df.agg(F.count(F.lit(1)).alias("n"))
-        .unionByName(v_df.agg(F.count(F.lit(1)).alias("n")))
-        .collect()
     )
-    got_users, got_items = int(counts[0]["n"]), int(counts[1]["n"])
+    cnt_u_leg = u_df.agg(F.count(F.lit(1)).alias("nu"))
+    cnt_v_leg = v_df.agg(F.count(F.lit(1)).alias("nv"))
+    row = (
+        grad_leg.crossJoin(stats_leg)
+        .crossJoin(cnt_u_leg)
+        .crossJoin(cnt_v_leg)
+        .collect()[0]
+    )
+    gmax, sse_final = float(row["gmax"]), float(row["sse"])
+    # mean-baseline SSE without a window: Σr² − (Σr)²/n
+    sse_mean = float(row["srr"]) - float(row["sr"]) ** 2 / float(row["n"])
+    monotonic = all(b <= a + 1e-9 for a, b in zip(objs, objs[1:]))
+    got_users, got_items = int(row["nu"]), int(row["nv"])
     ratings.unpersist()
     from wukong_spark.session import release_checkpoint
 
