@@ -2884,18 +2884,45 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
     spark = a.df.sparkSession
     n, bs = a.n_rows, a.block_rows
     nb = a.grid_rows
-    # only the lower triangle participates (A symmetric)
-    remaining = a.df.filter(F.col("bi") >= F.col("bj")).localCheckpoint()
+    # only the lower triangle participates (A symmetric).  r17 opt round
+    # (guide §1.2: the step loop is latency-bound, not work-bound — each
+    # driver round trip is a whole job): every trailing/panel checkpoint
+    # is LAZY (eager=False) and is materialized by the step's own
+    # unavoidable collect — the next diagonal-block fetch materializes the
+    # trailing update, the panel's broadcast collect materializes the
+    # panel — folding 4 jobs/step into 2.  Lazy is safe here because each
+    # checkpoint's FIRST action references it exactly once (the
+    # double-reference recompute trap hits only plans that read one lazy
+    # checkpoint twice inside a single job, e.g. the join path's li⋈lk —
+    # which therefore keeps its eager panel).
+    remaining = a.df.filter(F.col("bi") >= F.col("bj")).localCheckpoint(eager=False)
     panels: list[DataFrame] = []
     diag_blocks: list[tuple[int, int, bytes]] = []
 
     # free each superseded trailing checkpoint immediately: across a
     # 16-grid factorization they otherwise pile up ~O(n²) bytes in
-    # executor storage until driver GC gets around to them
+    # executor storage until driver GC gets around to them.  With lazy
+    # checkpoints the release must WAIT until the successor materializes
+    # (the pending update job still reads the predecessor's blocks;
+    # unpersisting a truncated-lineage checkpoint before then loses the
+    # data) — releases queue in `deferred` and drain right after each
+    # diagonal collect lands.
     from wukong_spark.session import release_checkpoint as _release
 
+    deferred: list = []  # [(superseded checkpoint DF, panel broadcast|None)]
+
+    def _drain_deferred() -> None:
+        for df_, bc_ in deferred:
+            if bc_ is not None:
+                bc_.unpersist()
+            _release(df_)
+        deferred.clear()
+
     for j in range(nb):
+        # materializes the pending lazy trailing checkpoint (and, step 0,
+        # the initial triangle filter) as part of this collect's job
         row = remaining.filter((F.col("bi") == j) & (F.col("bj") == j)).collect()[0]
+        _drain_deferred()
         r = min(bs, n - j * bs)
         ljj = np.linalg.cholesky(np.frombuffer(row.data).reshape(r, r))
         diag_blocks.append((j, j, np.ascontiguousarray(ljj).tobytes()))
@@ -2921,12 +2948,9 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
                     out["data"].append(np.dot(aij, _w).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-        panel = (
-            remaining.filter((F.col("bj") == j) & (F.col("bi") > j))
-            .mapInArrow(solve, BLOCK_SCHEMA)
-            .localCheckpoint()
-        )
-        panels.append(panel)
+        panel_raw = remaining.filter(
+            (F.col("bj") == j) & (F.col("bi") > j)
+        ).mapInArrow(solve, BLOCK_SCHEMA)
 
         # the panel column is O(grid · bs²) bytes vs the trailing triangle's
         # O(grid² · bs²).  While it fits the gate, ship it as ONE
@@ -2939,6 +2963,11 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
         # 100 TB-discipline path.
         panel_bytes = (nb - j - 1) * bs * bs * 8
         if panel_bytes <= BROADCAST_CAP:
+            # lazy checkpoint: the broadcast collect right below is its
+            # first (single-reference) action — solve, persist and collect
+            # run as ONE job
+            panel = panel_raw.localCheckpoint(eager=False)
+            panels.append(panel)
             pdict = {r_.bi: bytes(r_.data) for r_ in panel.collect()}
             bc = spark.sparkContext.broadcast(pdict)
 
@@ -2969,12 +2998,17 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
             remaining = (
                 remaining.filter(F.col("bj") > j)
                 .mapInArrow(update_bc, BLOCK_SCHEMA)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            bc.unpersist()  # checkpoint materialized — broadcast releasable
-            _release(prev)
+            # the update job has not run yet — it still reads prev and the
+            # panel broadcast; both release after the NEXT collect lands
+            deferred.append((prev, bc))
             continue
 
+        # eager: the update job reads this checkpoint TWICE (li ⋈ lk) — a
+        # lazy panel would recompute the solve once per reference
+        panel = panel_raw.localCheckpoint()
+        panels.append(panel)
         li = panel.select(F.col("bi").alias("pi"), F.col("data").alias("dli"))
         lk = panel.select(F.col("bi").alias("pk"), F.col("data").alias("dlk"))
 
@@ -3012,13 +3046,16 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
             .join(lk, F.col("bj") == F.col("pk"))
             .select("bi", "bj", "data", "dli", "dlk")
             .mapInArrow(update, BLOCK_SCHEMA)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _release(prev)
+        deferred.append((prev, None))
 
-    # the last trailing checkpoint is not part of L — free it now; the
+    # the loop exits via the j == nb-1 break, right after a collect, so
+    # every lazy checkpoint is materialized and every deferral drainable.
+    # The last trailing checkpoint is not part of L — free it now; the
     # panel checkpoints BACK the returned factor, so register them for
     # harness release after the caller consumes L (leak audit r15)
+    _drain_deferred()
     _release(remaining)
     from wukong_spark.session import register_result_checkpoint
 
@@ -3084,7 +3121,12 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
     spark = a.df.sparkSession
     n, bs = a.n_rows, a.block_rows
     nb = a.grid_rows
-    remaining = a.df.localCheckpoint()
+    # lazy checkpoints throughout, exactly as cholesky_blocked (r17 opt
+    # round): each is materialized by the step's own unavoidable action
+    # (diag collect / panel broadcast collect), folding the per-step job
+    # count roughly in half; superseded checkpoints and panel broadcasts
+    # release only after the successor materializes (`deferred`).
+    remaining = a.df.localCheckpoint(eager=False)
     l_parts: list[DataFrame] = []
     u_parts: list[DataFrame] = []
     l_diag: list[tuple[int, int, bytes]] = []
@@ -3092,8 +3134,18 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
 
     from wukong_spark.session import release_checkpoint as _release
 
+    deferred: list = []
+
+    def _drain_deferred() -> None:
+        for df_, bc_ in deferred:
+            if bc_ is not None:
+                bc_.unpersist()
+            _release(df_)
+        deferred.clear()
+
     for j in range(nb):
         row = remaining.filter((F.col("bi") == j) & (F.col("bj") == j)).collect()[0]
+        _drain_deferred()
         r = min(bs, n - j * bs)
         ljj, ujj = _lu_dense_nopivot(np.frombuffer(row.data).reshape(r, r))
         l_diag.append((j, j, np.ascontiguousarray(ljj).tobytes()))
@@ -3125,15 +3177,19 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
                         out["data"].append(np.dot(_li, blk).tobytes())
                 yield pa.RecordBatch.from_pydict(out, schema=schema)
 
+        # lazy is safe for BOTH paths here: the broadcast collects below
+        # materialize them, and the join path references each panel exactly
+        # once in the update job (unlike cholesky's li ⋈ lk, which reads
+        # ONE panel twice and must stay eager)
         l_panel = (
             remaining.filter((F.col("bj") == j) & (F.col("bi") > j))
             .mapInArrow(panels, BLOCK_SCHEMA)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         u_panel = (
             remaining.filter((F.col("bi") == j) & (F.col("bj") > j))
             .mapInArrow(panels, BLOCK_SCHEMA)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         l_parts.append(l_panel)
         u_parts.append(u_panel)
@@ -3177,10 +3233,9 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
             remaining = (
                 remaining.filter((F.col("bi") > j) & (F.col("bj") > j))
                 .mapInArrow(update_bc, BLOCK_SCHEMA)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            bc.unpersist()
-            _release(prev)
+            deferred.append((prev, bc))
             continue
 
         li = l_panel.select(F.col("bi").alias("pi"), F.col("data").alias("dl"))
@@ -3220,10 +3275,11 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
             .join(uk, F.col("bj") == F.col("pk"))
             .select("bi", "bj", "data", "dl", "du")
             .mapInArrow(update, BLOCK_SCHEMA)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _release(prev)
+        deferred.append((prev, None))
 
+    _drain_deferred()
     _release(remaining)
     from wukong_spark.session import register_result_checkpoint
 
