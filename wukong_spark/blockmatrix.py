@@ -751,8 +751,8 @@ class BlockMatrix:
 
         ``emit`` (r17 opt round, guide §4.1/§2.3): optional
         ``(fields, fn)`` where ``fields`` is ``[(name, arrow_type_str)]``
-        (``int64``/``float64``/``int32``) and ``fn(block_ndarray)`` returns
-        a tuple of those per-fine-block values.  When set, matmul returns a
+        (``int64``/``float64``/``int32``) and ``fn(bi, bj, block_ndarray)``
+        returns a tuple of those per-fine-block values.  When set, matmul returns a
         plain DataFrame ``bi, bj, *fields`` computed INSIDE the tile task —
         the product blocks never cross the Python→JVM boundary.  Consumers
         that reduce C to a per-block summary (the GEMM benches' Frobenius
@@ -969,7 +969,9 @@ class BlockMatrix:
                         rows["bi"].append(bi)
                         rows["bj"].append(bj)
                         if emit is not None:
-                            for (nm, _), v in zip(emit_fields, emit_fn(blk)):
+                            for (nm, _), v in zip(
+                                emit_fields, emit_fn(bi, bj, blk)
+                            ):
                                 rows[nm].append(v)
                         else:
                             rows["data"].append(np.ascontiguousarray(blk).tobytes())

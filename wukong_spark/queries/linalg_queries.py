@@ -138,7 +138,7 @@ def _fro_emit():
     integer.  Same floats, same flatten order, same ``v @ v`` BLAS dot and
     floor(x+.5) rounding as _block_fro — identical output values."""
 
-    def fro_of_block(blk: np.ndarray):
+    def fro_of_block(bi: int, bj: int, blk: np.ndarray):
         v = blk.ravel()
         return (int(np.floor(np.sqrt(v @ v) + 0.5)),)
 
@@ -808,8 +808,28 @@ def la_solve_check(spark: SparkSession, sf_dir: str):
     b = np.random.default_rng(101).standard_normal((500, 3))
     x = solve_spd(m, b)
     xbm = BlockMatrix.from_numpy(spark, x, 125, 3)
-    bbm = BlockMatrix.from_numpy(spark, b, 125, 3)
-    resid = m.matmul(xbm).subtract(bbm).max_abs()
+    # r17 opt round: the residual A·X − B is fused into the matmul tile
+    # stage (emit hook, same move as la_cholesky_check) — B is driver-
+    # built, so each tile subtracts the broadcast slice and emits one
+    # double; the product never crosses Python→JVM and the blockwise
+    # subtract stage + max_abs pass disappear.  Identical floats: the
+    # slices are the same array from_numpy blockified.
+    bc_b = spark.sparkContext.broadcast(b)
+    bsr = 125
+
+    def b_resid_emit():
+        def f(bi: int, bj: int, blk: np.ndarray):
+            bb = bc_b.value[
+                bi * bsr : bi * bsr + blk.shape[0],
+                bj * 3 : bj * 3 + blk.shape[1],
+            ]
+            return (float(np.abs(blk - bb).max()),)
+
+        return ([("resid", "float64")], f)
+
+    resid_df = m.matmul(xbm, emit=b_resid_emit())
+    resid = float(resid_df.agg(F.max("resid")).collect()[0][0])
+    bc_b.unpersist()
     residual_small = resid / float(np.abs(b).max()) < 1e-8
     matches_dense = float(np.abs(x - np.linalg.solve(spd, b)).max()) < 1e-6
     blocks = m.grid_rows
@@ -934,13 +954,35 @@ def la_cholesky_check(spark: SparkSession, sf_dir: str):
         spd = t @ t.T
         bs = 25
     m = BlockMatrix.from_numpy(spark, spd, bs, bs)
-    m.df.persist()  # read by the factorization loop and the residual check
     l_bm = cholesky_blocked(m)
     l_bm.df.persist()
-    recon = l_bm.matmul(l_bm.transpose())
-    max_err = recon.subtract(m).max_abs()
+    # r17 opt round (guide §4.1/§2.3): the residual check is fused into
+    # the reconstruction GEMM's tile stage via matmul(emit=...) — the
+    # full product L·Lᵀ (O(n²)) used to cross Python→JVM, join M's
+    # blocks in a second Python stage, and feed a max_abs aggregation;
+    # now each tile task subtracts the SAME driver-built `spd` slice
+    # (shipped once as an sc.broadcast; from_numpy's blocks are slices
+    # of this exact array, so the floats subtracted are bitwise the ones
+    # subtract() saw) and emits one double per block.  max over blocks
+    # of max|·| is associative — max_err is value-identical.  m.df also
+    # no longer needs a persist: with subtract() gone the factorization's
+    # initial checkpoint is its single reader.
+    bc_m = spark.sparkContext.broadcast(spd)
+
+    def resid_emit():
+        def f(bi: int, bj: int, blk: np.ndarray):
+            mm = bc_m.value[
+                bi * bs : bi * bs + blk.shape[0],
+                bj * bs : bj * bs + blk.shape[1],
+            ]
+            return (float(np.abs(blk - mm).max()),)
+
+        return ([("resid", "float64")], f)
+
+    resid = l_bm.matmul(l_bm.transpose(), emit=resid_emit())
+    max_err = resid.agg(F.max("resid")).collect()[0][0]
     l_bm.df.unpersist()
-    m.df.unpersist()
+    bc_m.unpersist()
     return local_frame(spark,
         [(bool(max_err < 1e-8), m.grid_rows)],
         "reconstructs boolean, blocks int",
@@ -1027,11 +1069,32 @@ def la_lu_inv_check(spark: SparkSession, sf_dir: str):
     n, bs = 300, 100
     a_np = rng.standard_normal((n, n)) + n * np.eye(n)
     a = BlockMatrix.from_numpy(spark, a_np, bs, bs)
-    a.df.persist()  # read by the factorization and the residual matmul
+    # (persist dropped r17: with the residual fused into the matmul tile
+    # stage below, the factorization's initial checkpoint is a.df's only
+    # reader)
     l_bm, u_bm = lu_blocked(a)
     l_bm.df.persist()  # read by recon, solve, and inv sweeps
     u_bm.df.persist()
-    recon = l_bm.matmul(u_bm).subtract(a).max_abs() < 1e-8 * n
+    # r17 opt round: ‖L·U − A‖∞ fused into the matmul tile stage (emit
+    # hook, same move as la_cholesky_check): A is the driver-built a_np,
+    # broadcast once; each tile emits one double instead of shipping the
+    # product block to a subtract stage.  max over blocks is associative
+    # — identical value.
+    bc_a = spark.sparkContext.broadcast(a_np)
+
+    def a_resid_emit():
+        def f(bi: int, bj: int, blk: np.ndarray):
+            aa = bc_a.value[
+                bi * bs : bi * bs + blk.shape[0],
+                bj * bs : bj * bs + blk.shape[1],
+            ]
+            return (float(np.abs(blk - aa).max()),)
+
+        return ([("resid", "float64")], f)
+
+    recon_df = l_bm.matmul(u_bm, emit=a_resid_emit())
+    recon = float(recon_df.agg(F.max("resid")).collect()[0][0]) < 1e-8 * n
+    bc_a.unpersist()
     l_np, u_np = l_bm.to_numpy(), u_bm.to_numpy()
     triangular = (
         float(np.abs(np.triu(l_np, 1)).max()) == 0.0
@@ -1050,7 +1113,6 @@ def la_lu_inv_check(spark: SparkSession, sf_dir: str):
     blocks = a.grid_rows
     l_bm.df.unpersist()
     u_bm.df.unpersist()
-    a.df.unpersist()
     return local_frame(spark,
         [(bool(recon), bool(triangular), bool(solve_ok), bool(inv_ok), blocks)],
         "reconstructs boolean, triangular boolean,"
