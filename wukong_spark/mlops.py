@@ -509,27 +509,40 @@ def als_fit(
 
     k = n_factors
 
-    def init_side(key: str) -> DataFrame:
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids = pdf[key].to_numpy()
-                fs = [
-                    (
-                        np.random.default_rng((seed, int(i))).standard_normal(k)
-                        * 0.1
-                    ).tolist()
-                    for i in ids
-                ]
-                yield pd.DataFrame({key: ids, "f": fs})
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            fs = [
+                (
+                    np.random.default_rng((seed, int(i))).standard_normal(k)
+                    * 0.1
+                ).tolist()
+                for i in ids
+            ]
+            yield pd.DataFrame({"side": pdf["side"].to_numpy(), "id": ids, "f": fs})
 
-        return (
-            ratings.select(key)
+    # both sides initialized in ONE job (r17 opt round, guide §1.2): the
+    # per-entity seeding is keyed by (seed, id) alone — identical streams
+    # to the old per-side jobs — so a side-tagged union through one
+    # mapInPandas + one eager checkpoint produces the same factor rows
+    # with half the init jobs; u/v are filters over the materialized
+    # checkpoint (safe: eager, so the double reference reads the cache)
+    both_init = (
+        ratings.select(F.lit(0).alias("side"), F.col("user_id").alias("id"))
+        .distinct()
+        .unionByName(
+            ratings.select(F.lit(1).alias("side"), F.col("item_id").alias("id"))
             .distinct()
-            .mapInPandas(gen, f"{key} long, f array<double>")
-            .localCheckpoint()
         )
-
-    u_df, v_df = init_side("user_id"), init_side("item_id")
+        .mapInPandas(gen, "side int, id long, f array<double>")
+        .localCheckpoint()
+    )
+    u_df = both_init.filter(F.col("side") == 0).select(
+        F.col("id").alias("user_id"), "f"
+    )
+    v_df = both_init.filter(F.col("side") == 1).select(
+        F.col("id").alias("item_id"), "f"
+    )
 
     def half_step(other_df: DataFrame, other_key: str, group_key: str):
         joined = ratings.join(other_df, other_key).select(
@@ -588,6 +601,13 @@ def als_fit(
         release_checkpoint(v_df)
         v_df = v_new
         objs.append(objective(u_df, v_df))
+    if iters >= 1:
+        # both sides are half-step checkpoints now — the init checkpoint's
+        # data is unreachable.  The in-loop release_checkpoint(u_df/v_df)
+        # calls were no-ops on the init FILTER views (they unpersist the
+        # view's derived RDD, not the backing checkpoint), so the shared
+        # init checkpoint is freed here instead.
+        release_checkpoint(both_init)
     # closing user half-step: users are exactly optimal vs the final V,
     # so a caller's independent gradient check can gate at ~1e-8
     u_new = half_step(v_df, "item_id", "user_id")
