@@ -47,7 +47,13 @@ from wukong_spark.queries import load_all
 from wukong_spark.session import get_spark, release_pending
 
 HEAVY_THRESHOLD_S = 5.0
-WARMUP_UNCOUNTED = {"la_gemm_ref"}  # r14: retire the 1.5-2x cold first pass
+# r14: retire la_gemm_ref's 1.5-2x cold first pass.  r18 (VERDICT r17
+# Next #4): la_cholesky_check gets the same uncounted settle pass — its
+# r17 official number was a single 109.8 s cold pass on the slow-fault
+# host (the 32-way first-touch collapse, see wukong_spark/_alloc.py),
+# while its steady state is ~6.5 s; one settle pass plus the arena warm
+# wave below measure the query, not the host's page-fault path.
+WARMUP_UNCOUNTED = {"la_gemm_ref", "la_cholesky_check"}
 PATHOLOGICAL_S = 90.0
 AGREE_PCT = 0.15
 DISAGREE_4TH_PASS_PCT = 0.25  # best two > 25 % apart after 3 passes → 4th
@@ -166,6 +172,26 @@ def main() -> None:
     spark.range(0, 64, 1, 32).mapInArrow(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # r18 arena warm wave (same per-session class as the worker-pool
+    # startup above): on this host first-touch page faults run at
+    # ~0.1 GB/s and COLLAPSE under 32-way concurrency (_alloc.py), so a
+    # worker's first real task pays seconds of kernel fault time that
+    # belongs to the session, not to any query.  One n-task wave faults
+    # ~192 MB into every worker's malloc arena; the raised trim threshold
+    # keeps those pages resident for every later Arrow/numpy allocation.
+    _n_workers = spark.sparkContext.defaultParallelism
+
+    def _touch_arena(batches):
+        import numpy as np
+
+        a = np.empty(192 << 20, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+        yield from batches
+
+    spark.range(0, _n_workers, 1, _n_workers).mapInArrow(
+        _touch_arena, "id long"
+    ).write.format("noop").mode("overwrite").save()
     # warm the block-matrix arrow/binary path end-to-end (worker arrow
     # serializers + codegen for the mapInArrow/applyInPandas plan shapes) —
     # otherwise the first la_* query pays ~8 s of one-time session cost
@@ -225,8 +251,14 @@ def main() -> None:
             # RDDs (the r14 kcore-113s session-state class, leak audit r15)
             spark.catalog.clearCache()
             release_pending()
-            if dt > PATHOLOGICAL_S:
-                break  # pathological pass — don't double down on wall-clock
+            if dt > PATHOLOGICAL_S and i >= 1:
+                # pathological pass — don't double down on wall-clock.
+                # r18 (VERDICT r17 Next #4, additive): a pathological
+                # FIRST pass no longer short-circuits to a single-pass
+                # number — one retry runs so a lone bad window cannot
+                # print a x17 (the la_cholesky_check r17 failure mode);
+                # with i >= 1 the retry itself stays bounded.
+                break
             if i == 1 and passes[0] <= HEAVY_THRESHOLD_S:
                 break  # light query: best-of-2 suffices
             if i >= 1:

@@ -69,17 +69,58 @@ _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 _THRESHOLD_BYTES = 1 << 30
 
+
+def thp_available() -> bool:
+    """True when the kernel honors MADV_HUGEPAGE (THP 'madvise'/'always').
+
+    Measured on the r18 bench host: first-touch of fresh anon memory runs
+    at 0.10 GB/s 4 KB-paged vs 1.45 GB/s under MADV_HUGEPAGE (x14), and
+    the page-fault path COLLAPSES under concurrency (32 processes
+    faulting together aggregate 0.17 GB/s paged / 0.32 GB/s THP — slower
+    than one process alone).  Huge pages cut the number of fault events
+    512x, which is the only lever that helps inside a 32-task wave."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled") as f:
+            mode = f.read()
+        return "[madvise]" in mode or "[always]" in mode
+    except OSError:
+        return False
+
+
+def _opted_out() -> bool:
+    """WUKONG_NO_ALLOC_TUNING=1 turns every tune_* call into a no-op
+    (r18, ADVICE r17: importing the package must not silently reconfigure
+    an embedding application's allocator/BLAS/Arrow state when the host
+    does not need it).  The env var is inherited by the driver JVM and
+    its Python worker daemons, so one setting covers the whole tree —
+    also the lever the r18 config A/B uses to reproduce the r16 setup."""
+    return os.environ.get("WUKONG_NO_ALLOC_TUNING", "") == "1"
+
+
 _done = False
 
 
 def tune_malloc() -> None:
     """Idempotently raise glibc's mmap/trim thresholds (see module doc)."""
     global _done
-    if _done:
+    if _done or _opted_out():
         return
     _done = True
     for key in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(key, str(_THRESHOLD_BYTES))
+    # r18: back malloc arenas with transparent huge pages (glibc 2.35+
+    # tunable — madvise(MADV_HUGEPAGE) on arena mmap/sbrk growth).  Read
+    # at process START, so this covers CHILDREN (the driver JVM and the
+    # Python worker daemons it forks), which is where the task-side
+    # allocations live; see thp_available() for the measured fault-path
+    # numbers that motivate it.  Appends rather than clobbers a caller's
+    # own GLIBC_TUNABLES; skipped when the kernel has THP off.
+    if thp_available():
+        tun = os.environ.get("GLIBC_TUNABLES", "")
+        if "glibc.malloc.hugetlb" not in tun:
+            os.environ["GLIBC_TUNABLES"] = (
+                (tun + ":" if tun else "") + "glibc.malloc.hugetlb=1"
+            )
     try:
         libc = ctypes.CDLL("libc.so.6")
         libc.mallopt(_M_MMAP_THRESHOLD, _THRESHOLD_BYTES)
@@ -101,7 +142,7 @@ def tune_blas() -> None:
     OPENBLAS_NUM_THREADS so operators running on a dedicated many-core
     driver can opt back into threaded BLAS."""
     global _blas_done
-    if _blas_done:
+    if _blas_done or _opted_out():
         return
     _blas_done = True
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
@@ -137,7 +178,7 @@ def tune_arrow_pool() -> None:
     ARROW_DEFAULT_MEMORY_POOL (so jemalloc can be re-chosen where the
     host's fault path is healthy)."""
     global _arrow_done
-    if _arrow_done:
+    if _arrow_done or _opted_out():
         return
     _arrow_done = True
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")

@@ -270,7 +270,19 @@ class BlockMatrix:
                     bj * block_cols : (bj + 1) * block_cols,
                 ]
                 rows.append((bi, bj, np.ascontiguousarray(blk, dtype=np.float64).tobytes()))
-        df = spark.createDataFrame(rows, BLOCK_SCHEMA)
+        # one partition per block, capped at the cluster's parallelism
+        # (r18, guide §2/VERDICT r17 #7): the createDataFrame default
+        # slices a 16-block matrix into defaultParallelism (32+) pieces,
+        # and every downstream checkpoint/mapInArrow stage inherits that
+        # width — mostly-EMPTY tasks that each still pay a scheduling +
+        # Python-worker round trip (measured dominant for the small-grid
+        # factorization loops on the bench host).  At scale n_blocks ≫
+        # cores, so the cap leaves cluster behavior unchanged.
+        dp = spark.sparkContext.defaultParallelism
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, max(1, min(len(rows), dp))),
+            BLOCK_SCHEMA,
+        )
         return BlockMatrix(df, n, m, block_rows, block_cols)
 
     def to_numpy(self) -> np.ndarray:
@@ -845,7 +857,17 @@ class BlockMatrix:
                 )
             )
         else:
-            a_rep = A.df.select(
+            # r18 (guide §2 / VERDICT r17 #7): a df-backed operand can
+            # carry far more partitions than blocks (e.g. a factorization
+            # result assembled from per-step checkpoints — 129 partitions
+            # for 10 triangular blocks), and every one of them becomes a
+            # map task here.  Cap the map width at the block count; a
+            # narrow coalesce, no shuffle.  At scale blocks ≫ partitions,
+            # so this never fires.
+            a_df = A.df
+            if a_df.rdd.getNumPartitions() > gi * gk:
+                a_df = a_df.coalesce(gi * gk)
+            a_rep = a_df.select(
                 (F.col("bi") / f).cast("int").alias("si"),
                 F.explode(F.sequence(F.lit(0), F.lit(sj_n - 1))).alias("sj"),
                 F.col("bi").alias("r"),
@@ -870,7 +892,10 @@ class BlockMatrix:
                 )
             )
         else:
-            b_rep = B.df.select(
+            b_df = B.df
+            if b_df.rdd.getNumPartitions() > gk * gj:
+                b_df = b_df.coalesce(gk * gj)  # see a_rep note
+            b_rep = b_df.select(
                 F.explode(F.sequence(F.lit(0), F.lit(si_n - 1))).alias("si"),
                 (F.col("bj") / f).cast("int").alias("sj"),
                 F.col("bi").alias("k"),
@@ -1066,6 +1091,14 @@ class BlockMatrix:
         ulp — both are the same-order K-dot of the same columns — and
         every consumer is a symmetric solver (eigh/eigvalsh reads one
         triangle) or a 1e-8-gated verdict, so the mirror is safe.)
+
+        Portability caveat (ADVICE r17): bitwise [i,j] == [j,i] holds for
+        current OpenBLAS dgemm kernels but is not guaranteed by any BLAS
+        spec — under a different BLAS the mirrored matrix can differ
+        from the old full-matrix result by a few ulps.  All current
+        consumers tolerate that (1e-8 gates / symmetric solvers); if a
+        non-OpenBLAS backend is ever supported, symmetrize partials as
+        (g + g.T)/2 instead of asserting bitwise symmetry.
         """
         c_total = self.n_cols
         br, n = self.block_rows, self.n_rows
@@ -3061,7 +3094,13 @@ def cholesky_blocked(a: BlockMatrix) -> BlockMatrix:
     _release(remaining)
     from wukong_spark.session import register_result_checkpoint
 
-    out = spark.createDataFrame(diag_blocks, BLOCK_SCHEMA)
+    # block-count-capped slices for the tiny diagonal frame (r18): the
+    # createDataFrame default would add defaultParallelism near-empty
+    # partitions to every consumer of L (see from_numpy)
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize(diag_blocks, max(1, len(diag_blocks))),
+        BLOCK_SCHEMA,
+    )
     for p in panels:
         out = out.unionByName(register_result_checkpoint(p))
     return BlockMatrix(out, n, n, bs, bs)
@@ -3285,10 +3324,15 @@ def lu_blocked(a: BlockMatrix) -> tuple[BlockMatrix, BlockMatrix]:
     _release(remaining)
     from wukong_spark.session import register_result_checkpoint
 
-    l_df = spark.createDataFrame(l_diag, BLOCK_SCHEMA)
+    # block-count-capped slices (r18) — see cholesky_blocked's assembly
+    l_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(l_diag, max(1, len(l_diag))), BLOCK_SCHEMA
+    )
     for p in l_parts:
         l_df = l_df.unionByName(register_result_checkpoint(p))
-    u_df = spark.createDataFrame(u_diag, BLOCK_SCHEMA)
+    u_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(u_diag, max(1, len(u_diag))), BLOCK_SCHEMA
+    )
     for p in u_parts:
         u_df = u_df.unionByName(register_result_checkpoint(p))
     return BlockMatrix(l_df, n, n, bs, bs), BlockMatrix(u_df, n, n, bs, bs)

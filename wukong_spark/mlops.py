@@ -608,6 +608,16 @@ def als_fit(
         # view's derived RDD, not the backing checkpoint), so the shared
         # init checkpoint is freed here instead.
         release_checkpoint(both_init)
+    else:
+        # iters == 0: the returned V is still a filter VIEW over the init
+        # checkpoint, so it cannot be freed here; register it so the
+        # harness's release_pending() frees it once the caller has
+        # consumed the result (ADVICE r18: the documented
+        # release_checkpoint(v_df) contract is a no-op on filter views
+        # and the init data leaked for the session)
+        from wukong_spark.session import register_result_checkpoint
+
+        register_result_checkpoint(both_init)
     # closing user half-step: users are exactly optimal vs the final V,
     # so a caller's independent gradient check can gate at ~1e-8
     u_new = half_step(v_df, "item_id", "user_id")

@@ -106,6 +106,41 @@ def local_frame(spark: SparkSession, rows: list, schema: str) -> DataFrame:
 
     st = _parse_datatype_string(schema)
 
+    # Mirror createDataFrame's verification instead of letting CAST coerce
+    # silently (ADVICE r17 medium: a float into a bigint column truncates,
+    # an out-of-range long wraps, arity mismatches were zip-dropped — all
+    # masking upstream type bugs in verdict rows).  Anything outside the
+    # exact-match fast path falls back to createDataFrame, which raises
+    # loudly on real mismatches.
+    _INT_RANGES = {
+        "byte": (-(1 << 7), (1 << 7) - 1),
+        "short": (-(1 << 15), (1 << 15) - 1),
+        "integer": (-(1 << 31), (1 << 31) - 1),
+        "long": (-(1 << 63), (1 << 63) - 1),
+    }
+
+    def _compatible(v, dt) -> bool:
+        if v is None:
+            return True
+        t = dt.typeName()
+        if t == "boolean":
+            return isinstance(v, bool)
+        if t in _INT_RANGES:
+            lo, hi = _INT_RANGES[t]
+            return isinstance(v, int) and not isinstance(v, bool) and lo <= v <= hi
+        if t in ("float", "double"):
+            return isinstance(v, float) and not isinstance(v, bool)
+        if t == "string":
+            return isinstance(v, str)
+        return False
+
+    if not all(
+        len(r) == len(st.fields)
+        and all(_compatible(v, f.dataType) for v, f in zip(r, st.fields))
+        for r in vals
+    ):
+        return spark.createDataFrame(rows, schema)
+
     def nullable_lit(v, f):
         # guard on the (always-true) range column so analysis cannot
         # prove non-null: the schema comes out nullable, IDENTICAL to

@@ -41,6 +41,37 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_driver_mem() -> str:
+    """Adaptive default driver heap (r18, VERDICT r17 #1 / ADVICE r17).
+
+    The r17 flat `12g` default is right for this bench host (128 GiB,
+    pathological first-touch faults — see _alloc.py) but would eagerly
+    commit 12 GB on any small host once AlwaysPreTouch is on.  Scale the
+    default to the machine: a quarter of MemAvailable, capped at 12 GiB,
+    floored at 2 GiB.  `SPARK_DRIVER_MEM` still overrides exactly."""
+    avail_kb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    if avail_kb <= 0:
+        return "12g"
+    gib = max(2, min(12, avail_kb // (4 * 1024 * 1024)))
+    return f"{gib}g"
+
+
+def _jvm_tuning_on() -> bool:
+    """WUKONG_JVM_TUNING=0 reverts the r17 JVM-side knobs (pinned
+    pre-touched heap, 32m G1 regions, 512m storage mmap threshold) to the
+    r16 shape — the other half of the r18 config A/B lever, and an escape
+    hatch for hosts where eager heap commit is unwelcome."""
+    return os.environ.get("WUKONG_JVM_TUNING", "1") != "0"
+
+
 def get_spark(
     app_name: str = "wukong-spark",
     master: str | None = None,
@@ -68,51 +99,76 @@ def get_spark(
         # small dims (region/nation/supplier/part at low SF) must broadcast;
         # 64 MB covers every dimension table up to ~sf100
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if os.environ.get("WUKONG_NO_ALLOC_TUNING", "") != "1":
+        # Python workers must inherit the large-alloc malloc thresholds
+        # (wukong_spark/_alloc.py): local mode inherits our env through
+        # the JVM, but on a real cluster only executorEnv reaches the
+        # worker daemons.  WUKONG_NO_ALLOC_TUNING=1 (the _alloc opt-out)
+        # suppresses the forwarding too — workers then see only what the
+        # caller exported explicitly.
+        for k, v in (
+            ("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+            ("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+            # one BLAS thread per (data-parallel) task + glibc-backed
+            # Arrow pool in every Python worker — see _alloc.py
+            # tune_blas / tune_arrow_pool for the measured pathologies
+            ("OPENBLAS_NUM_THREADS", "1"),
+            ("ARROW_DEFAULT_MEMORY_POOL", "system"),
+        ):
+            builder = builder.config(
+                f"spark.executorEnv.{k}", os.environ.get(k, v)
+            )
+        # THP-backed worker arenas (set by _alloc.tune_malloc when the
+        # kernel supports it) must reach real-cluster workers too
+        if os.environ.get("GLIBC_TUNABLES"):
+            builder = builder.config(
+                "spark.executorEnv.GLIBC_TUNABLES",
+                os.environ["GLIBC_TUNABLES"],
+            )
+    if _jvm_tuning_on():
         # measured at the block-matrix benches: 64g is WORSE than 24g (G1
         # humongous-object churn on 8 MB binary cells); 24g + explicit
         # per-output-block partitioning avoids sort spill instead.
         # r17 opt round: a SMALLER pinned heap beats both — with a
         # growable heap G1 kept first-touching fresh regions (2-3 GB of
         # page faults per bench pass, catastrophic on this host's slow
-        # fault path).  12g -Xms-pinned + AlwaysPreTouch pays all heap
+        # fault path).  -Xms-pinned + AlwaysPreTouch pays all heap
         # faults once at startup; G1HeapRegionSize=32m makes the 8 MB
-        # block cells ordinary (non-humongous) objects.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Djava.net.preferIPv4Stack=true "
-            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '12g')} "
-            "-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m",
+        # block cells ordinary (non-humongous) objects.  Heap size is
+        # adaptive to the host (capped 12g) — r18, VERDICT r17 #1.
+        mem = os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem())
+        # r18: back the heap with transparent huge pages where the kernel
+        # offers madvise-mode THP — on this host first-touch runs x14
+        # faster under MADV_HUGEPAGE (see _alloc.thp_available), which
+        # turns the AlwaysPreTouch startup cost from ~30 s into a few
+        # seconds and makes GC-time region faults cheap.
+        from wukong_spark._alloc import thp_available
+
+        thp = " -XX:+UseTransparentHugePages" if thp_available() else ""
+        builder = (
+            builder.config("spark.driver.memory", mem)
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Djava.net.preferIPv4Stack=true "
+                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m"
+                f"{thp}",
+            )
+            # local shuffle blocks here are ~8 MB (block-matrix partials):
+            # the 2 MB default memory-maps every read and the per-pass
+            # mmap/munmap churn re-faults; stream them through pooled
+            # buffers instead
+            .config("spark.storage.memoryMapThreshold", "512m")
         )
-        # local shuffle blocks here are ~8 MB (block-matrix partials): the
-        # 2 MB default memory-maps every read and the per-pass mmap/munmap
-        # churn re-faults; stream them through pooled buffers instead
-        .config("spark.storage.memoryMapThreshold", "512m")
-        .config("spark.ui.enabled", "false")
-        # Python workers must inherit the large-alloc malloc thresholds
-        # (wukong_spark/_alloc.py): local mode inherits our env through
-        # the JVM, but on a real cluster only executorEnv reaches the
-        # worker daemons.
-        .config(
-            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
-            os.environ.get("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+    else:
+        # WUKONG_JVM_TUNING=0: the r16 JVM shape (growable 24g heap, stock
+        # G1 regions / storage mmap threshold) — A/B lever + escape hatch
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
+        ).config(
+            "spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true"
         )
-        .config(
-            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
-            os.environ.get("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
-        )
-        # one BLAS thread per (data-parallel) task + glibc-backed Arrow
-        # pool in every Python worker — see _alloc.py tune_blas /
-        # tune_arrow_pool for the measured pathologies
-        .config(
-            "spark.executorEnv.OPENBLAS_NUM_THREADS",
-            os.environ.get("OPENBLAS_NUM_THREADS", "1"),
-        )
-        .config(
-            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
-            os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "system"),
-        )
-    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
