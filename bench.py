@@ -179,19 +179,27 @@ def main() -> None:
     # belongs to the session, not to any query.  One n-task wave faults
     # ~192 MB into every worker's malloc arena; the raised trim threshold
     # keeps those pages resident for every later Arrow/numpy allocation.
-    _n_workers = spark.sparkContext.defaultParallelism
+    # Re-run before each WARMUP_UNCOUNTED settle pass: Spark CULLS python
+    # workers idle > 1 minute (PythonWorkerFactory's hardcoded
+    # IDLE_WORKER_TIMEOUT), so by the time the la_ family runs, the
+    # session-start wave's arenas are gone (measured: a 90 s idle gap
+    # sends la_cholesky_check 6.8 s → 57 s).
+    def _arena_wave():
+        n = spark.sparkContext.defaultParallelism
 
-    def _touch_arena(batches):
-        import numpy as np
+        def _touch_arena(batches):
+            import numpy as np
 
-        a = np.empty(192 << 20, dtype=np.uint8)
-        a[::4096] = 1
-        del a
-        yield from batches
+            a = np.empty(192 << 20, dtype=np.uint8)
+            a[::4096] = 1
+            del a
+            yield from batches
 
-    spark.range(0, _n_workers, 1, _n_workers).mapInArrow(
-        _touch_arena, "id long"
-    ).write.format("noop").mode("overwrite").save()
+        spark.range(0, n, 1, n).mapInArrow(
+            _touch_arena, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+    _arena_wave()
     # warm the block-matrix arrow/binary path end-to-end (worker arrow
     # serializers + codegen for the mapInArrow/applyInPandas plan shapes) —
     # otherwise the first la_* query pays ~8 s of one-time session cost
@@ -226,7 +234,10 @@ def main() -> None:
             # ramp the small warmup GEMM doesn't reach), poisoning the
             # pass spread and triggering retry passes.  One UNCOUNTED
             # warmup pass retires it; the counted passes then agree
-            # within the 15 % early-stop.
+            # within the 15 % early-stop.  r18: preceded by an arena
+            # wave — the idle-culled worker pool is otherwise re-warmed
+            # inside the counted passes (see _arena_wave).
+            _arena_wave()
             spec.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

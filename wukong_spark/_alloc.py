@@ -78,7 +78,12 @@ def thp_available() -> bool:
     the page-fault path COLLAPSES under concurrency (32 processes
     faulting together aggregate 0.17 GB/s paged / 0.32 GB/s THP — slower
     than one process alone).  Huge pages cut the number of fault events
-    512x, which is the only lever that helps inside a 32-task wave."""
+    512x, which is the only lever that helps inside a 32-task wave.
+
+    WUKONG_THP=0 opts out (both the malloc tunable and the JVM heap
+    flag) for hosts where THP latency spikes are unwelcome."""
+    if os.environ.get("WUKONG_THP", "1") == "0":
+        return False
     try:
         with open("/sys/kernel/mm/transparent_hugepage/enabled") as f:
             mode = f.read()

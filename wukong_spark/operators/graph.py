@@ -293,8 +293,13 @@ def pagerank_bucketed(
                 ranks = new_ranks
                 continue
             # L1 convergence stop (ADVICE r12: tol was silently ignored on
-            # this branch) — same contract as the dangling path
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # this branch) — same contract as the dangling path.  r18
+            # (VERDICT r17 #3, the cholesky lazy-checkpoint move): the
+            # checkpoint is LAZY and the delta collect right below is its
+            # first (single-reference) action, folding 2 jobs/iteration
+            # into 1; the old ranks checkpoint is released only after
+            # that collect lands, when the successor is materialized.
+            new_ranks = new_ranks.localCheckpoint(eager=False)
             delta = (
                 new_ranks.alias("a")
                 .join(ranks.alias("b"), "node")
@@ -331,9 +336,21 @@ def pagerank_bucketed(
     ).localCheckpoint(eager=True)
 
     ranks = nodes.select("node", F.col("t").alias("r")).localCheckpoint(eager=True)
+    # r18 (VERDICT r17 #3): per-iteration checkpoints are LAZY and are
+    # materialized by the loop's own unavoidable scalar action — the NEXT
+    # round's dangling-mass collect (no-tol) or this round's delta collect
+    # (tol) — folding the per-iteration eager-checkpoint job away (3→2
+    # jobs with tol, 2→1 without).  The cholesky release discipline
+    # applies: a superseded checkpoint releases only after its successor
+    # has materialized, so the no-tol path defers one release round.
+    pending_release = None
     for _ in range(iters):
-        # dangling mass this round: one 1-row scalar job
+        # dangling mass this round: one 1-row scalar job — also the
+        # action that materializes the previous round's lazy checkpoint
         m_row = dangling.join(ranks, "node").agg(F.sum("r")).collect()[0][0]
+        if pending_release is not None:
+            _release(pending_release)
+            pending_release = None
         m = float(m_row) if m_row is not None else 0.0
         contrib = (
             adj.join(ranks, adj["src"] == ranks["node"])
@@ -354,7 +371,7 @@ def pagerank_bucketed(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if tol is not None:
             delta = (
@@ -368,8 +385,17 @@ def pagerank_bucketed(
             if delta is not None and float(delta) < tol:
                 break
         else:
-            _release(ranks)
+            # new_ranks has NOT materialized yet — its update job still
+            # reads the current checkpoint; release it next round
+            pending_release = ranks
             ranks = new_ranks
+    # materialize the final (possibly lazy) checkpoint BEFORE freeing the
+    # nodes/dangling checkpoints its pending update job still reads —
+    # this was the release-lifetime hazard that deferred the conversion
+    # in r17.  A materialized checkpoint's count() is a cached scan.
+    ranks.count()
+    if pending_release is not None:
+        _release(pending_release)
     _release(nodes)
     _release(dangling)
     return _register(ranks)
