@@ -2564,17 +2564,51 @@ class BlockMatrix:
             ydf = partials.groupBy("bi").applyInPandas(acc, BLOCK_SCHEMA)
             return BlockMatrix(ydf, n, w.shape[1], br, w.shape[1])
 
-        y = sketch(self, omega)
-        for _ in range(n_iter):
-            # subspace iteration with DRIVER-side stabilization: the m×p
-            # factor Z = AᵀY is small, so its QR runs locally — only the
-            # final Y needs a distributed TSQR (saves 1 distributed
-            # factorization per iteration vs. orthonormalizing Y each round)
-            z = self.transpose_matvec(y)  # (m × p) on driver
-            z, _ = np.linalg.qr(z, mode="reduced")
-            y = sketch(self, z)
-        q, _ = y.tsqr()
-        b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
+        if fused:
+            # r18 (VERDICT r17 Next #6): ONE generation pass per sketch.
+            # Y's row-block Yᵢ depends only on A's row i, so a task that
+            # generates the row once folds Yᵢ = Σⱼ Aᵢⱼ·Wⱼ AND emits the
+            # projection partials AᵢⱼᵀYᵢ from the same buffers
+            # (_sketch_project_gen) — the separate transpose_matvec pass
+            # over A disappears.  B = QᵀA then needs NO further pass
+            # either: Y = QR gives QᵀA = R⁻ᵀ·(AᵀY)ᵀ with Z = AᵀY already
+            # on the driver.  The triangular solve shifts σ by ≤ 1e-12 on
+            # every declared workload while the rounded-integer oracle
+            # margins are ≥ 5.9e-3 (tools/svd_fused_margin_audit.py) —
+            # the same drift class _sigma_rows already budgets for.
+            # Generation passes over A: 2 → 1 (n_iter=0), 4 → 2 (n_iter=1).
+            w = omega
+            z = None
+            for _ in range(n_iter):
+                # intermediate Y is consumed by nothing (only Z feeds the
+                # driver-side QR) — skip emitting it entirely
+                _, z = self._sketch_project_gen(w, want_y=False)
+                w, _ = np.linalg.qr(z, mode="reduced")
+            y, z = self._sketch_project_gen(w, want_y=True)
+            q, r_final = y.tsqr()
+            # tsqr's persisted stage 1 now backs Q; the fused pass's
+            # combined Y/Z output has no further reader
+            y.release()
+            diag = np.abs(np.diag(r_final))
+            if diag.min() > 1e-10 * max(float(diag.max()), 1.0):
+                b = np.linalg.solve(r_final.T, z.T)  # R⁻ᵀ·Zᵀ = QᵀA
+            else:
+                # near-rank-deficient sketch: R⁻ᵀ is ill-conditioned —
+                # fall back to the explicit projection pass
+                b = self.transpose_matvec(q).T
+        else:
+            y = sketch(self, omega)
+            for _ in range(n_iter):
+                # subspace iteration with DRIVER-side stabilization: the
+                # m×p factor Z = AᵀY is small, so its QR runs locally —
+                # only the final Y needs a distributed TSQR (saves 1
+                # distributed factorization per iteration vs.
+                # orthonormalizing Y each round)
+                z = self.transpose_matvec(y)  # (m × p) on driver
+                z, _ = np.linalg.qr(z, mode="reduced")
+                y = sketch(self, z)
+            q, _ = y.tsqr()
+            b = self.transpose_matvec(q).T  # B = Qᵀ A, (p × m) on driver
         ub, s, vt = np.linalg.svd(b, full_matrices=False)
         u = q._map_blocks(lambda blk: blk @ ub[:, :k], out_cols=k)
         # U reads q (backed by tsqr's persisted stage 1) — transfer the
@@ -2587,6 +2621,107 @@ class BlockMatrix:
         if not fused:
             self.df.unpersist()
         return u, s[:k], vt[:k, :]
+
+    def _sketch_project_gen(
+        self, w: np.ndarray, want_y: bool
+    ) -> tuple["BlockMatrix | None", np.ndarray]:
+        """One generation pass computing BOTH Y = A·W and Z = AᵀY for a
+        seed-generated A (r18, VERDICT r17 Next #6 — svd_compressed's
+        sketch + projection used to regenerate every block of A twice).
+
+        One task per block-row: generate row i's blocks ONCE (ascending
+        bj), fold Yᵢ = Σⱼ Aᵢⱼ·Wⱼ in that same order — bit-identical to the
+        unfused sketch's sorted-k applyInPandas accumulator — then emit
+        the projection partials AᵢⱼᵀYᵢ from the still-held buffers.  The
+        driver sums Z partials per column-block in bi-ascending order,
+        copy-then-add, exactly transpose_matvec's acc arithmetic.
+
+        want_y=False (intermediate power iterations: only Z feeds the
+        next driver-side QR) skips emitting Y, so the pass is collect-only
+        with nothing persisted.  want_y=True persists the combined output
+        (two readers: the Z collect and tsqr's stage 1 over Y); the
+        returned Y carries the persist handle in _cached_deps for
+        release().
+
+        Per-task memory holds one block-row of A (grid_cols blocks,
+        ≤ 80 MB at the declared workloads); a cluster-scale row wider than
+        worker memory would tile the fold by column groups — the task
+        count is grid_rows either way, which at scale dwarfs the core
+        count (fewer, fatter tasks also amortize the ~0.3 s Python task
+        round-trip that dominates these small-block stages locally).
+        """
+        br, bc = self.block_rows, self.block_cols
+        n, m = self.n_rows, self.n_cols
+        gr, nbc = self.grid_rows, self.grid_cols
+        gseed = self.gen_seed
+        assert gseed is not None
+        p = w.shape[1]
+
+        def row_pass(batches) -> Iterator:
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [
+                    ("kind", pa.int32()),
+                    ("i", pa.int32()),
+                    ("j", pa.int32()),
+                    ("data", pa.binary()),
+                ]
+            )
+            for rb in batches:
+                id_c = rb.column("id")
+                out: dict[str, list] = {"kind": [], "i": [], "j": [], "data": []}
+                for t in range(rb.num_rows):
+                    bi = id_c[t].as_py()
+                    r = min(br, n - bi * br)
+                    blks = []
+                    total = None
+                    for bj in range(nbc):
+                        c = min(bc, m - bj * bc)
+                        blk = _gen_block(gseed, bi * nbc + bj, r, c)
+                        blks.append(blk)
+                        part = np.dot(blk, w[bj * bc : bj * bc + c, :]).ravel()
+                        total = part.copy() if total is None else total + part
+                    y_bi = total.reshape(r, p)
+                    if want_y:
+                        out["kind"].append(0)
+                        out["i"].append(bi)
+                        out["j"].append(0)
+                        out["data"].append(y_bi.tobytes())
+                    for bj, blk in enumerate(blks):
+                        out["kind"].append(1)
+                        out["i"].append(bj)
+                        out["j"].append(bi)
+                        out["data"].append(np.dot(blk.T, y_bi).tobytes())
+                yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+        spark = self.df.sparkSession
+        fdf = spark.range(
+            0, gr, 1, min(gr, spark.sparkContext.defaultParallelism)
+        ).mapInArrow(row_pass, "kind int, i int, j int, data binary")
+        if want_y:
+            fdf = fdf.persist()
+        z_rows = fdf.filter(F.col("kind") == 1).select("i", "j", "data").collect()
+        by_col: dict[int, list] = {}
+        for row in z_rows:
+            by_col.setdefault(row.i, []).append(row)
+        z = np.zeros((m, p))
+        for bj, rows in by_col.items():
+            rows.sort(key=lambda r_: r_.j)
+            total = None
+            for row in rows:
+                buf = np.frombuffer(bytes(row.data))
+                total = buf.copy() if total is None else total + buf
+            c = min(bc, m - bj * bc)
+            z[bj * bc : bj * bc + c, :] = total.reshape(c, p)
+        if not want_y:
+            return None, z
+        ydf = fdf.filter(F.col("kind") == 0).select(
+            F.col("i").alias("bi"), F.col("j").alias("bj"), "data"
+        )
+        y = BlockMatrix(ydf, n, p, br, p)
+        y._cached_deps = [fdf]
+        return y, z
 
     def transpose_matvec(self, other: "BlockMatrix") -> np.ndarray:
         """Aᵀ·Y for conformable tall-skinny Y (few cols) → small driver array.
