@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -15,7 +16,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("wukong-spark-tests", shuffle_partitions=8)
+    # Test inputs are tiny (sf0.001/sf0.01 tables, 100-2000-dim matrices):
+    # per-stage Python-worker round trips, not data, dominate suite wall
+    # time, and the heaviest file measures 148 s on a 16-slot session vs
+    # 175-225 s on 32 (r18, driver pytest-budget gate — VERDICT r17 #2).
+    # Cap the TEST session's width at 16; a driver-set SPARK_GRAFT_CPUS
+    # below that is honored unchanged (the 8-core gate run).
+    cpus = min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 16)
+    s = get_spark(
+        "wukong-spark-tests", master=f"local[{cpus}]", shuffle_partitions=8
+    )
     yield s
     s.stop()
 

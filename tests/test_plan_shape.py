@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from wukong_spark import plans
 from wukong_spark.queries import load_all
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 REG = load_all()
 
@@ -89,11 +89,29 @@ def test_embed_topk_broadcasts_queries(spark):
 
 def test_no_row_python_udf_anywhere(spark):
     """No registered query may contain a row-at-a-time Python boundary
-    (BatchEvalPython) — Arrow-vectorized boundaries only."""
-    for name, spec in REG.items():
-        plan = plans.formatted_plan(spec.fn(spark, SF_CORRECT))
+    (BatchEvalPython) — Arrow-vectorized boundaries only.
+
+    Runs at SF_SMOKE: every query branches on sf only at the >=0.1
+    threshold (grep `_sf(sf_dir)`), so smoke and correct SFs build
+    identical plan shapes, and the driver-looped entries (cholesky, ALS,
+    pagerank...) execute their construction jobs on the smallest data.
+    Plans build on an 8-thread pool — driver-side analysis and the
+    construction jobs of independent entries overlap (guide §2.6); the
+    r17 sequential sf0.01 version of this audit was the slowest test in
+    the suite at 328 s."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit(item):
+        name, spec = item
+        plan = plans.formatted_plan(spec.fn(spark, SF_SMOKE))
         rows, _arrow = plans.python_eval_count(plan)
-        assert rows == 0, f"{name} uses row-at-a-time Python"
+        return name, rows
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(audit, REG.items()))
+    assert len(results) == len(REG)
+    offenders = [name for name, rows in results if rows != 0]
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
 
 
 def test_asof_join_single_shuffle(spark):

@@ -40,10 +40,35 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
+# stream_* entries must leave the shared session conf EXACTLY as found —
+# including confs UNSET before (r12 verdict item 3: a caller restored the
+# tz but leaked spark.sql.legacy.parquet.nanosAsLong=true, changing parquet
+# scan semantics for every later query).  Asserted here, on the execution
+# these differential tests already pay for — the standalone test that
+# re-ran every stream entry a second time just for this check was retired
+# (r18, driver pytest-budget gate).  Batch entries are exempt: load_table
+# sets the events confs deliberately and documents why.
+_CONF_KEYS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+    "spark.sql.shuffle.partitions",
+)
+
+
+def _run_conf_guarded(spark, spec, name, sf_dir):
+    guard = name.startswith("stream_")
+    before = {k: spark.conf.get(k, None) for k in _CONF_KEYS} if guard else None
+    df = spec.fn(spark, sf_dir)
+    if guard:
+        after = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+        assert after == before, f"{name} leaked session conf: {before} -> {after}"
+    return df
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     spec = REG[name]
-    got = _normalize(spec.fn(spark, SF_CORRECT).toPandas())
+    got = _normalize(_run_conf_guarded(spark, spec, name, SF_CORRECT).toPandas())
     want = _normalize(duck.execute(spec.oracle).fetchdf())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}"
@@ -58,6 +83,6 @@ def test_query_matches_oracle(spark, duck, name):
 @pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
 def test_query_runs(spark, name):
     """Non-SQL-expressible ops still must run and return a stable schema."""
-    df = REG[name].fn(spark, SF_CORRECT)
+    df = _run_conf_guarded(spark, REG[name], name, SF_CORRECT)
     assert df.columns
     assert df.count() >= 0

@@ -547,24 +547,19 @@ def test_cms_heavy_hitters_threshold_one_equals_dedup(spark, tmp_path):
     assert sorted(r["user_id"] for r in out) == list(range(7))
 
 
-def test_streaming_entries_leave_session_conf_bit_identical(spark):
-    """Every stream_* registry entry must leave the shared session conf
-    EXACTLY as it found it — including confs that were UNSET before
-    (r12 verdict item 3: callers restored the tz but leaked
-    spark.sql.legacy.parquet.nanosAsLong=true into the session, changing
-    parquet scan semantics for every later query)."""
-    keys = (
-        "spark.sql.legacy.parquet.nanosAsLong",
-        "spark.sql.session.timeZone",
-        "spark.sql.shuffle.partitions",
-    )
-    stream_entries = [n for n in sorted(REG) if n.startswith("stream_")]
+def test_streaming_entries_conf_guard_covers_registry():
+    """The stream_* conf bit-identity property (r12 verdict item 3) is
+    asserted per-entry inside tests/test_queries_oracle.py's differential
+    harness (_run_conf_guarded) — on the execution those tests already
+    pay for, instead of a second full run of every stream entry here
+    (r18, driver pytest-budget gate).  This test pins that the guard
+    actually covers the streaming surface."""
+    from tests.test_queries_oracle import NO_ORACLE_QUERIES, ORACLE_QUERIES
+
+    covered = {n for n in ORACLE_QUERIES + NO_ORACLE_QUERIES if n.startswith("stream_")}
+    stream_entries = {n for n in REG if n.startswith("stream_")}
     assert len(stream_entries) >= 10
-    for name in stream_entries:
-        before = {k: spark.conf.get(k, None) for k in keys}
-        REG[name].fn(spark, SF_SMOKE).collect()
-        after = {k: spark.conf.get(k, None) for k in keys}
-        assert after == before, f"{name} leaked session conf: {before} -> {after}"
+    assert stream_entries == covered
 
 
 def test_bloom_rotating_null_epochs_dropped_plan_side(spark, tmp_path):
