@@ -184,6 +184,16 @@ def main() -> None:
     # IDLE_WORKER_TIMEOUT), so by the time the la_ family runs, the
     # session-start wave's arenas are gone (measured: a 90 s idle gap
     # sends la_cholesky_check 6.8 s → 57 s).
+    # r18: wave wall-times land in the sidecar as contention evidence —
+    # the canary flag under-fires when a contention wave hits only
+    # allocation-heavy Python stages (plans/r18/bench_stages_degraded_2097
+    # vs the clean 12744 run: la_* ×10 on identical stages, canaries
+    # ×1.1-1.4).  A warm-pool wave is ~0.3-3 s quiet; a fault-path
+    # collapse inflates it ×10.  Diagnostics only: a cold (idle-culled)
+    # pool legitimately slows a wave, so this does NOT feed the
+    # contended flag.
+    arena_wave_s: list[float] = []
+
     def _arena_wave():
         n = spark.sparkContext.defaultParallelism
 
@@ -195,9 +205,11 @@ def main() -> None:
             del a
             yield from batches
 
+        t0 = time.perf_counter()
         spark.range(0, n, 1, n).mapInArrow(
             _touch_arena, "id long"
         ).write.format("noop").mode("overwrite").save()
+        arena_wave_s.append(round(time.perf_counter() - t0, 3))
 
     _arena_wave()
     # warm the block-matrix arrow/binary path end-to-end (worker arrow
@@ -319,7 +331,15 @@ def main() -> None:
         )
     try:
         with open(sidecar, "w") as f:
-            json.dump({"passes": pass_log, "stages": stages_out, "sf": float(sf)}, f)
+            json.dump(
+                {
+                    "passes": pass_log,
+                    "stages": stages_out,
+                    "sf": float(sf),
+                    "arena_wave_s": arena_wave_s,
+                },
+                f,
+            )
         print(f"# stage sidecar -> {sidecar}", file=sys.stderr)
     except OSError as e:  # read-only checkout must not kill the bench line
         print(f"# sidecar write failed: {e}", file=sys.stderr)
