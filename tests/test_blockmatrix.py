@@ -634,13 +634,34 @@ def test_gramian_fused_matches_materialized(spark):
 
 def test_svd_compressed_fused_matches_materialized(spark):
     """Same guard for the sketch + transpose_matvec fusion inside
-    svd_compressed (covers the power-iteration path too via n_iter=1)."""
+    svd_compressed (covers the power-iteration path too via n_iter=1).
+    r18: the seeded path runs the single-pass sketch+projection with
+    driver-side B = R⁻ᵀZᵀ — this pins it against the df-backed two-pass
+    shape (exact-arithmetic identical; float gap bounded by
+    cond(R)·eps, see tools/svd_fused_margin_audit.py)."""
     a = BlockMatrix.random(spark, 900, 700, 256, 256, seed=41)
     unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
     _, s_f, vt_f = a.svd_compressed(k=4, seed=2, n_iter=1)
     _, s_u, vt_u = unfused.svd_compressed(k=4, seed=2, n_iter=1)
     assert np.abs(np.asarray(s_f) - np.asarray(s_u)).max() < 1e-9
     assert np.abs(vt_f - vt_u).max() < 1e-9
+
+
+def test_svd_compressed_fused_tree_tsqr_path(spark):
+    """The fused single-pass sketch feeding tsqr's TREE merge (grid_rows
+    above TSQR_TREE_FANOUT), with uneven edge blocks in both dims — the
+    one shape combination the bench workloads never reach.  Checks σ/Vᵀ
+    against the df-backed path and U's orthonormality end-to-end."""
+    a = BlockMatrix.random(spark, 3350, 70, 100, 32, seed=7)  # 34 row blocks
+    unfused = BlockMatrix(a.df, a.n_rows, a.n_cols, a.block_rows, a.block_cols)
+    u_f, s_f, vt_f = a.svd_compressed(k=4, seed=3, n_iter=1)
+    orth = np.abs(u_f.gramian() - np.eye(4)).max()
+    u_f.release()
+    u_u, s_u, vt_u = unfused.svd_compressed(k=4, seed=3, n_iter=1)
+    u_u.release()
+    assert np.abs(np.asarray(s_f) - np.asarray(s_u)).max() < 1e-9
+    assert np.abs(vt_f - vt_u).max() < 1e-9
+    assert orth < 1e-9
 
 
 def test_transpose_matvec_fused_matches_join(spark, rng):
